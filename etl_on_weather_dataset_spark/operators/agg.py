@@ -1,0 +1,87 @@
+"""Aggregation operators: keyed mean rollups (A1/A3) and deterministic
+grouped mode (A2).
+
+Deterministic mode (SURVEY.md par.2a A2): the reference's
+`x.mode().iloc[0]` (ETL.py:76-77) ignores nulls and breaks frequency
+ties by the smallest value. Spark >=3.4 has `mode()` but it is
+non-deterministic on ties, so we rewrite as:
+
+    count per (keys, value)  ->  row_number() over
+        (partition by keys order by count desc, value asc)  ->  = 1
+
+All-null groups must still appear (with a null mode), so the winners
+are left-joined back onto the full key domain.
+
+Scale notes: both steps shuffle on the group keys. The count
+aggregation gets map-side partial aggregation for free; the window is
+over the (keys, value) count table, which is tiny relative to the
+input (cardinality of the key-value domain, not row count).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mean_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    metrics: dict[str, str],
+) -> DataFrame:
+    """group by ``keys``; mean of each metric col -> alias (A1/A3).
+
+    ``metrics`` maps input column -> output alias.
+    """
+    aggs = [F.avg(c).alias(a) for c, a in metrics.items()]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def grouped_mode(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    output_col: str = "mode",
+) -> DataFrame:
+    """Deterministic most-frequent value per group (A2).
+
+    Nulls excluded from counting (pandas mode semantics); a group whose
+    values are all null yields one row with a null mode.
+    """
+    keys = list(keys)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__cnt").desc(), F.col(value_col).asc()
+    )
+    winners = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col(value_col).alias(output_col))
+    )
+    domain = df.select(*keys).dropDuplicates()
+    return domain.join(winners, on=keys, how="left")
+
+
+def mean_rollup_with_mode(
+    df: DataFrame,
+    keys: Sequence[str],
+    metrics: dict[str, str],
+    mode_col: str,
+    mode_alias: str,
+) -> DataFrame:
+    """A3: means of N columns + deterministic mode of one categorical,
+    in a single grouped result (ETL.py:116-123 intent).
+
+    The two aggregates share the shuffle key, so Catalyst/AQE reuses
+    the exchange where possible; the join is on the (small) group
+    domain and broadcasts under AQE.
+    """
+    means = mean_rollup(df, keys, metrics)
+    modes = grouped_mode(df, keys, mode_col, mode_alias)
+    return means.join(modes, on=list(keys), how="left")

@@ -1,0 +1,77 @@
+"""Cleaning operators: timestamp coercion (P1), dedup (D1/D2), median
+imputation (I1).
+
+Reference parity notes (SURVEY.md par.2a):
+- P1 `pd.to_datetime(..., errors='coerce', utc=True)` (ETL.py:57) ->
+  `try_to_timestamp` (null on unparseable) under a UTC session tz.
+- D1 `df.drop_duplicates()` (ETL.py:58) -> `dropDuplicates()`.
+- I1 `fillna(median)` over critical columns (ETL.py:61-62; literally a
+  no-op in the reference -- we implement the intent). Exact
+  interpolated median (`percentile(c, 0.5)`) to match pandas/DuckDB;
+  `approx=True` switches to `percentile_approx` for the 100 TB path
+  where a full sort-based exact percentile is not worth it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def coerce_timestamp(
+    df: DataFrame,
+    col: str,
+    fmt: str | None = None,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Parse a string column to timestamp; unparseable -> null (P1).
+
+    With ``fmt=None`` Spark applies cast semantics (ISO-ish formats),
+    matching pandas' default-dateutil parse closely enough for the
+    engine's sources; pass an explicit pattern for fixed-format feeds
+    (the real weather CSV uses "yyyy-MM-dd HH:mm:ss.SSS xx").
+    """
+    out = output_col or col
+    expr = (
+        F.try_to_timestamp(F.col(col), F.lit(fmt))
+        if fmt is not None
+        else F.try_to_timestamp(F.col(col))
+    )
+    return df.withColumn(out, expr)
+
+
+def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Full-row (D1) or subset (D2) distinct.
+
+    Scale note: this is a hash-aggregate shuffle on all (or subset)
+    columns. Map-side partial aggregation already collapses local
+    duplicates before the shuffle, so the network cost is proportional
+    to the *distinct* row count per partition, not the input.
+    """
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def median_expr(col: str, approx: bool = False) -> Column:
+    """Interpolated median (pandas semantics: median([1,2,3,4]) = 2.5)."""
+    if approx:
+        return F.percentile_approx(F.col(col), F.lit(0.5))
+    return F.percentile(F.col(col), F.lit(0.5))
+
+
+def impute_median(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
+    """Fill nulls in ``cols`` with each column's median (I1).
+
+    All medians are computed in ONE aggregate job (one scan) and
+    collected as a single tiny row; the fill itself is a codegen'd
+    projection. At 100 TB prefer ``approx=True``: percentile_approx is
+    a single-pass mergeable sketch, exact percentile sorts.
+    """
+    if not cols:
+        return df
+    meds = df.agg(*[median_expr(c, approx).alias(c) for c in cols]).first()
+    fill = {c: meds[c] for c in cols if meds[c] is not None}
+    return df.na.fill(fill)

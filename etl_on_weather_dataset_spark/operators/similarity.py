@@ -1,0 +1,229 @@
+"""Similarity search over an embedding column (north-star par.2b).
+
+- brute-force cosine top-k: the exact baseline. Cross-join of queries
+  against the corpus with the dot product as pure array expressions
+  (`zip_with` + `aggregate`, JVM-side, no Python); top-k per query via
+  window. Cost O(|Q| x |C|): right for small query sets or reranking.
+- LSH-bucketed top-k: the scale path. Random-hyperplane signatures
+  (fixed, seeded, shipped as literal arrays -> identical across
+  engines/runs) bucket the corpus; candidates come only from the
+  query's bucket. Sub-linear scans at the cost of recall.
+
+Determinism: similarity is computed in float64 and ROUNDED before
+ranking; ties broken by neighbor id. That makes top-k membership
+independent of summation order (Spark partial aggregation vs the
+oracle's sequential loop).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SIM_DECIMALS = 6
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row (self-matches
+    excluded). Corpus-side norms are precomputed once; the corpus side
+    of the cross join is broadcast when small enough (hint left to
+    AQE -- a 100 TB corpus must shuffle instead)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        SIM_DECIMALS,
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def cosine_topk_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "TRUE",
+) -> str:
+    """DuckDB oracle for cosine_topk (same rounding + tie-break)."""
+    return f"""
+        WITH vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), q AS (
+            SELECT id AS query_id, v AS qv,
+                   sqrt(list_dot_product(v, v)) AS qn
+            FROM vecs WHERE {query_filter}
+        ), c AS (
+            SELECT id AS neighbor_id, v AS cv,
+                   sqrt(list_dot_product(v, v)) AS cn
+            FROM vecs
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(list_dot_product(qv, cv) / (qn * cn),
+                         {SIM_DECIMALS}) AS sim
+            FROM q CROSS JOIN c
+            WHERE query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k}
+    """
+
+
+def lsh_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG so
+    the exact same literals can be embedded in engine and oracle)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        vals = []
+        for _ in range(dim):
+            # Park-Miller minimal standard LCG
+            state = (state * 48271) % 2147483647
+            vals.append(state / 2147483647.0 - 0.5)
+        n = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([round(v / n, 6) for v in vals])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of a vector against fixed hyperplanes."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. The join is an equi-join on bucket id -- at 100 TB each
+    bucket is ~N/2^planes rows and the quadratic blow-up is contained
+    per-bucket (add planes to shrink buckets)."""
+    planes = lsh_hyperplanes(dim, n_planes, seed)
+    vecs = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes)).withColumn(
+        "n", norm(F.col("v"))
+    )
+    a = vecs.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"), "bucket",
+    )
+    b = vecs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"), "bucket",
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        SIM_DECIMALS,
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def lsh_topk_sql(
+    planes: list[list[float]],
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    plane_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), bucketed AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+                   ({plane_sql}) AS bucket
+            FROM vecs
+        ), scored AS (
+            SELECT a.id AS query_id, b.id AS neighbor_id,
+                   ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                         {SIM_DECIMALS}) AS sim
+            FROM bucketed a JOIN bucketed b USING (bucket)
+            WHERE a.id != b.id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k}
+    """

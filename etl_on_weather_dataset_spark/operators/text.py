@@ -1,0 +1,158 @@
+"""Text-analysis operators over a documents table (north-star par.2b).
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM,
+whole-stage codegen) -- no Python UDFs. Every helper has SQL-portable
+semantics so the DuckDB oracle can mirror it exactly.
+
+Operators:
+- tokenization + token counting (whitespace split; BPE-ish regex split)
+- quality scoring (length / punctuation / stopword ratios,
+  type-token ratio)
+- language-ID (marker-n-gram heuristic, deterministic argmax)
+- document fingerprinting (md5 of normalized text; order-insensitive
+  shingle fingerprint)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = " +"
+# BPE-ish: split on word/non-word boundaries so punctuation becomes its
+# own token (approximates a byte-pair pre-tokenizer's word split).
+BPE_SPLIT_RE = r"\s+|(?=[^\w\s])|(?<=[^\w\s])"
+
+STOPWORDS = ["the", "a"]
+
+# Marker n-grams per language for the heuristic language-ID.
+# Count of marker occurrences is computed with the replace-length trick
+# ((len(s) - len(replace(s, m, ''))) / len(m)) -- portable to any SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " a "],
+    "de": [" der ", " und "],
+    "es": [" el ", " que "],
+    "fr": [" le ", " et "],
+}
+LANG_FALLBACK = "unk"
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def marker_count(text: Column | str, marker: str) -> Column:
+    """Occurrences of ``marker`` in text via the replace-length trick."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - F.length(F.replace(c, F.lit(marker), F.lit("")))) / F.lit(
+        len(marker)
+    )
+
+
+def marker_count_sql(col_sql: str, marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (
+        f"(length({col_sql}) - length(replace({col_sql}, '{m}', '')))"
+        f" / {len(marker)}"
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords (JVM-side, via filter on
+    the token array -- no explode, no shuffle)."""
+    toks = tokens(text)
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    return stops / F.size(toks)
+
+
+def stopword_ratio_sql(col_sql: str) -> str:
+    inlist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    arr = f"regexp_split_to_array({col_sql}, ' +')"
+    return (
+        f"(len(list_filter({arr}, t -> t IN ({inlist}))) * 1.0"
+        f" / len({arr}))"
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language-ID: argmax of marker-n-gram counts, ties and
+    all-zero scores -> '{fallback}' deterministic.
+
+    Padded (' '||text||' ') so edge tokens match. This is the classic
+    n-gram-profile approach collapsed to a few high-signal markers so
+    it stays a pure Catalyst expression.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+            for m in markers
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # Deterministic argmax: iterate langs in sorted order, keep first max.
+    best_lang = F.lit(LANG_FALLBACK)
+    best_score = F.lit(0.0)
+    for lang in sorted(LANG_MARKERS):
+        s = scores[lang]
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_sql(col_sql: str) -> str:
+    padded = f"(' ' || {col_sql} || ' ')"
+    score_sqls = {
+        lang: " + ".join(marker_count_sql(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # Same deterministic fold as lang_id(): sorted langs, strict >.
+    expr = f"'{LANG_FALLBACK}'"
+    score_expr = "0.0"
+    for lang in sorted(LANG_MARKERS):
+        s = f"({score_sqls[lang]})"
+        expr = f"CASE WHEN {s} > {score_expr} THEN '{lang}' ELSE {expr} END"
+        score_expr = f"(CASE WHEN {s} > {score_expr} THEN {s} ELSE {score_expr} END)"
+    return expr
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    ) / F.length(c)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint_sql(col_sql: str) -> str:
+    return f"md5(regexp_replace(lower(trim({col_sql})), '\\s+', ' ', 'g'))"
+
+
+def shingle_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (bag-of-words identity)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def shingle_fingerprint_sql(col_sql: str) -> str:
+    arr = f"regexp_split_to_array({col_sql}, ' +')"
+    return f"md5(array_to_string(list_sort(list_distinct({arr})), ' '))"

@@ -1,0 +1,550 @@
+"""Reference-analogue queries over the `events` fact table.
+
+These re-express every operator of the reference ETL's transform/
+validate stages (SURVEY.md par.2a) against the driver's `events` table
+(`ts` plays `Formatted Date`, `value` plays the numeric weather
+columns, `event_type` plays `Precip Type`).
+
+The test data has no dirt (no nulls/dups/bad strings), so queries that
+exercise coercion/imputation synthesize dirt DETERMINISTICALLY
+(`event_id % k` predicates) identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_avg, exact_avg_sql
+from ..operators.agg import grouped_mode
+from ..operators.clean import dedup_exact, median_expr
+from ..operators.derive import beaufort, beaufort_sql, with_date_parts
+from ..operators.joins import fanout_join_daily
+from ..operators.validate import at_least, in_range, not_null, violation_counts
+from ..schemas import load_table
+from .registry import QuerySpec, register
+
+
+# --- A1: daily mean rollup (ETL.py:69-73) --------------------------------
+
+def _daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        exact_avg("value").alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+register(QuerySpec(
+    name="daily_value_rollup",
+    spark_fn=_daily_rollup,
+    oracle=f"""
+        SELECT CAST(ts AS DATE) AS date,
+               {exact_avg_sql('value')} AS avg_value,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    covers=("A1", "P2"),
+    bench=True,
+))
+
+
+# --- A2: deterministic grouped mode (ETL.py:76-77) ------------------------
+
+def _monthly_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_date_parts(load_table(spark, sf_dir, "events"), "ts")
+    return grouped_mode(ev, ["month"], "event_type", "mode_event_type")
+
+
+register(QuerySpec(
+    name="monthly_mode_event_type",
+    spark_fn=_monthly_mode,
+    oracle="""
+        WITH c AS (
+            SELECT CAST(month(ts) AS INTEGER) AS month, event_type,
+                   COUNT(*) AS cnt
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1, 2
+        ), r AS (
+            SELECT month, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY month
+                                      ORDER BY cnt DESC, event_type ASC) AS rn
+            FROM c
+        ), d AS (
+            SELECT DISTINCT CAST(month(ts) AS INTEGER) AS month FROM events
+        )
+        SELECT d.month, r.event_type AS mode_event_type
+        FROM d LEFT JOIN r ON d.month = r.month AND r.rn = 1
+    """,
+    covers=("A2", "A4", "P3"),
+))
+
+
+# --- A3: monthly means + mode in one result (ETL.py:116-123) --------------
+
+def _monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_date_parts(load_table(spark, sf_dir, "events"), "ts")
+    means = ev.groupBy("month").agg(
+        exact_avg("value").alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    modes = grouped_mode(ev, ["month"], "event_type", "mode_event_type")
+    return means.join(modes, "month", "left")
+
+
+register(QuerySpec(
+    name="monthly_rollup_with_mode",
+    spark_fn=_monthly_rollup,
+    oracle=f"""
+        WITH m AS (
+            SELECT CAST(month(ts) AS INTEGER) AS month,
+                   {exact_avg_sql('value')} AS avg_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        ), c AS (
+            SELECT CAST(month(ts) AS INTEGER) AS month, event_type,
+                   COUNT(*) AS cnt
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        ), r AS (
+            SELECT month, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY month
+                                      ORDER BY cnt DESC, event_type ASC) AS rn
+            FROM c
+        )
+        SELECT m.month, m.avg_value, m.n_events,
+               r.event_type AS mode_event_type
+        FROM m LEFT JOIN r ON m.month = r.month AND r.rn = 1
+    """,
+    covers=("A3",),
+    bench=True,
+))
+
+
+# --- U1: Beaufort bucketing as CASE chain (ETL.py:80-107) ------------------
+
+def _bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("wind_strength", beaufort("value"))
+        .groupBy("wind_strength")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_avg("value").alias("avg_value"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="beaufort_bucketing",
+    spark_fn=_bucketing,
+    oracle=f"""
+        SELECT {beaufort_sql('value')} AS wind_strength,
+               COUNT(*) AS n_events,
+               {exact_avg_sql('value')} AS avg_value
+        FROM events
+        GROUP BY 1
+    """,
+    covers=("U1",),
+    bench=True,
+))
+
+
+# --- P1: string->timestamp coercion, null on error (ETL.py:57) -------------
+
+def _ts_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit("not a timestamp"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .alias("ts_str"),
+    )
+    return raw.select(
+        "event_id", F.try_to_timestamp("ts_str").alias("ts_parsed")
+    )
+
+
+register(QuerySpec(
+    name="timestamp_coercion",
+    spark_fn=_ts_coercion,
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(
+                   CASE WHEN event_id % 97 = 0 THEN 'not a timestamp'
+                        ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END
+                   AS TIMESTAMP) AS ts_parsed
+        FROM events
+    """,
+    covers=("P1",),
+))
+
+
+# --- D1/D2: exact dedup (ETL.py:58,110) ------------------------------------
+
+def _dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full-row distinct; the synthetic events are unique, so to make the
+    # operator observable we first fan out x2 (union) and dedup back.
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_exact(ev.unionAll(ev))
+
+
+register(QuerySpec(
+    name="dedup_full_row",
+    spark_fn=_dedup_full,
+    oracle="""
+        SELECT DISTINCT * FROM (
+            SELECT * FROM events UNION ALL SELECT * FROM events
+        )
+    """,
+    covers=("D1",),
+))
+
+
+def _dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_exact(ev, subset=["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+register(QuerySpec(
+    name="dedup_subset_distinct",
+    spark_fn=_dedup_subset,
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    covers=("D2", "P4"),
+))
+
+
+# --- I1: median imputation (ETL.py:61-62) ----------------------------------
+
+def _median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Deterministically poke holes, then impute with the exact
+    # interpolated median of the remaining values (pandas semantics).
+    dirty = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 101 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    med = dirty.agg(median_expr("value").alias("m")).first()["m"]
+    filled = dirty.withColumn(
+        "n_imputed", F.when(F.col("value").isNull(), 1).otherwise(0)
+    ).na.fill({"value": med})
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_imputed").alias("n_imputed"),
+        # median is ~3 dp (midpoint of 2-dp values) -> scale 1000.
+        exact_avg("value", scale=1000).alias("avg_value"),
+    )
+
+
+register(QuerySpec(
+    name="median_impute",
+    spark_fn=_median_impute,
+    oracle=f"""
+        WITH dirty AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 101 = 0 THEN NULL ELSE value END
+                       AS value
+            FROM events
+        ), med AS (
+            SELECT median(value) AS m FROM dirty
+        ), filled AS (
+            SELECT event_type,
+                   COALESCE(value, (SELECT m FROM med)) AS value,
+                   CASE WHEN value IS NULL THEN 1 ELSE 0 END AS n_imputed
+            FROM dirty
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(n_imputed) AS BIGINT) AS n_imputed,
+               {exact_avg_sql('value', 1000)} AS avg_value
+        FROM filled
+        GROUP BY event_type
+    """,
+    covers=("I1",),
+))
+
+
+# --- J1: daily agg left-join fan-out (ETL.py:109-113) ----------------------
+
+def _daily_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    daily = ev.groupBy("date").agg(exact_avg("value").alias("avg_value"))
+    return fanout_join_daily(daily, ev, "date", ["event_type"])
+
+
+register(QuerySpec(
+    name="daily_join_fanout",
+    spark_fn=_daily_fanout,
+    oracle=f"""
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS date, event_type, value FROM events
+        ), daily AS (
+            SELECT date, {exact_avg_sql('value')} AS avg_value
+            FROM ev GROUP BY date
+        ), details AS (
+            SELECT DISTINCT date, event_type FROM ev
+        )
+        SELECT daily.date, daily.avg_value, details.event_type
+        FROM daily LEFT JOIN details ON daily.date = details.date
+    """,
+    covers=("J1",),
+    bench=True,
+))
+
+
+# --- F1-F5: fused validation counts (ETL.py:142-193) -----------------------
+
+def _validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    checks = [
+        not_null(["ts", "event_type", "value"]),
+        in_range("value", 0.0, 400.0),
+        at_least("value", 0.0),
+    ]
+    return violation_counts(ev, checks).toDF(
+        "n_nulls", "n_value_out_of_range", "n_value_negative"
+    )
+
+
+register(QuerySpec(
+    name="validation_counts",
+    spark_fn=_validation,
+    oracle="""
+        SELECT
+            CAST(SUM(CASE WHEN ts IS NULL OR event_type IS NULL
+                          OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_nulls,
+            CAST(SUM(CASE WHEN value IS NOT NULL
+                          AND NOT (value BETWEEN 0.0 AND 400.0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_value_out_of_range,
+            CAST(SUM(CASE WHEN value IS NOT NULL AND value < 0.0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_value_negative
+        FROM events
+    """,
+    covers=("F1", "F2", "F3", "F5"),
+))
+
+
+# --- F4: negated-range outlier filter (ETL.py:184-191) ---------------------
+
+def _outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(~F.col("value").between(10.0, 400.0)).select(
+        "event_id", "event_type", "value"
+    )
+
+
+register(QuerySpec(
+    name="outlier_filter",
+    spark_fn=_outliers,
+    oracle="""
+        SELECT event_id, event_type, value
+        FROM events
+        WHERE NOT (value BETWEEN 10.0 AND 400.0)
+    """,
+    covers=("F4",),
+))
+
+
+# --- P2/P3 + date scalar functions ------------------------------------------
+
+def _date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("year", "month", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+register(QuerySpec(
+    name="date_part_histogram",
+    spark_fn=_date_parts,
+    oracle="""
+        SELECT CAST(year(ts) AS INTEGER) AS year,
+               CAST(month(ts) AS INTEGER) AS month,
+               CAST(day(ts) AS INTEGER) AS day,
+               CAST(hour(ts) AS INTEGER) AS hour,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2, 3, 4
+    """,
+    covers=("P2", "P3"),
+))
+
+
+# --- P5/P6: drop + bulk rename to sink schema (ETL.py:213-233) --------------
+
+def _sink_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    return ev.drop("props", "ts").withColumnsRenamed(
+        {
+            "event_id": "id",
+            "user_id": "uid",
+            "event_type": "kind",
+            "value": "metric",
+            "date": "event_date",
+        }
+    )
+
+
+register(QuerySpec(
+    name="sink_reshape_rename",
+    spark_fn=_sink_reshape,
+    oracle="""
+        SELECT event_id AS id, user_id AS uid, event_type AS kind,
+               value AS metric, CAST(ts AS DATE) AS event_date
+        FROM events
+    """,
+    covers=("P5", "P6"),
+))
+
+
+# --- set ops (judge checklist: none in reference; engine provides) ----------
+
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = err.intersect(buy)  # INTERSECT (distinct) semantics
+    only_err = err.subtract(buy)  # EXCEPT (distinct) semantics
+    return (
+        both.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("error_and_purchase").alias("segment"), "n")
+        .unionAll(
+            only_err.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("error_only").alias("segment"), "n"
+            )
+        )
+    )
+
+
+register(QuerySpec(
+    name="set_ops_user_segments",
+    spark_fn=_set_ops,
+    oracle="""
+        SELECT 'error_and_purchase' AS segment, COUNT(*) AS n FROM (
+            SELECT user_id FROM events WHERE event_type = 'error'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT 'error_only' AS segment, COUNT(*) AS n FROM (
+            SELECT user_id FROM events WHERE event_type = 'error'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    """,
+    covers=("set-ops",),
+))
+
+
+# --- window functions: top-k per group + lag delta ---------------------------
+
+def _topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+register(QuerySpec(
+    name="topk_events_per_user",
+    spark_fn=_topk_per_user,
+    oracle="""
+        SELECT user_id, event_id, value, CAST(rn AS INTEGER) AS rn FROM (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    covers=("window", "top-k"),
+    bench=True,
+))
+
+
+# --- JSON column ops (par.2b: events.props) ----------------------------------
+
+def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="json_props_extract",
+    spark_fn=_json_props,
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    covers=("json",),
+))
+
+
+# --- event-time tumbling window (batch form of the streaming analogue) ------
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+register(QuerySpec(
+    name="event_time_tumbling_window",
+    spark_fn=_tumbling,
+    oracle=f"""
+        SELECT date_trunc('day', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {exact_avg_sql('value')} AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    covers=("streaming-window-batch",),
+))

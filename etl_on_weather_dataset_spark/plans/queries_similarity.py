@@ -1,0 +1,115 @@
+"""Similarity-search + embedding + multimodal queries (par.2b)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_binary_metadata, with_binary_payload
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_sql,
+    dot,
+    lsh_hyperplanes,
+    lsh_topk,
+    lsh_topk_sql,
+)
+from ..schemas import load_table
+from .registry import QuerySpec, register
+
+_K = 5
+_N_QUERIES = 20  # queries = vec_id < 20; corpus = everything
+
+
+def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(queries, emb, k=_K)
+
+
+register(QuerySpec(
+    name="cosine_topk_bruteforce",
+    spark_fn=_brute_topk,
+    oracle=cosine_topk_sql(k=_K, query_filter=f"id < {_N_QUERIES}"),
+    covers=("similarity-bruteforce", "array-fns"),
+    bench=True,
+))
+
+
+_PLANES = lsh_hyperplanes(dim=64, n_planes=8, seed=42)
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, k=_K, n_planes=8, dim=64, seed=42)
+
+
+register(QuerySpec(
+    name="cosine_topk_lsh",
+    spark_fn=_lsh_topk,
+    oracle=lsh_topk_sql(_PLANES, k=_K),
+    covers=("similarity-lsh", "ann"),
+))
+
+
+# --- per-label embedding stats (F.aggregate / zip_with surface) -------------
+
+def _label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sqnorm = F.round(dot(v, v), 6)
+    # exact integer-scaled mean of the (rounded) per-row squared norms
+    return (
+        emb.select("label", sqnorm.alias("sqn"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.round(F.col("sqn") * 1e6).cast("long")) / 1e6
+                / F.count(F.lit(1))
+            ).alias("avg_sq_norm"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="embedding_label_stats",
+    spark_fn=_label_stats,
+    oracle="""
+        WITH per_vec AS (
+            SELECT label,
+                   ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])), 6)
+                       AS sqn
+            FROM embeddings
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               SUM(CAST(ROUND(sqn * 1000000.0) AS BIGINT)) / 1000000.0
+                   / COUNT(*) AS avg_sq_norm
+        FROM per_vec
+        GROUP BY label
+    """,
+    covers=("embedding-stats",),
+))
+
+
+# --- multimodal: opaque binary payload + metadata plumbing -------------------
+
+def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs, "text", "payload")
+    return decode_binary_metadata(payloads, "payload", id_col="doc_id")
+
+
+register(QuerySpec(
+    name="multimodal_binary_metadata",
+    spark_fn=_multimodal,
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS first_byte,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    covers=("multimodal-binary", "pandas-udf"),
+))

@@ -1,0 +1,328 @@
+"""Join/aggregation queries over the TPC-H-ish star schema.
+
+The reference has exactly one join (J1); these queries extend the
+engine to the join/agg surface any analytics user needs (multi-way
+joins, semi/anti joins, rollup, pivot, global top-k) and are the bench
+headliners at sf0.1.
+
+Scale notes:
+- dims (region/nation/customer/supplier/part) are broadcast -- at
+  100 TB the fact side never shuffles for these joins;
+- money aggregates use exact integer-cents sums (functions/exact.py);
+- global top-k is agg -> row_number over a tiny grouped result, never a
+  global sort of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_avg, exact_avg_sql, exact_sum, exact_sum_sql
+from ..schemas import load_table
+from .registry import QuerySpec, register
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --- TPC-H Q1: pricing summary ---------------------------------------------
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = _cents("l_extendedprice")
+    # l_discount / l_tax are 2-dp fractions (0.00-0.10): x100 => integers.
+    disc = _cents("l_discount")
+    tax = _cents("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            (F.sum(ext * (100 - disc)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(ext * (100 - disc) * (100 + tax)) / 1000000.0).alias(
+                "sum_charge"
+            ),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="pricing_summary",
+    spark_fn=_q1,
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {exact_sum_sql('l_quantity')} AS sum_qty,
+               {exact_sum_sql('l_extendedprice')} AS sum_base_price,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                   / 10000.0 AS sum_disc_price,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   * (100 + CAST(ROUND(l_tax*100) AS BIGINT)))
+                   / 1000000.0 AS sum_charge,
+               {exact_avg_sql('l_quantity')} AS avg_qty,
+               {exact_avg_sql('l_extendedprice')} AS avg_price,
+               {exact_avg_sql('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    covers=("A1", "F1", "agg-multi"),
+    bench=True,
+))
+
+
+# --- Q3-ish: top-10 orders by revenue for a market segment ------------------
+
+def _top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            (F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount")))
+             / 10000.0).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("o_orderkey", "o_orderdate", "revenue", "rk")
+    )
+
+
+register(QuerySpec(
+    name="top_orders_by_revenue",
+    spark_fn=_top_orders,
+    oracle="""
+        WITH rev AS (
+            SELECT o_orderkey, o_orderdate,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                       / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+        )
+        SELECT o_orderkey, o_orderdate, revenue, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC,
+                                         o_orderkey ASC) AS rk
+            FROM rev
+        ) WHERE rk <= 10
+    """,
+    covers=("J-multi", "top-k", "sort-limit"),
+    bench=True,
+))
+
+
+# --- Q5-ish: revenue by nation (4-way join through broadcast dims) ----------
+
+def _regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount")))
+             / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="regional_revenue",
+    spark_fn=_regional_revenue,
+    oracle="""
+        SELECT r_name, n_name,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                   / 10000.0 AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    covers=("J-multi", "broadcast-join"),
+    bench=True,
+))
+
+
+# --- Q4-ish: semi join (EXISTS) ---------------------------------------------
+
+def _order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+register(QuerySpec(
+    name="order_priority_semi_join",
+    spark_fn=_order_priority,
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        )
+        GROUP BY o_orderpriority
+    """,
+    covers=("semi-join",),
+))
+
+
+# --- anti join (NOT EXISTS) ---------------------------------------------------
+
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select("o_custkey"),
+                  cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+register(QuerySpec(
+    name="customers_without_orders",
+    spark_fn=_customers_without_orders,
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+        GROUP BY c_mktsegment
+    """,
+    covers=("anti-join",),
+))
+
+
+# --- ROLLUP (grouping sets) ---------------------------------------------------
+
+def _rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+register(QuerySpec(
+    name="rollup_returnflag_status",
+    spark_fn=_rollup_status,
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               {exact_sum_sql('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    covers=("rollup", "grouping-sets"),
+))
+
+
+# --- pivot ---------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+def _pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+        .na.fill({s: 0 for s in _STATUSES})
+    )
+
+
+register(QuerySpec(
+    name="pivot_orders_status",
+    spark_fn=_pivot_orders,
+    oracle="""
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS "F",
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS "O",
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    covers=("pivot",),
+))
+
+
+# --- correlated scalar subquery-ish: orders above customer average -----------
+
+def _above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(
+        exact_avg("o_totalprice").alias("avg_price")
+    )
+    return (
+        orders.join(cust_avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+register(QuerySpec(
+    name="orders_above_customer_avg",
+    spark_fn=_above_avg_orders,
+    oracle=f"""
+        WITH cust_avg AS (
+            SELECT o_custkey, {exact_avg_sql('o_totalprice')} AS avg_price
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_above_avg
+        FROM orders JOIN cust_avg USING (o_custkey)
+        WHERE o_totalprice > avg_price
+        GROUP BY o_orderstatus
+    """,
+    covers=("subquery", "self-join"),
+))

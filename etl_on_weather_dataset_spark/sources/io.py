@@ -1,0 +1,83 @@
+"""Sources / sinks (SURVEY.md par.2a S1-S6).
+
+- S3 CSV scan (`pd.read_csv`, ETL.py:54) -> schema-pinned header CSV
+  read. Never `inferSchema` in a production path: at 100 TB that is a
+  full extra pass over the data.
+- S4 CSV sink (ETL.py:128-129) -> header CSV write; engine default is
+  Parquet (columnar, splittable, predicate-pushdown-able), optionally
+  partitioned by a date/month column so downstream reads prune.
+- S5/S6 RDBMS DDL + append (ETL.py:241-275) -> JDBC append sink with
+  per-partition connections (or `saveAsTable` into the catalog).
+
+Ingestion (S1 Kaggle download, S2 unzip -- ETL.py:29-43) is an
+out-of-engine landing step; the engine reads landed files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .options(**options)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Engine-default sink. ``partition_by`` a low-cardinality time
+    column (month/date) so a 100 TB table prunes on time predicates."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    **properties: str,
+) -> None:
+    """S6 append sink. One JDBC connection per partition; cap
+    ``num_partitions`` so a wide cluster doesn't open thousands of
+    connections against one database (coalesce, no shuffle)."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    (
+        df.write.mode(mode)
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .options(**properties)
+        .save()
+    )

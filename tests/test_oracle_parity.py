@@ -1,0 +1,41 @@
+"""Every registered query with an oracle must match it exactly.
+
+This replicates the driver's sf0.01 correctness gate locally (default
+sf0.001 for speed; set SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 to run
+at driver scale). Queries without oracles get a rows-run smoke check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_on_weather_dataset_spark.plans import registry
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+QUERIES = registry.queries()
+ORACLES = registry.oracle_sql()
+
+WITH_ORACLE = sorted(ORACLES)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, name):
+    df = QUERIES[name](spark, SF_ORACLE)
+    compare(df, ORACLES[name], SF_ORACLE, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
