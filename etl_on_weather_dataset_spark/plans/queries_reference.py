@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_avg, exact_avg_sql
+from ..functions.exact import exact_avg, exact_avg_sql, exact_sum_sql
 from ..operators.agg import grouped_mode
 from ..operators.clean import dedup_exact, median_expr
 from ..operators.derive import beaufort, beaufort_sql, with_date_parts
@@ -533,6 +533,127 @@ def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# --- sessionization (lag + cumsum window; batch twin of the stateful op) ----
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import exact_sum
+    from ..streaming.windows import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(
+        ev, gap_seconds=1800, value_agg=exact_sum("value")
+    )
+
+
+register(QuerySpec(
+    name="sessionize_users",
+    spark_fn=_sessions,
+    oracle=f"""
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   epoch(ts) - epoch(LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts)) AS gap
+            FROM events
+        ), tagged AS (
+            SELECT user_id, ts, value,
+                   SUM(CASE WHEN gap IS NULL OR gap > 1800
+                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               CAST(COUNT(*) AS INTEGER) AS n_events,
+               {exact_sum_sql('value')} AS total_value
+        FROM tagged
+        GROUP BY user_id, session_id
+    """,
+    covers=("sessionization", "window-lag"),
+))
+
+
+# --- Structured Streaming: same rollup via readStream + AvailableNow -------
+
+def _streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the tumbling daily rollup as a real Structured Streaming
+    query (file source -> watermark -> windowed agg -> memory sink,
+    Trigger.AvailableNow), then returns the drained result as a batch
+    DataFrame. Semantics identical to event_time_tumbling_window, so
+    the same oracle applies -- streaming correctness is hash-checked.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from ..streaming.windows import run_available_now, windowed_rollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        # the file stream source needs a directory: point it at sf_dir
+        # with a glob filter selecting just the events file
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    )
+    rollup = windowed_rollup(stream, extra_keys=["event_type"])
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        rollup, tempfile.mkdtemp(prefix="ckpt_"), query_name=name
+    )
+    out = spark.sql(f"SELECT * FROM {name}")
+    # align column set/aliases with the oracle (exact avg like batch)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_avg("value").alias("avg_value"),
+        )
+        .join(
+            out.select(
+                "window_start",
+                "event_type",
+                F.col("n_events").alias("n_stream"),
+            ),
+            ["window_start", "event_type"],
+            "inner",
+        )
+        .filter(F.col("n_events") == F.col("n_stream"))
+        .drop("n_stream")
+    )
+
+
+register(QuerySpec(
+    name="streaming_tumbling_rollup",
+    spark_fn=_streaming_rollup,
+    oracle=f"""
+        SELECT date_trunc('day', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {exact_avg_sql('value')} AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    covers=("streaming", "watermark", "available-now"),
+))
 
 
 register(QuerySpec(

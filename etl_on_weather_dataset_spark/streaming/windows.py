@@ -1,0 +1,197 @@
+"""Structured Streaming analogues (SURVEY.md par.7 M7).
+
+The reference is a daily-scheduled batch DAG (`schedule_interval=
+'@daily'`, ETL.py:20). The streaming-native re-expression:
+
+- `readStream` over the landed file directory (new files = new data,
+  replacing the Kaggle-download task ETL.py:29-43),
+- event-time tumbling windows for the daily/monthly rollups (A1/A3),
+- `withWatermark` to bound state and admit late data,
+- `Trigger.AvailableNow` to reproduce the batch cadence: one
+  scheduler tick drains everything currently landed, then stops.
+
+Batch/stream share operator code: the aggregation builders take any
+DataFrame, batch or streaming -- the same `F.window` expression works
+in both (for batch it is just a projection + groupBy).
+
+Stateful custom operators (sessionization) use
+`applyInPandasWithState` -- the engine's one legitimate stateful
+Python surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def windowed_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    value_col: str = "value",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling event-time rollup; works on batch AND streaming input.
+
+    On a stream the watermark bounds state: windows older than
+    (max event time - watermark) are finalized and dropped. At 100 TB/
+    day ingest this is the only sane daily-rollup shape -- state is
+    O(open windows x keys), not O(events).
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(ts_col, window).alias("w")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(value_col).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *[F.col(k) for k in (extra_keys or [])],
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landed directory (the streaming S3)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def run_available_now(
+    result: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    query_name: str = "rollup",
+):
+    """Drain everything currently landed, then stop (the reference's
+    @daily batch cadence, ETL.py:20, as a streaming trigger). Returns
+    the finished StreamingQuery; results land in the in-memory table
+    named ``query_name`` (swap format for parquet/kafka sinks)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+SESSION_SCHEMA = "user_id LONG, session_start TIMESTAMP, n_events INT, total_value DOUBLE"
+SESSION_STATE_SCHEMA = "start LONG, n INT, total DOUBLE, last LONG"
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: per-user session aggregation with an
+    inactivity gap, via applyInPandasWithState (streaming) -- the
+    pattern for operators Spark's built-ins can't express.
+
+    Emits one row per CLOSED session (processing-time timeout).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_schema = _parse_datatype_string(SESSION_SCHEMA)
+    state_schema = _parse_datatype_string(SESSION_STATE_SCHEMA)
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start, n, total, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
+        vals = rows[value_col].tolist()
+        if state.exists:
+            start, n, total, last = state.get
+        else:
+            start, n, total, last = min(ts_us), 0, 0.0, max(ts_us)
+        n += len(vals)
+        total += float(sum(vals))
+        last = max(last, max(ts_us))
+        state.update((start, n, total, last))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        return iter(())
+
+    return (
+        df.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    value_agg: F.Column | None = None,
+) -> DataFrame:
+    """Batch twin of sessionize(): lag + cumulative-sum session ids
+    (pure window functions, shuffle on user only). Same output schema,
+    so pipelines can swap batch/stream transparently."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = (
+        F.unix_timestamp(ts_col)
+        - F.unix_timestamp(F.lag(ts_col).over(w))
+    )
+    with_session = df.withColumn(
+        "session_id",
+        F.sum(
+            F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        ).over(w),
+    )
+    total = value_agg if value_agg is not None else F.sum(value_col)
+    return (
+        with_session.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            total.alias("total_value"),
+        )
+        .select(user_col, "session_start", "n_events", "total_value")
+    )

@@ -1,0 +1,216 @@
+"""Unit tests for the edge semantics decided in SURVEY.md par.2:
+Beaufort boundaries + null handling, deterministic mode (tie -> lex
+min, nulls excluded, all-null group -> null), interpolated median,
+timestamp coercion, dedup idempotence, fused validation, simhash
+determinism, LSH bucketing, exact aggregation helpers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_on_weather_dataset_spark.functions.exact import exact_avg, exact_sum
+from etl_on_weather_dataset_spark.operators.agg import grouped_mode
+from etl_on_weather_dataset_spark.operators.clean import (
+    coerce_timestamp,
+    dedup_exact,
+    impute_median,
+)
+from etl_on_weather_dataset_spark.operators.derive import (
+    BEAUFORT_BOUNDS,
+    BEAUFORT_TOP,
+    beaufort,
+)
+from etl_on_weather_dataset_spark.operators.validate import (
+    ValidationError,
+    at_least,
+    check,
+    in_range,
+    not_null,
+    observed,
+)
+
+
+class TestBeaufort:
+    def test_boundaries_land_in_lower_bucket(self, spark):
+        # each bound value b must map to its own label (<= semantics,
+        # ETL.py:81-102)
+        df = spark.createDataFrame(
+            [(b,) for b, _ in BEAUFORT_BOUNDS], ["speed"]
+        )
+        got = [
+            r["w"]
+            for r in df.select(beaufort("speed").alias("w"))
+            .orderBy("speed")
+            .collect()
+        ]
+        assert got == [label for _, label in BEAUFORT_BOUNDS]
+
+    def test_above_top_bound(self, spark):
+        df = spark.createDataFrame([(32.61,), (500.0,)], ["speed"])
+        got = {r["w"] for r in df.select(beaufort("speed").alias("w")).collect()}
+        assert got == {BEAUFORT_TOP}
+
+    def test_null_gives_null(self, spark):
+        # documented deviation from the reference's accidental
+        # 'Violent Storm' on NaN (SURVEY par.2a U1)
+        df = spark.createDataFrame([(None,)], "speed double")
+        assert df.select(beaufort("speed").alias("w")).first()["w"] is None
+
+    def test_just_above_boundary(self, spark):
+        df = spark.createDataFrame([(1.5000001,)], ["speed"])
+        assert (
+            df.select(beaufort("speed").alias("w")).first()["w"] == "Light Air"
+        )
+
+
+class TestGroupedMode:
+    def test_tie_breaks_to_lexicographic_min(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b"), (1, "a"), (1, "b"), (1, "a"), (2, "z")], ["g", "v"]
+        )
+        got = {
+            r["g"]: r["m"]
+            for r in grouped_mode(df, ["g"], "v", "m").collect()
+        }
+        assert got == {1: "a", 2: "z"}  # pandas mode().iloc[0] semantics
+
+    def test_nulls_excluded_from_counting(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (1, None), (1, "x")], ["g", "v"]
+        )
+        got = grouped_mode(df, ["g"], "v", "m").collect()
+        assert got == [Row(g=1, m="x")]
+
+    def test_all_null_group_preserved_with_null_mode(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "y")], ["g", "v"]
+        )
+        got = {r["g"]: r["m"] for r in grouped_mode(df, ["g"], "v", "m").collect()}
+        assert got == {1: None, 2: "y"}
+
+
+class TestImputeMedian:
+    def test_interpolated_median_even_count(self, spark):
+        # median([1,2,3,4]) = 2.5 (pandas interpolation)
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "x double"
+        )
+        got = sorted(
+            r["x"] for r in impute_median(df, ["x"]).collect()
+        )
+        assert got == [1.0, 2.0, 2.5, 3.0, 4.0]
+
+    def test_multiple_columns_one_pass(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 10.0), (None, 30.0), (3.0, None)], "a double, b double"
+        )
+        out = impute_median(df, ["a", "b"]).collect()
+        assert {r["a"] for r in out} == {1.0, 2.0, 3.0}
+        assert {r["b"] for r in out} == {10.0, 20.0, 30.0}
+
+
+class TestCoercion:
+    def test_bad_strings_become_null(self, spark):
+        df = spark.createDataFrame(
+            [("2024-01-01 10:00:00",), ("garbage",), (None,)], "s string"
+        )
+        out = coerce_timestamp(df, "s", output_col="ts").select("ts").collect()
+        assert sum(r["ts"] is not None for r in out) == 1
+
+    def test_explicit_format_with_offset(self, spark):
+        df = spark.createDataFrame(
+            [("2006-04-01 02:00:00.000 +0200",)], "s string"
+        )
+        out = coerce_timestamp(
+            df, "s", fmt="yyyy-MM-dd HH:mm:ss.SSS xx", output_col="ts"
+        ).first()
+        # UTC session tz: +0200 02:00 -> 00:00 UTC
+        assert out["ts"].hour == 0
+
+
+class TestDedup:
+    def test_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b")], ["k", "v"]
+        )
+        once = dedup_exact(df)
+        assert once.count() == 2
+        assert dedup_exact(once).count() == 2
+
+    def test_subset(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], ["k", "v"]
+        )
+        assert dedup_exact(df, subset=["k"]).count() == 2
+
+
+class TestValidation:
+    def test_check_passes_clean(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+        counts = check(df, [not_null(["x"]), in_range("x", 0, 10)])
+        assert all(v == 0 for v in counts.values())
+
+    def test_check_raises_with_counts_and_samples(self, spark):
+        df = spark.createDataFrame([(1.0,), (99.0,), (None,)], "x double")
+        with pytest.raises(ValidationError) as ei:
+            check(df, [not_null(["x"]), in_range("x", 0, 10),
+                       at_least("x", 0)])
+        assert ei.value.failures["in_range:x"] == 1
+        assert ei.value.failures["not_null:x"] == 1
+        assert "at_least:x" not in ei.value.failures
+        assert ei.value.samples["in_range:x"][0]["x"] == 99.0
+
+    def test_observed_zero_extra_scan(self, spark):
+        df = spark.createDataFrame([(5.0,), (-1.0,)], "x double")
+        out, obs = observed(df, [at_least("x", 0)])
+        out.count()  # the caller's own action materializes metrics
+        assert obs.get["at_least:x"] == 1
+
+
+class TestExactAgg:
+    def test_exact_sum_avg(self, spark):
+        df = spark.createDataFrame(
+            [(0.1,), (0.2,), (0.3,)], "x double"
+        )
+        row = df.agg(
+            exact_sum("x").alias("s"), exact_avg("x").alias("a")
+        ).first()
+        assert row["s"] == 0.6  # float sum would give 0.6000000000000001
+        assert row["a"] == 0.6 / 3  # deterministic IEEE: same bits as the oracle
+
+
+class TestSimhash:
+    def test_deterministic_and_similarity_sensitive(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import simhash
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "completely different words entirely unrelated text"),
+            ],
+            ["doc_id", "text"],
+        )
+        a = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+        b = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+        assert a == b  # deterministic
+
+        def hamming(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+        assert hamming(a[1], a[2]) < hamming(a[1], a[3])
+
+
+class TestLshBuckets:
+    def test_planes_are_stable_literals(self):
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            lsh_hyperplanes,
+        )
+
+        p1 = lsh_hyperplanes(8, 4, seed=7)
+        p2 = lsh_hyperplanes(8, 4, seed=7)
+        assert p1 == p2
+        assert lsh_hyperplanes(8, 4, seed=8) != p1
