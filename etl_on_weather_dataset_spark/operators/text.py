@@ -19,9 +19,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = " +"
-# BPE-ish: split on word/non-word boundaries so punctuation becomes its
-# own token (approximates a byte-pair pre-tokenizer's word split).
-BPE_SPLIT_RE = r"\s+|(?=[^\w\s])|(?<=[^\w\s])"
+# BPE-ish pre-tokenization: extract word runs and standalone
+# punctuation as separate tokens (approximates a byte-pair
+# pre-tokenizer's word split). Uses regexp_extract_all, not
+# lookaround splits -- RE2 (DuckDB) has no lookahead, and this form is
+# portable to both engines.
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
 
 STOPWORDS = ["the", "a"]
 
@@ -48,6 +51,49 @@ def token_count(text: Column | str) -> Column:
 
 def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text)))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under BPE-ish pre-tokenization (word runs +
+    standalone punctuation), the LLM-pipeline notion of 'tokens'."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def bpe_token_count_sql(col_sql: str) -> str:
+    return f"len(regexp_extract_all({col_sql}, '{BPE_TOKEN_RE}'))"
+
+
+# Rolling-hash document fingerprint: polynomial hash over the token
+# stream (order-sensitive, unlike the bag-of-words fingerprint). The
+# per-token value uses only portable primitives (first-char code +
+# length) so engine and oracle agree.
+# base/mod sized so acc*base + val stays far below 2^63: DuckDB BIGINT
+# overflow is an error (not a wrap), so intermediate values must fit
+_RH_BASE = 31
+_RH_MOD = 2147483647  # 2^31 - 1
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    toks = tokens(text)
+    tok_val = lambda t: (  # noqa: E731
+        F.ascii(F.substring(t, 1, 1)).cast("long") * 256 + F.length(t)
+    )
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * _RH_BASE + tok_val(t)) % _RH_MOD,
+    )
+
+
+def rolling_fingerprint_sql(col_sql: str) -> str:
+    arr = f"regexp_split_to_array({col_sql}, ' +')"
+    tok_val = "(ascii(t[1]) * 256 + length(t))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({arr}, t -> CAST({tok_val} AS BIGINT))), "
+        f"(acc, v) -> (acc * {_RH_BASE} + v) % {_RH_MOD})"
+    )
 
 
 def marker_count(text: Column | str, marker: str) -> Column:

@@ -97,7 +97,9 @@ register(QuerySpec(
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", max_distance=0.8)
+    # 0.1 Jaccard distance ~= 0.9 similarity: the docs share a tiny
+    # vocab so set-overlap runs hot; only the top decile is "near-dup"
+    return minhash_lsh_pairs(docs, "text", "doc_id", max_distance=0.1)
 
 
 register(QuerySpec(
@@ -194,6 +196,8 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.fingerprint("text").alias("fp"),
         T.shingle_fingerprint("text").alias("bag_fp"),
+        T.rolling_fingerprint("text").alias("rolling_fp"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
     )
 
 
@@ -203,10 +207,13 @@ register(QuerySpec(
     oracle=f"""
         SELECT doc_id,
                {T.fingerprint_sql('text')} AS fp,
-               {T.shingle_fingerprint_sql('text')} AS bag_fp
+               {T.shingle_fingerprint_sql('text')} AS bag_fp,
+               {T.rolling_fingerprint_sql('text')} AS rolling_fp,
+               CAST({T.bpe_token_count_sql('text')} AS INTEGER)
+                   AS n_bpe_tokens
         FROM documents
     """,
-    covers=("fingerprint",),
+    covers=("fingerprint", "rolling-hash", "bpe-tokens"),
 ))
 
 

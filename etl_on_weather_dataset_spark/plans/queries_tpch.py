@@ -217,8 +217,12 @@ register(QuerySpec(
 # --- anti join (NOT EXISTS) ---------------------------------------------------
 
 def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anti-join against RECENT orders only -- every customer has some
+    # order in the full history, which would make the result empty
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
     return (
         cust.join(orders.select("o_custkey"),
                   cust.c_custkey == F.col("o_custkey"), "left_anti")
@@ -234,7 +238,9 @@ register(QuerySpec(
         SELECT c_mktsegment, COUNT(*) AS n_customers
         FROM customer
         WHERE NOT EXISTS (
-            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
         )
         GROUP BY c_mktsegment
     """,
