@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,13 +56,14 @@ def grouped_mode(
         .groupBy(*keys, value_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col("__cnt").desc(), F.col(value_col).asc()
-    )
-    winners = (
-        counts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*keys, F.col(value_col).alias(output_col))
+    # argmin over (-count, value) = max count, ties -> smallest value.
+    # A single min_by aggregate replaces the row_number window: one
+    # hash-agg instead of a sort, and the partial aggregation runs
+    # map-side before the key exchange.
+    winners = counts.groupBy(*keys).agg(
+        F.min_by(
+            value_col, F.struct((-F.col("__cnt")).alias("nc"), F.col(value_col))
+        ).alias(output_col)
     )
     domain = df.select(*keys).dropDuplicates()
     return domain.join(winners, on=keys, how="left")

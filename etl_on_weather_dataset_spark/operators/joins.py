@@ -41,6 +41,70 @@ def left_join(
     return left.join(right, on=on, how="left")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_value_cols: Sequence[str],
+    left_id_col: str,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row of the same
+    key with right.ts <= left.ts (inclusive).
+
+    Spark has no native as-of join; the scalable re-expression is the
+    union-and-carry-forward pattern (one shuffle on the key, no range
+    explosion -- compare pandas merge_asof, which is single-node):
+
+      1. tag left rows side=1, right rows side=0;
+      2. union; window over (key) ordered by (ts, side, tiebreak);
+      3. `last(right_value, ignoreNulls)` carries the most recent
+         right values forward onto every left row;
+      4. keep side=1 rows.
+
+    Ties (equal ts) resolve right-before-left, i.e. 'at or before'.
+    State per partition is one row of carried values -- O(1) memory,
+    streaming-friendly, and the window sort is the only cost beyond
+    the key shuffle. At 100 TB: partition count on the key bounds
+    parallelism; no broadcast, no range-bucket blowup.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_value_cols],
+    )
+    tagged_r = right.select(
+        *[
+            F.col(c) if c in (on, ts_col) else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(),
+                 F.col(left_id_col).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
 def fanout_join_daily(
     daily_agg: DataFrame,
     observations: DataFrame,

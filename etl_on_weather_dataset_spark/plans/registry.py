@@ -42,10 +42,11 @@ def register(spec: QuerySpec) -> None:
 def _load_all() -> None:
     """Import every query module (each registers its specs on import)."""
     from . import (  # noqa: F401
+        queries_extra,
         queries_reference,
-        queries_tpch,
-        queries_text,
         queries_similarity,
+        queries_text,
+        queries_tpch,
     )
 
 

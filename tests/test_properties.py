@@ -1,0 +1,80 @@
+"""Property-based spot checks (SURVEY.md par.5.4): aggregation
+invariants, dedup idempotence, mode domain membership -- over small
+random inputs via hypothesis (deadline disabled: Spark job latency).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_on_weather_dataset_spark.operators.agg import grouped_mode, mean_rollup
+from etl_on_weather_dataset_spark.operators.clean import dedup_exact
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                  # group key
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),        # metric
+        st.sampled_from(["a", "b", "c", None]),                  # category
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_group_counts_partition_total(spark, rows):
+    df = spark.createDataFrame(rows, "g int, x double, c string")
+    counts = df.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r["n"] for r in counts) == len(rows)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_mean_bounded_by_min_max(spark, rows):
+    df = spark.createDataFrame(rows, "g int, x double, c string")
+    out = mean_rollup(df, ["g"], {"x": "m"}).collect()
+    bounds = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in df.groupBy("g")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    }
+    for r in out:
+        lo, hi = bounds[r["g"]]
+        assert lo - 1e-9 <= r["m"] <= hi + 1e-9
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_dedup_idempotent_and_bounded(spark, rows):
+    df = spark.createDataFrame(rows, "g int, x double, c string")
+    once = dedup_exact(df)
+    n = once.count()
+    assert n <= len(rows)
+    assert dedup_exact(once).count() == n
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_mode_is_in_group_domain(spark, rows):
+    df = spark.createDataFrame(rows, "g int, x double, c string")
+    modes = grouped_mode(df, ["g"], "c", "m").collect()
+    domain: dict[int, set] = {}
+    for g, _x, c in rows:
+        domain.setdefault(g, set()).add(c)
+    for r in modes:
+        vals = domain[r["g"]]
+        if vals == {None}:
+            assert r["m"] is None
+        else:
+            assert r["m"] in vals
