@@ -136,6 +136,78 @@ register(QuerySpec(
 ))
 
 
+# --- grouped-map UDF (applyInPandas): per-user z-score normalization ---------
+
+def _normalize_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF-surface demo: per-group pandas transform via applyInPandas.
+
+    The statistics are computed from integer-scaled exact sums inside
+    the UDF (same formula as the oracle SQL), so the result is
+    deterministic across engines despite the Python path. This is the
+    pattern for group-wise logic Spark built-ins can't express; for
+    plain z-scores a window expression would be the production choice.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def norm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        n = len(cents)
+        mean = (int(cents.sum()) / 100.0) / n
+        if n > 1:
+            # sum of squares in exact integer cents^2
+            sq = float(int((cents * cents).sum())) / 10000.0
+            var = (sq - n * mean * mean) / (n - 1)
+            std = var ** 0.5 if var > 0 else 0.0
+        else:
+            std = 0.0
+        if std > 0:
+            z = (pdf["value"] - mean) / std
+        else:
+            z = pd.Series(0.0, index=pdf.index)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "z": z.round(6),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        norm_group, schema="event_id long, user_id long, z double"
+    )
+
+
+register(QuerySpec(
+    name="normalize_per_user",
+    spark_fn=_normalize_per_user,
+    oracle="""
+        WITH stats AS (
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   (SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0)
+                       / COUNT(*) AS mean,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)
+                       * CAST(ROUND(value*100) AS BIGINT)) / 10000.0 AS sq
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id,
+               CASE WHEN s.n > 1
+                         AND (s.sq - s.n * s.mean * s.mean) / (s.n - 1) > 0
+                    THEN ROUND((e.value - s.mean) /
+                               sqrt((s.sq - s.n * s.mean * s.mean)
+                                    / (s.n - 1)), 6)
+                    ELSE 0.0 END AS z
+        FROM events e JOIN stats s USING (user_id)
+    """,
+    covers=("grouped-map-udf", "applyInPandas", "udaf"),
+))
+
+
 # --- string scalar functions --------------------------------------------------
 
 def _string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,67 @@ def test_stream_rollup_equals_batch(spark, tmp_path):
     assert len(streamed) > 0
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: rows older than the watermark at batch
+    start are dropped; rows late-but-within-watermark are admitted.
+    Three AvailableNow runs share a checkpoint (watermark persists)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "ts timestamp, value double"
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(land / name))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(str(land) + "/*")
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    h = dt.timedelta
+    # run 1: two on-time rows in hour 0 -> watermark ends at 00:30
+    write_batch("b1", [(base + h(minutes=10), 1.0), (base + h(hours=1), 1.0)])
+    run_once()
+    # run 2: on-time row at 03:00 + late row 00:20 (window [00:00,01:00)
+    # not yet finalized at watermark 00:30 -> ADMITTED)
+    write_batch("b2", [(base + h(hours=3), 1.0), (base + h(minutes=20), 1.0)])
+    run_once()
+    # run 3: on-time 05:00 + very-late 00:25 (watermark now 02:30 >
+    # window end 01:00 -> DROPPED)
+    write_batch("b3", [(base + h(hours=5), 1.0), (base + h(minutes=25), 1.0)])
+    run_once()
+
+    got = {
+        r["ws"]: r["n"] for r in spark.read.parquet(sink).collect()
+    }
+    # hour-0 window: 1 on-time (run1) + 1 late-admitted (run2), the
+    # run-3 very-late row must NOT appear
+    assert got[base] == 2
+
+
 def test_sessionize_batch_gap_semantics(spark):
     import datetime as dt
 
