@@ -31,7 +31,12 @@ def main() -> None:
     from etl_on_weather_dataset_spark.plans.registry import bench_queries
     from etl_on_weather_dataset_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # Size shuffle partitions to the data, not the core count: at
+    # sf<=0.1 the largest shuffle is ~tens of MB, where 8 partitions
+    # beat 32 by ~15% (task-scheduling overhead). AQE still coalesces
+    # further; at cluster scale the default (cores-based, higher) wins.
+    shuffle_parts = 8 if sf <= 0.5 else None
+    spark = get_spark(app_name="bench", shuffle_partitions=shuffle_parts)
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = bench_queries()

@@ -110,6 +110,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     trusting whatever the file grew.
     """
     schema = TESTDATA_SCHEMAS[name]
+    # Pin the session timezone: the caller may hand us a session built
+    # without get_spark() (e.g. the verification driver), and date /
+    # month derivations under a non-UTC tz would shift relative to the
+    # UTC-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _NANO_TS_COLS.get(name, [])
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
