@@ -193,6 +193,45 @@ def fingerprint_sql(col_sql: str) -> str:
     return f"md5(regexp_replace(lower(trim({col_sql})), '\\s+', ' ', 'g'))"
 
 
+def token_chunks(
+    text: Column | str, size: int = 50, stride: int = 40
+) -> Column:
+    """Split a document into overlapping token chunks (the LLM-
+    training chunking operator): chunk i covers tokens
+    [i*stride, i*stride + size), for every i with i*stride < n_tokens.
+
+    Returns array<struct<chunk_id int, chunk string>> -- explode it to
+    get one row per chunk. Pure array expressions: per-row compute, no
+    shuffle; at 100 TB chunking parallelizes embarrassingly.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    return F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(F.slice(toks, i * stride + 1, size), " ").alias(
+                "chunk"
+            ),
+        ),
+    )
+
+
+def token_chunks_sql(col_sql: str, size: int = 50, stride: int = 40) -> str:
+    """DuckDB twin of token_chunks: unnest this over each row.
+
+    Emits structs {chunk_id, chunk}; slice bounds are inclusive in
+    DuckDB (t[a:b]), hence the -1."""
+    arr = f"regexp_split_to_array({col_sql}, ' +')"
+    return (
+        f"list_transform(range(0, CAST(floor((len({arr}) - 1) / {stride})"
+        f" AS INT) + 1), i -> struct_pack(chunk_id := CAST(i AS INT), "
+        f"chunk := array_to_string(({arr})[i*{stride}+1 : "
+        f"i*{stride}+{size}], ' ')))"
+    )
+
+
 def shingle_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (bag-of-words identity)."""

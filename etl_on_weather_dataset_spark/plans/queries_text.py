@@ -217,6 +217,44 @@ register(QuerySpec(
 ))
 
 
+# --- token chunking (LLM training-data chunker) --------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 50, 40
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.explode(
+        T.token_chunks("text", _CHUNK_SIZE, _CHUNK_STRIDE)
+    ).alias("c")
+    return docs.select("doc_id", c).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size(F.split("c.chunk", " ")).alias("n_chunk_tokens"),
+        F.md5(F.col("c.chunk")).alias("chunk_md5"),
+    )
+
+
+register(QuerySpec(
+    name="chunk_documents",
+    spark_fn=_chunks,
+    oracle=f"""
+        SELECT doc_id,
+               c.chunk_id AS chunk_id,
+               CAST(len(string_split(c.chunk, ' ')) AS INTEGER)
+                   AS n_chunk_tokens,
+               md5(c.chunk) AS chunk_md5
+        FROM (
+            SELECT doc_id,
+                   unnest({T.token_chunks_sql('text', _CHUNK_SIZE,
+                                              _CHUNK_STRIDE)}) AS c
+            FROM documents
+        )
+    """,
+    covers=("chunking", "udtf-like-explode"),
+))
+
+
 # --- token histogram (explode + groupBy: the classic corpus wordcount) ----------
 
 def _token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

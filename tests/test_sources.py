@@ -37,6 +37,30 @@ def test_land_zip_rejects_path_traversal(tmp_path):
         land_zip(src, tmp_path / "landed")
 
 
+def test_jdbc_append_sink_roundtrip(spark, tmp_path):
+    """S5/S6 (ETL.py:241-275): append-mode RDBMS sink via JDBC, using
+    Spark's bundled Derby as the embedded database. Appending twice
+    doubles the rows (if_exists='append' semantics)."""
+    from etl_on_weather_dataset_spark.sources.io import write_jdbc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, val double"
+    )
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    write_jdbc(df, url, "t1", mode="append", num_partitions=1, driver=driver)
+    write_jdbc(df, url, "t1", mode="append", num_partitions=1, driver=driver)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t1")
+        .option("driver", driver)
+        .load()
+    )
+    assert back.count() == 4
+    assert set(back.columns) == {"id", "name", "val"}
+
+
 def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 1), (2, "b", 2), (3, "c", 2)], "id long, v string, m int"
