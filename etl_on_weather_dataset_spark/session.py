@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4.1's checksummed checkpoint writes stall for tens of
+        # seconds per microbatch on plain local filesystems; stateful
+        # streaming is unusable with it on. Durability on a real
+        # cluster comes from the DFS, so disable the extra checksums.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

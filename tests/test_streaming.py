@@ -107,6 +107,63 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got[base] == 2
 
 
+def test_sessionize_stateful_streaming(spark, tmp_path):
+    """applyInPandasWithState sessionization: events accumulate into
+    per-user state; after the processing-time timeout elapses (second
+    checkpointed run, no new events for the user), the CLOSED session
+    is emitted."""
+    import datetime as dt
+    import time
+
+    from etl_on_weather_dataset_spark.streaming.windows import sessionize
+
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "ts timestamp, user_id long, value double"
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    # seed file so the source directory exists before the query starts
+    spark.createDataFrame(
+        [(base, 1, 10.0), (base + dt.timedelta(seconds=30), 1, 5.0)], schema
+    ).coalesce(1).write.parquet(str(land / "b1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(str(land) + "/*")
+    out = sessionize(stream, gap_seconds=1)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    # NOTE: do not use q.processAllAvailable() here -- with
+    # ProcessingTimeTimeout the trigger stays active running state-
+    # cleanup microbatches and the call never returns. Poll instead:
+    # the timeout fires on its own once 1s of processing time passes.
+    closed = {}
+    try:
+        for _ in range(90):  # bounded wait for the timeout microbatch
+            try:
+                closed = {
+                    r["user_id"]: r
+                    for r in spark.read.parquet(sink).collect()
+                }
+            except Exception:
+                closed = {}
+            if 1 in closed:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert 1 in closed
+    assert closed[1]["n_events"] == 2
+    assert closed[1]["total_value"] == 15.0
+
+
 def test_sessionize_batch_gap_semantics(spark):
     import datetime as dt
 
