@@ -246,7 +246,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hash_tables: int = 8,
+    num_hash_tables: int = 4,
     num_features: int = 1 << 18,
     max_distance: float = 0.5,
     seed: int = 42,
@@ -258,6 +258,13 @@ def minhash_lsh_pairs(
     Sub-quadratic: candidates come from banded minhash buckets.
     Deterministic for a fixed seed, but not SQL-expressible -- driver
     records the rows-only check.
+
+    Tuning caveat: hash tables are OR-amplified (a pair is a candidate
+    if ANY table collides), so on a corpus where most pairs share
+    vocabulary (like the synthetic word-soup docs) more tables push the
+    candidate set toward n^2 -- measured: 8 tables at sf0.1 degenerated
+    into a multi-GB shuffle. Keep tables low on high-overlap corpora
+    and rely on the distance threshold, or pre-drop stop-shingles.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 

@@ -208,6 +208,96 @@ register(QuerySpec(
 ))
 
 
+# --- Python UDTF (Spark 4): lateral table-valued chunker ---------------------
+
+_UDTF_SIZE, _UDTF_STRIDE = 50, 40
+
+
+def _udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True UDTF surface: a Python table function applied per row via
+    LATERAL join. Semantics identical to operators/text.token_chunks,
+    so the same oracle shape applies. (The array-expression chunker is
+    the production path -- this demonstrates the UDTF machinery.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string")
+    class ChunkText:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            i, cid = 0, 0
+            while i < len(toks):
+                yield cid, " ".join(toks[i:i + _UDTF_SIZE])
+                cid += 1
+                i += _UDTF_STRIDE
+
+    spark.udtf.register("chunk_text_udtf", ChunkText)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_id, md5(c.chunk) AS chunk_md5
+        FROM __docs_udtf d, LATERAL chunk_text_udtf(d.text) c
+    """)
+
+
+register(QuerySpec(
+    name="chunk_documents_udtf",
+    spark_fn=_udtf_chunks,
+    oracle=f"""
+        SELECT doc_id, c.chunk_id AS chunk_id, md5(c.chunk) AS chunk_md5
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(floor((len(regexp_split_to_array(text,
+                           ' +')) - 1) / {_UDTF_STRIDE}) AS INT) + 1),
+                       i -> struct_pack(
+                           chunk_id := CAST(i AS INT),
+                           chunk := array_to_string(
+                               (regexp_split_to_array(text, ' +'))
+                               [i*{_UDTF_STRIDE}+1 :
+                                i*{_UDTF_STRIDE}+{_UDTF_SIZE}], ' ')))) AS c
+            FROM documents
+        )
+    """,
+    covers=("udtf", "lateral-join"),
+))
+
+
+# --- map-typed column ops (from_json -> map -> explode) ----------------------
+
+def _map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "key", "value"
+        )
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_val"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
+register(QuerySpec(
+    name="json_map_explode",
+    spark_fn=_map_ops,
+    oracle="""
+        SELECT key, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.' || key) AS BIGINT))
+                    AS BIGINT) AS sum_val,
+               CAST(MIN(CAST(json_extract(props, '$.' || key) AS BIGINT))
+                    AS BIGINT) AS min_val,
+               CAST(MAX(CAST(json_extract(props, '$.' || key) AS BIGINT))
+                    AS BIGINT) AS max_val
+        FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+        GROUP BY key
+    """,
+    covers=("map-type", "explode-map"),
+))
+
+
 # --- string scalar functions --------------------------------------------------
 
 def _string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
