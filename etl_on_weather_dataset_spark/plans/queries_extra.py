@@ -208,6 +208,53 @@ register(QuerySpec(
 ))
 
 
+# --- skew-safe salted aggregation (semantically invisible) -------------------
+
+def _salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over event_type (a deliberately
+    low-cardinality, skew-prone key). The oracle is a PLAIN group-by:
+    salting must never change results, only the shuffle shape."""
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return salted_aggregate(
+        ev,
+        keys=["event_type"],
+        partial_aggs={
+            "n": F.count(F.lit(1)),
+            "sum_cents": F.sum(cents),
+            "max_value": F.max("value"),
+        },
+        final_aggs={
+            "n": F.sum("n"),
+            "sum_cents": F.sum("sum_cents"),
+            "max_value": F.max("max_value"),
+        },
+        salt_on="event_id",
+        buckets=16,
+    ).select(
+        "event_type",
+        "n",
+        (F.col("sum_cents") / 100.0).alias("sum_value"),
+        "max_value",
+    )
+
+
+register(QuerySpec(
+    name="salted_skew_rollup",
+    spark_fn=_salted_rollup,
+    oracle=f"""
+        SELECT event_type, COUNT(*) AS n,
+               {exact_sum_sql('value')} AS sum_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    covers=("skew-salting", "two-phase-agg"),
+))
+
+
 # --- Python UDTF (Spark 4): lateral table-valued chunker ---------------------
 
 _UDTF_SIZE, _UDTF_STRIDE = 50, 40

@@ -1,0 +1,109 @@
+"""Scale-pattern tests: salting equivalence + bucketed-join shuffle
+elimination (SCALE.md claims, verified against real plans)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_on_weather_dataset_spark.operators.skew import (
+    salted_aggregate,
+    salted_join_small,
+)
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestSalting:
+    def test_salted_aggregate_equals_plain(self, spark):
+        # skewed: 90% of rows share one key
+        rows = [(("hot" if i % 10 else f"cold{i}"), float(i % 7), i)
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, "k string, v double, id long")
+        plain = {
+            r["k"]: (r["n"], r["s"], r["mx"])
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                 F.max("v").alias("mx"))
+            .collect()
+        }
+        salted = {
+            r["k"]: (r["n"], r["s"], r["mx"])
+            for r in salted_aggregate(
+                df, ["k"],
+                {"n": F.count(F.lit(1)), "s": F.sum("v"),
+                 "mx": F.max("v")},
+                {"n": F.sum("n"), "s": F.sum("s"), "mx": F.max("mx")},
+                salt_on="id", buckets=8,
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_salted_join_equals_plain(self, spark):
+        big = spark.createDataFrame(
+            [(("hot" if i % 5 else f"k{i}"), i) for i in range(500)],
+            "k string, id long",
+        )
+        small = spark.createDataFrame(
+            [("hot", 1), ("k5", 2), ("k10", 3)], "k string, tag int"
+        )
+        plain = sorted(
+            (r["k"], r["id"], r["tag"])
+            for r in big.join(small, "k").collect()
+        )
+        salted = sorted(
+            (r["k"], r["id"], r["tag"])
+            for r in salted_join_small(
+                big, small, on="k", salt_on="id", buckets=4
+            ).collect()
+        )
+        assert salted == plain
+
+    def test_salt_spreads_hot_key(self, spark):
+        from etl_on_weather_dataset_spark.operators.skew import (
+            SALT_COL,
+            with_salt,
+        )
+
+        df = spark.createDataFrame(
+            [("hot", i) for i in range(200)], "k string, id long"
+        )
+        n_salts = (
+            with_salt(df, 8, "id").select(SALT_COL).distinct().count()
+        )
+        assert n_salts == 8  # one hot key fans out over all buckets
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
+        """SCALE.md: 'bucket both tables by orderkey to eliminate the
+        shuffle entirely'. Proven here: the join of two tables bucketed
+        on the key has no Exchange above either scan."""
+        # (warehouse dir is a static conf; tables land in the default
+        # ./spark-warehouse, dropped in the finally block)
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.range(0, 10_000).select(
+                F.col("id").alias("k"), (F.col("id") % 100).alias("va")
+            )
+            b = spark.range(0, 10_000, 2).select(
+                F.col("id").alias("k"), (F.col("id") % 50).alias("vb")
+            )
+            a.write.mode("overwrite").bucketBy(8, "k").sortBy("k") \
+                .saveAsTable("bk_a")
+            b.write.mode("overwrite").bucketBy(8, "k").sortBy("k") \
+                .saveAsTable("bk_b")
+            joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+            plan = _executed_plan(joined)
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 5_000
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024),
+            )
+            spark.sql("DROP TABLE IF EXISTS bk_a")
+            spark.sql("DROP TABLE IF EXISTS bk_b")
