@@ -67,6 +67,7 @@ register(QuerySpec(
         FROM c WHERE side = 1
     """,
     covers=("asof-join",),
+    bench=True,
 ))
 
 
@@ -205,6 +206,110 @@ register(QuerySpec(
         FROM events e JOIN stats s USING (user_id)
     """,
     covers=("grouped-map-udf", "applyInPandas", "udaf"),
+))
+
+
+# --- MERGE/upsert emulation (anti-join + union) ------------------------------
+
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a deterministic updates batch into orders: every order
+    with key % 7 == 0 gets its totalprice doubled and status 'U';
+    plus 100 brand-new synthetic orders."""
+    from ..operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    new_rows = spark.range(100).select(
+        (F.col("id") + 90_000_000).alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(10.0).alias("o_totalprice"),
+        F.lit("2025-01-01").cast("timestamp").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    merged = merge_upsert(
+        orders, updates.unionByName(new_rows), keys=["o_orderkey"]
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+register(QuerySpec(
+    name="merge_upsert_orders",
+    spark_fn=_merge_upsert,
+    oracle=f"""
+        WITH updates AS (
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   o_totalprice * 2 AS o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT 90000000 + CAST(i AS BIGINT), CAST(1 AS BIGINT), 'N',
+                   10.0, TIMESTAMP '2025-01-01 00:00:00', '1-URGENT'
+            FROM range(0, 100) t(i)
+        ), merged AS (
+            SELECT * FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM updates u
+                              WHERE u.o_orderkey = o.o_orderkey)
+            UNION ALL
+            SELECT * FROM updates
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               {exact_sum_sql('o_totalprice')} AS sum_price
+        FROM merged
+        GROUP BY o_orderstatus
+    """,
+    covers=("merge-upsert", "cdc"),
+    bench=True,
+))
+
+
+# --- SCD2 history (lead window over versions) --------------------------------
+
+def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat each user's events as versions of a profile: SCD2 ranges
+    over the event timeline, validity measured end-to-start."""
+    from ..operators.merge import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).filter(F.col("event_id") % 50 == 0)
+    hist = scd2_history(ev, keys=["user_id"], version_ts="ts")
+    return hist.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+register(QuerySpec(
+    name="scd2_user_history",
+    spark_fn=_scd2,
+    oracle="""
+        SELECT user_id, ts, event_type,
+               ts AS valid_from,
+               COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC),
+                        TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+               CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM events
+        WHERE event_id % 50 = 0
+    """,
+    covers=("scd2", "window-lead"),
 ))
 
 

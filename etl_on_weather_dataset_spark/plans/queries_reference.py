@@ -571,6 +571,7 @@ register(QuerySpec(
         GROUP BY user_id, session_id
     """,
     covers=("sessionization", "window-lag"),
+    bench=True,
 ))
 
 

@@ -252,6 +252,7 @@ register(QuerySpec(
         )
     """,
     covers=("chunking", "udtf-like-explode"),
+    bench=True,
 ))
 
 
