@@ -20,3 +20,6 @@ rules are needed (SURVEY.md par.4).
 """
 
 __version__ = "0.1.0"
+
+from .session import get_spark  # noqa: E402,F401
+
