@@ -100,11 +100,17 @@ def _top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 10000.0).alias("revenue")
         )
     )
+    # Global top-k via orderBy+limit -> TakeOrderedAndProject: each
+    # partition keeps its local top-10, the driver merges k*partitions
+    # rows. A global row_number window would instead sort EVERYTHING in
+    # one task -- fine at sf0.1, fatal at 100 TB. The rank is attached
+    # afterwards over just the 10 survivors.
+    top = rev.orderBy(
+        F.col("revenue").desc(), F.col("o_orderkey").asc()
+    ).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("o_orderkey", "o_orderdate", "revenue", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "o_orderkey", "o_orderdate", "revenue", "rk"
     )
 
 

@@ -204,6 +204,65 @@ class TestSimhash:
         assert hamming(a[1], a[2]) < hamming(a[1], a[3])
 
 
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Cross-check the union-carry-forward as-of join against the
+        single-node reference implementation (pd.merge_asof,
+        direction='backward', inclusive) on interleaved data."""
+        import pandas as pd
+
+        from etl_on_weather_dataset_spark.operators.joins import asof_join
+
+        left_rows = [
+            (1, 100, 10.0), (1, 200, 11.0), (1, 50, 9.0),
+            (2, 150, 20.0), (2, 400, 21.0), (3, 10, 30.0),
+        ]
+        right_rows = [
+            (1, 100, 1.0), (1, 150, 2.0),   # tie at ts=100: inclusive
+            (2, 100, 3.0), (2, 399, 4.0),
+            # user 3 has no right rows at all -> null
+        ]
+        import datetime as dt
+
+        def ts(t):
+            return dt.datetime(1970, 1, 1) + dt.timedelta(seconds=t)
+
+        left = spark.createDataFrame(
+            [(uid, ts(t), v) for uid, t, v in left_rows],
+            "user_id long, ts timestamp, value double",
+        ).withColumn("event_id", F.monotonically_increasing_id())
+        right = spark.createDataFrame(
+            [(uid, ts(t), v) for uid, t, v in right_rows],
+            "user_id long, ts timestamp, rv double",
+        )
+        got = {
+            (r["user_id"], r["ts"]): r["asof_rv"]
+            for r in asof_join(
+                left, right, on="user_id", ts_col="ts",
+                right_value_cols=["rv"], left_id_col="event_id",
+            ).collect()
+        }
+
+        lpdf = pd.DataFrame(
+            [(uid, pd.Timestamp(t, unit="s"), v) for uid, t, v in left_rows],
+            columns=["user_id", "ts", "value"],
+        ).sort_values("ts")
+        rpdf = pd.DataFrame(
+            [(uid, pd.Timestamp(t, unit="s"), v) for uid, t, v in right_rows],
+            columns=["user_id", "ts", "rv"],
+        ).sort_values("ts")
+        expected = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="user_id", direction="backward",
+            allow_exact_matches=True,
+        )
+        for _, row in expected.iterrows():
+            g = got[(row["user_id"], row["ts"].to_pydatetime())]
+            if pd.isna(row["rv"]):
+                assert g is None
+            else:
+                assert g == row["rv"]
+
+
 class TestLshBuckets:
     def test_planes_are_stable_literals(self):
         from etl_on_weather_dataset_spark.operators.similarity import (
