@@ -120,6 +120,61 @@ def cosine_topk_sql(
     """
 
 
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """cosine_topk with the similarity computed by a VECTORIZED scalar
+    @pandas_udf (Arrow batches -> numpy) instead of Catalyst array
+    expressions. Same plan shape, same rounding, same tie-break --
+    results are identical; this is the path to take when the per-row
+    math outgrows what array expressions express (e.g. a real model's
+    scoring head). numpy's pairwise summation differs from a
+    sequential fold only below the rounding threshold.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no parameter annotations: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference rejects
+    @pandas_udf("double")
+    def cos_sim(a, b):
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        dots = np.einsum("ij,ij->i", am, bm)
+        na = np.sqrt(np.einsum("ij,ij->i", am, am))
+        nb = np.sqrt(np.einsum("ij,ij->i", bm, bm))
+        return pd.Series(np.round(dots / (na * nb), SIM_DECIMALS))
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cos_sim(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def lsh_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure-python LCG so
     the exact same literals can be embedded in engine and oracle)."""

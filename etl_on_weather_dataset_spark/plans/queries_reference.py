@@ -535,6 +535,40 @@ def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- flagship: the full weather ETL pipeline, driver-visible ----------------
+
+def _weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the complete reference-parity pipeline (extract ->
+    transform -> validate -> load) on the deterministic weather
+    fixture and returns the monthly sink table. Rows-only for the
+    driver (the fixture is a generated CSV, not an sf table); the
+    pytest suite checks the same output against a DuckDB golden.
+    """
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    from ..plans import pipeline as wp
+
+    tests_dir = str(Path(__file__).resolve().parents[2] / "tests")
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    from weather_fixture import write_fixture  # deterministic, seeded
+
+    d = tempfile.mkdtemp(prefix="weather_fixture_")
+    csv = write_fixture(Path(d) / "weatherHistory.csv", dirty=False)
+    res = wp.run(spark, str(csv), output_dir=None, fail_fast=True)
+    return res.monthly
+
+
+register(QuerySpec(
+    name="weather_pipeline_monthly",
+    spark_fn=_weather_pipeline,
+    oracle=None,  # input is a generated CSV, not a pre-registered view
+    covers=("O1", "O2", "O3", "S3", "pipeline-e2e"),
+))
+
+
 # --- sessionization (lag + cumsum window; batch twin of the stateful op) ----
 
 def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

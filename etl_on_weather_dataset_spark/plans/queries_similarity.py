@@ -36,6 +36,23 @@ register(QuerySpec(
 ))
 
 
+def _brute_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_pandas(queries, emb, k=_K)
+
+
+register(QuerySpec(
+    name="cosine_topk_pandas_udf",
+    spark_fn=_brute_topk_pandas,
+    # identical semantics + rounding -> shares the brute-force oracle
+    oracle=cosine_topk_sql(k=_K, query_filter=f"id < {_N_QUERIES}"),
+    covers=("pandas-udf-vectorized", "similarity"),
+))
+
+
 _PLANES = lsh_hyperplanes(dim=64, n_planes=8, seed=42)
 
 
