@@ -308,6 +308,94 @@ register(QuerySpec(
 ))
 
 
+# --- Q12-ish: late-shipment counts by priority class (CASE-WHEN agg) ---------
+
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="shipping_priority_counts",
+    spark_fn=_shipping_priority,
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                  ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+        GROUP BY l_linestatus
+    """,
+    covers=("case-when-agg", "cross-table-predicate"),
+))
+
+
+# --- Q9-ish: profit by supplier nation and order year ------------------------
+
+def _profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    sup_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    # profit = ext*(1-disc) - retail*qty, exact in integer cents
+    ext = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    retail = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    profit_c = ext * (100 - disc) - retail * qty * 100
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+              li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit_c) / 10000.0).alias("profit"))
+    )
+
+
+register(QuerySpec(
+    name="profit_by_nation_year",
+    spark_fn=_profit_by_nation_year,
+    oracle="""
+        SELECT n_name,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   - CAST(ROUND(p_retailprice*100) AS BIGINT)
+                     * CAST(ROUND(l_quantity) AS BIGINT) * 100)
+                   / 10000.0 AS profit
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    covers=("multi-join-5way", "derived-measure"),
+))
+
+
 # --- correlated scalar subquery-ish: orders above customer average -----------
 
 def _above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

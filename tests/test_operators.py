@@ -263,6 +263,42 @@ class TestAsofJoin:
                 assert g == row["rv"]
 
 
+class TestMultimodalBatching:
+    def test_decode_respects_arrow_batch_size(self, spark):
+        """The multimodal claim in SCALE.md: executor memory is
+        bounded by arrow.maxRecordsPerBatch x payload size. Verify the
+        decode path works identically under a tiny batch size (many
+        small Arrow batches) -- the batch shape must not change
+        results."""
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            decode_binary_metadata,
+            with_binary_payload,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "word " * (i + 1)) for i in range(50)],
+            "doc_id long, text string",
+        )
+        payloads = with_binary_payload(docs, "text")
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        try:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+            small = {
+                r["doc_id"]: (r["n_bytes"], r["content_md5"])
+                for r in decode_binary_metadata(payloads).collect()
+            }
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+        big = {
+            r["doc_id"]: (r["n_bytes"], r["content_md5"])
+            for r in decode_binary_metadata(payloads).collect()
+        }
+        assert small == big
+        assert small[0][0] == len("word ")
+
+
 class TestLshBuckets:
     def test_planes_are_stable_literals(self):
         from etl_on_weather_dataset_spark.operators.similarity import (
