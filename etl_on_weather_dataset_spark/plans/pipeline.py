@@ -69,6 +69,8 @@ class WeatherPipelineResult:
     daily: DataFrame
     monthly: DataFrame
     validation: dict[str, int] = field(default_factory=dict)
+    # the cached cleaned fact table (unpersisted by run() after sinks)
+    _cached: DataFrame | None = None
 
 
 def extract(spark: SparkSession, csv_path: str) -> DataFrame:
@@ -130,7 +132,7 @@ def transform(df: DataFrame) -> WeatherPipelineResult:
     monthly_mode = grouped_mode(df, ["month"], "Precip Type", "mode_precip_type")
     monthly = monthly_means.join(monthly_mode, "month", "left")
 
-    return WeatherPipelineResult(daily=daily, monthly=monthly)
+    return WeatherPipelineResult(daily=daily, monthly=monthly, _cached=df)
 
 
 def daily_expectations() -> list[Expectation]:
@@ -201,6 +203,10 @@ def run(
             daily_out, f"{output_dir}/daily_weather", partition_by=["month"]
         )
         write_parquet(monthly_out, f"{output_dir}/monthly_weather")
+        # sinks are materialized -- release the cached fact table so a
+        # long-lived session doesn't accumulate block-manager memory
+        if result._cached is not None:
+            result._cached.unpersist()
 
     return WeatherPipelineResult(
         daily=daily_out, monthly=monthly_out, validation=validation

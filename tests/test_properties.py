@@ -64,6 +64,74 @@ def test_dedup_idempotent_and_bounded(spark, rows):
     assert dedup_exact(once).count() == n
 
 
+asof_strategy = st.tuples(
+    st.lists(  # left: (user, ts_seconds, value)
+        st.tuples(st.integers(0, 2), st.integers(0, 1000),
+                  st.integers(0, 100)),
+        min_size=1, max_size=20,
+    ),
+    st.lists(  # right: (user, ts_seconds, rv)
+        st.tuples(st.integers(0, 2), st.integers(0, 1000),
+                  st.integers(0, 100)),
+        min_size=0, max_size=20,
+        unique_by=lambda t: (t[0], t[1]),  # unique (user, ts) on right
+    ),
+)
+
+
+@given(data=asof_strategy)
+@SETTINGS
+def test_asof_join_matches_merge_asof(spark, data):
+    import datetime as dt
+
+    import pandas as pd
+
+    from etl_on_weather_dataset_spark.operators.joins import asof_join
+
+    left_rows, right_rows = data
+
+    def ts(t):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t)
+
+    left = spark.createDataFrame(
+        [(u, ts(t), float(v), i) for i, (u, t, v) in enumerate(left_rows)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(u, ts(t), float(v)) for u, t, v in right_rows],
+        "user_id long, ts timestamp, rv double",
+    ) if right_rows else spark.createDataFrame(
+        [], "user_id long, ts timestamp, rv double"
+    )
+    got = {
+        r["event_id"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_value_cols=["rv"], left_id_col="event_id",
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(u, ts(t), float(v), i) for i, (u, t, v) in enumerate(left_rows)],
+        columns=["user_id", "ts", "value", "event_id"],
+    ).sort_values(["ts", "event_id"], kind="mergesort")
+    rp = pd.DataFrame(
+        [(u, ts(t), float(v)) for u, t, v in right_rows],
+        columns=["user_id", "ts", "rv"],
+    ).sort_values("ts", kind="mergesort")
+    if len(rp):
+        exp = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                            direction="backward", allow_exact_matches=True)
+    else:
+        exp = lp.assign(rv=None)
+    for _, row in exp.iterrows():
+        g = got[row["event_id"]]
+        if pd.isna(row["rv"]):
+            assert g is None
+        else:
+            assert g == row["rv"]
+
+
 @given(rows=rows_strategy)
 @SETTINGS
 def test_mode_is_in_group_domain(spark, rows):
