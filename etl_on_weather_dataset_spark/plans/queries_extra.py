@@ -209,6 +209,68 @@ register(QuerySpec(
 ))
 
 
+# --- statistical aggregates: exact percentiles + moments ---------------------
+
+def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    def p(q):
+        return F.round(F.percentile("value", F.lit(q)), 6)
+    return ev.groupBy("event_type").agg(
+        p(0.25).alias("p25"), p(0.5).alias("p50"), p(0.75).alias("p75"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+register(QuerySpec(
+    name="value_percentiles",
+    spark_fn=_value_percentiles,
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25), 6) AS p25,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.75), 6) AS p75,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    covers=("percentiles", "exact-quantile"),
+))
+
+
+def _value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.corr("value", "k"), 6).alias("corr_value_k"),
+            F.round(F.covar_samp("value", "k"), 6).alias("covar_value_k"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="value_moments",
+    spark_fn=_value_moments,
+    oracle="""
+        SELECT event_type,
+               ROUND(stddev_samp(value), 6) AS stddev_value,
+               ROUND(var_samp(value), 6) AS var_value,
+               ROUND(corr(value, CAST(json_extract(props, '$.k')
+                                      AS DOUBLE)), 6) AS corr_value_k,
+               ROUND(covar_samp(value, CAST(json_extract(props, '$.k')
+                                            AS DOUBLE)), 6)
+                   AS covar_value_k
+        FROM events
+        GROUP BY event_type
+    """,
+    covers=("moments", "stddev-var-corr"),
+))
+
+
 # --- MERGE/upsert emulation (anti-join + union) ------------------------------
 
 def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
