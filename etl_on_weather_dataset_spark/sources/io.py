@@ -45,9 +45,17 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
+    target_files: int | None = None,
 ) -> None:
     """Engine-default sink. ``partition_by`` a low-cardinality time
-    column (month/date) so a 100 TB table prunes on time predicates."""
+    column (month/date) so a 100 TB table prunes on time predicates.
+
+    ``target_files`` controls output file count: small-file storms
+    (one file per task x partition) are the classic large-cluster sink
+    pathology; coalesce merges without a shuffle. Size so each file
+    lands ~128MB-1GB."""
+    if target_files is not None:
+        df = df.coalesce(target_files)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -76,6 +76,46 @@ class TestSalting:
         assert n_salts == 8  # one hot key fans out over all buckets
 
 
+class TestPlanProperties:
+    """Pin the SCALE.md physical-plan claims so they can't silently
+    regress: pushdown reaches the scan, scans are column-pruned, dim
+    joins broadcast."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, spark, name):
+        from etl_on_weather_dataset_spark.plans.registry import queries
+
+        df = queries()[name](spark, self.SF)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        plan = self._plan(spark, "pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+
+    def test_scan_is_column_pruned(self, spark):
+        plan = self._plan(spark, "daily_value_rollup")
+        # 6-column events table, query needs only ts+value
+        assert "ReadSchema: struct<ts:bigint,value:double>" in plan
+
+    def test_dim_joins_broadcast(self, spark):
+        plan = self._plan(spark, "regional_revenue")
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan
+
+    def test_topk_uses_window_group_limit(self, spark):
+        plan = self._plan(spark, "topk_events_per_user")
+        assert "WindowGroupLimit" in plan
+
+    def test_global_topk_avoids_single_task_sort(self, spark):
+        plan = self._plan(spark, "top_orders_by_revenue")
+        assert "TakeOrderedAndProject" in plan
+
+
 class TestBucketedJoin:
     def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
         """SCALE.md: 'bucket both tables by orderkey to eliminate the
