@@ -97,6 +97,25 @@ def run_available_now(
     return q
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen
+    within the watermark horizon (`dropDuplicatesWithinWatermark`,
+    Spark >=3.5). State holds one entry per distinct key inside the
+    horizon and is watermark-evicted -- bounded memory on an unbounded
+    stream, which plain dropDuplicates cannot give you. This is the
+    streaming twin of the batch exact-dedup operator (D1)."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 SESSION_SCHEMA = "user_id LONG, session_start TIMESTAMP, n_events INT, total_value DOUBLE"
 SESSION_STATE_SCHEMA = "start LONG, n INT, total DOUBLE, last LONG"
 

@@ -107,6 +107,52 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got[base] == 2
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids arriving in a later file (within the
+    watermark) are dropped by the streaming dedup; distinct ids pass."""
+    import datetime as dt
+
+    from etl_on_weather_dataset_spark.streaming.windows import stream_dedup
+
+    land = tmp_path / "land"
+    land.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    spark.createDataFrame(
+        [(1, base, 1.0), (2, base + dt.timedelta(minutes=1), 2.0)], schema
+    ).coalesce(1).write.parquet(str(land / "b1"))
+    spark.createDataFrame(
+        [(2, base + dt.timedelta(minutes=2), 99.0),  # dup id within wm
+         (3, base + dt.timedelta(minutes=3), 3.0)], schema
+    ).coalesce(1).write.parquet(str(land / "b2"))
+
+    stream = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).option("maxFilesPerTrigger", "1").parquet(str(land) + "/*")
+    deduped = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == 2.0  # the FIRST arrival won; the dup was dropped
+
+    # batch twin: same call degrades to plain dropDuplicates
+    batch = spark.createDataFrame(
+        [(1, base, 1.0), (1, base, 1.0)], schema
+    )
+    assert stream_dedup(batch, ["event_id"]).count() == 1
+
+
 def test_sessionize_stateful_streaming(spark, tmp_path):
     """applyInPandasWithState sessionization: events accumulate into
     per-user state; after the processing-time timeout elapses (second
