@@ -96,7 +96,13 @@ register(QuerySpec(
 # --- MinHash LSH (rows-only: MLlib, not SQL-expressible) ----------------------
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # Bounded to the first 1000 docs: identical at sf<=0.01 (500 docs)
+    # while keeping the demonstrative query finite at larger sf -- the
+    # synthetic corpus's extreme vocabulary overlap makes LSH candidate
+    # sets near-quadratic regardless of banding (see operator caveat).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 1000
+    )
     # 0.1 Jaccard distance ~= 0.9 similarity: the docs share a tiny
     # vocab so set-overlap runs hot; only the top decile is "near-dup"
     return minhash_lsh_pairs(docs, "text", "doc_id", max_distance=0.1)
