@@ -209,6 +209,82 @@ register(QuerySpec(
 ))
 
 
+# --- conditional aggregation (FILTER clause) ---------------------------------
+
+def _conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    big = F.col("value") > 250.0
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(big).alias("n_big"),
+        exact_sum("value").alias("sum_all"),
+        (F.sum(F.when(big, F.round(F.col("value") * 100).cast("long"))
+               .otherwise(0)) / 100.0).alias("sum_big"),
+    )
+
+
+register(QuerySpec(
+    name="conditional_aggregation",
+    spark_fn=_conditional_agg,
+    oracle=f"""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(COUNT(*) FILTER (WHERE value > 250.0) AS BIGINT)
+                   AS n_big,
+               {exact_sum_sql('value')} AS sum_all,
+               COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT))
+                        FILTER (WHERE value > 250.0), 0) / 100.0
+                   AS sum_big
+        FROM events
+        GROUP BY user_id
+    """,
+    covers=("filter-clause", "conditional-agg"),
+))
+
+
+# --- array function showcase over embeddings ---------------------------------
+
+def _array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    rounded = F.transform(v, lambda x: F.round(x, 4))
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.array_max(v), 6).alias("max_elem"),
+        F.round(F.array_min(v), 6).alias("min_elem"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(F.array_sort(rounded), -1), 4).alias(
+            "sorted_last"
+        ),
+        F.round(F.slice(rounded, 1, 3)[0], 4).alias("first_elem"),
+    )
+
+
+register(QuerySpec(
+    name="array_functions",
+    spark_fn=_array_fns,
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> ROUND(x, 4)) AS r
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(v) AS INTEGER) AS dim,
+               ROUND(list_max(v), 6) AS max_elem,
+               ROUND(list_min(v), 6) AS min_elem,
+               CAST(len(list_filter(v, x -> x > 0)) AS INTEGER)
+                   AS n_positive,
+               ROUND(list_sort(r)[-1], 4) AS sorted_last,
+               ROUND(r[1:3][1], 4) AS first_elem
+        FROM vecs
+    """,
+    covers=("array-fns-showcase",),
+))
+
+
 # --- statistical aggregates: exact percentiles + moments ---------------------
 
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
