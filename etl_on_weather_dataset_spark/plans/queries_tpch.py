@@ -80,6 +80,46 @@ register(QuerySpec(
 ))
 
 
+# --- Q6: forecast revenue change (pure filter+scan aggregate) ----------------
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic scan-speed query: selective pushed-down filters,
+    one aggregate, no joins/shuffles beyond the final 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(_cents("l_extendedprice") * _cents("l_discount"))
+             / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="forecast_revenue_change",
+    spark_fn=_q6,
+    oracle="""
+        SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * CAST(ROUND(l_discount*100) AS BIGINT)) / 10000.0
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    covers=("scan-agg", "pushdown"),
+    bench=True,
+))
+
+
 # --- Q3-ish: top-10 orders by revenue for a market segment ------------------
 
 def _top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
