@@ -116,6 +116,52 @@ class TestPlanProperties:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """SCALE.md: 'AQE splits skewed keys at runtime'. Build a join
+        where 95% of the left rows share one key, lower the skew
+        thresholds to test scale, and assert the FINAL adaptive plan
+        shows the skew-split join. Note: the plan must be read from the
+        SAME DataFrame's QueryExecution after collect() -- count()
+        spawns a separate execution and the original plan would still
+        say isFinalPlan=false."""
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "512k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            left = spark.range(0, 400_000).select(
+                F.when(F.col("id") % 20 != 0, F.lit(0))
+                .otherwise(F.col("id") % 1000).alias("k"),
+                F.substring(
+                    F.sha2(F.col("id").cast("string"), 256), 1, 16
+                ).alias("pad"),
+            )
+            right = spark.range(0, 1000).select(
+                F.col("id").alias("k"), F.lit("r").alias("tag")
+            )
+            j = left.join(right, "k")
+            rows = j.collect()
+            assert len(rows) == 400_000
+            plan = j._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestBucketedJoin:
     def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
         """SCALE.md: 'bucket both tables by orderkey to eliminate the
