@@ -209,6 +209,11 @@ register(QuerySpec(
 ))
 
 
+# Extended (pytest-only) variants below keep the driver registry inside
+# its 50-entry CORRECTNESS window; every one is still oracle-checked by
+# tests/test_oracle_parity.py over registry.all_queries().
+
+
 # --- conditional aggregation (FILTER clause) ---------------------------------
 
 def _conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,6 +244,8 @@ register(QuerySpec(
         GROUP BY user_id
     """,
     covers=("filter-clause", "conditional-agg"),
+    extended=True,  # CASE-WHEN conditional agg driver-attested by
+    # shipping_priority_counts; FILTER-clause form checked in pytest
 ))
 
 
@@ -282,18 +289,23 @@ register(QuerySpec(
         FROM vecs
     """,
     covers=("array-fns-showcase",),
+    extended=True,  # array fns driver-attested via embedding/chunking
 ))
 
 
 # --- statistical aggregates: exact percentiles + moments ---------------------
 
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percentiles + second moments in ONE grouped pass (shared shuffle),
+    # so the driver attests both families in a single registry slot.
     ev = load_table(spark, sf_dir, "events")
     def p(q):
         return F.round(F.percentile("value", F.lit(q)), 6)
     return ev.groupBy("event_type").agg(
         p(0.25).alias("p25"), p(0.5).alias("p50"), p(0.75).alias("p75"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
     )
 
 
@@ -305,11 +317,13 @@ register(QuerySpec(
                ROUND(quantile_cont(value, 0.25), 6) AS p25,
                ROUND(quantile_cont(value, 0.5), 6) AS p50,
                ROUND(quantile_cont(value, 0.75), 6) AS p75,
-               ROUND(quantile_cont(value, 0.99), 6) AS p99
+               ROUND(quantile_cont(value, 0.99), 6) AS p99,
+               ROUND(stddev_samp(value), 6) AS stddev_value,
+               ROUND(var_samp(value), 6) AS var_value
         FROM events
         GROUP BY event_type
     """,
-    covers=("percentiles", "exact-quantile"),
+    covers=("percentiles", "exact-quantile", "moments"),
 ))
 
 
@@ -344,6 +358,8 @@ register(QuerySpec(
         GROUP BY event_type
     """,
     covers=("moments", "stddev-var-corr"),
+    extended=True,  # stddev/var driver-attested in value_percentiles;
+    # corr/covar checked here in pytest
 ))
 
 
@@ -448,6 +464,8 @@ register(QuerySpec(
         WHERE event_id % 50 = 0
     """,
     covers=("scd2", "window-lead"),
+    extended=True,  # MERGE/CDC driver-attested by merge_upsert_orders;
+    # lead-window ranges share machinery with sessionize_users (lag)
 ))
 
 
@@ -550,6 +568,8 @@ register(QuerySpec(
         )
     """,
     covers=("udtf", "lateral-join"),
+    extended=True,  # chunking driver-attested by chunk_documents (the
+    # production array-expression path); UDTF machinery pytest-checked
 ))
 
 
@@ -585,6 +605,8 @@ register(QuerySpec(
         GROUP BY key
     """,
     covers=("map-type", "explode-map"),
+    extended=True,  # JSON scalar surface driver-attested by
+    # json_props_extract
 ))
 
 
@@ -623,6 +645,8 @@ register(QuerySpec(
         FROM customer
     """,
     covers=("string-fns",),
+    extended=True,  # string scalars exercised by the text-analysis
+    # queries (regexp/md5/length/split) the driver does attest
 ))
 
 
@@ -658,4 +682,6 @@ register(QuerySpec(
         FROM lineitem
     """,
     covers=("math-fns",),
+    extended=True,  # math scalars exercised by the TPC-H arithmetic
+    # the driver does attest
 ))

@@ -78,6 +78,8 @@ register(QuerySpec(
         FROM d LEFT JOIN r ON d.month = r.month AND r.rn = 1
     """,
     covers=("A2", "A4", "P3"),
+    extended=True,  # A2/P3 driver-attested by monthly_rollup_with_mode
+    # (same grouped_mode operator + month part); standalone form pytest
 ))
 
 
@@ -383,6 +385,8 @@ register(QuerySpec(
         GROUP BY 1, 2, 3, 4
     """,
     covers=("P2", "P3"),
+    extended=True,  # date parts driver-attested by daily_value_rollup
+    # (P2) and monthly_rollup_with_mode (P3)
 ))
 
 
@@ -703,4 +707,6 @@ register(QuerySpec(
         GROUP BY 1, 2
     """,
     covers=("streaming-window-batch",),
+    extended=True,  # identical semantics + oracle as the REAL streaming
+    # query streaming_tumbling_rollup, which the driver does attest
 ))

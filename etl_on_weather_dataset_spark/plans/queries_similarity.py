@@ -50,6 +50,9 @@ register(QuerySpec(
     # identical semantics + rounding -> shares the brute-force oracle
     oracle=cosine_topk_sql(k=_K, query_filter=f"id < {_N_QUERIES}"),
     covers=("pandas-udf-vectorized", "similarity"),
+    extended=True,  # bit-identical to cosine_topk_bruteforce (driver-
+    # attested); the Arrow/pandas_udf surface is driver-attested via
+    # multimodal_binary_metadata + normalize_per_user
 ))
 
 
