@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -26,7 +27,9 @@ if _REPO not in sys.path:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    # tolerate dirs not named .../sf<number>: unknown sf, not a crash
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
 
     from etl_on_weather_dataset_spark.plans.registry import bench_queries
     from etl_on_weather_dataset_spark.session import get_spark

@@ -4,7 +4,9 @@ dirt -- duplicates, nulls in critical columns, unparseable timestamps,
 boundary wind speeds, mode ties -- plus a dirty variant with
 out-of-range rows that must fail validation.
 
-Deterministic (seeded), pure python + csv.
+Deterministic (seeded), pure python + csv. Lives in the package (not
+tests/) because the driver-facing `weather_pipeline_monthly` query and
+its DuckDB oracle both consume the generated CSV.
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ import csv
 import random
 from pathlib import Path
 
-from etl_on_weather_dataset_spark.schemas import WEATHER_RAW_SCHEMA
+from .schemas import WEATHER_RAW_SCHEMA
 
 COLUMNS = [f.name for f in WEATHER_RAW_SCHEMA.fields]
 
@@ -103,3 +105,18 @@ def write_fixture(path: str | Path, dirty: bool = False) -> Path:
         for r in _rows(dirty):
             w.writerow({k: ("" if v is None else v) for k, v in r.items()})
     return path
+
+
+# Stable location for the driver-facing fixture: the oracle SQL is a
+# static string, so Spark query and DuckDB oracle must read the same
+# absolute path. Repo-local (next to the package), not tempfile: no
+# per-invocation garbage, survives process boundaries.
+FIXTURE_DIR = Path(__file__).resolve().parents[1] / ".fixtures"
+CLEAN_FIXTURE_CSV = FIXTURE_DIR / "weatherHistory.csv"
+
+
+def ensure_clean_fixture() -> Path:
+    """Write the clean weather CSV to its stable path (idempotent --
+    content is deterministic; unconditional rewrite keeps a stale file
+    from surviving generator changes). ~1.5k rows, <5 ms."""
+    return write_fixture(CLEAN_FIXTURE_CSV, dirty=False)

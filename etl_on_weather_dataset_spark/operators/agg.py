@@ -30,12 +30,23 @@ def mean_rollup(
     df: DataFrame,
     keys: Sequence[str],
     metrics: dict[str, str],
+    scale: int | None = None,
 ) -> DataFrame:
     """group by ``keys``; mean of each metric col -> alias (A1/A3).
 
-    ``metrics`` maps input column -> output alias.
+    ``metrics`` maps input column -> output alias. With ``scale`` set,
+    metrics are fixed-decimal (<= log10(scale) dp) and the mean is
+    computed over exact scaled-integer sums (functions/exact.py), so
+    the result is bit-identical regardless of partitioning -- required
+    for hash parity with a sequential oracle, and immune to float
+    drift across retries at scale.
     """
-    aggs = [F.avg(c).alias(a) for c, a in metrics.items()]
+    if scale is None:
+        aggs = [F.avg(c).alias(a) for c, a in metrics.items()]
+    else:
+        from ..functions.exact import exact_avg
+
+        aggs = [exact_avg(c, scale).alias(a) for c, a in metrics.items()]
     return df.groupBy(*keys).agg(*aggs)
 
 

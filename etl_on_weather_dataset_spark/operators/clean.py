@@ -65,13 +65,23 @@ def impute_median(
 ) -> DataFrame:
     """Fill nulls in ``cols`` with each column's median (I1).
 
-    All medians are computed in ONE aggregate job (one scan) and
-    collected as a single tiny row; the fill itself is a codegen'd
-    projection. At 100 TB prefer ``approx=True``: percentile_approx is
-    a single-pass mergeable sketch, exact percentile sorts.
+    One LAZY plan, no driver-side collect: all medians come from a
+    single 1-row aggregate that is cross-joined back (Catalyst plans a
+    broadcast nested loop of the single row -- the scalar-subquery
+    shape), and the fill is a codegen'd coalesce. Keeping it lazy means
+    no extra synchronous job and the optimizer sees the whole pipeline.
+    At 100 TB prefer ``approx=True``: percentile_approx is a
+    single-pass mergeable sketch, exact percentile sorts.
     """
     if not cols:
         return df
-    meds = df.agg(*[median_expr(c, approx).alias(c) for c in cols]).first()
-    fill = {c: meds[c] for c in cols if meds[c] is not None}
-    return df.na.fill(fill)
+    meds = df.agg(
+        *[median_expr(c, approx).alias(f"__med_{i}")
+          for i, c in enumerate(cols)]
+    )
+    filled = df.crossJoin(F.broadcast(meds))
+    for i, c in enumerate(cols):
+        filled = filled.withColumn(
+            c, F.coalesce(F.col(c), F.col(f"__med_{i}"))
+        )
+    return filled.drop(*[f"__med_{i}" for i in range(len(cols))])

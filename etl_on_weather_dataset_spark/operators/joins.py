@@ -88,10 +88,17 @@ def asof_join(
     unioned = tagged_l.unionByName(tagged_r)
     from pyspark.sql import Window
 
+    # Ordering must be a total order on BOTH sides: left rows tiebreak
+    # on their id; right rows (null id) tiebreak on their carried
+    # values, otherwise duplicate (key, ts) right rows would make the
+    # carried value engine-arbitrary (largest value wins, ascending
+    # order + last()). Keep in lockstep with the oracle SQL.
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc(),
-                 F.col(left_id_col).asc_nulls_first())
+                 F.col(left_id_col).asc_nulls_first(),
+                 *[F.col(f"__r_{c}").asc_nulls_first()
+                   for c in right_value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata.
 The Spark-side plumbing -- schema, partitioning, Arrow batch shape,
-`mapInPandas` UDF signature -- is real and tested; the actual
-image/audio decode is STUBBED (the codec libraries are not in this
-container): `decode_image`/`decode_audio` raise NotImplementedError,
-and `decode_binary_metadata` uses a deterministic byte-level "decode"
-(length, first byte, md5) that exercises the identical execution path.
+`mapInPandas` UDF signature -- is real and tested; the codec-dependent
+decodes are import-guarded: `decode_image` runs for real when PIL is
+importable and raises NotImplementedError otherwise; `decode_audio`/
+`sample_frames` stay stubs (no audio/video libs anywhere reachable).
+`decode_binary_metadata` uses a deterministic byte-level "decode"
+(length, first byte, md5) that exercises the identical execution path
+with zero codec dependencies.
 
 Scale notes: binary payloads ride the normal columnar pipeline; the
 decode runs per Arrow batch (`mapInPandas`), so executor memory is
@@ -71,13 +73,67 @@ def decode_binary_metadata(
     return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode -> (width, height, mode) + resized thumbnail.
-    STUB: codec libs (PIL/opencv) are not available in this build."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; plumbing-wise identical to "
-        "decode_binary_metadata -- swap the mapInPandas body."
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real image decode -> (width, height, mode) per payload, via the
+    same mapInPandas plumbing as decode_binary_metadata.
+
+    Import-guarded: uses PIL when importable; raises NotImplementedError
+    otherwise (this build ships no codec libs). The guard runs on the
+    DRIVER at plan time so a missing dependency fails fast instead of
+    inside executor tasks. Undecodable payloads yield null metadata
+    (corrupt blobs must not kill a 100 TB scan).
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL (pillow); not available in this "
+            "build. Plumbing-wise identical to decode_binary_metadata."
+        ) from exc
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + IMAGE_META_SCHEMA.fields
     )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        def meta(b: bytes):
+            try:
+                with Image.open(io.BytesIO(b)) as im:
+                    return im.width, im.height, im.mode
+            except Exception:  # noqa: BLE001 -- corrupt payload -> nulls
+                return None, None, None
+
+        for pdf in batches:
+            decoded = [meta(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array(
+                        [d[0] for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] for d in decoded], dtype="Int32"
+                    ),
+                    "mode": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
 
 
 def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -102,7 +102,9 @@ def transform(df: DataFrame) -> WeatherPipelineResult:
     # Shared fact table feeds 3 branches -> cache once (SURVEY par.4)
     df = df.cache()
 
-    # A1: daily means (ETL.py:69-73)
+    # A1: daily means (ETL.py:69-73). scale=1000: inputs are 2-dp and
+    # the imputed median is at most 3-dp (midpoint of two 2-dp values),
+    # so scaled-integer sums make the means exact + engine-portable.
     daily_agg = mean_rollup(
         df,
         ["date"],
@@ -111,6 +113,7 @@ def transform(df: DataFrame) -> WeatherPipelineResult:
             "Humidity": "avg_humidity",
             "Wind Speed (km/h)": "avg_wind_speed_kmh",
         },
+        scale=1000,
     )
     # J1: fan daily means back out to distinct (date, ts, strength)
     # triples (ETL.py:109-113)
@@ -128,6 +131,7 @@ def transform(df: DataFrame) -> WeatherPipelineResult:
             "Visibility (km)": "avg_visibilty_km",  # sic, ETL.py:229
             "Pressure (millibars)": "avg_pressure_millibars",
         },
+        scale=1000,
     )
     monthly_mode = grouped_mode(df, ["month"], "Precip Type", "mode_precip_type")
     monthly = monthly_means.join(monthly_mode, "month", "left")

@@ -58,7 +58,8 @@ register(QuerySpec(
             SELECT *,
                    last_value(r_val IGNORE NULLS) OVER (
                        PARTITION BY user_id
-                       ORDER BY ts ASC, side ASC, event_id ASC NULLS FIRST
+                       ORDER BY ts ASC, side ASC, event_id ASC NULLS FIRST,
+                                r_val ASC NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS asof_purchase_value
             FROM u
@@ -97,18 +98,35 @@ register(QuerySpec(
 
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HLL sketch: the 100 TB path for distinct counting (single pass,
-    # mergeable, fixed memory). Sketch internals differ per engine ->
-    # rows-only check; the exact twin above is the correctness anchor.
+    # mergeable, fixed memory). Sketch internals differ per engine, so
+    # the hashable contract is the HLL ERROR BOUND, not the estimate:
+    # emit the exact count plus a within-5x-rsd flag (rsd=0.01 -> 5%
+    # slack; HLL++ error is probabilistic, 5 sigma won't flake). The
+    # oracle computes the exact count and asserts the flag is 1.
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("n_users"))
+        / F.col("n_users") <= 0.05
+    )
+    return agg.select(
+        "event_type", "n_users", within.cast("int").alias("within_bound")
     )
 
 
 register(QuerySpec(
     name="approx_distinct_users",
     spark_fn=_approx_distinct,
-    oracle=None,
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               1 AS within_bound
+        FROM events
+        GROUP BY event_type
+    """,
     covers=("approx-distinct", "sketch"),
 ))
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import exact_avg, exact_avg_sql, exact_sum_sql
 from ..operators.agg import grouped_mode
-from ..operators.clean import dedup_exact, median_expr
+from ..operators.clean import dedup_exact
 from ..operators.derive import beaufort, beaufort_sql, with_date_parts
 from ..operators.joins import fanout_join_daily
 from ..operators.validate import at_least, in_range, not_null, violation_counts
@@ -221,19 +221,22 @@ register(QuerySpec(
 # --- I1: median imputation (ETL.py:61-62) ----------------------------------
 
 def _median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clean import impute_median
+
     ev = load_table(spark, sf_dir, "events")
     # Deterministically poke holes, then impute with the exact
     # interpolated median of the remaining values (pandas semantics).
+    # impute_median keeps the whole thing ONE lazy plan (the median is
+    # a broadcast 1-row aggregate, not a driver collect).
     dirty = ev.withColumn(
         "value",
         F.when(F.col("event_id") % 101 == 0, F.lit(None)).otherwise(
             F.col("value")
         ),
-    )
-    med = dirty.agg(median_expr("value").alias("m")).first()["m"]
-    filled = dirty.withColumn(
+    ).withColumn(
         "n_imputed", F.when(F.col("value").isNull(), 1).otherwise(0)
-    ).na.fill({"value": med})
+    )
+    filled = impute_median(dirty, ["value"])
     return filled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("n_imputed").alias("n_imputed"),
@@ -544,31 +547,76 @@ def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the complete reference-parity pipeline (extract ->
     transform -> validate -> load) on the deterministic weather
-    fixture and returns the monthly sink table. Rows-only for the
-    driver (the fixture is a generated CSV, not an sf table); the
-    pytest suite checks the same output against a DuckDB golden.
+    fixture and returns the monthly sink table (ETL.py:52-133 ->
+    monthly sink ETL.py:259-270). The fixture lives at a stable
+    path so the static oracle SQL below reads the same CSV.
     """
-    import sys
-    import tempfile
-    from pathlib import Path
-
+    from ..fixtures import ensure_clean_fixture
     from ..plans import pipeline as wp
 
-    tests_dir = str(Path(__file__).resolve().parents[2] / "tests")
-    if tests_dir not in sys.path:
-        sys.path.insert(0, tests_dir)
-    from weather_fixture import write_fixture  # deterministic, seeded
-
-    d = tempfile.mkdtemp(prefix="weather_fixture_")
-    csv = write_fixture(Path(d) / "weatherHistory.csv", dirty=False)
+    csv = ensure_clean_fixture()
     res = wp.run(spark, str(csv), output_dir=None, fail_fast=True)
     return res.monthly
+
+
+def _weather_oracle() -> str:
+    """DuckDB twin of the full pipeline: parse (UTC repin) -> distinct
+    -> median-impute -> month rollup (exact scaled-integer means) +
+    deterministic precip mode. Same semantics the pytest golden proves
+    (tests/test_weather_pipeline.py), now driver-hashable."""
+    from ..fixtures import ensure_clean_fixture
+
+    csv = ensure_clean_fixture()
+    return f"""
+        WITH raw AS (
+            SELECT try_strptime("Formatted Date",
+                                '%Y-%m-%d %H:%M:%S.%g %z')
+                       AT TIME ZONE 'UTC' AS ts, *
+            FROM read_csv('{csv}', header=true, all_varchar=false)
+        ), dedup AS (
+            SELECT DISTINCT * FROM raw
+        ), med AS (
+            SELECT median("Temperature (C)") AS mt,
+                   median("Humidity") AS mh,
+                   median("Visibility (km)") AS mv,
+                   median("Pressure (millibars)") AS mp
+            FROM dedup
+        ), filled AS (
+            SELECT CAST(month(ts) AS INTEGER) AS month,
+                   COALESCE("Temperature (C)", (SELECT mt FROM med)) AS temp,
+                   COALESCE("Humidity", (SELECT mh FROM med)) AS hum,
+                   COALESCE("Visibility (km)", (SELECT mv FROM med)) AS vis,
+                   COALESCE("Pressure (millibars)", (SELECT mp FROM med))
+                       AS pres,
+                   "Precip Type" AS precip
+            FROM dedup WHERE ts IS NOT NULL
+        ), means AS (
+            SELECT month,
+                   {exact_avg_sql('temp', 1000)} AS avg_temperature_c,
+                   {exact_avg_sql('hum', 1000)} AS avg_humidity,
+                   {exact_avg_sql('vis', 1000)} AS avg_visibilty_km,
+                   {exact_avg_sql('pres', 1000)} AS avg_pressure_millibars
+            FROM filled GROUP BY month
+        ), modes AS (
+            SELECT month, precip FROM (
+                SELECT month, precip,
+                       ROW_NUMBER() OVER (PARTITION BY month
+                           ORDER BY COUNT(*) DESC, precip ASC) AS rn
+                FROM filled WHERE precip IS NOT NULL
+                GROUP BY month, precip
+            ) WHERE rn = 1
+        )
+        SELECT means.month, avg_temperature_c, avg_humidity,
+               avg_visibilty_km, avg_pressure_millibars,
+               modes.precip AS mode_precip_type
+        FROM means LEFT JOIN modes ON means.month = modes.month
+    """
 
 
 register(QuerySpec(
     name="weather_pipeline_monthly",
     spark_fn=_weather_pipeline,
-    oracle=None,  # input is a generated CSV, not a pre-registered view
+    oracle=_weather_oracle(),
     covers=("O1", "O2", "O3", "S3", "pipeline-e2e"),
 ))
 

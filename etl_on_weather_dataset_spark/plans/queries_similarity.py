@@ -172,10 +172,22 @@ def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(QuerySpec(
     name="multimodal_binary_metadata",
     spark_fn=_multimodal,
+    # first_byte is the first byte of the UTF-8 payload. DuckDB can't
+    # index into a BLOB as an integer, but the leading UTF-8 byte is a
+    # pure function of the first character's code point -- computed
+    # byte-faithfully below (1/2/3/4-byte sequence prefixes), so parity
+    # holds for non-ASCII corpora too.
     oracle="""
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
-               ascii(substr(text, 1, 1)) AS first_byte,
+               CASE WHEN length(text) = 0 THEN NULL
+                    WHEN unicode(text) < 128 THEN unicode(text)
+                    WHEN unicode(text) < 2048
+                        THEN 192 + unicode(text) // 64
+                    WHEN unicode(text) < 65536
+                        THEN 224 + unicode(text) // 4096
+                    ELSE 240 + unicode(text) // 262144
+               END AS first_byte,
                md5(text) AS content_md5
         FROM documents
     """,

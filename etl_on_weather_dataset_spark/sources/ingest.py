@@ -24,11 +24,22 @@ def land_zip(archive_path: str | Path, dest_dir: str | Path) -> list[Path]:
     if not zipfile.is_zipfile(archive_path):
         raise ValueError(f"{archive_path} is not a valid zip archive")
     dest_dir.mkdir(parents=True, exist_ok=True)
+    dest_resolved = dest_dir.resolve()
     with zipfile.ZipFile(archive_path) as zf:
-        # refuse path traversal: every member must land inside dest_dir
-        for m in zf.namelist():
-            target = (dest_dir / m).resolve()
-            if not str(target).startswith(str(dest_dir.resolve())):
-                raise ValueError(f"archive member escapes dest dir: {m}")
+        # Refuse path traversal: every member must land inside dest_dir.
+        # is_relative_to (not str.startswith) so a sibling dir sharing
+        # the dest prefix ('/x/land' vs '/x/land_evil') can't slip by;
+        # symlink members are refused outright (a link pointing outside
+        # would redirect later members' writes).
+        for info in zf.infolist():
+            if (info.external_attr >> 16) & 0o170000 == 0o120000:
+                raise ValueError(
+                    f"archive member is a symlink: {info.filename}"
+                )
+            target = (dest_dir / info.filename).resolve()
+            if not target.is_relative_to(dest_resolved):
+                raise ValueError(
+                    f"archive member escapes dest dir: {info.filename}"
+                )
         zf.extractall(dest_dir)
         return [dest_dir / m for m in zf.namelist()]

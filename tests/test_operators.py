@@ -263,6 +263,66 @@ class TestAsofJoin:
                 assert g == row["rv"]
 
 
+    def test_duplicate_key_ts_right_rows_deterministic(self, spark):
+        """Multiple right rows sharing (key, ts): the carried value
+        must be deterministic (largest value wins -- ascending value
+        tiebreak + last()), not partition-order-dependent."""
+        import datetime as dt
+
+        from etl_on_weather_dataset_spark.operators.joins import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, t0, 99.0)], "user_id long, ts timestamp, value double"
+        ).withColumn("event_id", F.lit(7).cast("long"))
+        right = spark.createDataFrame(
+            [(1, t0, 5.0), (1, t0, 3.0), (1, t0, 4.0)],
+            "user_id long, ts timestamp, rv double",
+        )
+        for n_parts in (1, 3):
+            got = asof_join(
+                left.repartition(1), right.repartition(n_parts),
+                on="user_id", ts_col="ts",
+                right_value_cols=["rv"], left_id_col="event_id",
+            ).collect()
+            assert len(got) == 1
+            assert got[0]["asof_rv"] == 5.0
+
+
+class TestImageDecode:
+    def test_decode_image_guard_or_real(self, spark):
+        """decode_image is import-guarded: with PIL it decodes a real
+        1x1 PNG through the mapInPandas plumbing; without it, it
+        raises NotImplementedError at plan time."""
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        # deterministic 1x1 black RGB PNG (pre-encoded; no PIL needed
+        # to construct)
+        png = bytes.fromhex(
+            "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+            "3df80000000c49444154789c626060600000000400019c53d1650000000049"
+            "454e44ae426082"
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+            "doc_id long, payload binary",
+        )
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            import pytest as _pytest
+
+            with _pytest.raises(NotImplementedError, match="PIL"):
+                decode_image(df)
+            return
+        rows = {r["doc_id"]: r for r in decode_image(df).collect()}
+        assert (rows[1]["width"], rows[1]["height"]) == (1, 1)
+        assert rows[1]["mode"] in ("RGB", "RGBA", "P", "L")
+        assert rows[2]["width"] is None  # corrupt payload -> nulls
+
+
 class TestMultimodalBatching:
     def test_decode_respects_arrow_batch_size(self, spark):
         """The multimodal claim in SCALE.md: executor memory is

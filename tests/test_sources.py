@@ -37,6 +37,27 @@ def test_land_zip_rejects_path_traversal(tmp_path):
         land_zip(src, tmp_path / "landed")
 
 
+def test_land_zip_rejects_sibling_prefix_escape(tmp_path):
+    """'../land_evil/f' resolves to a SIBLING dir sharing the dest's
+    name prefix -- a str.startswith guard would wave it through."""
+    src = tmp_path / "evil2.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("../land_evil/f.txt", "boom")
+    with pytest.raises(ValueError, match="escapes dest"):
+        land_zip(src, tmp_path / "land")
+    assert not (tmp_path / "land_evil").exists()
+
+
+def test_land_zip_rejects_symlink_member(tmp_path):
+    src = tmp_path / "evil3.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        info = zipfile.ZipInfo("link")
+        info.external_attr = (0o120777 << 16)  # S_IFLNK | 0777
+        zf.writestr(info, "/etc/passwd")
+    with pytest.raises(ValueError, match="symlink"):
+        land_zip(src, tmp_path / "landed")
+
+
 def test_jdbc_append_sink_roundtrip(spark, tmp_path):
     """S5/S6 (ETL.py:241-275): append-mode RDBMS sink via JDBC, using
     Spark's bundled Derby as the embedded database. Appending twice

@@ -13,7 +13,7 @@ import pytest
 from etl_on_weather_dataset_spark.operators.validate import ValidationError
 from etl_on_weather_dataset_spark.plans import pipeline
 
-from .weather_fixture import write_fixture
+from etl_on_weather_dataset_spark.fixtures import write_fixture
 
 
 @pytest.fixture(scope="module")
