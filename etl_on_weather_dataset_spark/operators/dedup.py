@@ -250,33 +250,38 @@ def minhash_lsh_pairs(
     num_features: int = 1 << 18,
     max_distance: float = 0.5,
     seed: int = 42,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs via MLlib MinHashLSH (the 100 TB scale path).
 
-    tokenize -> HashingTF (sparse binary shingle vector) ->
+    shingle (n-word) -> HashingTF (sparse binary shingle vector) ->
     MinHashLSH.approxSimilarityJoin at Jaccard-distance threshold.
     Sub-quadratic: candidates come from banded minhash buckets.
     Deterministic for a fixed seed, but not SQL-expressible -- driver
     records the rows-only check.
 
-    Tuning caveat: hash tables are OR-amplified (a pair is a candidate
-    if ANY table collides), so on a corpus where most pairs share
-    vocabulary (like the synthetic word-soup docs) more tables push the
-    candidate set toward n^2 -- measured: 8 tables at sf0.1 degenerated
-    into a multi-GB shuffle. Keep tables low on high-overlap corpora
-    and rely on the distance threshold, or pre-drop stop-shingles.
+    Feature unit matters: minhashing raw UNIGRAMS degenerates on a
+    small-vocabulary corpus (every doc shares most words, collision
+    prob ~ Jaccard ~ 1, candidate set -> n^2 -- measured as a multi-GB
+    shuffle at sf0.1 in round 1). N-word shingles (``shingle_n``) are
+    the standard fix and the same blocking unit ngram_jaccard uses:
+    shingle-set overlap of unrelated docs is tiny, so each of the
+    OR-amplified hash tables collides rarely and the candidate volume
+    stays ~sim-proportional instead of quadratic.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).filter(F.length("text") > 0)
-    tok = Tokenizer(inputCol="text", outputCol="toks")
+    shingled = docs.withColumn(
+        "toks", word_shingles("text", shingle_n)
+    )
     tf = HashingTF(
         inputCol="toks", outputCol="features",
         numFeatures=num_features, binary=True,
     )
-    feats = tf.transform(tok.transform(docs)).filter(
+    feats = tf.transform(shingled).filter(
         F.size("toks") > 0
     )
     lsh = MinHashLSH(

@@ -248,6 +248,124 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, sub-quadratic.
+
+    Candidate generation is multi-table hyperplane LSH (OR-amplified:
+    a pair is a candidate if it shares a bucket in ANY of ``n_tables``
+    independent tables of ``n_planes`` planes), then candidates are
+    rescored with the EXACT cosine and filtered at ``threshold``.
+
+    Scale: the only join is an equi-join on (table, bucket) --
+    ~N*T/2^planes rows per bucket, quadratic blow-up contained per
+    bucket, AQE splits hot buckets. Never an all-pairs crossJoin: at
+    100 TB the candidate set is what you pay for, and more planes
+    shrink it geometrically. Recall is the LSH trade: a pair at cosine
+    s collides per table with prob (1 - arccos(s)/pi)^planes; true
+    near-dups (s >= 0.9) survive >= 1 of 4 tables w.p. ~0.75, while
+    the unrelated-pair mass never enters the join.
+
+    Determinism: seeded plane literals (lsh_hyperplanes) are shared
+    verbatim with the SQL twin, so engine and oracle agree on the
+    candidate set, not just the rescored survivors.
+    """
+    planes_per_table = [
+        lsh_hyperplanes(dim, n_planes, seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    vecs = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    banded = vecs.select(
+        "id",
+        "v",
+        "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col("v"), planes).alias("bucket"),
+                )
+                for t, planes in enumerate(planes_per_table)
+            ])
+        ).alias("tb"),
+    ).select("id", "v", "n", "tb.t", "tb.bucket")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "t", "bucket",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "t", "bucket",
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        SIM_DECIMALS,
+    )
+    return (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        # a pair sharing buckets in several tables appears once per
+        # table with an identical sim -- collapse
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_near_dup_sql(
+    threshold: float,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of embedding_near_dup_pairs: SAME plane literals,
+    SAME banded candidate generation, SAME exact rescore."""
+    def plane_sql(planes: list[list[float]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    banded = "\n            UNION ALL\n            ".join(
+        f"SELECT id, v, n, {t} AS t, "
+        f"({plane_sql(lsh_hyperplanes(dim, n_planes, seed + 1000 * t))})"
+        f" AS bucket FROM vecs"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH raw AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), vecs AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM raw
+        ), banded AS (
+            {banded}
+        )
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                     {SIM_DECIMALS}) AS sim
+        FROM banded a JOIN banded b USING (t, bucket)
+        WHERE a.id < b.id
+          AND ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                    {SIM_DECIMALS}) >= {threshold}
+    """
+
+
 def lsh_topk_sql(
     planes: list[list[float]],
     k: int = 5,

@@ -10,6 +10,7 @@ from ..operators.similarity import (
     cosine_topk,
     cosine_topk_sql,
     dot,
+    embedding_near_dup_sql,
     lsh_hyperplanes,
     lsh_topk,
     lsh_topk_sql,
@@ -78,45 +79,21 @@ _NEAR_DUP_SIM = 0.35  # p99.9 of the word-soup cosine distribution
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed candidates + exact cosine rescore -- the operator
+    is sub-quadratic (equi-join on (table, bucket), never an all-pairs
+    crossJoin); the oracle shares the seeded plane literals so the
+    candidate set is hash-matched, not just the survivors."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    vecs = emb.select(F.col("vec_id").alias("id"), v.alias("v")).withColumn(
-        "n", F.sqrt(dot(F.col("v"), F.col("v")))
-    )
-    a = vecs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b = vecs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
-    sim = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= _NEAR_DUP_SIM)
-    )
+    return embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_SIM)
 
 
 register(QuerySpec(
     name="dedup_embedding_cosine",
     spark_fn=_embedding_near_dup,
-    oracle=f"""
-        WITH vecs AS (
-            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
-                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[]))) AS n
-            FROM embeddings
-        )
-        SELECT a.id AS id_a, b.id AS id_b,
-               ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS sim
-        FROM vecs a JOIN vecs b ON a.id < b.id
-        WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
-              >= {_NEAR_DUP_SIM}
-    """,
-    covers=("dedup-embedding-cosine",),
+    oracle=embedding_near_dup_sql(_NEAR_DUP_SIM),
+    covers=("dedup-embedding-cosine", "ann-lsh"),
 ))
 
 

@@ -75,6 +75,7 @@ register(QuerySpec(
         )
     """,
     covers=("dedup-near", "inverted-index-join"),
+    bench=True,
 ))
 
 
@@ -96,16 +97,15 @@ register(QuerySpec(
 # --- MinHash LSH (rows-only: MLlib, not SQL-expressible) ----------------------
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bounded to the first 1000 docs: identical at sf<=0.01 (500 docs)
-    # while keeping the demonstrative query finite at larger sf -- the
-    # synthetic corpus's extreme vocabulary overlap makes LSH candidate
-    # sets near-quadratic regardless of banding (see operator caveat).
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < 1000
-    )
-    # 0.1 Jaccard distance ~= 0.9 similarity: the docs share a tiny
-    # vocab so set-overlap runs hot; only the top decile is "near-dup"
-    return minhash_lsh_pairs(docs, "text", "doc_id", max_distance=0.1)
+    # Uncapped: minhash over 3-word SHINGLES (not unigrams) keeps the
+    # banded candidate set sub-quadratic even on this tiny-vocabulary
+    # corpus (see operator docstring). distance 0.8 = shingle-Jaccard
+    # >= 0.2, the same near-dup bar as dedup_ngram_jaccard -- the two
+    # tiers are directly comparable: this one trades exactness for a
+    # minhash signature pass that never materializes the shingle sets
+    # into the join.
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", max_distance=0.8)
 
 
 register(QuerySpec(
@@ -113,6 +113,7 @@ register(QuerySpec(
     spark_fn=_minhash_pairs,
     oracle=None,
     covers=("dedup-minhash-lsh",),
+    bench=True,
 ))
 
 

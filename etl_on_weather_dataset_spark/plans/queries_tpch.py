@@ -6,8 +6,11 @@ joins, semi/anti joins, rollup, pivot, global top-k) and are the bench
 headliners at sf0.1.
 
 Scale notes:
-- dims (region/nation/customer/supplier/part) are broadcast -- at
-  100 TB the fact side never shuffles for these joins;
+- spec-bounded dims (region: 5 rows, nation: 25) carry an explicit
+  broadcast hint; SF-scaling dims (customer/supplier/part) are left to
+  Catalyst size stats + AQE, which broadcast them while they fit the
+  threshold and demote to shuffled joins when they don't -- a forced
+  hint would override AQE and OOM the driver at large SF;
 - money aggregates use exact integer-cents sums (functions/exact.py);
 - global top-k is agg -> row_number over a tiny grouped result, never a
   global sort of the fact table.
@@ -128,9 +131,13 @@ def _top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # customer grows with SF (150M rows at sf100) -> no broadcast hint;
+    # Catalyst's size stats broadcast it while it fits the threshold
+    # and AQE demotes to a shuffled join when it doesn't. Forcing it
+    # would OOM the driver at large SF (operators/joins.py:16 rule).
     rev = (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
             .select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
@@ -189,6 +196,11 @@ def _regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    # nation (25 rows) and region (5) are bounded by spec -> explicit
+    # broadcast is always safe. The customer-side dim is NOT bounded
+    # (150M rows at sf100), so no hint: Catalyst broadcasts it off size
+    # stats while small and demotes above the threshold instead of
+    # OOMing the driver on a forced build side.
     dim = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -197,7 +209,7 @@ def _regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             (F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount")))
@@ -394,6 +406,9 @@ def _profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     part = load_table(spark, sf_dir, "part")
+    # nation is spec-bounded (25 rows) -> hint; supplier/part are not
+    # (1M/20M rows at sf100) -> size-stat broadcast, AQE demotion above
+    # threshold (joins.py:16 rule).
     sup_nation = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", "n_name")
@@ -406,9 +421,9 @@ def _profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders.select("o_orderkey", "o_orderdate"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+        .join(part.select("p_partkey", "p_retailprice"),
               li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(sup_nation, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg((F.sum(profit_c) / 10000.0).alias("profit"))
     )

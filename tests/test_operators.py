@@ -289,6 +289,50 @@ class TestAsofJoin:
             assert got[0]["asof_rv"] == 5.0
 
 
+class TestMinhashVsExactJaccard:
+    def test_minhash_pairs_are_true_near_dups(self, spark):
+        """The rows-only MinHash tier anchored against the exact tier:
+        every LSH-reported pair must really have shingle-Jaccard close
+        to the threshold (sim >= threshold - epsilon; epsilon absorbs
+        HashingTF index collisions), and on this corpus the banded scan
+        should also FIND the exact tier's pairs (recall check)."""
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.2
+            ).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, "text", "doc_id", max_distance=0.8
+            ).collect()
+        }
+        # precision: no false positives beyond hash-collision slack
+        loose = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.18
+            ).collect()
+        }
+        assert approx <= loose
+        # recall on the clear positives (sim >= 0.25: per-table
+        # collision prob >= 0.25, 4 OR'd tables -> ~0.68+ each; the
+        # corpus' actual near-dups are far above the bar, so expect
+        # full recovery -- flag erosion if < 80%)
+        clear = {p for p, j in exact.items() if j >= 0.25}
+        if clear:
+            assert len(clear & approx) / len(clear) >= 0.8
+
+
 class TestImageDecode:
     def test_decode_image_guard_or_real(self, spark):
         """decode_image is import-guarded: with PIL it decodes a real

@@ -103,9 +103,42 @@ class TestPlanProperties:
         assert "ReadSchema: struct<ts:bigint,value:double>" in plan
 
     def test_dim_joins_broadcast(self, spark):
-        plan = self._plan(spark, "regional_revenue")
-        assert plan.count("BroadcastHashJoin") >= 3
-        assert "SortMergeJoin" not in plan
+        """The FINAL adaptive plan broadcasts every dim: bounded
+        nation/region statically (explicit hint), the unhinted
+        customer dim via AQE runtime stats -- the static plan shows an
+        SMJ for it by design (no forced hint), so assert post-AQE."""
+        from etl_on_weather_dataset_spark.plans.registry import queries
+
+        df = queries()["regional_revenue"](spark, self.SF)
+        df.collect()  # let AQE finalize
+        # toString() appends the pre-AQE '== Initial Plan ==' section
+        # (which legitimately contains the SMJ) -- examine only the
+        # final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in final
+
+    def test_unbounded_dim_broadcast_demotes_above_threshold(self, spark):
+        """VERDICT r1: the customer-side dim must not carry a FORCED
+        broadcast hint -- with the auto-broadcast threshold off
+        (simulating a dim larger than the threshold at high SF) the
+        planner must fall back to a shuffled join instead of an
+        OOM-bound forced broadcast. Bounded nation/region keep their
+        explicit hints and still broadcast."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            for q in ("regional_revenue", "profit_by_nation_year",
+                      "top_orders_by_revenue"):
+                plan = self._plan(spark, q)
+                assert "SortMergeJoin" in plan \
+                    or "ShuffledHashJoin" in plan, (q, plan[:1500])
+            # the spec-bounded dims keep broadcasting via their hints
+            plan = self._plan(spark, "regional_revenue")
+            assert "BroadcastHashJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
     def test_topk_uses_window_group_limit(self, spark):
         plan = self._plan(spark, "topk_events_per_user")
@@ -114,6 +147,16 @@ class TestPlanProperties:
     def test_global_topk_avoids_single_task_sort(self, spark):
         plan = self._plan(spark, "top_orders_by_revenue")
         assert "TakeOrderedAndProject" in plan
+
+    def test_embedding_near_dup_is_not_all_pairs(self, spark):
+        """The VERDICT r1 scale-killer: dedup_embedding_cosine must be
+        the LSH-bucketed equi-join, never an O(n^2) cartesian."""
+        plan = self._plan(spark, "dedup_embedding_cosine")
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+        # candidates come from a hash equi-join on (table, bucket)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan
 
 
 class TestAqeSkewJoin:
