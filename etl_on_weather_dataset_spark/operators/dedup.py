@@ -83,11 +83,23 @@ def ngram_jaccard_pairs(
     shingles (stopword runs) are the skew risk -- AQE skew-join splits
     them, and callers can pre-drop top-frequency shingles the way
     near-dup pipelines drop stop-shingles.
+
+    The per-doc shingle table is PERSISTED (memory-and-disk): without
+    it, Catalyst inlines the shingle expression into both the size()
+    and the explode(), and the whole index is recomputed once per
+    self-join side -- measured 6x slower at sf0.1. Materializing the
+    index before a self-join is also the production shape at 100 TB
+    (write it once, scan it twice); Spark evicts the blocks LRU when
+    the job moves on.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    ).withColumn("n_sh", F.size("shingles")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     inv = sh.select(
         "id", "n_sh", F.explode("shingles").alias("shingle")
     )
@@ -281,9 +293,15 @@ def minhash_lsh_pairs(
         inputCol="toks", outputCol="features",
         numFeatures=num_features, binary=True,
     )
+    # persist: the feature table is scanned by BOTH sides of the
+    # approxSimilarityJoin (and the shingle expression would otherwise
+    # be re-inlined into the size() filter) -- same materialize-the-
+    # index-once reasoning as ngram_jaccard_pairs.
+    from pyspark.storagelevel import StorageLevel
+
     feats = tf.transform(shingled).filter(
         F.size("toks") > 0
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes",
         numHashTables=num_hash_tables, seed=seed,
