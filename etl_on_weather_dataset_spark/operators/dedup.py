@@ -254,6 +254,107 @@ def simhash_band_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected
+    components by iterative min-label propagation.
+
+    Returns (id, component) for every id appearing in ``pairs``, where
+    component = the smallest id reachable through the pair graph (so
+    keep-the-min-id dedup policy falls out directly).
+
+    Spark has no native connected components; the scalable
+    re-expression is the classic label-propagation loop (the same
+    shape GraphX/Pregel uses): each round every node adopts the
+    minimum label among itself and its neighbors, converging in
+    O(graph diameter) rounds. Near-dup graphs are shallow (dup
+    clusters are cliques or short chains), so a handful of rounds
+    suffice; ``max_iter`` caps adversarial chains.
+
+    Scale per round: one equi-join edges->labels + one min-aggregate,
+    both shuffling on node id -- no component ever needs to fit in one
+    task, unlike collect-based union-find. Labels persist per round
+    (previous round unpersisted) so the lineage does not grow with
+    iterations. The driver-side loop is coordination only: it looks at
+    ONE count per round (did any label change).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_components_sql(pairs_sql: str, id_a: str = "id_a",
+                         id_b: str = "id_b") -> str:
+    """DuckDB twin: min reachable id per node via a recursive CTE.
+
+    The UNION (distinct) makes the recursion terminate; fine at oracle
+    scale -- the Spark operator above is the one that has to scale.
+    """
+    return f"""
+        WITH RECURSIVE pairs AS (
+            {pairs_sql}
+        ), edges AS (
+            SELECT {id_a} AS s, {id_b} AS d FROM pairs
+            UNION ALL
+            SELECT {id_b} AS s, {id_a} AS d FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT s AS id FROM edges
+        ), reach AS (
+            SELECT id, id AS label FROM nodes
+            UNION
+            SELECT e.d AS id, r.label
+            FROM reach r JOIN edges e ON e.s = r.id
+        )
+        SELECT id, MIN(label) AS component
+        FROM reach GROUP BY id
+    """
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,116 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need samples and train/test splits that are
+(a) reproducible across runs, retries, and partitionings, (b) portable
+across engines (the same row lands in the same split everywhere), and
+(c) computable without a shuffle. Spark's `df.sample`/`randomSplit`
+give none of these: they seed per-partition RNGs, so results change
+with partitioning and cannot be reproduced by another engine.
+
+The standard fix is HASH sampling: bucket = md5(key) mod B, keep rows
+whose bucket falls under the fraction. Pure projection (no shuffle, no
+state), stable under retries/AQE, and expressible identically in any
+engine with md5 -- which is exactly what the DuckDB oracles do.
+
+Scale: md5 over a short key per row, whole-stage codegen, zero
+shuffle. Skew-free by construction (md5 is uniform). At 100 TB this
+is the only sampling discipline that survives speculative execution
+and partial recomputation without double-sampling rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fraction resolution: 1e-6
+HASH_BUCKETS = 1_000_000
+
+
+def hash_bucket(
+    key: Column | str, buckets: int = HASH_BUCKETS, salt: str = ""
+) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the key.
+
+    Uses the first 8 hex digits (32 bits -- uniform, and small enough
+    that every engine parses it exactly). ``salt`` decorrelates
+    independent samples drawn from the same key.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    keyed = F.concat(key_col.cast("string"), F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+
+
+def hash_bucket_sql(key: str, buckets: int = HASH_BUCKETS,
+                    salt: str = "") -> str:
+    """DuckDB twin of hash_bucket (same md5 prefix, same modulus)."""
+    keyed = f"CAST({key} AS VARCHAR) || '{salt}'" if salt else \
+        f"CAST({key} AS VARCHAR)"
+    return (
+        f"CAST(('0x' || substr(md5({keyed}), 1, 8)) AS UBIGINT)"
+        f" % {buckets}"
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, keyed on ``key``.
+
+    Rows with equal keys are kept or dropped together (dedup-friendly:
+    sample by document id and all its chunks follow).
+    """
+    cutoff = int(round(fraction * HASH_BUCKETS))
+    return df.filter(hash_bucket(key, salt=salt) < cutoff)
+
+
+def train_test_split(
+    df: DataFrame,
+    key: str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row 'train' or 'test', deterministically by key.
+
+    The same key lands in the same split in every engine and run --
+    the property that keeps eval sets leak-free when upstream data is
+    reprocessed.
+    """
+    cutoff = int(round(test_fraction * HASH_BUCKETS))
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(key, salt=salt) < cutoff, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (sampleBy, made portable).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not
+    listed fall back to ``default_fraction``. The per-stratum cutoff
+    is a CASE chain -- still a pure projection.
+    """
+    cutoff = F.lit(int(round(default_fraction * HASH_BUCKETS)))
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        branch = F.lit(int(round(frac * HASH_BUCKETS)))
+        expr = F.when(cond, branch) if expr is None else \
+            expr.when(cond, branch)
+    cutoff = expr.otherwise(cutoff) if expr is not None else cutoff
+    return df.filter(hash_bucket(key, salt=salt) < cutoff)

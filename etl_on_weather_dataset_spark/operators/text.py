@@ -232,6 +232,91 @@ def token_chunks_sql(col_sql: str, size: int = 50, stride: int = 40) -> str:
     )
 
 
+# Gopher-style document quality thresholds (Rae et al. 2021, publicly
+# documented heuristics; also used by RefinedWeb/Dolma-class pipelines)
+QUALITY_MIN_WORDS = 50
+QUALITY_MAX_WORDS = 100_000
+QUALITY_MIN_MEAN_WORD_LEN = 3.0
+QUALITY_MAX_MEAN_WORD_LEN = 10.0
+QUALITY_MAX_SYMBOL_RATIO = 0.1
+QUALITY_MIN_ALPHA_WORD_RATIO = 0.8
+QUALITY_MIN_STOPWORDS = 2
+
+
+def quality_flags(text: Column | str) -> Column:
+    """Gopher-style quality gates as a struct of int flags + overall.
+
+    All pure array/string expressions (codegen, no shuffle): word-count
+    bounds, mean word length bounds, symbol-to-word ratio ('#'/'...'),
+    fraction of words containing an alphabetic character, minimum
+    stopword count. ``quality_pass`` is the AND of all gates -- the
+    filter a pretraining pipeline applies before tokenization.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    mean_len = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ) / n
+    )
+    symbols = marker_count(c, "#") + marker_count(c, "...")
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ) / n
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    flags = {
+        "words_ok": (n >= QUALITY_MIN_WORDS) & (n <= QUALITY_MAX_WORDS),
+        "word_len_ok": (mean_len >= QUALITY_MIN_MEAN_WORD_LEN)
+        & (mean_len <= QUALITY_MAX_MEAN_WORD_LEN),
+        "symbol_ok": symbols / n <= QUALITY_MAX_SYMBOL_RATIO,
+        "alpha_ok": alpha_frac >= QUALITY_MIN_ALPHA_WORD_RATIO,
+        "stopword_ok": stop_n >= QUALITY_MIN_STOPWORDS,
+    }
+    overall = None
+    for f in flags.values():
+        overall = f if overall is None else (overall & f)
+    return F.struct(
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        overall.cast("int").alias("quality_pass"),
+    )
+
+
+def quality_flags_sql(col_sql: str) -> dict[str, str]:
+    """DuckDB twins of quality_flags, one expression per flag
+    (returned as a dict so callers can project them as columns)."""
+    arr = f"regexp_split_to_array({col_sql}, ' +')"
+    n = f"len({arr})"
+    mean_len = (
+        f"(list_sum(list_transform({arr}, t -> length(t))) * 1.0 / {n})"
+    )
+    symbols = (
+        f"({marker_count_sql(col_sql, '#')}"
+        f" + {marker_count_sql(col_sql, '...')})"
+    )
+    alpha_frac = (
+        f"(len(list_filter({arr}, t -> regexp_matches(t, '[a-zA-Z]')))"
+        f" * 1.0 / {n})"
+    )
+    inlist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_n = f"len(list_filter({arr}, t -> t IN ({inlist})))"
+    flags = {
+        "words_ok": f"({n} >= {QUALITY_MIN_WORDS}"
+                    f" AND {n} <= {QUALITY_MAX_WORDS})",
+        "word_len_ok": f"({mean_len} >= {QUALITY_MIN_MEAN_WORD_LEN}"
+                       f" AND {mean_len} <= {QUALITY_MAX_MEAN_WORD_LEN})",
+        "symbol_ok": f"({symbols} * 1.0 / {n} <= {QUALITY_MAX_SYMBOL_RATIO})",
+        "alpha_ok": f"({alpha_frac} >= {QUALITY_MIN_ALPHA_WORD_RATIO})",
+        "stopword_ok": f"({stop_n} >= {QUALITY_MIN_STOPWORDS})",
+    }
+    overall = " AND ".join(flags.values())
+    return {
+        **{k: f"CAST({v} AS INTEGER)" for k, v in flags.items()},
+        "quality_pass": f"CAST(({overall}) AS INTEGER)",
+    }
+
+
 def shingle_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (bag-of-words identity)."""

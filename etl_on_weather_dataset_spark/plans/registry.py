@@ -67,6 +67,7 @@ def _load_all() -> None:
         queries_text,
         queries_similarity,
         queries_extra,
+        queries_pipeline,
     )
 
 

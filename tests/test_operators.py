@@ -289,6 +289,98 @@ class TestAsofJoin:
             assert got[0]["asof_rv"] == 5.0
 
 
+class TestDedupComponents:
+    def test_chain_converges_to_min_label(self, spark):
+        """A 6-node chain takes several propagation rounds -- the loop
+        must iterate to the fixpoint, not stop after one join."""
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            dedup_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10, 15)] + [(100, 101)],
+            "id_a long, id_b long",
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in dedup_components(pairs).collect()
+        }
+        assert got == {**{i: 10 for i in range(10, 16)},
+                       100: 100, 101: 100}
+
+    def test_iteration_cap_bounds_work(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            dedup_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+        )
+        # cap below the chain diameter: still returns a labeling (not
+        # fully converged), same row count
+        got = dedup_components(pairs, max_iter=1)
+        assert got.count() == 6
+
+
+class TestHashSampling:
+    def test_split_is_partitioning_invariant(self, spark):
+        """The property Spark's own sample()/randomSplit() lack: the
+        same key lands in the same split regardless of partitioning."""
+        from etl_on_weather_dataset_spark.operators.sample import (
+            train_test_split,
+        )
+
+        df = spark.range(0, 2000).select(F.col("id"))
+        a = {
+            r["id"]: r["split"]
+            for r in train_test_split(
+                df.repartition(1), "id", 0.25
+            ).collect()
+        }
+        b = {
+            r["id"]: r["split"]
+            for r in train_test_split(
+                df.repartition(13), "id", 0.25
+            ).collect()
+        }
+        assert a == b
+        frac = sum(1 for v in a.values() if v == "test") / len(a)
+        assert 0.2 < frac < 0.3  # md5 uniformity at n=2000
+
+    def test_salt_decorrelates_samples(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            hash_sample,
+        )
+
+        df = spark.range(0, 2000)
+        s1 = {r["id"] for r in hash_sample(df, "id", 0.3, salt="a").collect()}
+        s2 = {r["id"] for r in hash_sample(df, "id", 0.3, salt="b").collect()}
+        assert s1 != s2
+        # both still ~30%
+        assert 0.25 < len(s1) / 2000 < 0.35
+        assert 0.25 < len(s2) / 2000 < 0.35
+
+    def test_stratified_fractions_respected(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            stratified_hash_sample,
+        )
+
+        df = spark.range(0, 3000).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+            .alias("parity"),
+        )
+        got = {
+            r["parity"]: r["n"]
+            for r in stratified_hash_sample(
+                df, "id", "parity", {"even": 0.5}, default_fraction=0.1
+            ).groupBy("parity").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert 0.4 < got["even"] / 1500 < 0.6
+        assert 0.05 < got["odd"] / 1500 < 0.15
+
+
 class TestMinhashVsExactJaccard:
     def test_minhash_pairs_are_true_near_dups(self, spark):
         """The rows-only MinHash tier anchored against the exact tier:
