@@ -366,6 +366,120 @@ def embedding_near_dup_sql(
     """
 
 
+def _centroid_argmax(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the centroid with the largest dot product
+    against ``vec``. Deterministic (first max wins on exact ties) and
+    LINEAR in n_cells: an array of dots + array_position of the max.
+    (A when/otherwise running-best fold would reference the running
+    expression twice per step -- exponential expression-tree growth.)
+    """
+    dots = F.array(*[
+        dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids
+    ])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via IVF-style cell partitioning.
+
+    The corpus is partitioned into ``n_cells`` Voronoi cells around
+    fixed unit centroids (seeded pseudo-random -- the no-training
+    baseline every IVF index starts from; k-means only rebalances
+    cells, it doesn't change the search mechanics). Each query probes
+    its own cell: candidates come from one equi-join on cell id, then
+    exact cosine rescoring picks the top-k.
+
+    vs LSH (lsh_topk): one argmax assignment instead of a bit
+    signature; cells ~N/n_cells rows; recall grows with n_probe
+    (probing the p nearest cells -- p=1 here, the harshest setting).
+    At 100 TB: centroids are literals shipped in the plan (no side
+    lookup), assignment is per-row codegen, the join is the only
+    shuffle, and skewed cells split under AQE.
+
+    Deterministic: seeded centroid literals shared verbatim with the
+    SQL oracle -- cell assignment itself is hash-checked.
+    """
+    centroids = lsh_hyperplanes(dim, n_cells, seed)
+    vecs = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("n", norm(F.col("v"))).withColumn(
+        "cell", _centroid_argmax(F.col("v"), centroids)
+    )
+    a = vecs.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"), "cell",
+    )
+    b = vecs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"), "cell",
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        SIM_DECIMALS,
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of ivf_topk: same centroid literals, same
+    first-max-wins argmax (list_position of list_max), same rescore."""
+    centroids = lsh_hyperplanes(dim, n_cells, seed)
+    dots = ", ".join(
+        f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), celled AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+                   CAST(list_position([{dots}],
+                        list_max([{dots}])) - 1 AS INTEGER) AS cell
+            FROM vecs
+        ), scored AS (
+            SELECT a.id AS query_id, b.id AS neighbor_id,
+                   ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                         {SIM_DECIMALS}) AS sim
+            FROM celled a JOIN celled b USING (cell)
+            WHERE a.id != b.id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k}
+    """
+
+
 def lsh_topk_sql(
     planes: list[list[float]],
     k: int = 5,

@@ -1,0 +1,176 @@
+"""Time-series regularization: gap filling, LOCF, linear interpolation.
+
+The hypertable workflow (TimescaleDB's time_bucket_gapfill / locf /
+interpolate, re-expressed in pure DataFrame ops):
+
+1. bucket observations to a fixed step (epoch-floor projection);
+2. build the dense scaffold: every (key, bucket) in the global time
+   range -- keys x sequence(), a broadcast-friendly cross join;
+3. left-join observations onto the scaffold;
+4. fill: counts -> 0, values -> last-observation-carried-forward
+   (window last(ignorenulls)) and/or linear interpolation between the
+   surrounding non-null observations (prev/next value + timestamp via
+   past/future windows).
+
+Scale: the scaffold is |keys| x |buckets| rows -- generated, never
+shuffled at observation grain; the only shuffles are the bucket
+aggregate and the per-key window sort. All arithmetic is integer
+epochs + one deterministic float formula, so a SQL oracle reproduces
+results bit-for-bit (after fixed rounding).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+INTERP_DECIMALS = 6
+
+
+def time_bucket(ts: Column | str, step_seconds: int) -> Column:
+    """Floor a timestamp to a fixed step (epoch-aligned)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(c) / step_seconds).cast("long")
+        * step_seconds
+    )
+
+
+def fill_gaps(
+    observations: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    count_col: str | None = None,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Densify a bucketed series and fill missing values.
+
+    ``observations`` has one row per (keys, bucket) with ``value_col``
+    (nullable after the join) and optionally ``count_col``. Returns the
+    dense frame with:
+      - ``{count_col}`` -> 0 on generated rows,
+      - ``{value_col}_locf`` -> last non-null value at or before,
+      - ``{value_col}_interp`` -> linear interpolation between the
+        surrounding non-null observations (null at the edges).
+    """
+    keys = list(key_cols)
+    bounds = observations.agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    key_domain = observations.select(*keys).distinct()
+    scaffold = key_domain.crossJoin(F.broadcast(bounds)).select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.unix_timestamp("__lo"),
+                F.unix_timestamp("__hi"),
+                F.lit(step_seconds),
+            )
+        ).alias("__e"),
+    ).select(*keys, F.timestamp_seconds("__e").alias(bucket_col))
+
+    dense = scaffold.join(observations, [*keys, bucket_col], "left")
+
+    past = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    future = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    e = F.unix_timestamp(bucket_col)
+    obs_ts = F.when(v.isNotNull(), e)
+    prev_v = F.last(v, ignorenulls=True).over(past)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(past)
+    next_v = F.first(v, ignorenulls=True).over(future)
+    next_t = F.first(obs_ts, ignorenulls=True).over(future)
+    # Round via explicit scaling (round(x*1e6)/1e6), NOT F.round(x, 6):
+    # Spark's round(x, d) rounds the double's shortest decimal repr
+    # while DuckDB rounds the scaled float -- for a value sitting on
+    # the rounding grid (e.g. exactly ...6875) they disagree by one
+    # final digit. Scaling first makes both engines round the SAME
+    # scaled double the same way.
+    raw = prev_v + (next_v - prev_v) * (e - prev_t) / (next_t - prev_t)
+    scale = float(10 ** INTERP_DECIMALS)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.round(raw * scale) / scale
+    )
+    out = dense.withColumn(f"{value_col}_locf", prev_v).withColumn(
+        f"{value_col}_interp", interp
+    )
+    if count_col is not None:
+        out = out.withColumn(
+            count_col, F.coalesce(F.col(count_col), F.lit(0))
+        )
+    return out.drop(value_col)
+
+
+def fill_gaps_sql(
+    obs_sql: str,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    count_col: str | None = None,
+    step_seconds: int = 3600,
+) -> str:
+    """DuckDB twin of fill_gaps over an observation CTE ``obs_sql``
+    that yields (keys..., bucket_col, value_col[, count_col])."""
+    keys = ", ".join(key_cols)
+    count_sel = (
+        f"COALESCE(o.{count_col}, 0) AS {count_col}," if count_col else ""
+    )
+    return f"""
+        WITH obs AS (
+            {obs_sql}
+        ), bounds AS (
+            SELECT epoch(MIN({bucket_col}))::BIGINT AS lo,
+                   epoch(MAX({bucket_col}))::BIGINT AS hi
+            FROM obs
+        ), scaffold AS (
+            SELECT k.*, make_timestamp(e * 1000000) AS {bucket_col}
+            FROM (SELECT DISTINCT {keys} FROM obs) k
+            CROSS JOIN (
+                SELECT unnest(range(lo, hi + 1, {step_seconds})) AS e
+                FROM bounds
+            )
+        ), dense AS (
+            SELECT s.*, {count_sel}
+                   o.{value_col} AS v
+            FROM scaffold s
+            LEFT JOIN obs o USING ({keys}, {bucket_col})
+        )
+        SELECT * EXCLUDE (v),
+               last_value(v IGNORE NULLS) OVER past AS {value_col}_locf,
+               CASE WHEN v IS NOT NULL THEN v ELSE
+                   ROUND((
+                       last_value(v IGNORE NULLS) OVER past
+                       + (first_value(v IGNORE NULLS) OVER future
+                          - last_value(v IGNORE NULLS) OVER past)
+                       * (epoch({bucket_col})::BIGINT
+                          - last_value(CASE WHEN v IS NOT NULL THEN
+                                epoch({bucket_col})::BIGINT END
+                                IGNORE NULLS) OVER past)
+                       / (first_value(CASE WHEN v IS NOT NULL THEN
+                                epoch({bucket_col})::BIGINT END
+                                IGNORE NULLS) OVER future
+                          - last_value(CASE WHEN v IS NOT NULL THEN
+                                epoch({bucket_col})::BIGINT END
+                                IGNORE NULLS) OVER past)
+                   ) * CAST({10 ** INTERP_DECIMALS} AS DOUBLE))
+                   / CAST({10 ** INTERP_DECIMALS} AS DOUBLE)
+               END AS {value_col}_interp
+        FROM dense
+        WINDOW past AS (PARTITION BY {keys} ORDER BY {bucket_col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW),
+               future AS (PARTITION BY {keys} ORDER BY {bucket_col}
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+    """

@@ -668,6 +668,101 @@ register(QuerySpec(
 ))
 
 
+# --- window-function breadth (rank family, frames, offsets) ------------------
+
+def _window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 20  # bounded demo slice, total order below
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("event_id", 1).over(w).alias("prev_event"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
+        F.first("event_id").over(wrows).alias("first_event"),
+        (F.sum(cents).over(wrows) / 100.0).alias("running_value"),
+    )
+
+
+register(QuerySpec(
+    name="window_function_breadth",
+    spark_fn=_window_breadth,
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(RANK() OVER w AS INTEGER) AS rk,
+               CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+               ROUND(PERCENT_RANK() OVER w, 6) AS prk,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               LAG(event_id, 1) OVER w AS prev_event,
+               LEAD(event_id, 1) OVER w AS next_event,
+               FIRST_VALUE(event_id) OVER wr AS first_event,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) OVER wr / 100.0
+                   AS running_value
+        FROM events
+        WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    covers=("window-rank-family", "window-frames", "window-offsets"),
+    extended=True,
+))
+
+
+# --- date scalar functions ----------------------------------------------------
+
+def _date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.lit("2025-01-01").cast("date"), d).alias("days_to_25"),
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("q_later"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        # Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+register(QuerySpec(
+    name="date_scalar_functions",
+    spark_fn=_date_fns,
+    oracle="""
+        SELECT o_orderkey,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              DATE '2025-01-01') AS INTEGER)
+                   AS days_to_25,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                   AS q_later,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER)
+                   AS dow,
+               CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
+        FROM orders
+    """,
+    covers=("date-fns",),
+    extended=True,
+))
+
+
 # --- math scalar functions ----------------------------------------------------
 
 def _math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -245,6 +245,58 @@ register(QuerySpec(
 ))
 
 
+# --- time-series gap fill + LOCF + linear interpolation ----------------------
+
+_GF_STEP = 3600  # hourly
+
+
+def _gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import exact_avg
+    from ..operators.timeseries import fill_gaps, time_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    obs = (
+        ev.groupBy(
+            "user_id",
+            time_bucket("ts", _GF_STEP).alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_avg("value").alias("val"),
+        )
+    )
+    return fill_gaps(
+        obs, ["user_id"], "bucket_start", "val",
+        count_col="n_events", step_seconds=_GF_STEP,
+    )
+
+
+def _gap_filled_oracle() -> str:
+    from ..functions.exact import exact_avg_sql
+    from ..operators.timeseries import fill_gaps_sql
+
+    obs = f"""SELECT user_id,
+                   make_timestamp(CAST(floor(epoch(ts) / {_GF_STEP})
+                       AS BIGINT) * {_GF_STEP} * 1000000) AS bucket_start,
+                   COUNT(*) AS n_events,
+                   CAST({exact_avg_sql('value')} AS DOUBLE) AS val
+            FROM events WHERE user_id < 10
+            GROUP BY 1, 2"""
+    return fill_gaps_sql(
+        obs, ["user_id"], "bucket_start", "val",
+        count_col="n_events", step_seconds=_GF_STEP,
+    )
+
+
+register(QuerySpec(
+    name="gap_filled_hourly",
+    spark_fn=_gap_filled,
+    oracle=_gap_filled_oracle(),
+    covers=("gap-fill", "locf", "interpolate", "timeseries"),
+    extended=True,
+))
+
+
 # --- near-dup GROUP resolution (connected components over pairs) -------------
 
 _CC_N, _CC_T = 3, 0.2

@@ -11,6 +11,7 @@ from ..operators.similarity import (
     cosine_topk_sql,
     dot,
     embedding_near_dup_sql,
+    ivf_topk_sql,
     lsh_hyperplanes,
     lsh_topk,
     lsh_topk_sql,
@@ -54,6 +55,22 @@ register(QuerySpec(
     extended=True,  # bit-identical to cosine_topk_bruteforce (driver-
     # attested); the Arrow/pandas_udf surface is driver-attested via
     # multimodal_binary_metadata + normalize_per_user
+))
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=_K)
+
+
+register(QuerySpec(
+    name="cosine_topk_ivf",
+    spark_fn=_ivf_topk,
+    oracle=ivf_topk_sql(k=_K),
+    covers=("similarity-ivf", "ann"),
+    extended=True,  # ANN scale path driver-attested by cosine_topk_lsh
 ))
 
 
