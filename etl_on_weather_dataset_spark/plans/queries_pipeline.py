@@ -297,6 +297,70 @@ register(QuerySpec(
 ))
 
 
+# --- watermarked stream-stream interval join ---------------------------------
+
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join: two streams derived from the events
+    file source, watermarked on both sides, joined per user with
+    purchase.ts in [error.ts - 30 min, error.ts]. AvailableNow drains
+    one microbatch into a memory sink; the result is hash-compared to
+    the batch interval-join oracle (streaming join correctness, not
+    just plumbing)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import (
+        interval_join,
+        read_sf_events_stream,
+        run_available_now,
+    )
+
+    stream = read_sf_events_stream(spark, sf_dir)
+    errors = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    # interval_join expects one shared key name; rename both to user_id
+    purchases = purchases.withColumnRenamed("p_user_id", "user_id")
+    joined = interval_join(
+        errors, purchases, on="user_id",
+        left_ts="error_ts", right_ts="purchase_ts",
+        lower_seconds=1800, upper_seconds=0,
+    ).select(errors["user_id"], "error_event_id", "purchase_event_id")
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        joined, tempfile.mkdtemp(prefix="ckpt_ij_"),
+        output_mode="append", query_name=name,
+    )
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+register(QuerySpec(
+    name="streaming_interval_join",
+    spark_fn=_stream_interval_join,
+    oracle="""
+        SELECT e.user_id,
+               e.event_id AS error_event_id,
+               p.event_id AS purchase_event_id
+        FROM events e
+        JOIN events p
+          ON e.user_id = p.user_id
+         AND p.ts >= e.ts - INTERVAL 30 MINUTE
+         AND p.ts <= e.ts
+        WHERE e.event_type = 'error'
+          AND p.event_type = 'purchase'
+    """,
+    covers=("stream-stream-join", "interval-join", "watermark"),
+    extended=True,
+))
+
+
 # --- near-dup GROUP resolution (connected components over pairs) -------------
 
 _CC_N, _CC_T = 3, 0.2

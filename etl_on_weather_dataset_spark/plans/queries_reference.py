@@ -673,31 +673,13 @@ def _streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
-    from ..streaming.windows import run_available_now, windowed_rollup
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
+    from ..streaming.windows import (
+        read_sf_events_stream,
+        run_available_now,
+        windowed_rollup,
     )
-    stream = (
-        # the file stream source needs a directory: point it at sf_dir
-        # with a glob filter selecting just the events file
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
-    )
+
+    stream = read_sf_events_stream(spark, sf_dir)
     rollup = windowed_rollup(stream, extra_keys=["event_type"])
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     run_available_now(

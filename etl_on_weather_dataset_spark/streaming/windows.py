@@ -97,6 +97,66 @@ def run_available_now(
     return q
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time interval join (works on batch AND streaming input):
+    rows pair when keys match and
+    ``right_ts in [left_ts - lower, left_ts + upper]``.
+
+    Streaming: this is Spark's watermarked stream-stream join -- BOTH
+    sides get a watermark and the time-range condition is what lets
+    the engine evict join state (each side keeps only rows inside
+    watermark + range, so state is bounded on an unbounded stream).
+    Batch: the same condition plans as an equi-join on the key with
+    the range as a post-join filter -- one shuffle, no range explosion.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    lc, rc = F.col(left_ts), F.col(right_ts)
+    cond = (
+        (left[on] == right[on])
+        & (rc >= lc - F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (rc <= lc + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return left.join(right, cond)
+
+
+def read_sf_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events.parquet (which is
+    TIMESTAMP(NANOS): read ts as long + convert, same as load_table)."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    )
+
+
 def stream_dedup(
     df: DataFrame,
     keys: list[str],
