@@ -1,0 +1,85 @@
+"""Distributed Bloom filter in pure DataFrame expressions.
+
+PySpark exposes no bloom_filter_agg/might_contain SQL surface, and a
+driver-side sketch object would not scale anyway: a filter sized for
+10^10 keys is tens of GB -- nothing any single node should hold. This
+implementation keeps the filter DISTRIBUTED end to end:
+
+- build: each key sets k bit positions (seeded xxhash64 % m); the
+  bitmap lives as (word_idx, bits) rows -- a bit_or aggregation over
+  64-bit words, sized m/64 rows, shuffled once on word_idx;
+- probe: each probe key explodes to its k positions, equi-joins the
+  bitmap on word_idx, and is a member iff ALL k bits are set
+  (bool_and after the join). The bitmap side is tiny relative to the
+  probe side and broadcasts under AQE.
+
+Deterministic: same seeds -> same bits on build and probe, so members
+can never miss (the Bloom no-false-negative guarantee holds exactly),
+and retries/partitionings cannot perturb the filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(key: Column, m_bits: int, k: int) -> Column:
+    """Array of k bit positions for a key (seeded xxhash64 % m)."""
+    return F.array(*[
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ])
+
+
+def build_bloom(
+    df: DataFrame, key: str, m_bits: int, k: int = 8
+) -> DataFrame:
+    """Aggregate a Bloom bitmap over ``df[key]`` -> (word_idx, bits).
+
+    m_bits should be ~16x the expected distinct keys for k=8
+    (false-positive rate ~5e-4); both are explicit because sizing is a
+    capacity decision, not something to infer per-run.
+    """
+    pos = _positions(F.col(key), m_bits, k)
+    # shiftleft's shift amount must be a column here -> expr form
+    exploded = df.select(F.explode(pos).alias("p")).select(
+        (F.col("p") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+        .alias("bit"),
+    )
+    return exploded.groupBy("word_idx").agg(
+        F.bit_or("bit").alias("bits")
+    )
+
+
+def probe_bloom(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key: str,
+    m_bits: int,
+    k: int = 8,
+) -> DataFrame:
+    """Add a boolean ``bloom_hit`` per probe row: True iff every one
+    of the key's k bits is set (possible member); False otherwise
+    (definitely absent)."""
+    pos = _positions(F.col(key), m_bits, k)
+    probe_bits = probes.select(
+        key, F.explode(pos).alias("p")
+    ).select(
+        key,
+        (F.col("p") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+        .alias("bit"),
+    )
+    hits = (
+        probe_bits.join(bloom, "word_idx", "left")
+        .withColumn(
+            "hit_i",
+            (F.coalesce(F.col("bits"), F.lit(0))
+             .bitwiseAND(F.col("bit")) != 0),
+        )
+        .groupBy(key)
+        .agg(F.min("hit_i").alias("bloom_hit"))
+    )
+    return probes.join(hits, key, "left").na.fill({"bloom_hit": False})

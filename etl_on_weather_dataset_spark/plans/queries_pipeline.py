@@ -361,6 +361,178 @@ register(QuerySpec(
 ))
 
 
+# --- sketch tier: approx-percentile rank bound -------------------------------
+
+def _approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches have engine-specific internals, so (like the HLL
+    check) the hashable contract is the ERROR BOUND: the rank of the
+    approx p50 must sit within +-1% of the true median rank. The
+    oracle computes the exact counts and asserts the flag."""
+    ev = load_table(spark, sf_dir, "events")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("ap50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        ev.join(ap, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(
+                (F.col("value") <= F.col("ap50")).cast("long")
+            ).alias("rank_le")
+        )
+    )
+    ok = (F.col("rank_le") >= F.col("n") * 0.49) & (
+        F.col("rank_le") <= F.col("n") * 0.51 + 1
+    )
+    return ranked.select(
+        "event_type", "n", ok.cast("int").alias("rank_within_bound")
+    )
+
+
+register(QuerySpec(
+    name="approx_percentile_bound",
+    spark_fn=_approx_percentile_bound,
+    oracle="""
+        SELECT event_type, COUNT(*) AS n, 1 AS rank_within_bound
+        FROM events
+        GROUP BY event_type
+    """,
+    covers=("approx-percentile", "sketch-bound"),
+    extended=True,
+))
+
+
+# --- sketch tier: Bloom-filter membership ------------------------------------
+
+_BLOOM_M_BITS = 1 << 17  # 128 Ki bits: ~16x the buyer count at sf0.1
+_BLOOM_K = 8
+
+
+def _bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter (operators/bloom.py) over purchasing
+    users, probed by every user. Bitmap words are engine-specific
+    state, so the hashable contract is the GUARANTEE: zero false
+    negatives (members always hit -- exact, by construction) and a
+    false-positive rate under the configured bound."""
+    from ..operators.bloom import build_bloom, probe_bloom
+
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    bloom = build_bloom(buyers, "user_id", _BLOOM_M_BITS, _BLOOM_K)
+    users = ev.select("user_id").distinct()
+    probed = probe_bloom(bloom, users, "user_id", _BLOOM_M_BITS, _BLOOM_K)
+    is_buyer = buyers.distinct().withColumn("is_buyer", F.lit(1))
+    flagged = probed.join(is_buyer, "user_id", "left").na.fill(
+        {"is_buyer": 0}
+    )
+    return flagged.agg(
+        F.sum("is_buyer").cast("long").alias("n_members"),
+        F.sum(
+            (F.col("is_buyer") == 1).cast("int")
+            * (~F.col("bloom_hit")).cast("int")
+        ).cast("long").alias("n_false_negatives"),
+        (
+            F.sum(
+                (F.col("is_buyer") == 0).cast("int")
+                * F.col("bloom_hit").cast("int")
+            )
+            <= F.greatest(
+                F.sum((F.col("is_buyer") == 0).cast("int")) * 0.05,
+                F.lit(2.0),
+            )
+        ).cast("int").alias("fp_rate_ok"),
+    )
+
+
+register(QuerySpec(
+    name="bloom_filter_membership",
+    spark_fn=_bloom_membership,
+    oracle="""
+        SELECT COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                   THEN user_id END) AS n_members,
+               CAST(0 AS BIGINT) AS n_false_negatives,
+               1 AS fp_rate_ok
+        FROM events
+    """,
+    covers=("bloom-filter", "sketch-bound"),
+    extended=True,
+))
+
+
+# --- TF-IDF top terms (classic corpus statistic, pure DataFrame ops) ---------
+
+_TFIDF_K = 3
+
+
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar for the idf formula (bounded agg)
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+    scored = tf.join(df_counts, "token").select(
+        "doc_id",
+        "token",
+        (F.round(F.col("tf") * idf * 1e6) / 1e6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, ' +')) AS token
+                FROM documents
+            ) GROUP BY doc_id, token
+        ), dfs AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
+            GROUP BY token
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, token,
+                   ROUND(tf * ln((CAST((SELECT n_docs FROM n) AS DOUBLE)
+                       + 1.0) / (df + 1.0))
+                       * CAST(1000000 AS DOUBLE))
+                       / CAST(1000000 AS DOUBLE) AS tfidf
+            FROM tf JOIN dfs USING (token)
+        )
+        SELECT doc_id, token, tfidf, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, token ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {_TFIDF_K}
+    """
+
+
+register(QuerySpec(
+    name="tfidf_top_terms",
+    spark_fn=_tfidf,
+    oracle=_tfidf_oracle(),
+    covers=("tf-idf", "corpus-stats"),
+    extended=True,
+))
+
+
 # --- near-dup GROUP resolution (connected components over pairs) -------------
 
 _CC_N, _CC_T = 3, 0.2

@@ -381,6 +381,40 @@ class TestHashSampling:
         assert 0.05 < got["odd"] / 1500 < 0.15
 
 
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        from etl_on_weather_dataset_spark.operators.bloom import (
+            build_bloom,
+            probe_bloom,
+        )
+
+        m, k = 1 << 14, 8  # 16 Ki bits for 1000 members
+        members = spark.range(0, 1000).select(F.col("id").alias("key"))
+        bloom = build_bloom(members, "key", m, k)
+        probes = spark.range(0, 5000).select(F.col("id").alias("key"))
+        hits = {
+            r["key"]: r["bloom_hit"]
+            for r in probe_bloom(bloom, probes, "key", m, k).collect()
+        }
+        assert all(hits[i] for i in range(1000))  # exact guarantee
+        fp = sum(1 for i in range(1000, 5000) if hits[i])
+        assert fp / 4000 < 0.02  # sized for ~5e-4; generous margin
+
+    def test_empty_filter_rejects_everything(self, spark):
+        from etl_on_weather_dataset_spark.operators.bloom import (
+            build_bloom,
+            probe_bloom,
+        )
+
+        empty = build_bloom(
+            spark.range(0, 0).select(F.col("id").alias("key")),
+            "key", 1 << 10,
+        )
+        probes = spark.range(0, 50).select(F.col("id").alias("key"))
+        got = probe_bloom(empty, probes, "key", 1 << 10)
+        assert got.filter("bloom_hit").count() == 0
+
+
 class TestMinhashVsExactJaccard:
     def test_minhash_pairs_are_true_near_dups(self, spark):
         """The rows-only MinHash tier anchored against the exact tier:
