@@ -144,6 +144,56 @@ register(QuerySpec(
 ))
 
 
+# --- hopping (sliding) windows -----------------------------------------------
+
+_HOP_SIZE, _HOP_SLIDE = 3600, 900  # 1h windows every 15min
+
+
+def _hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F.window with a slide: each event replicates into
+    # size/slide windows inside the aggregation (streaming-valid too).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy(
+            F.window("ts", f"{_HOP_SIZE} seconds",
+                     f"{_HOP_SLIDE} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+register(QuerySpec(
+    name="hopping_window_rollup",
+    spark_fn=_hopping_windows,
+    oracle=f"""
+        SELECT make_timestamp(start_e * 1000000) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {exact_sum_sql('value')} AS sum_value
+        FROM (
+            SELECT event_type, value,
+                   (CAST(floor(epoch(ts) / {_HOP_SLIDE}) AS BIGINT) - k)
+                       * {_HOP_SLIDE} AS start_e
+            FROM events
+            CROSS JOIN (SELECT unnest(range(0,
+                {_HOP_SIZE // _HOP_SLIDE})) AS k)
+            WHERE user_id < 50
+        )
+        GROUP BY 1, 2
+    """,
+    covers=("hopping-window", "sliding-window"),
+    extended=True,
+))
+
+
 # --- native session windows (batch form of the streaming operator) -----------
 
 _SESSION_GAP = "30 minutes"

@@ -66,6 +66,53 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan, schema-pinned (schema inference on JSON is a
+    full extra pass AND type-unstable -- never in a production path).
+    Corrupt lines land in a `_corrupt_record` column if the schema
+    declares one, rather than failing the scan (PERMISSIVE default)."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink -- the interchange format of most LLM-data
+    tooling. Compressed by default: JSONL is ~5-10x parquet's size
+    uncompressed and the sink is usually an export boundary."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink: same columnar/pushdown properties as parquet; exists
+    so warehouses standardized on ORC can consume engine output
+    directly."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -93,3 +93,65 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     # partition pruning: only one directory scanned for m=2
     plan = back.filter("m = 2")._jdf.queryExecution().executedPlan().toString()
     assert back.filter("m = 2").count() == 2
+
+
+def test_jsonl_roundtrip_and_corrupt_tolerance(spark, tmp_path):
+    """JSONL source/sink: values survive the round trip; a corrupt
+    line lands in _corrupt_record instead of failing the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_on_weather_dataset_spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    out = str(tmp_path / "out_jsonl")
+    write_jsonl(df, out, compression=None)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    back = read_jsonl(spark, out, schema)
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == sorted(
+        (i, float(i * 2)) for i in range(100)
+    )
+
+    # corrupt line tolerance
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "part.json").write_text(
+        '{"id": 1, "v": 2.0}\nnot json at all\n{"id": 3, "v": 6.0}\n'
+    )
+    schema_c = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    got = read_jsonl(spark, str(bad_dir), schema_c).cache()
+    try:
+        assert got.filter("_corrupt_record IS NOT NULL").count() == 1
+        assert got.filter("id IS NOT NULL").count() == 2
+    finally:
+        got.unpersist()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_on_weather_dataset_spark.sources.io import read_orc, write_orc
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket")
+    )
+    out = str(tmp_path / "out_orc")
+    write_orc(df, out, partition_by=["bucket"])
+    back = read_orc(spark, out).filter(F.col("bucket") == 3)
+    assert back.count() == 100
+    # partition pruning reaches the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
