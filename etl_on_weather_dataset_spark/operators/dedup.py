@@ -408,8 +408,12 @@ def minhash_lsh_pairs(
         numHashTables=num_hash_tables, seed=seed,
     )
     model = lsh.fit(feats)
+    # transform ONCE and persist: approxSimilarityJoin reuses an
+    # existing hashes column, so both join sides read the persisted
+    # signatures instead of re-minhashing the corpus per side
+    sigs = model.transform(feats).persist(StorageLevel.MEMORY_AND_DISK)
     joined = model.approxSimilarityJoin(
-        feats, feats, max_distance, distCol="jaccard_dist"
+        sigs, sigs, max_distance, distCol="jaccard_dist"
     )
     return (
         joined.select(

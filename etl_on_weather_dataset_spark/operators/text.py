@@ -317,6 +317,37 @@ def quality_flags_sql(col_sql: str) -> dict[str, str]:
     }
 
 
+# PII patterns: RE2-compatible (no lookarounds) so the DuckDB oracle
+# runs the identical regexes. Ordering matters: emails before generic
+# digit runs, IPs before phone-ish digit groups.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?\d[\d -]{7,14}\d\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / IPs / phone-like digit runs with typed
+    placeholder tokens -- the standard pre-training privacy scrub.
+    Chained regexp_replace: pure codegen, per-row, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def redact_pii_sql(col_sql: str) -> str:
+    expr = col_sql
+    for _, pattern, repl in PII_PATTERNS:
+        # DuckDB string literals keep backslashes literal -- only
+        # quotes need escaping
+        p = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
 def shingle_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (bag-of-words identity)."""

@@ -411,6 +411,58 @@ register(QuerySpec(
 ))
 
 
+# --- PII redaction -----------------------------------------------------------
+
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training privacy scrub. The synthetic corpus carries no
+    PII, so deterministic fake PII is injected first (doc_id % 7 -> an
+    email, % 11 -> an IP) -- identically in the oracle -- and the
+    redacted text is md5-hashed so the scrub itself is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" contact bob"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com")),
+    ).when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" from 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string")),
+    ).otherwise(F.col("text"))
+    red = T.redact_pii(injected)
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        (red != injected).cast("int").alias("was_redacted"),
+    )
+
+
+register(QuerySpec(
+    name="pii_redaction",
+    spark_fn=_pii_redaction,
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN
+                            text || ' contact bob' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com'
+                        WHEN doc_id % 11 = 0 THEN
+                            text || ' from 10.0.0.'
+                                 || CAST(doc_id % 256 AS VARCHAR)
+                        ELSE text END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               md5({T.redact_pii_sql('t')}) AS redacted_md5,
+               CAST(({T.redact_pii_sql('t')} != t) AS INTEGER)
+                   AS was_redacted
+        FROM injected
+    """,
+    covers=("pii-redaction", "text-scrub"),
+    extended=True,
+))
+
+
 # --- sketch tier: approx-percentile rank bound -------------------------------
 
 def _approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
