@@ -328,15 +328,13 @@ def dedup_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
-def dedup_components_sql(pairs_sql: str, id_a: str = "id_a",
-                         id_b: str = "id_b") -> str:
-    """DuckDB twin: min reachable id per node via a recursive CTE.
-
-    The UNION (distinct) makes the recursion terminate; fine at oracle
-    scale -- the Spark operator above is the one that has to scale.
-    """
-    return f"""
-        WITH RECURSIVE pairs AS (
+def dedup_components_ctes(pairs_sql: str, id_a: str = "id_a",
+                          id_b: str = "id_b") -> str:
+    """The recursive CTE chain computing components from a pairs
+    subquery -- exposed separately so composed pipelines (e.g.
+    plans/curation.py) can splice it into a larger WITH RECURSIVE
+    clause. Yields CTEs: pairs, edges, nodes, reach, components."""
+    return f"""pairs AS (
             {pairs_sql}
         ), edges AS (
             SELECT {id_a} AS s, {id_b} AS d FROM pairs
@@ -349,9 +347,22 @@ def dedup_components_sql(pairs_sql: str, id_a: str = "id_a",
             UNION
             SELECT e.d AS id, r.label
             FROM reach r JOIN edges e ON e.s = r.id
-        )
-        SELECT id, MIN(label) AS component
-        FROM reach GROUP BY id
+        ), components AS (
+            SELECT id, MIN(label) AS component
+            FROM reach GROUP BY id
+        )"""
+
+
+def dedup_components_sql(pairs_sql: str, id_a: str = "id_a",
+                         id_b: str = "id_b") -> str:
+    """DuckDB twin: min reachable id per node via a recursive CTE.
+
+    The UNION (distinct) makes the recursion terminate; fine at oracle
+    scale -- the Spark operator above is the one that has to scale.
+    """
+    return f"""
+        WITH RECURSIVE {dedup_components_ctes(pairs_sql, id_a, id_b)}
+        SELECT id, component FROM components
     """
 
 

@@ -411,6 +411,34 @@ register(QuerySpec(
 ))
 
 
+# --- the composed curation pipeline (flagship #2) ----------------------------
+
+def _curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation audit trail: quality gates -> PII scrub ->
+    exact dedup -> near-dup component dedup -> split -> chunk, with
+    per-stage row counts hash-checked against ONE composed oracle
+    (plans/curation.py)."""
+    from .curation import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate(docs).stats
+
+
+def _curation_oracle() -> str:
+    from .curation import curation_stats_sql
+
+    return curation_stats_sql()
+
+
+register(QuerySpec(
+    name="curation_pipeline_stats",
+    spark_fn=_curation_stats,
+    oracle=_curation_oracle(),
+    covers=("curation-e2e", "pipeline-compose"),
+    extended=True,
+))
+
+
 # --- PII redaction -----------------------------------------------------------
 
 def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
