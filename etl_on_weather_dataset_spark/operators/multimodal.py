@@ -2,13 +2,13 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata.
 The Spark-side plumbing -- schema, partitioning, Arrow batch shape,
-`mapInPandas` UDF signature -- is real and tested; the codec-dependent
-decodes are import-guarded: `decode_image` runs for real when PIL is
-importable and raises NotImplementedError otherwise; `decode_audio`/
-`sample_frames` stay stubs (no audio/video libs anywhere reachable).
-`decode_binary_metadata` uses a deterministic byte-level "decode"
-(length, first byte, md5) that exercises the identical execution path
-with zero codec dependencies.
+`mapInPandas` UDF signature -- is real and tested. Decode status:
+`decode_audio` is REAL for WAV (stdlib ``wave``, zero external deps);
+`decode_image` is real when PIL is importable (import-guarded,
+NotImplementedError otherwise); `sample_frames` stays a stub (no
+ffmpeg anywhere reachable). `decode_binary_metadata` is the
+deterministic byte-level "decode" (length, first byte, md5) that
+exercises the identical execution path with zero codec dependencies.
 
 Scale notes: binary payloads ride the normal columnar pipeline; the
 decode runs per Arrow batch (`mapInPandas`), so executor memory is
@@ -136,12 +136,120 @@ def decode_image(
     return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
 
 
-def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real audio decode -> (sample_rate, n_samples, duration).
-    STUB: codec libs are not available in this build."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/ffmpeg; see decode_binary_metadata."
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real audio decode for WAV payloads -> (sample_rate, n_channels,
+    n_frames, duration_sec), via the standard mapInPandas plumbing.
+
+    Uses the stdlib ``wave`` module -- zero external codec deps, so
+    this path is always live. Compressed formats (mp3/flac/ogg) would
+    swap the body for soundfile/ffmpeg; undecodable payloads yield
+    null metadata rather than failing the scan.
+    """
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + AUDIO_META_SCHEMA.fields
     )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        def meta(b: bytes):
+            try:
+                with wave.open(io.BytesIO(bytes(b))) as w:
+                    rate, ch, n = (
+                        w.getframerate(), w.getnchannels(), w.getnframes()
+                    )
+                    return rate, ch, n, (n / rate if rate else None)
+            except Exception:  # noqa: BLE001 -- corrupt payload -> nulls
+                return None, None, None, None
+
+        for pdf in batches:
+            decoded = [meta(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": pd.array(
+                        [d[0] for d in decoded], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [d[1] for d in decoded], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [d[2] for d in decoded], dtype="Int64"
+                    ),
+                    "duration_sec": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fmt: str = "PNG",
+) -> DataFrame:
+    """Decode -> resize -> re-encode thumbnails per Arrow batch.
+
+    Import-guarded like decode_image (PIL). Output payloads are a new
+    binary column -- the standard image-preprocessing step before
+    feature extraction. Undecodable inputs yield a null thumbnail.
+    Memory note: both source and thumbnail batches are bounded by
+    arrow.maxRecordsPerBatch; shrink it for large images.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires PIL (pillow); not available in this "
+            "build."
+        ) from exc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("thumbnail", T.BinaryType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        def shrink(b: bytes):
+            try:
+                with Image.open(io.BytesIO(b)) as im:
+                    out = io.BytesIO()
+                    im.resize((width, height)).save(out, format=fmt)
+                    return out.getvalue()
+            except Exception:  # noqa: BLE001
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "thumbnail": [shrink(b) for b in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, out_schema)
 
 
 def sample_frames(

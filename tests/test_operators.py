@@ -492,6 +492,67 @@ class TestImageDecode:
         assert rows[1]["mode"] in ("RGB", "RGBA", "P", "L")
         assert rows[2]["width"] is None  # corrupt payload -> nulls
 
+        # resize path shares the guard; with PIL present it must
+        # produce a decodable thumbnail of the target size
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        thumbs = {
+            r["doc_id"]: r["thumbnail"]
+            for r in resize_images(df, 4, 4).collect()
+        }
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(bytes(thumbs[1]))) as im:
+            assert im.size == (4, 4)
+        assert thumbs[2] is None
+
+
+class TestAudioDecode:
+    def test_wav_decode_real_and_corrupt_tolerant(self, spark):
+        """decode_audio parses real WAV payloads with the stdlib wave
+        module -- generated here byte-exactly, no codec deps."""
+        import io
+        import struct
+        import wave as wavemod
+
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            decode_audio,
+        )
+
+        def make_wav(rate, n_frames, channels=1):
+            buf = io.BytesIO()
+            with wavemod.open(buf, "wb") as w:
+                w.setnchannels(channels)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(
+                    b"".join(
+                        struct.pack("<h", (i * 37) % 4096)
+                        for i in range(n_frames * channels)
+                    )
+                )
+            return buf.getvalue()
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(make_wav(16000, 8000))),
+                (2, bytearray(make_wav(44100, 44100, channels=2))),
+                (3, bytearray(b"definitely not audio")),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_audio(df).collect()}
+        assert rows[1]["sample_rate"] == 16000
+        assert rows[1]["n_frames"] == 8000
+        assert abs(rows[1]["duration_sec"] - 0.5) < 1e-9
+        assert rows[2]["n_channels"] == 2
+        assert abs(rows[2]["duration_sec"] - 1.0) < 1e-9
+        assert rows[3]["sample_rate"] is None  # corrupt -> nulls
+
 
 class TestMultimodalBatching:
     def test_decode_respects_arrow_batch_size(self, spark):
