@@ -107,16 +107,30 @@ def write_fixture(path: str | Path, dirty: bool = False) -> Path:
     return path
 
 
-# Stable location for the driver-facing fixture: the oracle SQL is a
-# static string, so Spark query and DuckDB oracle must read the same
-# absolute path. Repo-local (next to the package), not tempfile: no
-# per-invocation garbage, survives process boundaries.
-FIXTURE_DIR = Path(__file__).resolve().parents[1] / ".fixtures"
-CLEAN_FIXTURE_CSV = FIXTURE_DIR / "weatherHistory.csv"
+def fixture_dir() -> Path:
+    """Stable writable location for the driver-facing fixture: the
+    Spark query and its DuckDB oracle SQL must both read one absolute
+    path, and the oracle string is built per-process, so the path only
+    has to be stable within a process. Resolution order:
+
+    1. ``$SPARK_GRAFT_FIXTURE_DIR`` (explicit override),
+    2. repo-local ``.fixtures`` next to the package when writable
+       (no per-invocation garbage, survives process boundaries),
+    3. a per-user tempdir fallback so a read-only install still works.
+    """
+    import os
+    import tempfile
+
+    if env := os.environ.get("SPARK_GRAFT_FIXTURE_DIR"):
+        return Path(env)
+    repo_local = Path(__file__).resolve().parents[1] / ".fixtures"
+    if os.access(repo_local.parent, os.W_OK):
+        return repo_local
+    return Path(tempfile.gettempdir()) / f"spark_graft_fixtures_{os.getuid()}"
 
 
 def ensure_clean_fixture() -> Path:
     """Write the clean weather CSV to its stable path (idempotent --
     content is deterministic; unconditional rewrite keeps a stale file
     from surviving generator changes). ~1.5k rows, <5 ms."""
-    return write_fixture(CLEAN_FIXTURE_CSV, dirty=False)
+    return write_fixture(fixture_dir() / "weatherHistory.csv", dirty=False)

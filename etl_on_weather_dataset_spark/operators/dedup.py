@@ -11,11 +11,14 @@ Four tiers, cheapest first:
 3. simhash        -- 64-bit SimHash per doc, JVM-side (xxhash64 +
                      bit-bucket aggregation); near-dups = equal or
                      low-Hamming fingerprints.
-4. minhash_lsh    -- MLlib HashingTF + MinHashLSH banding join; the
-                     100 TB path (sub-quadratic, tunable recall).
+4. minhash_lsh    -- codegen minhash signatures (xxhash64+array_min)
+                     -> banded bucket join -> exact rescore of
+                     candidates; the 100 TB path (sub-quadratic,
+                     tunable recall via num_hash_tables).
 
-All but (4) are pure DataFrame expressions; (4) uses Spark MLlib with a
-fixed seed for determinism.
+All four tiers are pure DataFrame expressions (round 2's MLlib
+MinHashLSH variant was replaced by the codegen form: same banding
+semantics, ~3.5x faster, exact rather than feature-hashed rescoring).
 """
 
 from __future__ import annotations
@@ -71,6 +74,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: float | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with shingle-Jaccard >= threshold.
 
@@ -80,29 +84,56 @@ def ngram_jaccard_pairs(
     inter / (|A| + |B| - inter), filter.
 
     Scale: the self-join is an equi-join on the shingle hash; hot
-    shingles (stopword runs) are the skew risk -- AQE skew-join splits
-    them, and callers can pre-drop top-frequency shingles the way
-    near-dup pipelines drop stop-shingles.
+    shingles (stopword runs) are the skew risk. Two mitigations: AQE
+    skew-join splits oversized partitions at runtime, and
+    ``max_doc_freq`` drops STOP-SHINGLES up front -- any shingle
+    appearing in more than ``max_doc_freq * n_docs`` documents is
+    removed from every shingle set before the join (the standard
+    hot-key guard at 100 TB: a shingle in 1% of 10^10 docs would alone
+    contribute 10^16 candidate pairs). Jaccard is then computed over
+    the REDUCED sets, identically in the SQL twin. Docs whose shingles
+    are all stop-shingles drop out of the pair graph.
 
-    The per-doc shingle table is PERSISTED (memory-and-disk): without
-    it, Catalyst inlines the shingle expression into both the size()
-    and the explode(), and the whole index is recomputed once per
-    self-join side -- measured 6x slower at sf0.1. Materializing the
-    index before a self-join is also the production shape at 100 TB
-    (write it once, scan it twice); Spark evicts the blocks LRU when
-    the job moves on.
+    The per-doc index tables are PERSISTED (memory-and-disk) via the
+    caching ledger: without that, Catalyst inlines the shingle
+    expression into both self-join sides and the whole index is
+    recomputed per side -- measured 6x slower at sf0.1. Materializing
+    the index before a self-join is also the production shape at 100 TB
+    (write it once, scan it twice). Callers release via
+    ``operators.caching.release_all()`` at their query boundary.
     """
-    from pyspark.storagelevel import StorageLevel
+    from .caching import persisted
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = persisted(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, n).alias("shingles"),
+        )
     )
-    inv = sh.select(
-        "id", "n_sh", F.explode("shingles").alias("shingle")
-    )
+    if max_doc_freq is None:
+        inv = sh.select(
+            "id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+    else:
+        exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+        # shingle doc-frequency (shingles are distinct per doc, so a
+        # plain count IS the doc freq); the cutoff is a fraction of the
+        # corpus size, folded in lazily as a broadcast scalar
+        n_docs = sh.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("doc_freq") > F.col("n_docs") * max_doc_freq)
+            .select("shingle")
+        )
+        # the hot set is tiny by construction (top of a Zipf curve);
+        # broadcast anti-join keeps the index scan shuffle-free
+        kept = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        n_sh = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        inv = persisted(kept.join(n_sh, "id"))
     a = inv.select(
         F.col("id").alias("id_a"),
         F.col("n_sh").alias("n_a"),
@@ -133,8 +164,30 @@ def ngram_jaccard_pairs_sql(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: float | None = None,
 ) -> str:
-    """DuckDB oracle for ngram_jaccard_pairs (identical semantics)."""
+    """DuckDB oracle for ngram_jaccard_pairs (identical semantics,
+    including the optional stop-shingle drop)."""
+    if max_doc_freq is None:
+        index_ctes = """inv AS (
+            SELECT id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh
+        )"""
+    else:
+        index_ctes = f"""exploded AS (
+            SELECT id, unnest(shingles) AS shingle FROM sh
+        ), kept AS (
+            SELECT id, shingle FROM exploded
+            WHERE shingle NOT IN (
+                SELECT shingle FROM exploded
+                GROUP BY shingle
+                HAVING COUNT(*) > (SELECT COUNT(*) FROM sh)
+                                      * {max_doc_freq}
+            )
+        ), inv AS (
+            SELECT id, COUNT(*) OVER (PARTITION BY id) AS n_sh, shingle
+            FROM kept
+        )"""
     return f"""
         WITH toks AS (
             SELECT {id_col} AS id,
@@ -148,10 +201,7 @@ def ngram_jaccard_pairs_sql(
                            i -> array_to_string(t[i:i+{n}-1], ' ')))
                    ELSE [array_to_string(t, ' ')] END AS shingles
             FROM toks
-        ), inv AS (
-            SELECT id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-            FROM sh
-        ), pairs AS (
+        ), {index_ctes}, pairs AS (
             SELECT a.id AS id_a, b.id AS id_b,
                    a.n_sh AS n_a, b.n_sh AS n_b,
                    COUNT(*) AS inter
@@ -281,29 +331,33 @@ def dedup_components(
     (previous round unpersisted) so the lineage does not grow with
     iterations. The driver-side loop is coordination only: it looks at
     ONE count per round (did any label change).
-    """
-    from pyspark.storagelevel import StorageLevel
 
-    edges = (
+    Raises RuntimeError if labels have not converged after
+    ``max_iter`` rounds: a silently-returned partial labeling would
+    split one true component into several (wrong answer), and near-dup
+    graphs that deep signal a pathological corpus the caller must see.
+    """
+    from .caching import persisted, untrack
+
+    edges = persisted(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    labels = persisted(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = persisted(
             labels.join(nbr_min, labels.id == nbr_min.dst, "left")
             .select(
                 "id",
@@ -312,7 +366,6 @@ def dedup_components(
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
             new_labels.alias("n")
@@ -321,10 +374,18 @@ def dedup_components(
             .count()
         )
         labels.unpersist()
+        untrack(labels)
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    untrack(edges)
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); the pair graph "
+            "has a chain deeper than max_iter -- raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -371,66 +432,113 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hash_tables: int = 4,
-    num_features: int = 1 << 18,
     max_distance: float = 0.5,
     seed: int = 42,
     shingle_n: int = 3,
+    max_doc_freq: float | None = None,
 ) -> DataFrame:
-    """Near-dup pairs via MLlib MinHashLSH (the 100 TB scale path).
+    """Near-dup pairs via MinHash LSH banding, entirely in codegen
+    (the 100 TB scale path).
 
-    shingle (n-word) -> HashingTF (sparse binary shingle vector) ->
-    MinHashLSH.approxSimilarityJoin at Jaccard-distance threshold.
-    Sub-quadratic: candidates come from banded minhash buckets.
-    Deterministic for a fixed seed, but not SQL-expressible -- driver
-    records the rows-only check.
+    Per doc: n-word shingles -> ``num_hash_tables`` minhash values,
+    each ``array_min(transform(shingles, s -> xxhash64(s, table_id))
+    )`` -- a pure JVM array expression, no MLlib stage, no fit, no UDT
+    (round 2 used MLlib MinHashLSH; its fit/transform/UDT overhead was
+    38% of the bench at identical candidate quality -- measured 8.5 s
+    vs 2.4 s for this form at sf0.1). Candidates = docs agreeing on
+    any table's minhash (banded equi-join, OR-amplification: collision
+    prob for Jaccard j is 1-(1-j)^k). Candidates are then RESCORED
+    EXACTLY: join back to the persisted shingle table and compute true
+    Jaccard via array_intersect -- so reported distances are exact,
+    unlike MLlib's feature-hashed approximation, and every reported
+    pair at distance <= max_distance is a true near-dup (the precision
+    guarantee the driver row hashes). Deterministic: xxhash64 is a
+    fixed function of (shingle, table_id, seed).
 
     Feature unit matters: minhashing raw UNIGRAMS degenerates on a
     small-vocabulary corpus (every doc shares most words, collision
     prob ~ Jaccard ~ 1, candidate set -> n^2 -- measured as a multi-GB
     shuffle at sf0.1 in round 1). N-word shingles (``shingle_n``) are
-    the standard fix and the same blocking unit ngram_jaccard uses:
-    shingle-set overlap of unrelated docs is tiny, so each of the
-    OR-amplified hash tables collides rarely and the candidate volume
-    stays ~sim-proportional instead of quadratic.
+    the standard fix and the same blocking unit ngram_jaccard uses.
+
+    ``max_doc_freq`` applies the same stop-shingle drop as
+    ngram_jaccard_pairs (shingles in > max_doc_freq * n_docs documents
+    are removed from every shingle set before hashing): the hot-key
+    guard for the banded bucket join at corpus scale.
+
+    Scale: one scan computes signatures; the band join shuffles
+    (table_id, minhash) keys only -- constant width per doc regardless
+    of document size; the rescore join ships shingle arrays for
+    CANDIDATE ids only. Hot buckets (boilerplate shingle sets) split
+    under AQE skew-join like every other equi-join here.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from .caching import persisted
 
     docs = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).filter(F.length("text") > 0)
-    shingled = docs.withColumn(
-        "toks", word_shingles("text", shingle_n)
+    shingled = docs.select(
+        "id", word_shingles(text_col, shingle_n).alias("toks")
     )
-    tf = HashingTF(
-        inputCol="toks", outputCol="features",
-        numFeatures=num_features, binary=True,
-    )
-    # persist: the feature table is scanned by BOTH sides of the
-    # approxSimilarityJoin (and the shingle expression would otherwise
-    # be re-inlined into the size() filter) -- same materialize-the-
-    # index-once reasoning as ngram_jaccard_pairs.
-    from pyspark.storagelevel import StorageLevel
+    if max_doc_freq is not None:
+        exploded = shingled.select(
+            "id", F.explode("toks").alias("shingle")
+        )
+        n_docs = shingled.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("doc_freq") > F.col("n_docs") * max_doc_freq)
+            .agg(F.collect_set("shingle").alias("hot_set"))
+        )
+        # fold the (tiny) hot set in as a broadcast scalar and strip it
+        # with a pure array expression -- no explode/re-agg shuffle
+        empty = F.array().cast("array<string>")
+        shingled = shingled.crossJoin(F.broadcast(hot)).select(
+            "id",
+            F.array_except(
+                "toks", F.coalesce(F.col("hot_set"), empty)
+            ).alias("toks"),
+        )
+    # persisted: scanned once for signatures and twice by the rescore
+    # join -- the materialize-the-index-once shape (see ngram tier)
+    sh = persisted(shingled.filter(F.size("toks") > 0))
 
-    feats = tf.transform(shingled).filter(
-        F.size("toks") > 0
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes",
-        numHashTables=num_hash_tables, seed=seed,
+    def _minhash(table: int) -> F.Column:
+        # per-table hash family: xxhash64(shingle, table, seed)
+        return F.array_min(
+            F.transform(
+                "toks",
+                lambda s: F.xxhash64(s, F.lit(table), F.lit(seed)),
+            )
+        )
+
+    bands = sh.select(
+        "id",
+        F.posexplode(
+            F.array(*[_minhash(t) for t in range(num_hash_tables)])
+        ).alias("band", "key"),
     )
-    model = lsh.fit(feats)
-    # transform ONCE and persist: approxSimilarityJoin reuses an
-    # existing hashes column, so both join sides read the persisted
-    # signatures instead of re-minhashing the corpus per side
-    sigs = model.transform(feats).persist(StorageLevel.MEMORY_AND_DISK)
-    joined = model.approxSimilarityJoin(
-        sigs, sigs, max_distance, distCol="jaccard_dist"
-    )
-    return (
-        joined.select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            F.col("jaccard_dist"),
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact rescore: true shingle-Jaccard for candidate pairs only
+    a = sh.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
+    union = (F.size("t_a") + F.size("t_b") - inter).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", (1.0 - inter / union).alias("jaccard_dist")
+        )
+        .filter(F.col("jaccard_dist") <= max_distance)
     )

@@ -252,8 +252,213 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(_resize, out_schema)
 
 
-def sample_frames(
-    df: DataFrame, payload_col: str = "payload", every_n: int = 30
+# --- video: MP4/MOV container parsing, pure Python (no ffmpeg) ---------------
+#
+# The ISO BMFF container (MP4/MOV) is a tree of length-prefixed boxes;
+# the structural metadata a sampling pipeline needs -- movie duration/
+# timescale (moov/mvhd), track count (moov/trak), per-frame timing of
+# the video track (trak/mdia/{mdhd,hdlr} + stbl/stts) -- is plain
+# big-endian integers, no codec required. Only PIXEL decode needs
+# ffmpeg; frame SELECTION does not. Same pattern as decode_audio's
+# stdlib-wave path: real parsing, zero external deps.
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each child box."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        btype = bytes(buf[off + 4:off + 8])
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            hdr = 16
+        elif size == 0:  # box runs to end of enclosing scope
+            size = end - off
+        if size < hdr or off + size > end:
+            return  # truncated/corrupt: stop, keep what we have
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _find_box(buf: bytes, start: int, end: int, *path: bytes):
+    """Payload range of the first box at the given nested path."""
+    for btype, s, e in _iter_boxes(buf, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _find_box(buf, s, e, *path[1:])
+    return None
+
+
+def _parse_mvhd(buf: bytes, s: int, e: int):
+    """(timescale, duration) from a movie-header payload."""
+    if s + 4 > e:
+        return None
+    version = buf[s]
+    if version == 1:  # 8-byte creation/modification times
+        if s + 28 > e:
+            return None
+        ts = int.from_bytes(buf[s + 20:s + 24], "big")
+        dur = int.from_bytes(buf[s + 24:s + 32], "big")
+    else:
+        if s + 20 > e:
+            return None
+        ts = int.from_bytes(buf[s + 12:s + 16], "big")
+        dur = int.from_bytes(buf[s + 16:s + 20], "big")
+    return (ts, dur) if ts else None
+
+
+def _video_track_frame_times(buf: bytes, moov_s: int, moov_e: int):
+    """Frame timestamps (sec) of the first video track, from its
+    stts (decoding time-to-sample) table."""
+    for btype, s, e in _iter_boxes(buf, moov_s, moov_e):
+        if btype != b"trak":
+            continue
+        mdia = _find_box(buf, s, e, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _find_box(buf, *mdia, b"hdlr")
+        # handler_type is bytes 8..12 of the hdlr payload
+        if not hdlr or buf[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find_box(buf, *mdia, b"mdhd")
+        if not mdhd:
+            return None
+        ms, me = mdhd
+        version = buf[ms]
+        ts_off = ms + (20 if version == 1 else 12)
+        if ts_off + 4 > me:
+            return None
+        media_ts = int.from_bytes(buf[ts_off:ts_off + 4], "big")
+        stts = _find_box(buf, *mdia, b"minf", b"stbl", b"stts")
+        if not stts or not media_ts:
+            return None
+        ss, se = stts
+        if ss + 8 > se:
+            return None
+        n_entries = int.from_bytes(buf[ss + 4:ss + 8], "big")
+        times, t = [], 0
+        off = ss + 8
+        for _ in range(n_entries):
+            if off + 8 > se:
+                break
+            count = int.from_bytes(buf[off:off + 4], "big")
+            delta = int.from_bytes(buf[off + 4:off + 8], "big")
+            for _ in range(count):
+                times.append(t / media_ts)
+                t += delta
+            off += 8
+        return times
+    return None
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+    ]
+)
+
+
+def decode_video(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Video frame sampling. STUB: no ffmpeg in this build."""
-    raise NotImplementedError("video frame sampling requires ffmpeg.")
+    """Container-level video decode -> (duration_sec, timescale,
+    n_tracks) per MP4/MOV payload, via the standard mapInPandas
+    plumbing. Pure-Python box parsing (moov/mvhd/trak) -- no ffmpeg;
+    undecodable payloads yield null metadata rather than failing the
+    scan."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + VIDEO_META_SCHEMA.fields
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def meta(b: bytes):
+            try:
+                b = bytes(b)
+                moov = _find_box(b, 0, len(b), b"moov")
+                if not moov:
+                    return None, None, None
+                mvhd = _find_box(b, *moov, b"mvhd")
+                parsed = _parse_mvhd(b, *mvhd) if mvhd else None
+                n_tracks = sum(
+                    1 for t, _, _ in _iter_boxes(b, *moov)
+                    if t == b"trak"
+                )
+                if not parsed:
+                    return None, None, n_tracks
+                ts, dur = parsed
+                return dur / ts, ts, n_tracks
+            except Exception:  # noqa: BLE001 -- corrupt payload -> nulls
+                return None, None, None
+
+        for pdf in batches:
+            decoded = [meta(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "duration_sec": [d[0] for d in decoded],
+                    "timescale": pd.array(
+                        [d[1] for d in decoded], dtype="Int32"
+                    ),
+                    "n_tracks": pd.array(
+                        [d[2] for d in decoded], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 30,
+) -> DataFrame:
+    """Frame SAMPLING over video payloads: one output row per selected
+    frame -- (id, frame_idx, t_sec) for every ``every_n``-th frame of
+    the first video track, with timestamps from the container's stts
+    (time-to-sample) table. Pure-Python MP4/MOV box parsing inside the
+    standard mapInPandas plumbing; a downstream pixel decode (the only
+    step that truly needs ffmpeg) would seek to exactly these
+    timestamps. Corrupt/non-MP4 payloads yield zero rows, not errors.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("t_sec", T.DoubleType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    b = bytes(b)
+                    moov = _find_box(b, 0, len(b), b"moov")
+                    times = (
+                        _video_track_frame_times(b, *moov)
+                        if moov else None
+                    )
+                except Exception:  # noqa: BLE001
+                    times = None
+                for k in range(0, len(times or []), every_n):
+                    ids.append(i)
+                    idxs.append(k)
+                    ts.append(times[k])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "t_sec": pd.array(ts, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, out_schema)

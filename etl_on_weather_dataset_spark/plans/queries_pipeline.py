@@ -433,8 +433,11 @@ def _curation_oracle() -> str:
 register(QuerySpec(
     name="curation_pipeline_stats",
     spark_fn=_curation_stats,
-    oracle=_curation_oracle(),
+    oracle=_curation_oracle,  # lazy: composed SQL built on access
     covers=("curation-e2e", "pipeline-compose"),
+    # flagship #2 gets a tracked wall-time alongside the weather
+    # pipeline (round-2 verdict #8)
+    bench=True,
     extended=True,
 ))
 
@@ -599,7 +602,12 @@ def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar for the idf formula (bounded agg)
+    # corpus size for the idf formula, folded into the LAZY plan as a
+    # broadcast scalar (the impute_median pattern, operators/clean.py):
+    # one job end-to-end, no synchronous driver-side count
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
     tf = (
         docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
@@ -608,8 +616,10 @@ def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = tf.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
-    scored = tf.join(df_counts, "token").select(
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    scored = tf.join(df_counts, "token").crossJoin(
+        F.broadcast(n_docs)
+    ).select(
         "doc_id",
         "token",
         (F.round(F.col("tf") * idf * 1e6) / 1e6).alias("tfidf"),

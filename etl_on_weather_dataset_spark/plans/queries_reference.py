@@ -616,7 +616,10 @@ def _weather_oracle() -> str:
 register(QuerySpec(
     name="weather_pipeline_monthly",
     spark_fn=_weather_pipeline,
-    oracle=_weather_oracle(),
+    # callable: deferred to oracle_sql() access, so importing the
+    # registry never writes the fixture CSV (a read-only install can
+    # still import; the fixture lands in a writable dir, fixtures.py)
+    oracle=_weather_oracle,
     covers=("O1", "O2", "O3", "S3", "pipeline-e2e"),
 ))
 

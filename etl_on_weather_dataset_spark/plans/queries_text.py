@@ -79,41 +79,132 @@ register(QuerySpec(
 ))
 
 
-# --- SimHash (rows-only: xxhash64 has no DuckDB twin) -------------------------
+# --- SimHash: guarantee-flag oracle ------------------------------------------
+#
+# xxhash64 internals have no DuckDB twin, so (round-2 verdict #2) the
+# driver row attests the operator's GUARANTEES instead of its raw
+# candidate pairs -- the same hash-a-guarantee pattern as the Bloom/HLL
+# rows. Both flags are deterministic properties, not empirical luck:
+#   - recall on exact duplicates: identical text => identical token
+#     multiset => identical SimHash => shares every band => the pair is
+#     a candidate, ALWAYS. Injected dups (even doc_ids re-appearing
+#     under id+1M, as in dedup_exact_text) must all be found.
+#   - band soundness: two fingerprints sharing a 16-bit band (4 bands
+#     over 64 bits) agree on those 16 bits, so their Hamming distance
+#     is at most 48 -- every candidate pair must satisfy it.
+# The raw pair set itself stays pytest-checked (determinism test in
+# tests/test_operators.py).
+
+def _simhash_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    cand = simhash_band_pairs(docs.unionAll(dups), "text", "doc_id",
+                              n_bands=4)
+    injected = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    missed = injected.join(cand, ["id_a", "id_b"], "left_anti")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    viol = cand.filter(hamming > 48)
+    return (
+        injected.agg(F.count(F.lit(1)).alias("n_injected_dup_pairs"))
+        .crossJoin(
+            missed.agg(F.count(F.lit(1)).alias("n_missed_dup_pairs"))
+        )
+        .crossJoin(
+            viol.agg(F.count(F.lit(1)).alias("n_hamming_violations"))
+        )
+    )
+
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw operator (bench + pytest surface)
     docs = load_table(spark, sf_dir, "documents")
     return simhash_band_pairs(docs, "text", "doc_id", n_bands=4)
 
 
 register(QuerySpec(
     name="dedup_simhash_bands",
-    spark_fn=_simhash_pairs,
-    oracle=None,  # xxhash64-based; no SQL twin -- rows-only check
+    spark_fn=_simhash_guarantees,
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_injected_dup_pairs,
+               CAST(0 AS BIGINT) AS n_missed_dup_pairs,
+               CAST(0 AS BIGINT) AS n_hamming_violations
+        FROM documents WHERE doc_id % 2 = 0
+    """,
     covers=("dedup-simhash",),
+    bench_fn=_simhash_pairs,
 ))
 
 
-# --- MinHash LSH (rows-only: MLlib, not SQL-expressible) ----------------------
+# --- MinHash LSH: guarantee-flag oracle ---------------------------------------
+#
+# The minhash internals (xxhash64 signatures, banding) have no SQL
+# twin, so the driver row attests the tier's CONTRACT against the
+# exact n-gram-Jaccard tier (which IS oracle-computable). With the
+# hash family fixed the whole pipeline is deterministic, making the
+# flags hashable facts of this corpus:
+#   - precision: every reported pair really has shingle-Jaccard >= 0.2
+#     (n_false_pairs = 0). Deterministically TRUE by construction --
+#     the operator rescores candidates with exact Jaccard.
+#   - recall: every exact pair with shingle-Jaccard >= 0.2 appears in
+#     the banded candidate set (n_missed_true_pairs = 0). Probabilistic
+#     in general (collision prob 1-(1-j)^4 per pair), but deterministic
+#     for a fixed corpus + hash family; verified 0 at sf0.001/0.01/0.1.
+# The same anchoring lives as a pytest property test
+# (tests/test_operators.py TestMinhashVsExactJaccard).
+
+_MH_T = 0.2          # shingle-Jaccard near-dup bar (= dedup_ngram_jaccard)
+
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Uncapped: minhash over 3-word SHINGLES (not unigrams) keeps the
     # banded candidate set sub-quadratic even on this tiny-vocabulary
     # corpus (see operator docstring). distance 0.8 = shingle-Jaccard
     # >= 0.2, the same near-dup bar as dedup_ngram_jaccard -- the two
-    # tiers are directly comparable: this one trades exactness for a
-    # minhash signature pass that never materializes the shingle sets
-    # into the join.
+    # tiers are directly comparable: this one replaces the exact
+    # tier's inverted-index join with a constant-width signature join.
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", max_distance=0.8)
+    return minhash_lsh_pairs(docs, "text", "doc_id",
+                             max_distance=1.0 - _MH_T)
+
+
+def _minhash_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=3, threshold=_MH_T)
+    mh = _minhash_pairs(spark, sf_dir)
+    missed = exact.join(mh, ["id_a", "id_b"], "left_anti")
+    false_pairs = mh.join(exact, ["id_a", "id_b"], "left_anti")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(
+            missed.agg(F.count(F.lit(1)).alias("n_missed_true_pairs"))
+        )
+        .crossJoin(
+            false_pairs.agg(F.count(F.lit(1)).alias("n_false_pairs"))
+        )
+    )
 
 
 register(QuerySpec(
     name="dedup_minhash_lsh",
-    spark_fn=_minhash_pairs,
-    oracle=None,
+    spark_fn=_minhash_guarantees,
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               CAST(0 AS BIGINT) AS n_missed_true_pairs,
+               CAST(0 AS BIGINT) AS n_false_pairs
+        FROM (
+            {ngram_jaccard_pairs_sql('documents', 'text', 'doc_id',
+                                     3, _MH_T)}
+        )
+    """,
     covers=("dedup-minhash-lsh",),
     bench=True,
+    bench_fn=_minhash_pairs,
 ))
 
 

@@ -18,7 +18,10 @@ the driver truncates at 50. Two defenses:
    by the pytest oracle-parity suite instead (registry.all_queries());
 2. modules register in importance order (TPC-H headliners and
    reference-parity queries first) so even a smaller window would
-   still attest the queries a user runs hourly.
+   still attest the queries a user runs hourly;
+3. the window ROTATES across rounds (ROTATE_IN/ROTATE_OUT below) so
+   that over rounds 1-3 every registry query has at least one green
+   driver CORRECTNESS row.
 """
 
 from __future__ import annotations
@@ -38,7 +41,11 @@ DRIVER_CAP = 50
 class QuerySpec:
     name: str
     spark_fn: SparkQuery
-    oracle: str | None
+    # Oracle SQL, or a zero-arg callable producing it (lazy: deferred to
+    # oracle_sql() access so oracles that materialize fixtures don't run
+    # side effects at import time), or None for genuinely
+    # non-SQL-expressible operators.
+    oracle: str | Callable[[], str] | None
     # Which SURVEY.md par.2 operator(s) this query covers (for the judge).
     covers: tuple[str, ...] = field(default=())
     # Headline queries also run in bench.py at sf0.1.
@@ -46,9 +53,60 @@ class QuerySpec:
     # Extended queries are pytest-only (oracle-checked locally) and not
     # shown to the driver, keeping the driver registry <= DRIVER_CAP.
     extended: bool = False
+    # Optional bench-time override: when the driver-facing spark_fn
+    # wraps the operator in an oracle-friendly contract (e.g. the
+    # guarantee-flag form of dedup_minhash_lsh, which also runs the
+    # exact tier to diff against), bench_fn times the OPERATOR itself
+    # so BENCH trend lines measure engine cost, not contract cost.
+    bench_fn: SparkQuery | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+# --- round-3 rotation of the driver CORRECTNESS window -----------------------
+#
+# The driver attests at most DRIVER_CAP queries per round; the registry
+# holds 79. Round-robin policy (round-2 verdict, "Next round" #1): every
+# query must earn a green driver row in SOME round. Rounds 1-2 attested
+# the 50 default-visible entries, so round 3 swaps the 29 never-attested
+# ``extended`` queries INTO the window and parks 29 twice-attested
+# (green in BOTH CORRECTNESS_r01 and r02) entries in the pytest-only
+# parity suite, which still oracle-checks them every run. The 21 slots
+# that never rotate are the flagships and one query per operator family
+# (TPC-H headliners, the four dedup tiers, ANN, text, multimodal,
+# sessionization, MERGE, as-of) -- the queries a user runs hourly.
+ROTATE_IN: frozenset[str] = frozenset({
+    # training-data pipeline tier (plans/queries_pipeline.py)
+    "hash_split_counts", "stratified_sample_counts", "time_bucket_rollup",
+    "hopping_window_rollup", "session_window_rollup", "quality_filter_stats",
+    "gap_filled_hourly", "streaming_interval_join", "curation_pipeline_stats",
+    "pii_redaction", "approx_percentile_bound", "bloom_filter_membership",
+    "tfidf_top_terms", "dedup_connected_groups",
+    # ANN variants (plans/queries_similarity.py)
+    "cosine_topk_pandas_udf", "cosine_topk_ivf",
+    # scalar/window breadth + SCD2 (plans/queries_extra.py)
+    "conditional_aggregation", "array_functions", "value_moments",
+    "scd2_user_history", "chunk_documents_udtf", "json_map_explode",
+    "string_functions", "window_function_breadth", "date_scalar_functions",
+    "math_functions",
+    # reference-surface variants (plans/queries_reference.py)
+    "monthly_mode_event_type", "date_part_histogram",
+    "event_time_tumbling_window",
+})
+ROTATE_OUT: frozenset[str] = frozenset({
+    "forecast_revenue_change", "order_priority_semi_join",
+    "customers_without_orders", "rollup_returnflag_status",
+    "pivot_orders_status", "shipping_priority_counts",
+    "profit_by_nation_year", "orders_above_customer_avg",
+    "timestamp_coercion", "dedup_full_row", "dedup_subset_distinct",
+    "median_impute", "daily_join_fanout", "validation_counts",
+    "outlier_filter", "sink_reshape_rename", "set_ops_user_segments",
+    "json_props_extract", "streaming_tumbling_rollup", "lang_id_confusion",
+    "doc_fingerprints", "chunk_documents", "embedding_label_stats",
+    "distinct_users_per_type", "approx_distinct_users",
+    "cube_status_priority", "normalize_per_user", "value_percentiles",
+    "salted_skew_rollup",
+})
 
 
 def register(spec: QuerySpec) -> None:
@@ -71,14 +129,35 @@ def _load_all() -> None:
     )
 
 
+def _resolve_oracle(spec: QuerySpec) -> str | None:
+    return spec.oracle() if callable(spec.oracle) else spec.oracle
+
+
+def _driver_visible(name: str, spec: QuerySpec) -> bool:
+    if name in ROTATE_IN:
+        return True
+    if name in ROTATE_OUT:
+        return False
+    return not spec.extended
+
+
 def _driver_specs() -> dict[str, QuerySpec]:
     _load_all()
-    visible = {n: s for n, s in REGISTRY.items() if not s.extended}
-    assert len(visible) <= DRIVER_CAP, (
-        f"{len(visible)} driver-visible queries exceed the driver's "
-        f"{DRIVER_CAP}-entry CORRECTNESS window; mark the least "
-        "important as extended=True"
-    )
+    for n in (ROTATE_IN | ROTATE_OUT) - REGISTRY.keys():
+        raise RuntimeError(f"rotation names unknown query {n!r}")
+    if overlap := ROTATE_IN & ROTATE_OUT:
+        raise RuntimeError(f"queries rotated both ways: {sorted(overlap)}")
+    visible = {
+        n: s for n, s in REGISTRY.items() if _driver_visible(n, s)
+    }
+    # RuntimeError, not assert: must survive `python -O` -- silently
+    # overflowing the window would drop CORRECTNESS rows on the floor.
+    if len(visible) > DRIVER_CAP:
+        raise RuntimeError(
+            f"{len(visible)} driver-visible queries exceed the driver's "
+            f"{DRIVER_CAP}-entry CORRECTNESS window; rotate the least "
+            "important out (ROTATE_OUT) or mark them extended=True"
+        )
     return visible
 
 
@@ -88,9 +167,9 @@ def queries() -> dict[str, SparkQuery]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle
+        name: sql
         for name, spec in _driver_specs().items()
-        if spec.oracle is not None
+        if (sql := _resolve_oracle(spec)) is not None
     }
 
 
@@ -103,12 +182,16 @@ def all_queries() -> dict[str, SparkQuery]:
 def all_oracle_sql() -> dict[str, str]:
     _load_all()
     return {
-        name: spec.oracle
+        name: sql
         for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        if (sql := _resolve_oracle(spec)) is not None
     }
 
 
 def bench_queries() -> dict[str, SparkQuery]:
     _load_all()
-    return {n: s.spark_fn for n, s in REGISTRY.items() if s.bench}
+    return {
+        n: (s.bench_fn or s.spark_fn)
+        for n, s in REGISTRY.items()
+        if s.bench
+    }

@@ -95,11 +95,13 @@ WEATHER_CRITICAL_COLS = [
 ]
 
 
-# Columns physically stored as parquet TIMESTAMP(NANOS), which Spark
-# cannot read natively: read as nano-longs (legacy conf) and convert to
-# micros.  DuckDB truncates nanos->micros the same way, so the oracle
-# agrees.
-_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# Timestamp columns whose PHYSICAL parquet type has varied across
+# driver testdata generations: TIMESTAMP(NANOS) in rounds 1-2 (Spark
+# cannot read natively -> legacy nanos-as-long conf + DIV 1000),
+# timestamp[us] (read as TIMESTAMP_NTZ) in round 3. load_table adapts
+# to whatever the file actually stores instead of pinning one
+# generation's encoding.
+_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -115,13 +117,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # month derivations under a non-UTC tz would shift relative to the
     # UTC-naive DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    nano_cols = _NANO_TS_COLS.get(name, [])
-    if nano_cols:
+    ts_cols = _TS_COLS.get(name, [])
+    if ts_cols:
+        # allows TIMESTAMP(NANOS) files to load at all; harmless for
+        # micros files
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in nano_cols:
-        # integer DIV: float division would lose precision on ~1e18 nanos
-        df = df.withColumn(
-            c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))")
-        )
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    for c in ts_cols:
+        if isinstance(actual.get(c), T.LongType):
+            # nanos-as-long: integer DIV (float division would lose
+            # precision on ~1e18 nanos). DuckDB truncates nanos->micros
+            # the same way, so the oracle agrees.
+            df = df.withColumn(
+                c,
+                F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"),
+            )
+        elif not isinstance(actual.get(c), T.TimestampType):
+            # TIMESTAMP_NTZ (tz-less micros): reinterpret as UTC wall
+            # clock -- the session tz is pinned UTC above, so the cast
+            # preserves the instant and matches the UTC-naive oracle.
+            df = df.withColumn(c, F.col(c).cast(_TS))
     return df.select(*[f.name for f in schema.fields])

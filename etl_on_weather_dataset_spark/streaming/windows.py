@@ -132,29 +132,44 @@ def interval_join(
 
 
 def read_sf_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the driver's events.parquet (which is
-    TIMESTAMP(NANOS): read ts as long + convert, same as load_table)."""
+    """File-source stream over the driver's events.parquet.
+
+    The physical ts encoding has varied across driver testdata
+    generations (TIMESTAMP(NANOS) -> nanos-as-long + DIV 1000 in
+    rounds 1-2; timestamp[us]/NTZ in round 3), so sniff the batch
+    schema from the parquet footer (one metadata read) and adapt --
+    same policy as schemas.load_table."""
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = {f.name: f.dataType for f in batch.schema.fields}["ts"]
     raw_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS)
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    return (
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn(
+    )
+    if isinstance(ts_type, T.LongType):
+        return stream.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
-    )
+    if not isinstance(ts_type, T.TimestampType):
+        # TIMESTAMP_NTZ: session tz is UTC, cast preserves the instant
+        return stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream
 
 
 def stream_dedup(

@@ -308,7 +308,11 @@ class TestDedupComponents:
         assert got == {**{i: 10 for i in range(10, 16)},
                        100: 100, 101: 100}
 
-    def test_iteration_cap_bounds_work(self, spark):
+    def test_non_convergence_raises(self, spark):
+        """A cap below the chain diameter must raise, not silently
+        return a partial labeling that splits one true component."""
+        import pytest
+
         from etl_on_weather_dataset_spark.operators.dedup import (
             dedup_components,
         )
@@ -316,10 +320,113 @@ class TestDedupComponents:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(5)], "id_a long, id_b long"
         )
-        # cap below the chain diameter: still returns a labeling (not
-        # fully converged), same row count
-        got = dedup_components(pairs, max_iter=1)
-        assert got.count() == 6
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_components(pairs, max_iter=1)
+
+
+class TestStopShingleDrop:
+    def _corpus(self, spark):
+        # every doc shares the hot boilerplate prefix; pairs (1,2) and
+        # (3,4) are near-dups beyond it
+        boiler = "terms of service apply to all"
+        rows = [
+            (1, boiler + " alpha beta gamma delta epsilon zeta"),
+            (2, boiler + " alpha beta gamma delta epsilon eta"),
+            (3, boiler + " one two three four five six"),
+            (4, boiler + " one two three four five seven"),
+            (5, boiler + " totally different content here now yes"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hot_shingles_shrink_candidate_join(self, spark):
+        """max_doc_freq drops boilerplate shingles shared by every doc,
+        shrinking the inverted-index join: without the drop all 10
+        pairs share a shingle; with it only the true near-dup pairs
+        survive as candidates."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = self._corpus(spark)
+        try:
+            # threshold 0 => report EVERY candidate pair the join sees
+            all_cand = ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=1e-9
+            ).count()
+            dropped = ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=1e-9,
+                max_doc_freq=0.8,
+            )
+            assert all_cand == 10  # full cross: boilerplate collides
+            got = {
+                (r["id_a"], r["id_b"]) for r in dropped.collect()
+            }
+            assert got == {(1, 2), (3, 4)}
+        finally:
+            release_all()
+
+    def test_stop_shingle_oracle_parity(self, spark, tmp_path):
+        """The SQL twin implements the identical drop semantics."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_sql,
+        )
+
+        from .oracle_harness import compare
+
+        sf = "/root/testdata/sf0.001"
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        docs = load_table(spark, sf, "documents")
+        try:
+            got = ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.2,
+                max_doc_freq=0.05,
+            )
+            compare(
+                got,
+                ngram_jaccard_pairs_sql(
+                    "documents", "text", "doc_id", 3, 0.2,
+                    max_doc_freq=0.05,
+                ),
+                sf,
+                name="ngram_jaccard_max_doc_freq",
+            )
+        finally:
+            release_all()
+
+    def test_minhash_stop_shingle_drop(self, spark):
+        """The minhash tier's max_doc_freq strips the same boilerplate
+        shingles before hashing; candidates collapse to true pairs."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        docs = self._corpus(spark)
+        try:
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(
+                    docs, "text", "doc_id", max_distance=0.999,
+                    max_doc_freq=0.8,
+                ).collect()
+            }
+            # banding may or may not surface every pair; but no pair
+            # outside the true near-dups may appear (their reduced
+            # shingle sets are disjoint -> rescore distance 1.0)
+            assert got <= {(1, 2), (3, 4)}
+            assert (1, 2) in got and (3, 4) in got
+        finally:
+            release_all()
 
 
 class TestHashSampling:
@@ -417,11 +524,13 @@ class TestBloomFilter:
 
 class TestMinhashVsExactJaccard:
     def test_minhash_pairs_are_true_near_dups(self, spark):
-        """The rows-only MinHash tier anchored against the exact tier:
-        every LSH-reported pair must really have shingle-Jaccard close
-        to the threshold (sim >= threshold - epsilon; epsilon absorbs
-        HashingTF index collisions), and on this corpus the banded scan
-        should also FIND the exact tier's pairs (recall check)."""
+        """The MinHash tier anchored against the exact tier. With the
+        codegen rescore (candidates re-scored with TRUE Jaccard),
+        precision is exact by construction: approx <= exact, with the
+        reported distances matching the exact tier's Jaccard. Recall is
+        probabilistic in general but deterministic for the fixed hash
+        family; on this corpus it is total (the guarantee the
+        dedup_minhash_lsh driver oracle hashes)."""
         from etl_on_weather_dataset_spark.operators.dedup import (
             minhash_lsh_pairs,
             ngram_jaccard_pairs,
@@ -437,26 +546,18 @@ class TestMinhashVsExactJaccard:
             ).collect()
         }
         approx = {
-            (r["id_a"], r["id_b"])
+            (r["id_a"], r["id_b"]): 1.0 - r["jaccard_dist"]
             for r in minhash_lsh_pairs(
                 docs, "text", "doc_id", max_distance=0.8
             ).collect()
         }
-        # precision: no false positives beyond hash-collision slack
-        loose = {
-            (r["id_a"], r["id_b"])
-            for r in ngram_jaccard_pairs(
-                docs, "text", "doc_id", n=3, threshold=0.18
-            ).collect()
-        }
-        assert approx <= loose
-        # recall on the clear positives (sim >= 0.25: per-table
-        # collision prob >= 0.25, 4 OR'd tables -> ~0.68+ each; the
-        # corpus' actual near-dups are far above the bar, so expect
-        # full recovery -- flag erosion if < 80%)
-        clear = {p for p, j in exact.items() if j >= 0.25}
-        if clear:
-            assert len(clear & approx) / len(clear) >= 0.8
+        # precision is exact: every reported pair is a true near-dup
+        assert set(approx) <= set(exact)
+        # and the rescored similarity IS the exact Jaccard
+        for p, sim in approx.items():
+            assert abs(sim - exact[p]) < 1e-9, (p, sim, exact[p])
+        # recall: total on this corpus (banding found every true pair)
+        assert set(approx) == set(exact)
 
 
 class TestImageDecode:
@@ -552,6 +653,116 @@ class TestAudioDecode:
         assert rows[2]["n_channels"] == 2
         assert abs(rows[2]["duration_sec"] - 1.0) < 1e-9
         assert rows[3]["sample_rate"] is None  # corrupt -> nulls
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def make_mp4(
+    duration=300,
+    timescale=100,
+    media_ts=90,
+    stts_entries=((4, 10), (5, 20)),
+    with_audio=True,
+) -> bytes:
+    """Minimal-but-real ISO BMFF bytes: ftyp + moov(mvhd, trak(video:
+    mdia(mdhd, hdlr 'vide', minf/stbl/stts)) [, trak(audio hdlr
+    'soun')]). Byte-exact per the spec's box layouts; no codecs."""
+    mvhd = (
+        bytes(4)                      # version 0 + flags
+        + bytes(8)                    # creation + modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+    )
+    stts = (
+        bytes(4)
+        + len(stts_entries).to_bytes(4, "big")
+        + b"".join(
+            c.to_bytes(4, "big") + d.to_bytes(4, "big")
+            for c, d in stts_entries
+        )
+    )
+    mdhd = (
+        bytes(4) + bytes(8) + media_ts.to_bytes(4, "big")
+        + bytes(4) + bytes(4)
+    )
+    hdlr_v = bytes(8) + b"vide" + bytes(12)
+    mdia_v = (
+        _box(b"mdhd", mdhd)
+        + _box(b"hdlr", hdlr_v)
+        + _box(b"minf", _box(b"stbl", _box(b"stts", stts)))
+    )
+    moov = _box(b"mvhd", mvhd) + _box(b"trak", _box(b"mdia", mdia_v))
+    if with_audio:
+        hdlr_a = bytes(8) + b"soun" + bytes(12)
+        moov += _box(
+            b"trak", _box(b"mdia", _box(b"hdlr", hdlr_a))
+        )
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(b"moov", moov)
+
+
+class TestVideoContainer:
+    def test_decode_video_metadata(self, spark):
+        """decode_video parses real MP4 container boxes (moov/mvhd/
+        trak) -- duration, timescale, track count -- and corrupt
+        payloads yield nulls, not failures."""
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            decode_video,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(make_mp4())),
+                (2, bytearray(make_mp4(duration=4500, timescale=1000,
+                                       with_audio=False))),
+                (3, bytearray(b"definitely not an mp4")),
+                # truncated mid-box: size field promises more bytes
+                (4, bytearray(make_mp4()[:40])),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_video(df).collect()}
+        assert abs(rows[1]["duration_sec"] - 3.0) < 1e-9
+        assert rows[1]["timescale"] == 100
+        assert rows[1]["n_tracks"] == 2
+        assert abs(rows[2]["duration_sec"] - 4.5) < 1e-9
+        assert rows[2]["n_tracks"] == 1
+        assert rows[3]["duration_sec"] is None
+        assert rows[4]["duration_sec"] is None
+
+    def test_sample_frames_every_nth_with_stts_times(self, spark):
+        """sample_frames emits every Nth frame of the video track with
+        timestamps accumulated from the stts table (4 frames @ delta
+        10 then 5 @ delta 20, media timescale 90)."""
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            sample_frames,
+        )
+
+        df = spark.createDataFrame(
+            [(7, bytearray(make_mp4())), (8, bytearray(b"junk"))],
+            "doc_id long, payload binary",
+        )
+        got = sorted(
+            (r["doc_id"], r["frame_idx"], r["t_sec"])
+            for r in sample_frames(df, every_n=3).collect()
+        )
+        # frame times: 0,10,20,30 then 40,60,80,100,120 (/90)
+        assert [(d, i) for d, i, _ in got] == [(7, 0), (7, 3), (7, 6)]
+        expect = [0.0, 30 / 90, 80 / 90]
+        for (_, _, t), e in zip(got, expect):
+            assert abs(t - e) < 1e-9
+        # corrupt payload contributed zero rows, no error
+
+    def test_sample_frames_all_frames(self, spark):
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            sample_frames,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(make_mp4()))], "doc_id long, payload binary"
+        )
+        assert sample_frames(df, every_n=1).count() == 9
 
 
 class TestMultimodalBatching:

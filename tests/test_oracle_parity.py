@@ -30,15 +30,25 @@ def test_driver_registry_within_cap():
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, name):
-    df = QUERIES[name](spark, SF_ORACLE)
-    compare(df, ORACLES[name], SF_ORACLE, name=name)
+    from etl_on_weather_dataset_spark.operators.caching import release_all
+
+    try:
+        df = QUERIES[name](spark, SF_ORACLE)
+        compare(df, ORACLES[name], SF_ORACLE, name=name)
+    finally:
+        release_all()  # drop operator-internal caches between cases
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_ORACLE)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+    from etl_on_weather_dataset_spark.operators.caching import release_all
+
+    try:
+        df = QUERIES[name](spark, SF_ORACLE)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
+    finally:
+        release_all()
 
 
 def test_entry_smoke(spark):

@@ -84,9 +84,11 @@ class TestPlanProperties:
     SF = "/root/testdata/sf0.001"
 
     def _plan(self, spark, name):
-        from etl_on_weather_dataset_spark.plans.registry import queries
+        # all_queries(): plan claims hold regardless of which names the
+        # per-round driver-window rotation currently exposes
+        from etl_on_weather_dataset_spark.plans.registry import all_queries
 
-        df = queries()[name](spark, self.SF)
+        df = all_queries()[name](spark, self.SF)
         return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
@@ -99,15 +101,24 @@ class TestPlanProperties:
 
     def test_scan_is_column_pruned(self, spark):
         plan = self._plan(spark, "daily_value_rollup")
-        # 6-column events table, query needs only ts+value
-        assert "ReadSchema: struct<ts:bigint,value:double>" in plan
+        # 6-column events table, query needs only ts+value. The ts
+        # physical type varies by testdata generation (nanos-as-long
+        # bigint / timestamp_ntz / timestamp) -- the claim under test
+        # is the PRUNING, not the encoding.
+        import re
+
+        assert re.search(
+            r"ReadSchema: struct<ts:(bigint|timestamp(_ntz)?),"
+            r"value:double>",
+            plan,
+        ), plan[plan.find("ReadSchema"):][:200]
 
     def test_dim_joins_broadcast(self, spark):
         """The FINAL adaptive plan broadcasts every dim: bounded
         nation/region statically (explicit hint), the unhinted
         customer dim via AQE runtime stats -- the static plan shows an
         SMJ for it by design (no forced hint), so assert post-AQE."""
-        from etl_on_weather_dataset_spark.plans.registry import queries
+        from etl_on_weather_dataset_spark.plans.registry import all_queries as queries
 
         df = queries()["regional_revenue"](spark, self.SF)
         df.collect()  # let AQE finalize
@@ -214,6 +225,14 @@ class TestBucketedJoin:
         # ./spark-warehouse, dropped in the finally block)
         spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # a killed earlier run can leave the managed location behind
+        # with no catalog entry -- saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS; clear both name and location first
+        import shutil
+
+        for t in ("bk_a", "bk_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
         try:
             a = spark.range(0, 10_000).select(
                 F.col("id").alias("k"), (F.col("id") % 100).alias("va")

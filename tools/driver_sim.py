@@ -30,6 +30,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
     import __spark_entry__ as e
+    from etl_on_weather_dataset_spark.operators.caching import release_all
     from etl_on_weather_dataset_spark.session import get_spark
     from tests.oracle_harness import compare
 
@@ -46,6 +47,7 @@ def main() -> int:
     failures = 0
     t_start = time.time()
     for name, fn in queries.items():
+        release_all()  # drop prior query's operator-internal caches
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
