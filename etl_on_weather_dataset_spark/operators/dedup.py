@@ -339,6 +339,11 @@ def dedup_components(
     """
     from .caching import persisted, untrack
 
+    # persist the pair set BEFORE the symmetrize union: both union
+    # branches scan it during the edges fill, and the upstream pair
+    # plan is typically an expensive join (inverted-index or banded) --
+    # without this it executes twice in that one materialization
+    pairs = persisted(pairs.select(id_a, id_b))
     edges = persisted(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(

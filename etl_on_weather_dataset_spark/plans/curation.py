@@ -69,7 +69,17 @@ def curate(
     # exact dedup: keep the smallest doc_id per content fingerprint
     fp = redacted.withColumn("fp", T.fingerprint("text"))
     keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    exact = fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
+    # persisted (caching ledger): this macro-stage boundary is scanned
+    # by the near-dup pair builder, the survivor anti-join, AND the
+    # audit-trail aggregates -- without it the quality->redact->md5
+    # chain re-executes once per consumer (measured ~2x on the bench
+    # entry). The 100 TB shape is the same: materialize between
+    # macro-stages, don't re-run the corpus scrub per downstream read.
+    from ..operators.caching import persisted
+
+    exact = persisted(
+        fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
+    )
 
     # near-dup dedup: components over jaccard pairs; drop every doc
     # whose component label is not itself (min-id keep policy)
@@ -82,8 +92,12 @@ def curate(
     )
     unique = exact.join(losers, "doc_id", "left_anti")
 
-    split = train_test_split(unique, key="doc_id",
-                             test_fraction=TEST_FRACTION)
+    # persisted for the same reason: consumed by chunking, the split
+    # stat, and the returned `clean` frame
+    split = persisted(
+        train_test_split(unique, key="doc_id",
+                         test_fraction=TEST_FRACTION)
+    )
     chunks = split.select(
         "doc_id",
         F.explode(

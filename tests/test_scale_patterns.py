@@ -169,6 +169,37 @@ class TestPlanProperties:
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
             or "BroadcastHashJoin" in plan
 
+    def test_minhash_banding_is_equi_join_over_persisted_index(
+        self, spark
+    ):
+        """The round-3 codegen MinHash tier: banded candidates must
+        come from an equi-join on (band, minhash) -- never a cartesian
+        -- and both the signature scan and the rescore join must read
+        the PERSISTED shingle table (InMemoryTableScan), not recompute
+        the shingling per consumer."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        try:
+            docs = load_table(spark, self.SF, "documents")
+            df = minhash_lsh_pairs(docs, "text", "doc_id",
+                                   max_distance=0.8)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            assert "CartesianProduct" not in plan, plan[:2000]
+            assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+            assert "InMemoryTableScan" in plan, plan[:2000]
+            assert "xxhash64" in plan  # signatures are codegen exprs
+        finally:
+            release_all()
+
 
 class TestAqeSkewJoin:
     def test_aqe_splits_skewed_join_partition(self, spark):
