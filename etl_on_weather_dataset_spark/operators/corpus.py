@@ -1,0 +1,295 @@
+"""Corpus-level training-data operators: benchmark decontamination,
+sequence packing, intra-document repetition stats.
+
+These are the remaining standard steps of a pretraining-data pipeline
+(north-star par.2b) not covered by dedup/quality/sampling:
+
+- decontamination: drop/flag training docs that share an n-gram with an
+  evaluation benchmark, so the model is not graded on memorized data.
+  The industry shape (e.g. GPT-3 appendix C, PaLM, Llama) is exact
+  n-gram collision against the benchmark's shingle set.
+- sequence packing: concatenate-and-cut chunk streams into fixed
+  token-capacity bins (what trainers feed as packed sequences). Packing
+  is order-dependent, so determinism comes from an explicit total
+  order; scale comes from packing per SHARD (hash of doc id), which is
+  also how real pipelines shard their tokenized output.
+- repetition stats: Gopher-style intra-doc duplicate n-gram fractions
+  (a high duplicate-3-gram share marks boilerplate/spam).
+
+All pure DataFrame expressions with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+from .text import tokens
+
+
+# --- intra-document repetition (Gopher repetition filters) --------------------
+
+def _all_shingles(text_col: str, n: int) -> F.Column:
+    """n-word shingles WITH multiplicity (word_shingles deduplicates;
+    repetition measurement needs the raw count)."""
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            starts,
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+    flag_n: int = 3,
+    flag_threshold: float = 0.3,
+) -> DataFrame:
+    """Per-doc duplicate n-gram fractions (1 - distinct/total) for each
+    n in ``ns``, plus a boilerplate flag when the ``flag_n`` fraction
+    exceeds ``flag_threshold`` -- the Gopher-style repetition gate.
+
+    Pure per-row array expressions: zero shuffle, embarrassingly
+    parallel, which is the only acceptable shape for a per-doc quality
+    signal at corpus scale.
+    """
+    cols = [F.col(id_col).alias("id")]
+    for n in ns:
+        sh = _all_shingles(text_col, n)
+        total = F.size(sh)
+        distinct = F.size(F.array_distinct(sh))
+        frac = F.when(
+            total > 0,
+            F.round(1.0 - distinct.cast("double") / total, 6),
+        ).otherwise(F.lit(0.0))
+        cols.append(total.alias(f"n_shingles_{n}"))
+        cols.append(frac.alias(f"dup_frac_{n}"))
+    out = df.select(*cols)
+    return out.withColumn(
+        "repetitious",
+        (F.col(f"dup_frac_{flag_n}") > flag_threshold).cast("int"),
+    )
+
+
+def repetition_stats_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+    flag_n: int = 3,
+    flag_threshold: float = 0.3,
+) -> str:
+    """DuckDB twin (identical shingling and fraction arithmetic)."""
+    per_n = []
+    for n in ns:
+        sh = f"""CASE WHEN len(t) >= {n} THEN
+                list_transform(range(1, len(t) - {n} + 2),
+                               i -> array_to_string(t[i:i+{n}-1], ' '))
+            ELSE [array_to_string(t, ' ')] END"""
+        per_n.append(
+            f"CAST(len({sh}) AS INTEGER) AS n_shingles_{n},\n"
+            f"               CASE WHEN len({sh}) > 0 THEN\n"
+            f"                   ROUND(1.0 - CAST(len(list_distinct({sh}))"
+            f" AS DOUBLE) / len({sh}), 6)\n"
+            f"               ELSE 0.0 END AS dup_frac_{n}"
+        )
+    body = ",\n               ".join(per_n)
+    return f"""
+        SELECT id,
+               {body},
+               CAST(dup_frac_{flag_n} > {flag_threshold} AS INTEGER)
+                   AS repetitious
+        FROM (SELECT {id_col} AS id,
+                     regexp_split_to_array({text_col}, ' +') AS t
+              FROM {table})
+    """
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per training doc: how many distinct n-gram shingles it shares
+    with the benchmark corpus, and a contaminated flag (>= 1 hit).
+
+    Plan: shingle both sides -> distinct benchmark shingle set ->
+    inner join on shingle -> count hits per doc -> left join back so
+    clean docs keep a 0. The benchmark side of the join is typically
+    tiny relative to the corpus (eval sets are thousands of docs, the
+    corpus billions), so the hit join broadcasts; the training side
+    streams through map-side. Returns every input doc:
+    (id, n_overlap_shingles, contaminated).
+    """
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(text_col, n)).alias("shingle")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_overlap_shingles", F.lit(0)).alias(
+                "n_overlap_shingles"
+            ),
+            (F.coalesce("n_overlap_shingles", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def contamination_flags_sql(
+    table: str,
+    benchmark_predicate: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> str:
+    """DuckDB twin; the benchmark is ``table`` rows satisfying
+    ``benchmark_predicate`` (the driver tables carry no separate
+    benchmark table, so queries derive one deterministically)."""
+    shingles = f"""
+            SELECT {id_col} AS id,
+                   unnest(CASE WHEN len(t) >= {n} THEN
+                       list_distinct(list_transform(
+                           range(1, len(t) - {n} + 2),
+                           i -> array_to_string(t[i:i+{n}-1], ' ')))
+                   ELSE [array_to_string(t, ' ')] END) AS shingle
+            FROM (SELECT {id_col},
+                         regexp_split_to_array({text_col}, ' +') AS t
+                  FROM {table})"""
+    return f"""
+        WITH doc_sh AS ({shingles}),
+        bench_sh AS (
+            SELECT DISTINCT shingle FROM doc_sh
+            WHERE id IN (SELECT {id_col} FROM {table}
+                         WHERE {benchmark_predicate})
+        ),
+        hits AS (
+            SELECT id, COUNT(*) AS n_overlap_shingles
+            FROM doc_sh JOIN bench_sh USING (shingle)
+            GROUP BY id
+        )
+        SELECT d.{id_col} AS id,
+               COALESCE(h.n_overlap_shingles, 0) AS n_overlap_shingles,
+               CAST(COALESCE(h.n_overlap_shingles, 0) > 0 AS INTEGER)
+                   AS contaminated
+        FROM {table} d LEFT JOIN hits h ON d.{id_col} = h.id
+    """
+
+
+# --- sequence packing ---------------------------------------------------------
+
+def pack_sequences(
+    chunks: DataFrame,
+    capacity: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign every chunk to a fixed-capacity training bin:
+    concatenate-and-cut packing (bin = cumulative tokens before this
+    chunk, integer-divided by capacity) within deterministic shards.
+
+    Order inside a shard is (doc_id, chunk_id) -- explicit and total,
+    so the packing is retry/partitioning/engine-invariant. The shard is
+    the repo's engine-portable md5 bucket (operators/sample.py), so the
+    DuckDB twin reproduces the exact same assignment. Sharding keeps
+    the cumulative-sum window PARALLEL: a single global ordering would
+    serialize 100 TB of chunks through one task, while per-shard
+    packing is exactly how tokenized corpora are written out in
+    practice (one packed stream per output shard). Wasted tail
+    capacity is one partial bin per shard, negligible for
+    n_shards << n_bins; raise n_shards with cluster size.
+
+    Returns (shard, bin_id, id, chunk_id, n_tokens, offset_in_bin)
+    where offset_in_bin is the chunk's token start offset inside its
+    bin (the concat-and-cut view may split a chunk across bins;
+    offset_in_bin locates its first token).
+    """
+    from .sample import hash_bucket
+
+    shard = hash_bucket(F.col(id_col), buckets=n_shards, salt="pack")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_shard = chunks.select(
+        shard.alias("shard"),
+        F.col(id_col).alias("id"),
+        F.col(chunk_col).alias("chunk_id"),
+        F.col(tokens_col).alias("n_tokens"),
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return with_shard.select(
+        "shard",
+        F.floor(cum_before / capacity).cast("long").alias("bin_id"),
+        "id",
+        "chunk_id",
+        "n_tokens",
+        F.pmod(cum_before, F.lit(capacity)).cast("long").alias(
+            "offset_in_bin"
+        ),
+    )
+
+
+def pack_sequences_sql(
+    chunks_sql: str,
+    capacity: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> str:
+    """DuckDB twin over a chunks subquery carrying the same columns."""
+    from .sample import hash_bucket_sql
+
+    shard = hash_bucket_sql(id_col, buckets=n_shards, salt="pack")
+    return f"""
+        WITH chunks AS ({chunks_sql}),
+        sharded AS (
+            SELECT CAST({shard} AS BIGINT) AS shard,
+                   {id_col} AS id, {chunk_col} AS chunk_id,
+                   {tokens_col} AS n_tokens
+            FROM chunks
+        ),
+        cum AS (
+            SELECT shard, id, chunk_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_before
+            FROM sharded
+        )
+        SELECT shard,
+               CAST(floor(cum_before / {capacity}) AS BIGINT) AS bin_id,
+               id, chunk_id, n_tokens,
+               CAST(cum_before % {capacity} AS BIGINT) AS offset_in_bin
+        FROM cum
+    """

@@ -673,6 +673,115 @@ register(QuerySpec(
 ))
 
 
+# --- benchmark decontamination ------------------------------------------------
+#
+# The driver tables carry no separate benchmark corpus, so one is
+# derived deterministically: docs with doc_id % 97 == 0 stand in for
+# the eval set (same rule in the oracle). Real usage points the
+# benchmark parameter at the actual eval tables.
+
+_DECON_N = 5
+_DECON_PRED = "doc_id % 97 = 0"
+
+
+def _decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench, "text", "doc_id", n=_DECON_N)
+
+
+def _decontamination_oracle() -> str:
+    from ..operators.corpus import contamination_flags_sql
+
+    return contamination_flags_sql(
+        "documents", _DECON_PRED, "text", "doc_id", n=_DECON_N
+    )
+
+
+register(QuerySpec(
+    name="benchmark_decontamination",
+    spark_fn=_decontamination,
+    oracle=_decontamination_oracle,
+    covers=("decontamination", "benchmark-overlap"),
+    extended=True,
+))
+
+
+# --- sequence packing (concat-and-cut bins for training) ----------------------
+
+_PACK_CAPACITY, _PACK_SHARDS = 100, 8
+
+
+def _packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(T.token_chunks("text", 50, 40)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size(F.split("c.chunk", " ")).alias("n_tokens"),
+    )
+    return pack_sequences(
+        chunks, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    )
+
+
+def _packed_bins_oracle() -> str:
+    from ..operators.corpus import pack_sequences_sql
+
+    chunks_sql = f"""
+        SELECT doc_id,
+               c.chunk_id AS chunk_id,
+               CAST(len(string_split(c.chunk, ' ')) AS INTEGER)
+                   AS n_tokens
+        FROM (
+            SELECT doc_id,
+                   unnest({T.token_chunks_sql('text', 50, 40)}) AS c
+            FROM documents
+        )"""
+    return pack_sequences_sql(
+        chunks_sql, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    )
+
+
+register(QuerySpec(
+    name="packed_bins",
+    spark_fn=_packed_bins,
+    oracle=_packed_bins_oracle,
+    covers=("sequence-packing", "training-bins"),
+    extended=True,
+))
+
+
+# --- intra-doc repetition stats (Gopher repetition gate) ----------------------
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+def _repetition_oracle() -> str:
+    from ..operators.corpus import repetition_stats_sql
+
+    return repetition_stats_sql("documents", "text", "doc_id")
+
+
+register(QuerySpec(
+    name="doc_repetition_stats",
+    spark_fn=_repetition,
+    oracle=_repetition_oracle,
+    covers=("repetition-gate", "dup-ngram-fraction"),
+    extended=True,
+))
+
+
 # --- near-dup GROUP resolution (connected components over pairs) -------------
 
 _CC_N, _CC_T = 3, 0.2

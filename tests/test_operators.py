@@ -702,6 +702,80 @@ def make_mp4(
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(b"moov", moov)
 
 
+class TestCorpusOps:
+    def test_pack_sequences_concat_and_cut_invariants(self, spark):
+        """Within a shard, bin/offset follow exactly from the running
+        token total in (doc, chunk) order -- and the assignment is
+        partitioning-invariant (repartition changes nothing)."""
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            pack_sequences,
+        )
+
+        rows = [(d, c, 30 + 7 * ((d + c) % 5))
+                for d in range(20) for c in range(3)]
+        chunks = spark.createDataFrame(
+            rows, "doc_id long, chunk_id int, n_tokens int"
+        )
+        got = pack_sequences(chunks, capacity=100, n_shards=4).collect()
+        # replay the packing per shard in plain python
+        by_shard: dict[int, list] = {}
+        for r in sorted(got, key=lambda r: (r["shard"], r["id"],
+                                            r["chunk_id"])):
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rs in by_shard.items():
+            cum = 0
+            for r in rs:
+                assert r["bin_id"] == cum // 100, (shard, r)
+                assert r["offset_in_bin"] == cum % 100, (shard, r)
+                cum += r["n_tokens"]
+        # partitioning invariance
+        again = pack_sequences(
+            chunks.repartition(7), capacity=100, n_shards=4
+        ).collect()
+        key = lambda r: (r["shard"], r["id"], r["chunk_id"])  # noqa: E731
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_contamination_flags_detect_benchmark_overlap(self, spark):
+        """Docs sharing a 5-gram with the benchmark are flagged; others
+        are not; benchmark members flag themselves (self-overlap)."""
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            contamination_flags,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated text with other words here"),
+                (3, "prefix words then the quick brown fox jumps too"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = docs.filter(F.col("doc_id") == 1)
+        got = {
+            r["id"]: r["contaminated"]
+            for r in contamination_flags(docs, bench, n=5).collect()
+        }
+        assert got == {1: 1, 2: 0, 3: 1}
+
+    def test_repetition_stats_flag_boilerplate(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            repetition_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam spam spam"),
+                (2, "eight distinct words never repeat in here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r for r in repetition_stats(docs).collect()}
+        assert got[1]["repetitious"] == 1
+        assert got[1]["dup_frac_3"] > 0.8
+        assert got[2]["repetitious"] == 0
+        assert got[2]["dup_frac_2"] == 0.0
+
+
 class TestVideoContainer:
     def test_decode_video_metadata(self, spark):
         """decode_video parses real MP4 container boxes (moov/mvhd/
