@@ -112,6 +112,79 @@ def repetition_stats_sql(
     """
 
 
+# --- unigram log-probability quality score ------------------------------------
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc average unigram log-probability under the corpus's own
+    unigram model -- the classic cheap fluency/outlier signal (very
+    negative = rare-token soup; LM-based filters are this with a
+    smarter model).
+
+    Exactness discipline: log-probs are doubles and float summation is
+    order-dependent, so a parallel engine could never match a
+    sequential oracle bit-for-bit. Each token's log-prob is therefore
+    SCALED TO MICRO-NATS AND ROUNDED TO A LONG before summing (the
+    repo's exact-aggregation pattern, functions/exact.py) -- the
+    per-doc sum is then partition/retry/engine-invariant.
+
+    Plan: one explode -> token-frequency aggregate (shuffle on token,
+    map-side combine) -> broadcast total -> join tokens to
+    frequencies -> per-doc sum. The frequency table is vocabulary-
+    sized, far smaller than the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
+    total = freqs.agg(F.sum("tok_n").cast("double").alias("total_n"))
+    scored = (
+        toks.join(freqs, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.round(
+                F.log(F.col("tok_n") / F.col("total_n")) * 1e6
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.round(F.sum("lp_micro") / F.count(F.lit(1)))
+            .cast("long")
+        ).alias("avg_logprob_micro"),
+    )
+
+
+def unigram_logprob_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin (same micro-nat rounding before the sum)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS id,
+                   unnest(regexp_split_to_array({text_col}, ' +')) AS token
+            FROM {table}
+        ), freqs AS (
+            SELECT token, COUNT(*) AS tok_n FROM toks GROUP BY token
+        ), total AS (
+            SELECT CAST(SUM(tok_n) AS DOUBLE) AS total_n FROM freqs
+        )
+        SELECT id,
+               COUNT(*) AS n_tokens,
+               CAST(ROUND(SUM(CAST(ROUND(
+                   ln(tok_n / (SELECT total_n FROM total)) * 1000000)
+                   AS BIGINT)) * 1.0 / COUNT(*)) AS BIGINT)
+                   AS avg_logprob_micro
+        FROM toks JOIN freqs USING (token)
+        GROUP BY id
+    """
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 def contamination_flags(

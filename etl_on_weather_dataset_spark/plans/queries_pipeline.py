@@ -758,6 +758,30 @@ register(QuerySpec(
 ))
 
 
+# --- unigram log-probability quality score ------------------------------------
+
+def _logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id")
+
+
+def _logprob_oracle() -> str:
+    from ..operators.corpus import unigram_logprob_sql
+
+    return unigram_logprob_sql("documents", "text", "doc_id")
+
+
+register(QuerySpec(
+    name="doc_logprob_score",
+    spark_fn=_logprob,
+    oracle=_logprob_oracle,
+    covers=("lm-quality-score", "unigram-logprob"),
+    extended=True,
+))
+
+
 # --- intra-doc repetition stats (Gopher repetition gate) ----------------------
 
 def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
