@@ -48,6 +48,59 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup ACROSS ingestion batches: drop new docs whose
+    content fingerprint already exists in a persistent parquet store,
+    dedup the remainder within the batch (keep min id), LAND the
+    survivors at ``out_path``, append their fingerprints to the store,
+    and return the landed survivors.
+
+    This is the batch-cadence twin of the streaming ``stream_dedup``
+    (dropDuplicatesWithinWatermark): streaming state bounds memory by
+    a watermark horizon, while the parquet store carries exact state
+    across runs indefinitely -- the shape a continuously-ingested
+    training corpus needs.
+
+    Ordering matters and caching cannot save you: Spark re-lists a
+    parquet directory per action, so any LAZY plan that anti-joins
+    against the store and is evaluated after the append would see the
+    batch's own just-written fingerprints and return nothing (and a
+    persisted plan does not pin the listing either -- the cache key
+    contains it). The fix is the production shape anyway: materialize
+    the batch output FIRST (each ingestion batch lands as its own
+    dataset), derive the fingerprint append from the LANDED files, and
+    return a read of them.
+
+    Scale: the store holds (fp, keep_id) -- 32-byte keys, never text.
+    The membership probe is an equi-join on fp; at large scale write
+    the store bucketed by fp so the probe co-locates without a
+    shuffle, and compact it periodically.
+    """
+    from pyspark.errors import AnalysisException
+
+    fresh = new_docs.withColumn("fp", fingerprint(text_col))
+    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    batch_unique = fresh.join(keep, ["fp", id_col], "left_semi")
+    try:
+        store = spark.read.parquet(store_path).select("fp")
+        survivors = batch_unique.join(store, "fp", "left_anti")
+    except AnalysisException:  # first batch: no store yet
+        survivors = batch_unique
+    survivors.write.mode("overwrite").parquet(out_path)
+    landed = spark.read.parquet(out_path)
+    landed.select(
+        "fp", F.col(id_col).alias("keep_id")
+    ).write.mode("append").parquet(store_path)
+    return landed.drop("fp")
+
+
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
     """Distinct n-word shingles of a document as an array column.
 

@@ -702,6 +702,54 @@ def make_mp4(
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(b"moov", moov)
 
 
+class TestIncrementalDedup:
+    def test_dedup_across_batches_via_fingerprint_store(
+        self, spark, tmp_path
+    ):
+        """Batch 2 drops docs whose content batch 1 already landed,
+        even under new ids; within-batch dups keep the min id; the
+        store grows by the survivors only."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+
+        store = str(tmp_path / "fp_store")
+        try:
+            b1 = spark.createDataFrame(
+                [(1, "alpha beta"), (2, "gamma delta"),
+                 (3, "alpha beta")],  # in-batch dup of 1
+                "doc_id long, text string",
+            )
+            got1 = incremental_exact_dedup(
+                spark, b1, store, str(tmp_path / "out1")
+            )
+            assert {r["doc_id"] for r in got1.collect()} == {1, 2}
+
+            b2 = spark.createDataFrame(
+                [(10, "alpha beta"),      # cross-batch dup of 1
+                 (11, "epsilon zeta"),    # fresh
+                 (12, "gamma delta")],    # cross-batch dup of 2
+                "doc_id long, text string",
+            )
+            got2 = incremental_exact_dedup(
+                spark, b2, store, str(tmp_path / "out2")
+            )
+            assert {r["doc_id"] for r in got2.collect()} == {11}
+
+            stored = spark.read.parquet(store)
+            assert stored.count() == 3  # fps of docs 1, 2, 11
+            # replay of batch 2 against the grown store: nothing new
+            got3 = incremental_exact_dedup(
+                spark, b2, store, str(tmp_path / "out3")
+            )
+            assert got3.count() == 0
+        finally:
+            release_all()
+
+
 class TestCorpusOps:
     def test_pack_sequences_concat_and_cut_invariants(self, spark):
         """Within a shard, bin/offset follow exactly from the running
