@@ -75,6 +75,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # that never rotate are the flagships and one query per operator family
 # (TPC-H headliners, the four dedup tiers, ANN, text, multimodal,
 # sessionization, MERGE, as-of) -- the queries a user runs hourly.
+#
+# ROUND 4 TODO: rotate in the queries ADDED in round 3 (never
+# driver-attested: benchmark_decontamination, packed_bins,
+# doc_repetition_stats, doc_logprob_score) by swapping out four
+# r3-attested ROTATE_IN names.
 ROTATE_IN: frozenset[str] = frozenset({
     # training-data pipeline tier (plans/queries_pipeline.py)
     "hash_split_counts", "stratified_sample_counts", "time_bucket_rollup",
