@@ -320,10 +320,31 @@ def simhash_band_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any 16-bit band of their
-    SimHash (Hamming-LSH banding). groupBy band value -> pairs."""
-    fps = simhash(df, text_col, id_col)
+    SimHash (Hamming-LSH banding). groupBy band value -> pairs.
+
+    ``max_hamming`` verifies candidates against the FULL fingerprint
+    (bit_count(sh_a XOR sh_b) <= max_hamming) -- the standard second
+    stage of SimHash dedup, and the difference between a candidate
+    generator and a usable near-dup detector. On a low-entropy corpus
+    the 16-bit bands collide broadly (measured: 5,000 sf0.1 docs ->
+    1.26M raw band-collision pairs, of which only the low-Hamming
+    sliver are near-dups); the verify filter runs BEFORE the
+    dropDuplicates exchange, so the junk never shuffles. Pigeonhole
+    guarantee: any pair with Hamming <= n_bands - 1 shares at least
+    one band, so recall at ``max_hamming <= n_bands - 1`` is total.
+
+    The fingerprint table is persisted via the caching ledger: the
+    64-bit-vote expression is the expensive part (64 aggregate passes
+    over the token-hash array per doc) and BOTH self-join sides scan
+    it -- without the persist Catalyst inlines it into each side and
+    fingerprints the corpus twice.
+    """
+    from .caching import persisted
+
+    fps = persisted(simhash(df, text_col, id_col))
     band_width = 64 // n_bands
     mask = (1 << band_width) - 1
     bands = fps.select(
@@ -349,10 +370,12 @@ def simhash_band_pairs(
         F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
         "band", "key",
     )
+    cand = a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+    if max_hamming is not None:
+        hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        cand = cand.filter(hamming <= max_hamming)
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        cand.select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 

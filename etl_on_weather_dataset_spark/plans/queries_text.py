@@ -121,9 +121,12 @@ def _simhash_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # raw operator (bench + pytest surface)
+    # the usable near-dup detector (bench + pytest surface): banded
+    # candidates verified at Hamming <= 3 against the full fingerprint
+    # (recall is total at <= n_bands-1 by pigeonhole)
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_band_pairs(docs, "text", "doc_id", n_bands=4)
+    return simhash_band_pairs(docs, "text", "doc_id", n_bands=4,
+                              max_hamming=3)
 
 
 register(QuerySpec(
@@ -136,6 +139,7 @@ register(QuerySpec(
         FROM documents WHERE doc_id % 2 = 0
     """,
     covers=("dedup-simhash",),
+    bench=True,
     bench_fn=_simhash_pairs,
 ))
 
