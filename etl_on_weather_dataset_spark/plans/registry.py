@@ -78,8 +78,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #
 # ROUND 4 TODO: rotate in the queries ADDED in round 3 (never
 # driver-attested: benchmark_decontamination, packed_bins,
-# doc_repetition_stats, doc_logprob_score) by swapping out four
-# r3-attested ROTATE_IN names.
+# doc_repetition_stats, doc_logprob_score, ann_recall_at_k) by
+# swapping out five r3-attested ROTATE_IN names.
 ROTATE_IN: frozenset[str] = frozenset({
     # training-data pipeline tier (plans/queries_pipeline.py)
     "hash_split_counts", "stratified_sample_counts", "time_bucket_rollup",
