@@ -14,9 +14,22 @@ intermediate via :func:`persisted`, and session owners (bench.py
 between queries, the pytest parity harness between cases, any user
 batch loop) call :func:`release_all` at their natural "query is done"
 boundary. One place to audit, one call to clean.
+
+Concurrency: the ledger is process-global and assumes ONE in-flight
+query per process -- ``release_all()`` releases every tracked frame,
+including another thread's. That matches every session owner in this
+repo (bench, driver, parity suite are all sequential) and is safe in
+the worst case (Spark recomputes an unpersisted frame; correctness is
+never at stake), but it defeats the persist under concurrent drivers.
+Run concurrent query batches in separate processes (e.g. pytest-xdist
+``--dist loadgroup`` with process workers, not threads), or scope a
+ledger per batch via :func:`scoped` below.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -50,3 +63,22 @@ def release_all(blocking: bool = False) -> int:
         _TRACKED.pop().unpersist(blocking)
         n += 1
     return n
+
+
+@contextmanager
+def scoped(blocking: bool = False) -> Iterator[None]:
+    """Release only the frames persisted INSIDE this block.
+
+    ``with scoped(): run_query()`` is the batch-owner idiom when other
+    persisted frames must outlive the query (still single-threaded:
+    the ledger is one global list, and a concurrent thread's frames
+    registered during the block would be released with it).
+    """
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        n = 0
+        while len(_TRACKED) > mark:
+            _TRACKED.pop().unpersist(blocking)
+            n += 1

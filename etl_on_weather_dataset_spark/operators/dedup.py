@@ -82,10 +82,32 @@ def incremental_exact_dedup(
     The membership probe is an equi-join on fp; at large scale write
     the store bucketed by fp so the probe co-locates without a
     shuffle, and compact it periodically.
+
+    Null text: ``fingerprint`` of a null document is null, and null
+    join keys match nothing -- without the sentinel below, null-text
+    docs would silently vanish from the survivors (dropped by the
+    keep-semi-join, never recorded). They are instead fingerprinted
+    with a fixed sentinel, so all null-text docs dedup to one
+    surviving row per corpus lifetime, visible in store and output.
+
+    Crash window: the batch LANDS at ``out_path`` before its
+    fingerprints are appended to the store (see ordering note above).
+    A crash between the two leaves landed docs missing from the store,
+    and the next batch would re-admit their content. Recovery contract:
+    the store is DERIVABLE from the landed batch dirs (it is exactly
+    the union of their (fp, id) projections), so on restart-after-crash
+    rebuild it from the landed datasets (or re-append the last batch's
+    fingerprints -- the probe is a semi/anti join, so duplicate store
+    rows only cost space until the next compaction, never correctness).
     """
     from pyspark.errors import AnalysisException
 
-    fresh = new_docs.withColumn("fp", fingerprint(text_col))
+    fresh = new_docs.withColumn(
+        "fp",
+        F.coalesce(
+            fingerprint(text_col), F.lit("__null_text_sentinel__")
+        ),
+    )
     keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
     batch_unique = fresh.join(keep, ["fp", id_col], "left_semi")
     try:
@@ -558,8 +580,11 @@ def minhash_lsh_pairs(
     docs = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).filter(F.length("text") > 0)
+    # NB: shingle the RENAMED "text" column -- docs no longer carries
+    # the caller's text_col name (non-default callers would otherwise
+    # hit an unresolved-column AnalysisException)
     shingled = docs.select(
-        "id", word_shingles(text_col, shingle_n).alias("toks")
+        "id", word_shingles("text", shingle_n).alias("toks")
     )
     if max_doc_freq is not None:
         exploded = shingled.select(

@@ -5,8 +5,11 @@ The Spark-side plumbing -- schema, partitioning, Arrow batch shape,
 `mapInPandas` UDF signature -- is real and tested. Decode status:
 `decode_audio` is REAL for WAV (stdlib ``wave``, zero external deps);
 `decode_image` is real when PIL is importable (import-guarded,
-NotImplementedError otherwise); `sample_frames` stays a stub (no
-ffmpeg anywhere reachable). `decode_binary_metadata` is the
+NotImplementedError otherwise); `sample_frames` is real for MP4/MOV
+(pure-Python ISO-BMFF box walker: parses the `stts` table for frame
+timestamps and samples frame indices at a target rate -- no ffmpeg
+needed; only the pixel DECODE of sampled frames would need a codec).
+`decode_binary_metadata` is the
 deterministic byte-level "decode" (length, first byte, md5) that
 exercises the identical execution path with zero codec dependencies.
 

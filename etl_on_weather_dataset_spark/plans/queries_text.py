@@ -148,18 +148,25 @@ register(QuerySpec(
 #
 # The minhash internals (xxhash64 signatures, banding) have no SQL
 # twin, so the driver row attests the tier's CONTRACT against the
-# exact n-gram-Jaccard tier (which IS oracle-computable). With the
-# hash family fixed the whole pipeline is deterministic, making the
-# flags hashable facts of this corpus:
+# exact n-gram-Jaccard tier (which IS oracle-computable). The driver
+# row attests only guarantees that are DETERMINISTIC BY CONSTRUCTION
+# -- true for any corpus the driver regenerates, not just the one we
+# tuned on:
 #   - precision: every reported pair really has shingle-Jaccard >= 0.2
-#     (n_false_pairs = 0). Deterministically TRUE by construction --
-#     the operator rescores candidates with exact Jaccard.
-#   - recall: every exact pair with shingle-Jaccard >= 0.2 appears in
-#     the banded candidate set (n_missed_true_pairs = 0). Probabilistic
-#     in general (collision prob 1-(1-j)^4 per pair), but deterministic
-#     for a fixed corpus + hash family; verified 0 at sf0.001/0.01/0.1.
-# The same anchoring lives as a pytest property test
-# (tests/test_operators.py TestMinhashVsExactJaccard).
+#     (n_false_pairs = 0). The operator rescores candidates with the
+#     EXACT Jaccard, so a reported pair at distance <= 0.8 is a true
+#     near-dup, always.
+#   - recall floor on exact duplicates: identical text => identical
+#     shingle set => identical minhash in EVERY table => the pair is a
+#     banded candidate, always. Injected dups (even doc_ids re-appear
+#     under id+1M, as in dedup_exact_text) must all be reported
+#     (n_missed_injected_pairs = 0).
+# FULL recall vs the exact tier (every Jaccard>=0.2 pair caught by the
+# banding) is probabilistic per pair (1-(1-j)^4) -- it happens to be
+# total on the current synthetic corpora, but a regenerated borderline
+# pair could legitimately miss, so that check lives in pytest against
+# the PINNED corpus (tests/test_operators.py TestMinhashVsExactJaccard),
+# not in the driver row.
 
 _MH_T = 0.2          # shingle-Jaccard near-dup bar (= dedup_ngram_jaccard)
 
@@ -177,19 +184,35 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, "text", "doc_id",
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dups)
+    exact = ngram_jaccard_pairs(corpus, "text", "doc_id",
                                 n=3, threshold=_MH_T)
-    mh = _minhash_pairs(spark, sf_dir)
-    missed = exact.join(mh, ["id_a", "id_b"], "left_anti")
+    mh = minhash_lsh_pairs(corpus, "text", "doc_id",
+                           max_distance=1.0 - _MH_T)
+    injected = docs.filter(
+        (F.col("doc_id") % 2 == 0) & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
     false_pairs = mh.join(exact, ["id_a", "id_b"], "left_anti")
+    missed_inj = injected.join(mh, ["id_a", "id_b"], "left_anti")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
         .crossJoin(
-            missed.agg(F.count(F.lit(1)).alias("n_missed_true_pairs"))
+            injected.agg(F.count(F.lit(1)).alias("n_injected_pairs"))
         )
         .crossJoin(
             false_pairs.agg(F.count(F.lit(1)).alias("n_false_pairs"))
+        )
+        .crossJoin(
+            missed_inj.agg(
+                F.count(F.lit(1)).alias("n_missed_injected_pairs")
+            )
         )
     )
 
@@ -198,13 +221,22 @@ register(QuerySpec(
     name="dedup_minhash_lsh",
     spark_fn=_minhash_guarantees,
     oracle=f"""
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
-               CAST(0 AS BIGINT) AS n_missed_true_pairs,
-               CAST(0 AS BIGINT) AS n_false_pairs
-        FROM (
-            {ngram_jaccard_pairs_sql('documents', 'text', 'doc_id',
-                                     3, _MH_T)}
-        )
+        SELECT (
+            SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                {ngram_jaccard_pairs_sql(
+                    '(SELECT doc_id, text FROM documents '
+                    'UNION ALL '
+                    'SELECT doc_id + 1000000 AS doc_id, text '
+                    'FROM documents WHERE doc_id % 2 = 0)',
+                    'text', 'doc_id', 3, _MH_T)}
+            )
+        ) AS n_true_pairs,
+        (
+            SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id % 2 = 0 AND length(text) > 0
+        ) AS n_injected_pairs,
+        CAST(0 AS BIGINT) AS n_false_pairs,
+        CAST(0 AS BIGINT) AS n_missed_injected_pairs
     """,
     covers=("dedup-minhash-lsh",),
     bench=True,

@@ -556,8 +556,39 @@ class TestMinhashVsExactJaccard:
         # and the rescored similarity IS the exact Jaccard
         for p, sim in approx.items():
             assert abs(sim - exact[p]) < 1e-9, (p, sim, exact[p])
-        # recall: total on this corpus (banding found every true pair)
+        # recall: total on this corpus (banding found every true pair).
+        # This FULL-recall equality is a property of the pinned corpus
+        # + fixed hash family and deliberately lives here, not in the
+        # driver oracle (which attests only corpus-independent
+        # guarantees: precision + exact-dup recall floor).
         assert set(approx) == set(exact)
+
+    def test_minhash_non_default_text_col(self, spark):
+        """Regression: the operator renames text_col to 'text'
+        internally; shingling must reference the renamed column or any
+        non-default text_col raises an unresolved-column error."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+            "id long, body string",
+        )
+        try:
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(
+                    docs, text_col="body", id_col="id",
+                    max_distance=0.5,
+                ).collect()
+            }
+            assert got == {(1, 2)}
+        finally:
+            release_all()
 
 
 class TestImageDecode:
@@ -748,6 +779,32 @@ class TestIncrementalDedup:
             assert got3.count() == 0
         finally:
             release_all()
+
+    def test_null_text_docs_survive_via_sentinel(self, spark, tmp_path):
+        """Null text gets a sentinel fingerprint: one null-text doc
+        survives per corpus lifetime (min id), the rest dedup against
+        it -- none silently vanish (the null-join-key trap)."""
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+
+        store = str(tmp_path / "fp_store")
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (2, None), (3, None)],
+            "doc_id long, text string",
+        )
+        got1 = incremental_exact_dedup(
+            spark, b1, store, str(tmp_path / "out1")
+        )
+        assert {r["doc_id"] for r in got1.collect()} == {1, 2}
+        b2 = spark.createDataFrame(
+            [(10, None), (11, "beta")], "doc_id long, text string"
+        )
+        got2 = incremental_exact_dedup(
+            spark, b2, store, str(tmp_path / "out2")
+        )
+        # the store already holds the sentinel fp (doc 2): 10 drops
+        assert {r["doc_id"] for r in got2.collect()} == {11}
 
 
 class TestCorpusOps:
