@@ -407,6 +407,7 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: connected
     components by iterative min-label propagation.
@@ -426,9 +427,20 @@ def dedup_components(
     Scale per round: one equi-join edges->labels + one min-aggregate,
     both shuffling on node id -- no component ever needs to fit in one
     task, unlike collect-based union-find. Labels persist per round
-    (previous round unpersisted) so the lineage does not grow with
-    iterations. The driver-side loop is coordination only: it looks at
-    ONE count per round (did any label change).
+    (released once a later round is materialized past them) so the
+    lineage does not grow with iterations.
+
+    Driver-side coordination is ONE scalar count per ``check_every``
+    rounds (not per round): labels are monotone non-increasing, so "the
+    newest round changed nothing vs the round before it" IS the
+    fixpoint test, and rounds between checks simply ride along inside
+    the next check's job (persist is lazy -- the check action
+    materializes every intermediate round it computes through). The
+    trade: up to ``check_every - 1`` extra propagation rounds after
+    convergence, against ~1/check_every as many scheduled jobs -- on
+    shallow near-dup graphs the job scheduling IS the dominant cost
+    (measured on curation_pipeline_stats: small-job overhead, not
+    data).
 
     Raises RuntimeError if labels have not converged after
     ``max_iter`` rounds: a silently-returned partial labeling would
@@ -437,6 +449,8 @@ def dedup_components(
     """
     from .caching import persisted, untrack
 
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     # persist the pair set BEFORE the symmetrize union: both union
     # branches scan it during the edges fill, and the upstream pair
     # plan is typically an expensive join (inverted-index or banded) --
@@ -454,7 +468,8 @@ def dedup_components(
         .withColumn("label", F.col("id"))
     )
     changed = -1
-    for _ in range(max_iter):
+    behind: list[DataFrame] = []  # rounds before the last checked one
+    for i in range(1, max_iter + 1):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
@@ -470,17 +485,21 @@ def dedup_components(
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        untrack(labels)
-        labels = new_labels
-        if changed == 0:
-            break
+        prev, labels = labels, new_labels
+        behind.append(prev)
+        if i % check_every == 0 or i == max_iter:
+            changed = (
+                labels.alias("n")
+                .join(prev.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            for df in behind:
+                df.unpersist()
+                untrack(df)
+            behind = []
+            if changed == 0:
+                break
     edges.unpersist()
     untrack(edges)
     if changed != 0:

@@ -248,6 +248,311 @@ def lsh_topk(
     )
 
 
+def _multi_table_planes(
+    dim: int, n_tables: int, n_planes: int, seed: int
+) -> list[list[list[float]]]:
+    """One independent plane family per LSH table (seed + 1000*t --
+    the same family layout embedding_near_dup_pairs uses, so
+    ``n_tables=1`` reproduces the single-table lsh_topk buckets
+    exactly)."""
+    return [
+        lsh_hyperplanes(dim, n_planes, seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+
+
+def _bucket_from_planes(vec: Column, planes: Column) -> Column:
+    """Sign-bit bucket of ``vec`` against a DATA-side array of planes
+    (array<array<double>>). Same math and same float-op order as
+    ``lsh_bucket`` (zip_with product + sequential fold per plane, bit
+    b set iff dot > 0), but the planes live in a broadcast ROW, not in
+    the expression tree: lsh_bucket inlines n_planes x dim literal
+    nodes per call, and Catalyst analysis + Janino compile of those
+    trees measurably dominates multi-table queries (~0.75 s per table
+    instance at 8 planes x 64 dims -- on 500 rows). Here the
+    expression is a fixed-size higher-order fold, so plan cost is
+    constant in n_tables and n_planes."""
+    return F.aggregate(
+        planes,
+        F.struct(
+            F.lit(0).alias("bucket"), F.lit(1).alias("bit")
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["bucket"]
+                + F.when(dot(vec, p) > 0, acc["bit"]).otherwise(F.lit(0))
+            ).alias("bucket"),
+            (acc["bit"] * 2).alias("bit"),
+        ),
+        lambda acc: acc["bucket"],
+    )
+
+
+def _banded_ids(
+    vecs: DataFrame, planes_per_table: list[list[list[float]]]
+) -> DataFrame:
+    """(id, t, bucket) rows: each vector's bucket in every table.
+    Carries IDS ONLY through the band join -- vectors are joined back
+    for the exact rescore afterwards (the minhash_lsh_pairs shape), so
+    the widest shuffle ships (id, t, bucket), never the embeddings.
+
+    The plane tables ride in as ONE broadcast row (see
+    _bucket_from_planes); the per-table loop is a higher-order
+    transform over that row, so the plan stays small at any T."""
+    spark = vecs.sparkSession
+    planes_df = spark.createDataFrame(
+        [(planes_per_table,)], "tables array<array<array<double>>>"
+    )
+    tb = F.transform(
+        F.col("tables"),
+        lambda tbl, ti: F.struct(
+            ti.cast("int").alias("t"),
+            _bucket_from_planes(F.col("v"), tbl).alias("bucket"),
+        ),
+    )
+    return (
+        vecs.crossJoin(F.broadcast(planes_df))
+        .select("id", F.explode(tb).alias("tb"))
+        .select("id", "tb.t", "tb.bucket")
+    )
+
+
+def lsh_multi_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    broadcast_queries: bool = False,
+) -> DataFrame:
+    """Distinct (query_id, neighbor_id) ANN candidates: a pair is a
+    candidate iff it shares a bucket in ANY of ``n_tables`` independent
+    hyperplane tables (OR-amplification). Exposed separately so the
+    recall/cost evaluation can count the scored-candidate set -- the
+    cost axis of the recall/cost curve -- with exactly the operator's
+    candidate generation.
+
+    ``broadcast_queries``: the ANN serving shape is a BOUNDED query
+    batch against a huge corpus -- broadcasting the banded query side
+    turns the candidate join into a map-side hash probe, so the
+    corpus-side banding never shuffles at all (at 100 TB that shuffle
+    is the whole cost). Leave False for self-join ANN, where the query
+    side is the corpus itself.
+    """
+    planes_per_table = _multi_table_planes(dim, n_tables, n_planes, seed)
+    qv = queries.select(
+        F.col(query_id).alias("id"), _as_double(vec_col).alias("v")
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("id"), _as_double(vec_col).alias("v")
+    )
+    bq = _banded_ids(qv, planes_per_table).withColumnRenamed(
+        "id", "query_id"
+    )
+    if broadcast_queries:
+        bq = F.broadcast(bq)
+    bc = _banded_ids(cv, planes_per_table).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    return (
+        bq.join(bc, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        # a pair colliding in several tables is one candidate
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def lsh_topk_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    broadcast_queries: bool = False,
+) -> DataFrame:
+    """OR-amplified multi-table ANN top-k (the recall fix for
+    single-table lsh_topk).
+
+    Single-table LSH top-k holds recall hostage to one partition of
+    the space: a true neighbor on the far side of any one hyperplane
+    is invisible. Multi-table OR-amplification re-rolls the partition
+    ``n_tables`` times -- a neighbor is a candidate if it shares the
+    query's bucket in ANY table -- multiplying recall (~1-(1-p)^T for
+    per-table collision prob p) for a LINEAR T-times candidate cost,
+    the standard LSH recall/cost dial (tune T up for recall, planes up
+    for cost).
+
+    Plan shape at 100 TB: banding ships (id, t, bucket) rows only --
+    constant width regardless of embedding dim; the band join is an
+    equi-join on (t, bucket) (AQE splits hot buckets); only the
+    DISTINCT candidate pairs join back to the vectors (persisted,
+    scanned by banding + rescore) for the exact cosine; top-k is a
+    per-query window. Candidates scale ~ |Q| * T * N/2^planes.
+    ``broadcast_queries=True`` is the serving shape (bounded query
+    batch vs huge corpus): the banded query side and the query-vector
+    rescore side are broadcast, so the corpus never shuffles before
+    the candidate cut -- see lsh_multi_candidates.
+
+    Determinism: seeded plane literals shared verbatim with the SQL
+    twin; similarities rounded before ranking; ties broken by
+    neighbor id. ``n_tables=1`` reproduces lsh_topk exactly.
+    """
+    from .caching import persisted
+
+    qv = persisted(
+        queries.select(
+            F.col(query_id).alias("id"), _as_double(vec_col).alias("v")
+        ).withColumn("n", norm(F.col("v")))
+    )
+    cv = persisted(
+        corpus.select(
+            F.col(corpus_id).alias("id"), _as_double(vec_col).alias("v")
+        ).withColumn("n", norm(F.col("v")))
+    )
+    cand = lsh_multi_candidates(
+        qv, cv, "id", "id", "v", n_tables, n_planes, dim, seed,
+        broadcast_queries=broadcast_queries,
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        SIM_DECIMALS,
+    )
+    q_side = qv.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    if broadcast_queries:
+        q_side = F.broadcast(q_side)
+    scored = (
+        cand.join(
+            q_side,
+            "query_id",
+        )
+        .join(
+            cv.select(
+                F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+                F.col("n").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def _banded_cte_sql(
+    src: str, planes_per_table: list[list[list[float]]]
+) -> str:
+    """UNION ALL of per-table bucket assignments over a vecs CTE."""
+    def plane_sql(planes: list[list[float]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return "\n            UNION ALL\n            ".join(
+        f"SELECT id, {t} AS t, ({plane_sql(planes)}) AS bucket "
+        f"FROM {src}"
+        for t, planes in enumerate(planes_per_table)
+    )
+
+
+def lsh_topk_multi_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "TRUE",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of lsh_topk_multi: SAME plane literals, SAME
+    distinct-candidate generation, SAME exact rescore + tie-break."""
+    planes_per_table = _multi_table_planes(dim, n_tables, n_planes, seed)
+    return f"""
+        WITH vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(
+                       CAST({vec_col} AS DOUBLE[]),
+                       CAST({vec_col} AS DOUBLE[]))) AS n
+            FROM {table}
+        ), qvecs AS (
+            SELECT * FROM vecs WHERE {query_filter}
+        ), banded_q AS (
+            {_banded_cte_sql('qvecs', planes_per_table)}
+        ), banded_c AS (
+            {_banded_cte_sql('vecs', planes_per_table)}
+        ), cand AS (
+            SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+            FROM banded_q q JOIN banded_c c USING (t, bucket)
+            WHERE q.id != c.id
+        ), scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROUND(list_dot_product(qv.v, cv.v) / (qv.n * cv.n),
+                         {SIM_DECIMALS}) AS sim
+            FROM cand
+            JOIN vecs qv ON qv.id = cand.query_id
+            JOIN vecs cv ON cv.id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k}
+    """
+
+
+def lsh_multi_candidates_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "TRUE",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of lsh_multi_candidates (the recall/cost eval's
+    cost axis)."""
+    planes_per_table = _multi_table_planes(dim, n_tables, n_planes, seed)
+    return f"""
+        WITH vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), qvecs AS (
+            SELECT * FROM vecs WHERE {query_filter}
+        ), banded_q AS (
+            {_banded_cte_sql('qvecs', planes_per_table)}
+        ), banded_c AS (
+            {_banded_cte_sql('vecs', planes_per_table)}
+        )
+        SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+        FROM banded_q q JOIN banded_c c USING (t, bucket)
+        WHERE q.id != c.id
+    """
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -705,6 +705,7 @@ register(QuerySpec(
     spark_fn=_decontamination,
     oracle=_decontamination_oracle,
     covers=("decontamination", "benchmark-overlap"),
+    bench=True,
     extended=True,
 ))
 
@@ -754,6 +755,7 @@ register(QuerySpec(
     spark_fn=_packed_bins,
     oracle=_packed_bins_oracle,
     covers=("sequence-packing", "training-bins"),
+    bench=True,
     extended=True,
 ))
 
@@ -778,6 +780,7 @@ register(QuerySpec(
     spark_fn=_logprob,
     oracle=_logprob_oracle,
     covers=("lm-quality-score", "unigram-logprob"),
+    bench=True,
     extended=True,
 ))
 

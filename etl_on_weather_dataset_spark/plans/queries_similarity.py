@@ -167,6 +167,205 @@ register(QuerySpec(
 ))
 
 
+# --- multi-table OR-amplified ANN top-k (the recall fix) ---------------------
+#
+# Single-table lsh_topk honestly measures recall@5 = 0.019 on this
+# worst-case i.i.d. corpus (one 8-plane partition of the space).
+# lsh_topk_multi re-rolls the partition T times and takes candidates
+# from ANY table's bucket -- the OR-amplification embedding_near_dup
+# already uses, now as a *top-k* surface. ann_recall_multi_table
+# hash-checks the whole recall/cost curve (T=1/4/8 at 8 planes):
+# recall ~ 1-(1-p)^T for linear-in-T candidate cost (the
+# n_scored_pairs column), measured and oracle-pinned on this corpus.
+
+_MT_TABLES = 4
+
+
+def _multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_topk_multi(queries, emb, k=_K, n_tables=_MT_TABLES,
+                          broadcast_queries=True)
+
+
+def _multi_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bench the recall-relevant shape: the 200-query eval set
+    from ..operators.similarity import lsh_topk_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    return lsh_topk_multi(queries, emb, k=_K, n_tables=_MT_TABLES,
+                          broadcast_queries=True)
+
+
+def _multi_topk_oracle() -> str:
+    from ..operators.similarity import lsh_topk_multi_sql
+
+    return lsh_topk_multi_sql(
+        k=_K, query_filter=f"id < {_N_QUERIES}", n_tables=_MT_TABLES
+    )
+
+
+register(QuerySpec(
+    name="cosine_topk_lsh_multi",
+    spark_fn=_multi_topk,
+    oracle=_multi_topk_oracle,
+    covers=("similarity-lsh-multi", "ann-or-amplified"),
+    bench=True,
+    bench_fn=_multi_topk_bench,
+    extended=True,  # rotated into the round-4 driver window
+))
+
+
+def _ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost curve for T=1/4/8 tables at 8 planes.
+
+    The T-table plane families are nested by construction
+    (_multi_table_planes: family t is seeded seed + 1000*t, so config
+    T uses exactly tables t < T of the T=8 set). The eval exploits
+    that: band the corpus ONCE with all 8 tables, persist, and each
+    config just filters t < T -- identical candidates to calling
+    lsh_topk_multi(n_tables=T). The equivalence is enforced by the
+    oracle: each ann{T} CTE is lsh_topk_multi_sql(n_tables=T), so any
+    drift between this sliced plan and the operator's own semantics
+    hash-mismatches the driver row.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.caching import persisted
+    from ..operators.similarity import (
+        SIM_DECIMALS,
+        _as_double,
+        _banded_ids,
+        _multi_table_planes,
+        dot,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    vecs = persisted(
+        emb.select(
+            F.col("vec_id").alias("id"), _as_double("embedding").alias("v")
+        ).withColumn("n", norm(F.col("v")))
+    )
+    banded = persisted(
+        _banded_ids(vecs, _multi_table_planes(64, 8, 8, 42))
+    )
+    # exact ground truth, reused by every config row
+    exact = persisted(
+        cosine_topk(queries, emb, k=_K).select("query_id", "neighbor_id")
+    )
+    q_side = F.broadcast(
+        vecs.filter(F.col("id") < _RECALL_QUERIES).select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+        )
+    )
+    c_side = vecs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        SIM_DECIMALS,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    out: DataFrame | None = None
+    for n_tables in (1, 4, 8):
+        bq = F.broadcast(
+            banded.filter(
+                (F.col("t") < n_tables)
+                & (F.col("id") < _RECALL_QUERIES)
+            ).withColumnRenamed("id", "query_id")
+        )
+        bc = banded.filter(F.col("t") < n_tables).withColumnRenamed(
+            "id", "neighbor_id"
+        )
+        cand = persisted(
+            bq.join(bc, ["t", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        ann = (
+            cand.join(q_side, "query_id")
+            .join(c_side, "neighbor_id")
+            .select("query_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .crossJoin(
+                cand.agg(F.count(F.lit(1)).alias("n_scored_pairs"))
+            )
+            .select(
+                F.lit(n_tables).alias("n_tables"),
+                "n_exact",
+                "n_hits",
+                "n_scored_pairs",
+                F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _ann_recall_multi_oracle() -> str:
+    from ..operators.similarity import (
+        lsh_multi_candidates_sql,
+        lsh_topk_multi_sql,
+    )
+
+    qf = f"id < {_RECALL_QUERIES}"
+    exact = cosine_topk_sql(k=_K, query_filter=qf)
+    ctes = [f"exact AS ({exact})"]
+    rows = []
+    for t in (1, 4, 8):
+        ctes.append(
+            f"ann{t} AS ({lsh_topk_multi_sql(k=_K, query_filter=qf, n_tables=t)})"
+        )
+        ctes.append(
+            f"cand{t} AS ({lsh_multi_candidates_sql(query_filter=qf, n_tables=t)})"
+        )
+        hits = (
+            f"SELECT COUNT(*) FROM exact e JOIN ann{t} a "
+            f"ON e.query_id = a.query_id "
+            f"AND e.neighbor_id = a.neighbor_id"
+        )
+        rows.append(f"""
+            SELECT {t} AS n_tables,
+                   (SELECT COUNT(*) FROM exact) AS n_exact,
+                   ({hits}) AS n_hits,
+                   (SELECT COUNT(*) FROM cand{t}) AS n_scored_pairs,
+                   ROUND(({hits}) * 1.0 /
+                         (SELECT COUNT(*) FROM exact), 6) AS recall_at_k
+        """)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(rows) + ")"
+    )
+
+
+register(QuerySpec(
+    name="ann_recall_multi_table",
+    spark_fn=_ann_recall_multi,
+    oracle=_ann_recall_multi_oracle,
+    covers=("ann-recall-cost-curve", "or-amplification"),
+    extended=True,  # rotated into the round-4 driver window
+))
+
+
 # --- embedding-cosine near-dup pairs (dedup by embedding similarity) --------
 
 _NEAR_DUP_SIM = 0.35  # p99.9 of the word-soup cosine distribution

@@ -244,6 +244,98 @@ register(QuerySpec(
 ))
 
 
+# --- incremental exact dedup (cross-batch fingerprint store) ------------------
+#
+# The operator lands batches and appends fingerprints as side effects
+# (operators/dedup.py incremental_exact_dedup), so the driver-facing
+# contract is a SCENARIO: two deterministic batches derived from
+# `documents` -- batch 1 = doc_id % 3 != 0; batch 2 = the rest plus
+# every even-id doc re-appearing under id+1M (cross-batch content
+# dups) -- run through a per-invocation temp store. The returned table
+# is the audit summary (inputs, landed survivors, store growth); the
+# DuckDB twin recomputes it from the same batch split with the same
+# fingerprint + null sentinel. The driver-side .count() calls here are
+# scenario coordination (O(1) scalars over already-landed parquet),
+# not a data path -- the landed datasets themselves stay distributed.
+
+def _incremental_dedup_scenario(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0).unionAll(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_incr_dedup_")
+    try:
+        store = f"{tmp}/fp_store"
+        landed1 = incremental_exact_dedup(
+            spark, b1, store, f"{tmp}/out1"
+        )
+        n1_in, n1_out = b1.count(), landed1.count()
+        landed2 = incremental_exact_dedup(
+            spark, b2, store, f"{tmp}/out2"
+        )
+        n2_in, n2_out = b2.count(), landed2.count()
+        n_store = spark.read.parquet(store).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("batch1", n1_in, n1_out, n1_out),
+            ("batch2", n2_in, n2_out, n_store),
+        ],
+        "batch string, n_input long, n_landed long, n_store_after long",
+    )
+
+
+register(QuerySpec(
+    name="dedup_incremental_exact",
+    spark_fn=_incremental_dedup_scenario,
+    oracle=f"""
+        WITH b1 AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+        ), b2 AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id % 2 = 0
+        ), f1 AS (
+            SELECT COALESCE({T.fingerprint_sql('text')},
+                            '__null_text_sentinel__') AS fp
+            FROM b1
+        ), f2 AS (
+            SELECT COALESCE({T.fingerprint_sql('text')},
+                            '__null_text_sentinel__') AS fp
+            FROM b2
+        ), l1 AS (
+            SELECT DISTINCT fp FROM f1
+        ), l2 AS (
+            SELECT DISTINCT fp FROM f2
+            WHERE fp NOT IN (SELECT fp FROM l1)
+        )
+        SELECT 'batch1' AS batch,
+               (SELECT COUNT(*) FROM b1) AS n_input,
+               (SELECT COUNT(*) FROM l1) AS n_landed,
+               (SELECT COUNT(*) FROM l1) AS n_store_after
+        UNION ALL
+        SELECT 'batch2',
+               (SELECT COUNT(*) FROM b2),
+               (SELECT COUNT(*) FROM l2),
+               (SELECT COUNT(*) FROM l1) + (SELECT COUNT(*) FROM l2)
+    """,
+    covers=("dedup-incremental", "fingerprint-store"),
+    extended=True,  # rotated into the round-4 driver window
+))
+
+
 # --- text statistics / quality scoring ----------------------------------------
 
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

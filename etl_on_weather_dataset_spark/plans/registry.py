@@ -63,42 +63,41 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# --- round-3 rotation of the driver CORRECTNESS window -----------------------
+# --- round-4 rotation of the driver CORRECTNESS window -----------------------
 #
-# The driver attests at most DRIVER_CAP queries per round; the registry
-# holds 79. Round-robin policy (round-2 verdict, "Next round" #1): every
-# query must earn a green driver row in SOME round. Rounds 1-2 attested
-# the 50 default-visible entries, so round 3 swaps the 29 never-attested
-# ``extended`` queries INTO the window and parks 29 twice-attested
-# (green in BOTH CORRECTNESS_r01 and r02) entries in the pytest-only
-# parity suite, which still oracle-checks them every run. The 21 slots
-# that never rotate are the flagships and one query per operator family
-# (TPC-H headliners, the four dedup tiers, ANN, text, multimodal,
-# sessionization, MERGE, as-of) -- the queries a user runs hourly.
-#
-# ROUND 4 TODO: rotate in the queries ADDED in round 3 (never
-# driver-attested: benchmark_decontamination, packed_bins,
-# doc_repetition_stats, doc_logprob_score, ann_recall_at_k) by
-# swapping out five r3-attested ROTATE_IN names.
+# The driver attests at most DRIVER_CAP queries per round. Round-robin
+# policy (round-2 verdict, "Next round" #1): every query must earn a
+# green driver row in SOME round. History:
+#   - rounds 1-2 attested the 50 default-visible entries;
+#   - round 3 swapped in the 29 then-never-attested ``extended``
+#     queries (green in CORRECTNESS_r03), parking 29 twice-attested
+#     entries in the pytest parity suite (which still oracle-checks
+#     every registered query on every run);
+#   - round 4 (now) completes the cycle: the 5 queries ADDED in round
+#     3 rotate in for their first attestation, the 3 queries added
+#     THIS round join them, and curation_pipeline_stats +
+#     dedup_connected_groups stay in to re-attest their round-4
+#     implementation changes (fused audit-trail aggregates; batched
+#     convergence checks). Everything else previously ROTATE_IN parks.
+# After r4, every registry query has >= 1 green driver row. The 21
+# slots that never rotate are the flagships and one query per operator
+# family (TPC-H headliners, the four dedup tiers, ANN, text,
+# multimodal, sessionization, MERGE, as-of) -- the queries a user runs
+# hourly. The window is deliberately below DRIVER_CAP this round
+# (pinned + 10): breadth is already attested; a lean window keeps the
+# driver run fast and every row meaningful.
 ROTATE_IN: frozenset[str] = frozenset({
-    # training-data pipeline tier (plans/queries_pipeline.py)
-    "hash_split_counts", "stratified_sample_counts", "time_bucket_rollup",
-    "hopping_window_rollup", "session_window_rollup", "quality_filter_stats",
-    "gap_filled_hourly", "streaming_interval_join", "curation_pipeline_stats",
-    "pii_redaction", "approx_percentile_bound", "bloom_filter_membership",
-    "tfidf_top_terms", "dedup_connected_groups",
-    # ANN variants (plans/queries_similarity.py)
-    "cosine_topk_pandas_udf", "cosine_topk_ivf",
-    # scalar/window breadth + SCD2 (plans/queries_extra.py)
-    "conditional_aggregation", "array_functions", "value_moments",
-    "scd2_user_history", "chunk_documents_udtf", "json_map_explode",
-    "string_functions", "window_function_breadth", "date_scalar_functions",
-    "math_functions",
-    # reference-surface variants (plans/queries_reference.py)
-    "monthly_mode_event_type", "date_part_histogram",
-    "event_time_tumbling_window",
+    # added in round 3, first driver attestation (r2 verdict item #1)
+    "benchmark_decontamination", "packed_bins", "doc_repetition_stats",
+    "doc_logprob_score", "ann_recall_at_k",
+    # added in round 4, first driver attestation
+    "cosine_topk_lsh_multi", "ann_recall_multi_table",
+    "dedup_incremental_exact",
+    # re-attest after round-4 implementation changes
+    "curation_pipeline_stats", "dedup_connected_groups",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
+    # parked after green rows in r1+r2
     "forecast_revenue_change", "order_priority_semi_join",
     "customers_without_orders", "rollup_returnflag_status",
     "pivot_orders_status", "shipping_priority_counts",
@@ -111,6 +110,19 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "distinct_users_per_type", "approx_distinct_users",
     "cube_status_priority", "normalize_per_user", "value_percentiles",
     "salted_skew_rollup",
+    # parked after green rows in r3
+    "hash_split_counts", "stratified_sample_counts", "time_bucket_rollup",
+    "hopping_window_rollup", "session_window_rollup", "quality_filter_stats",
+    "gap_filled_hourly", "streaming_interval_join",
+    "pii_redaction", "approx_percentile_bound", "bloom_filter_membership",
+    "tfidf_top_terms",
+    "cosine_topk_pandas_udf", "cosine_topk_ivf",
+    "conditional_aggregation", "array_functions", "value_moments",
+    "scd2_user_history", "chunk_documents_udtf", "json_map_explode",
+    "string_functions", "window_function_breadth", "date_scalar_functions",
+    "math_functions",
+    "monthly_mode_event_type", "date_part_histogram",
+    "event_time_tumbling_window",
 })
 
 

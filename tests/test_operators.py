@@ -591,6 +591,84 @@ class TestMinhashVsExactJaccard:
             release_all()
 
 
+class TestMultiTableANN:
+    SF = "/root/testdata/sf0.001"
+
+    def test_single_table_config_reproduces_lsh_topk(self, spark):
+        """lsh_topk_multi(n_tables=1) must equal the single-table
+        lsh_topk exactly (same seed -> same plane family -> same
+        buckets -> same candidates -> same rescore/tie-break)."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            lsh_topk,
+            lsh_topk_multi,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        emb = load_table(spark, self.SF, "embeddings")
+        try:
+            single = {
+                tuple(r)
+                for r in lsh_topk(emb, k=5).collect()
+            }
+            multi = {
+                tuple(r)
+                for r in lsh_topk_multi(emb, emb, k=5, n_tables=1).collect()
+            }
+            assert multi == single and len(multi) > 0
+        finally:
+            release_all()
+
+    def test_candidates_grow_monotonically_with_tables(self, spark):
+        """OR-amplification: the plane families are nested (table t is
+        seeded seed+1000t), so every T=1 candidate pair is also a T=4
+        candidate -- recall can only go up with T."""
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            lsh_multi_candidates,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        emb = load_table(spark, self.SF, "embeddings")
+        q = emb.filter(F.col("vec_id") < 50)
+        c1 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_multi_candidates(q, emb, n_tables=1).collect()
+        }
+        c4 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_multi_candidates(q, emb, n_tables=4).collect()
+        }
+        assert c1 < c4  # strictly more candidates from 4 tables
+
+    def test_broadcast_queries_changes_plan_not_rows(self, spark):
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            lsh_topk_multi,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        emb = load_table(spark, self.SF, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+        try:
+            shuffled = {
+                tuple(r)
+                for r in lsh_topk_multi(q, emb, k=5, n_tables=4).collect()
+            }
+            broadcast = {
+                tuple(r)
+                for r in lsh_topk_multi(
+                    q, emb, k=5, n_tables=4, broadcast_queries=True
+                ).collect()
+            }
+            assert broadcast == shuffled and len(broadcast) > 0
+        finally:
+            release_all()
+
+
 class TestImageDecode:
     def test_decode_image_guard_or_real(self, spark):
         """decode_image is import-guarded: with PIL it decodes a real
