@@ -307,33 +307,43 @@ def simhash(
 
     Near-dup detection then groups on the fingerprint (exact) or on
     banded substrings of it (Hamming-tolerant), both plain groupBys.
+
+    Plan-size note: the obvious form -- one aggregate expression per
+    bit, summed into the fingerprint -- builds 64 independent fold
+    trees and costs ~2 s of analysis+codegen per QUERY regardless of
+    data size (measured: sf0.001 and sf0.1 ran in the same wall
+    time). This form folds over a 64-element MASK ARRAY instead
+    (outer fold: bits; inner fold: token hashes), so the expression is
+    two nested higher-order functions of constant size. Per-bit vote
+    arithmetic and order are unchanged -- fingerprints are identical.
     """
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit b vote: sum over tokens of (+1 if bit set else -1) > 0.
-    # Bit extraction via unsigned shift (1 << 63 would overflow a
-    # signed long literal); the fingerprint is assembled by summing
-    # disjoint bit values, which equals bitwise OR.
-    def _vote_fn(b: int):
-        # closure factory: a default arg would change the lambda's
-        # arity and break F.aggregate's higher-order-function binding
-        def _merge(acc, h):
-            bit = F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, 1).otherwise(-1)
-
-        return _merge
-
-    bit_cols = []
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), _vote_fn(b))
-        bit_cols.append(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
+    # bit value per position, as longs; the last is 1<<63 = Long.MIN
+    # (the sign-bit pattern). Summing DISJOINT bit values equals
+    # bitwise OR, and adding Long.MIN to a non-negative partial sum
+    # stays in range, so ANSI mode never sees an overflow.
+    masks = F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        for b in range(bits)
+    ])
+    # vote for mask m: sum over token hashes of +-1 on (h & m) != 0;
+    # bit set in the fingerprint iff the vote is positive
+    fp = F.aggregate(
+        masks,
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda a, h: a
+                + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
             )
-        )
-    fp = bit_cols[0]
-    for c in bit_cols[1:]:
-        fp = fp + c
+            > 0,
+            m,
+        ).otherwise(F.lit(0).cast("long")),
+    )
     return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
 
 
@@ -558,6 +568,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     shingle_n: int = 3,
     max_doc_freq: float | None = None,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding, entirely in codegen
     (the 100 TB scale path).
@@ -587,6 +598,20 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs (shingles in > max_doc_freq * n_docs documents
     are removed from every shingle set before hashing): the hot-key
     guard for the banded bucket join at corpus scale.
+
+    ``rows_per_band`` (r) is the background-suppression dial -- the
+    AND half of classic banded LSH. Each of the ``num_hash_tables``
+    bands keys on r minhashes jointly (P(candidate | Jaccard j) =
+    1 - (1 - j^r)^bands), so raising r crushes the low-similarity
+    background QUADRATIC: at r=1 a random pair with background
+    j ~ 0.01 is a candidate w.p. ~4 j = 4%, which is n^2/25 pairs on
+    any corpus whose docs share a small vocabulary; at r=2 that drops
+    to ~4 j^2 = 0.04%. True near-dups barely feel it (j >= 0.8 ->
+    P >= 0.98 at r=2, b=4). The default stays r=1 (maximum recall;
+    the attested contract) -- switch to r=2+ when the candidate count,
+    not the signature scan, is the bill (the 10x scale smoke in
+    SCALE.md measures exactly this crossover). Identical exact-dup
+    recall floor at any r: identical docs have identical signatures.
 
     Scale: one scan computes signatures; the band join shuffles
     (table_id, minhash) keys only -- constant width per doc regardless
@@ -639,11 +664,26 @@ def minhash_lsh_pairs(
             )
         )
 
+    n_hashes = num_hash_tables * rows_per_band
+    if rows_per_band == 1:
+        band_keys = F.array(*[_minhash(t) for t in range(n_hashes)])
+    else:
+        # band b keys on its r minhashes JOINTLY: one 64-bit xxhash64
+        # over the r-signature slice (deterministic fn of the slice)
+        sig = F.array(*[_minhash(t) for t in range(n_hashes)])
+        band_keys = F.array(*[
+            F.xxhash64(
+                *[
+                    F.element_at(sig, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+                F.lit(b),
+            )
+            for b in range(num_hash_tables)
+        ])
     bands = sh.select(
         "id",
-        F.posexplode(
-            F.array(*[_minhash(t) for t in range(num_hash_tables)])
-        ).alias("band", "key"),
+        F.posexplode(band_keys).alias("band", "key"),
     )
     cand = (
         bands.alias("a")

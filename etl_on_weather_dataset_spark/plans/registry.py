@@ -20,8 +20,8 @@ the driver truncates at 50. Two defenses:
    reference-parity queries first) so even a smaller window would
    still attest the queries a user runs hourly;
 3. the window ROTATES across rounds (ROTATE_IN/ROTATE_OUT below) so
-   that over rounds 1-3 every registry query has at least one green
-   driver CORRECTNESS row.
+   that every registry query earns at least one green driver
+   CORRECTNESS row (complete as of the round-4 window).
 """
 
 from __future__ import annotations

@@ -563,6 +563,53 @@ class TestMinhashVsExactJaccard:
         # guarantees: precision + exact-dup recall floor).
         assert set(approx) == set(exact)
 
+    def test_rows_per_band_keeps_precision_and_exact_dup_recall(
+        self, spark
+    ):
+        """r=2 banding (AND within band) may drop borderline
+        candidates but NEVER false pairs (exact rescore) and NEVER
+        exact duplicates (identical text -> identical signature at
+        any r)."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        dups = docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        corpus = docs.unionAll(dups)
+        try:
+            exact = {
+                (r["id_a"], r["id_b"])
+                for r in ngram_jaccard_pairs(
+                    corpus, "text", "doc_id", n=3, threshold=0.2
+                ).collect()
+            }
+            r2 = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(
+                    corpus, "text", "doc_id", max_distance=0.8,
+                    rows_per_band=2,
+                ).collect()
+            }
+            assert r2 <= exact  # precision at any r
+            injected = {
+                (r["doc_id"], r["doc_id"] + 1_000_000)
+                for r in docs.filter(
+                    (F.col("doc_id") % 2 == 0) & (F.length("text") > 0)
+                ).collect()
+            }
+            assert injected <= r2  # exact-dup recall floor at any r
+        finally:
+            release_all()
+
     def test_minhash_non_default_text_col(self, spark):
         """Regression: the operator renames text_col to 'text'
         internally; shingling must reference the renamed column or any
