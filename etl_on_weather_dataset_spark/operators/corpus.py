@@ -366,3 +366,254 @@ def pack_sequences_sql(
                CAST(cum_before % {capacity} AS BIGINT) AS offset_in_bin
         FROM cum
     """
+
+
+# --- boilerplate line removal (CCNet / RefinedWeb-style) ----------------------
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Strip lines that repeat across >= ``min_docs`` distinct
+    documents -- the CCNet/RefinedWeb boilerplate pass (nav bars,
+    cookie banners, license headers repeat verbatim across a site's
+    pages; body text does not).
+
+    Semantics: a line is boilerplate iff its exact text occurs in at
+    least ``min_docs`` distinct documents; every occurrence is removed
+    (including from the doc that "legitimately" wrote it first --
+    matching CCNet, which drops all copies). Surviving lines keep
+    their original relative order. Docs whose every line is removed
+    stay in the output with empty ``clean_text``.
+
+    Plan shape (the 100 TB argument):
+      1. posexplode lines, groupBy the line text with a distinct-doc
+         count -- one shuffle, two-phase partial aggregation.
+      2. The boilerplate set (lines above the threshold) is SMALL by
+         construction -- bounded by corpus_lines / min_docs and in
+         practice by the number of distinct templates -- so it is
+         broadcast and applied as a left_anti join: the corpus is
+         never shuffled to be cleaned.
+      3. Per-doc rebuild sorts each doc's surviving lines by position
+         inside a struct array -- per-row work after a groupBy on the
+         doc id.
+    At petabyte scale you would key step 1 on xxhash64(line) and drop
+    the line text before the shuffle; the attested path groups on the
+    line text itself so the DuckDB twin is exact (no collision
+    caveat). ``hash_keys=True`` in pytest exercises the hashed
+    variant and asserts it agrees.
+
+    Returns (id, n_lines, n_lines_removed, clean_text).
+    """
+    import re as _re
+
+    sep_re = _re.escape(sep)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias(
+            "pos", "line"
+        ),
+    )
+    # At scale, shuffle a fixed-width 64-bit hash instead of the line
+    # text (collision odds ~n_lines^2 / 2^65 -- negligible, documented).
+    line_key = F.xxhash64("line") if hash_keys else F.col("line")
+    common = (
+        lines.groupBy(line_key.alias("lk"))
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lk")
+    )
+    kept = lines.join(
+        F.broadcast(common), line_key == F.col("lk"), "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep_re, -1))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def remove_boilerplate_lines_sql(
+    docs_sql: str,
+    min_docs: int = 2,
+    sep_sql: str = "chr(10)",
+) -> str:
+    """DuckDB twin over a (id, txt) subquery. DuckDB's lambda index is
+    1-based vs posexplode's 0 -- harmless, pos only orders the rebuild
+    and is dropped."""
+    return f"""
+        WITH docs AS ({docs_sql}),
+        lines AS (
+            SELECT id, unnest(list_transform(
+                string_split(txt, {sep_sql}),
+                (x, i) -> struct_pack(pos := i, line := x)),
+                recursive := true)
+            FROM docs
+        ),
+        common AS (
+            SELECT line FROM lines
+            GROUP BY line HAVING COUNT(DISTINCT id) >= {min_docs}
+        ),
+        kept AS (
+            SELECT l.* FROM lines l ANTI JOIN common c USING (line)
+        ),
+        rebuilt AS (
+            SELECT id,
+                   string_agg(line, {sep_sql} ORDER BY pos)
+                       AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY id
+        )
+        SELECT d.id,
+               CAST(len(string_split(d.txt, {sep_sql})) AS BIGINT)
+                   AS n_lines,
+               CAST(len(string_split(d.txt, {sep_sql}))
+                    - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_lines_removed,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM docs d LEFT JOIN rebuilt r USING (id)
+    """
+
+
+# --- DSIR-style importance resampling ----------------------------------------
+
+def importance_logratio(
+    df: DataFrame,
+    target_pred: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Score every doc by how target-like its unigrams are -- the
+    Data Selection via Importance Resampling signal (Xie et al. 2023,
+    public): avg_w log(p_target(w) / p_background(w)) over the doc's
+    tokens, with add-one smoothing on both models so unseen tokens are
+    finite. ``target_pred`` marks the in-domain exemplar docs (e.g.
+    lang == 'en'); the background model is the full corpus.
+    ``selected`` keeps docs at least as target-like as the threshold
+    (default 0 = "more target than background").
+
+    Exactness: per-token log-ratios round to micro-nat longs before
+    the per-doc sum (functions/exact.py pattern), so the parallel sum
+    is partition/retry/engine-invariant and the DuckDB twin matches
+    bit-for-bit.
+
+    Plan: one explode of the corpus; token-level counts for background
+    and target come out of ONE shuffle (conditional sum inside the
+    same aggregate); totals + vocab size ride a one-row broadcast; the
+    score join is token-keyed against a vocabulary-sized table.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_target"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    freqs = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_tg"),
+    )
+    totals = freqs.agg(
+        F.sum("n_bg").cast("double").alias("tot_bg"),
+        F.sum("n_tg").cast("double").alias("tot_tg"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    scored = (
+        toks.join(freqs, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.round(
+                (
+                    F.log(
+                        (F.col("n_tg") + 1)
+                        / (F.col("tot_tg") + F.col("vocab"))
+                    )
+                    - F.log(
+                        (F.col("n_bg") + 1)
+                        / (F.col("tot_bg") + F.col("vocab"))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lr_micro") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_logratio_micro"),
+    )
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        "avg_logratio_micro",
+        (F.col("avg_logratio_micro") >= threshold_micro).alias("selected"),
+    )
+
+
+def importance_logratio_sql(
+    table: str,
+    target_pred_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micro: int = 0,
+) -> str:
+    """DuckDB twin (same smoothing, same micro-nat rounding)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS id, ({target_pred_sql}) AS is_target,
+                   unnest(regexp_split_to_array({text_col}, ' +'))
+                       AS token
+            FROM {table}
+        ), freqs AS (
+            SELECT token,
+                   COUNT(*) AS n_bg,
+                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tg
+            FROM toks GROUP BY token
+        ), totals AS (
+            SELECT CAST(SUM(n_bg) AS DOUBLE) AS tot_bg,
+                   CAST(SUM(n_tg) AS DOUBLE) AS tot_tg,
+                   CAST(COUNT(*) AS DOUBLE) AS vocab
+            FROM freqs
+        ), scored AS (
+            SELECT id,
+                   CAST(ROUND((
+                       ln((n_tg + 1) / (tot_tg + vocab))
+                       - ln((n_bg + 1) / (tot_bg + vocab))
+                   ) * 1000000) AS BIGINT) AS lr_micro
+            FROM toks JOIN freqs USING (token) CROSS JOIN totals
+        ), per_doc AS (
+            SELECT id, COUNT(*) AS n_tokens,
+                   CAST(ROUND(SUM(lr_micro) * 1.0 / COUNT(*)) AS BIGINT)
+                       AS avg_logratio_micro
+            FROM scored GROUP BY id
+        )
+        SELECT id, n_tokens, avg_logratio_micro,
+               avg_logratio_micro >= {threshold_micro} AS selected
+        FROM per_doc
+    """

@@ -114,3 +114,59 @@ def stratified_hash_sample(
             expr.when(cond, branch)
     cutoff = expr.otherwise(cutoff) if expr is not None else cutoff
     return df.filter(hash_bucket(key, salt=salt) < cutoff)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col`` -- domain balancing
+    (the curation step that stops one crawl domain / source from
+    dominating the training mix; cf. the per-domain caps in
+    RefinedWeb/Dolma-class pipelines).
+
+    WHICH rows survive is deterministic and engine-portable: rows are
+    ranked inside each key by (md5-hash-bucket of id, id) -- a seeded
+    uniform draw, not "first cap by arrival order", so the survivors
+    are an unbiased sample of the domain and identical across engines,
+    retries, and partitionings.
+
+    Scale shape: row_number <= cap compiles to WindowGroupLimit
+    (plan-asserted in tests/test_scale_patterns.py), so every map task
+    pre-trims to its local top-``cap`` per key BEFORE the shuffle --
+    the exchange carries at most cap * n_tasks rows per key, not the
+    domain's full row count. Skewed mega-domains therefore cost
+    O(cap) per upstream task, not O(domain size), and no precut /
+    sampling pre-pass is needed.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        hash_bucket(F.col(id_col), salt=salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_cap_rk", F.row_number().over(w))
+        .filter(F.col("_cap_rk") <= cap)
+        .drop("_cap_rk")
+    )
+
+
+def cap_per_key_sql(
+    table_sql: str,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+    select: str = "*",
+) -> str:
+    """DuckDB twin (same md5 bucket, same tiebreak)."""
+    bucket = hash_bucket_sql(id_col, salt=salt)
+    return f"""
+        SELECT {select} FROM ({table_sql})
+        QUALIFY row_number() OVER (
+            PARTITION BY {key_col} ORDER BY {bucket}, {id_col}
+        ) <= {cap}
+    """

@@ -831,3 +831,113 @@ register(QuerySpec(
     covers=("dedup-groups", "connected-components"),
     extended=True,
 ))
+
+
+# --- boilerplate line removal (CCNet/RefinedWeb pass) -------------------------
+#
+# The synthetic corpus has no newlines, so the query materializes a
+# lined view first: every 3-token chunk becomes one line (deterministic
+# in both engines via the shared token_chunks builders). With the
+# 30-word generator vocabulary, 3-token lines collide across docs
+# naturally -- plus every planted near-dup clone repeats its source's
+# lines verbatim -- so the operator has real boilerplate to strip.
+
+_BP_LINE_TOKENS = 3
+_BP_MIN_DOCS = 2
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                T.token_chunks("text", _BP_LINE_TOKENS, _BP_LINE_TOKENS),
+                lambda c: c["chunk"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+
+
+def _boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(
+        _lined_docs(spark, sf_dir), "text", "doc_id",
+        min_docs=_BP_MIN_DOCS,
+    )
+
+
+def _boilerplate_oracle() -> str:
+    from ..operators.corpus import remove_boilerplate_lines_sql
+
+    chunks = T.token_chunks_sql("text", _BP_LINE_TOKENS, _BP_LINE_TOKENS)
+    docs_sql = (
+        "SELECT doc_id AS id, array_to_string(list_transform("
+        f"{chunks}, c -> c.chunk), chr(10)) AS txt FROM documents"
+    )
+    return remove_boilerplate_lines_sql(docs_sql, min_docs=_BP_MIN_DOCS)
+
+
+register(QuerySpec(
+    name="boilerplate_line_removal",
+    spark_fn=_boilerplate,
+    oracle=_boilerplate_oracle,
+    covers=("boilerplate-removal", "line-dedup"),
+    bench=True,
+    extended=True,
+))
+
+
+# --- per-source document cap (domain balancing) -------------------------------
+
+_CAP_PER_SOURCE = 15
+
+
+def _source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_key(docs, "source", "doc_id", cap=_CAP_PER_SOURCE)
+    return capped.select("doc_id", "source")
+
+
+def _source_cap_oracle() -> str:
+    from ..operators.sample import cap_per_key_sql
+
+    return cap_per_key_sql(
+        "SELECT * FROM documents", "source", "doc_id",
+        cap=_CAP_PER_SOURCE, select="doc_id, source",
+    )
+
+
+register(QuerySpec(
+    name="per_source_document_cap",
+    spark_fn=_source_cap,
+    oracle=_source_cap_oracle,
+    covers=("domain-balancing", "per-key-cap"),
+    extended=True,
+))
+
+
+# --- DSIR-style importance resampling ----------------------------------------
+
+def _importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import importance_logratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_logratio(docs, F.col("lang") == "en")
+
+
+register(QuerySpec(
+    name="importance_resample_dsir",
+    spark_fn=_importance,
+    oracle=lambda: __import__(
+        "etl_on_weather_dataset_spark.operators.corpus",
+        fromlist=["importance_logratio_sql"],
+    ).importance_logratio_sql("documents", "lang = 'en'"),
+    covers=("importance-resampling", "dsir"),
+    bench=True,
+    extended=True,
+))

@@ -1115,3 +1115,141 @@ class TestLshBuckets:
         p2 = lsh_hyperplanes(8, 4, seed=7)
         assert p1 == p2
         assert lsh_hyperplanes(8, 4, seed=8) != p1
+
+
+class TestBoilerplateLines:
+    def _docs(self, spark):
+        nl = "\n"
+        return spark.createDataFrame(
+            [
+                (1, nl.join(["COOKIE BANNER", "real body one",
+                             "NAV MENU"])),
+                (2, nl.join(["COOKIE BANNER", "real body two",
+                             "NAV MENU"])),
+                (3, nl.join(["COOKIE BANNER", "unique text here"])),
+                (4, "only original material"),
+                (5, nl.join(["COOKIE BANNER", "NAV MENU"])),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_removes_cross_doc_lines_keeps_order(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            remove_boilerplate_lines,
+        )
+
+        got = {r["id"]: r for r in remove_boilerplate_lines(
+            self._docs(spark), min_docs=2).collect()}
+        assert got[1]["clean_text"] == "real body one"
+        assert got[1]["n_lines"] == 3 and got[1]["n_lines_removed"] == 2
+        assert got[3]["clean_text"] == "unique text here"
+        assert got[4]["clean_text"] == "only original material"
+        assert got[4]["n_lines_removed"] == 0
+        # doc 5 is ALL boilerplate: survives as a row with empty text
+        assert got[5]["clean_text"] == "" and got[5]["n_lines_removed"] == 2
+
+    def test_order_preserved_with_many_lines(self, spark):
+        """Surviving lines come back in original order even when the
+        boilerplate is interleaved."""
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            remove_boilerplate_lines,
+        )
+
+        nl = "\n"
+        docs = spark.createDataFrame(
+            [(1, nl.join(["AD", "a", "AD", "b", "c", "AD", "d"])),
+             (2, nl.join(["AD", "x"]))],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r["clean_text"]
+               for r in remove_boilerplate_lines(docs, min_docs=2)
+               .collect()}
+        assert got[1] == nl.join(["a", "b", "c", "d"])
+
+    def test_hash_keys_variant_agrees(self, spark):
+        """The scale path (xxhash64 line keys, line text never
+        shuffled) produces identical output to the exact path."""
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            remove_boilerplate_lines,
+        )
+
+        docs = self._docs(spark)
+        exact = sorted(map(tuple, remove_boilerplate_lines(
+            docs, min_docs=2, hash_keys=False).collect()))
+        hashed = sorted(map(tuple, remove_boilerplate_lines(
+            docs, min_docs=2, hash_keys=True).collect()))
+        assert exact == hashed
+
+
+class TestCapPerKey:
+    def test_cap_and_determinism(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            cap_per_key,
+        )
+
+        rows = [(i, f"src{i % 3}") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = cap_per_key(df, "source", "doc_id", cap=5)
+        counts = {r["source"]: r["n"] for r in got.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"src0": 5, "src1": 5, "src2": 5}
+        # deterministic: same survivors on a different partitioning
+        again = cap_per_key(df.repartition(13), "source", "doc_id",
+                            cap=5)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, again.collect()))
+
+    def test_small_groups_untouched(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            cap_per_key,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")],
+            "doc_id long, source string",
+        )
+        assert cap_per_key(df, "source", "doc_id", cap=10).count() == 3
+
+
+class TestImportanceLogratio:
+    def test_target_like_docs_score_higher(self, spark):
+        """Docs made of target-heavy tokens score above docs made of
+        background-only tokens; threshold 0 separates them."""
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            importance_logratio,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta alpha beta alpha", "en"),
+                (2, "alpha beta gamma alpha beta", "en"),
+                (3, "delta epsilon delta epsilon zeta", "de"),
+                (4, "alpha beta alpha epsilon beta", "de"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {r["id"]: r for r in importance_logratio(
+            docs, F.col("lang") == "en").collect()}
+        # docs 1-2 are the target exemplars themselves -> positive
+        assert got[1]["selected"] and got[2]["selected"]
+        # doc 3 shares no tokens with the target -> strongly negative
+        assert not got[3]["selected"]
+        assert got[3]["avg_logratio_micro"] < got[4]["avg_logratio_micro"]
+        # doc 4 is mostly target-vocabulary -> scores above doc 3
+        assert got[4]["avg_logratio_micro"] > got[3]["avg_logratio_micro"]
+
+    def test_partitioning_invariant(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            importance_logratio,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "tok%d tok%d tok0" % (i % 7, i % 3),
+              "en" if i % 2 else "de") for i in range(60)],
+            "doc_id long, text string, lang string",
+        )
+        a = sorted(map(tuple, importance_logratio(
+            docs, F.col("lang") == "en").collect()))
+        b = sorted(map(tuple, importance_logratio(
+            docs.repartition(11), F.col("lang") == "en").collect()))
+        assert a == b

@@ -155,6 +155,19 @@ class TestPlanProperties:
         plan = self._plan(spark, "topk_events_per_user")
         assert "WindowGroupLimit" in plan
 
+    def test_per_key_cap_uses_window_group_limit(self, spark):
+        """Domain balancing must pre-trim per map task (cap rows per
+        key cross the exchange, not the domain's full row count)."""
+        plan = self._plan(spark, "per_source_document_cap")
+        assert "WindowGroupLimit" in plan
+
+    def test_boilerplate_set_is_broadcast_anti_join(self, spark):
+        """The common-line set is small by construction; cleaning the
+        corpus must be a broadcast anti-join, never a shuffled one."""
+        plan = self._plan(spark, "boilerplate_line_removal")
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, \
+            plan[:1500]
+
     def test_global_topk_avoids_single_task_sort(self, spark):
         plan = self._plan(spark, "top_orders_by_revenue")
         assert "TakeOrderedAndProject" in plan
