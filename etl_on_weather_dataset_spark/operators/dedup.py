@@ -418,6 +418,7 @@ def dedup_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     check_every: int = 2,
+    truncate_every: int = 8,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: connected
     components by iterative min-label propagation.
@@ -439,6 +440,16 @@ def dedup_components(
     task, unlike collect-based union-find. Labels persist per round
     (released once a later round is materialized past them) so the
     lineage does not grow with iterations.
+
+    The edge set carries an explicit SELF-LOOP per node so a round is
+    ONE join + ONE aggregate with the label frame referenced exactly
+    once: min over neighbors-including-self. Referencing labels twice
+    per round (neighbor-min joined back to the previous labels, the
+    naive formulation) doubles the logical plan every round --
+    caching truncates EXECUTION but not the plan tree, so Catalyst
+    analysis goes exponential in rounds (measured: round 6 of a
+    469-edge graph took 126 s to plan vs 1.5 s for round 1). With
+    self-loops the plan grows one fixed layer per round.
 
     Driver-side coordination is ONE scalar count per ``check_every``
     rounds (not per round): labels are monotone non-increasing, so "the
@@ -466,34 +477,28 @@ def dedup_components(
     # plan is typically an expensive join (inverted-index or banded) --
     # without this it executes twice in that one materialization
     pairs = persisted(pairs.select(id_a, id_b))
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    # self-loops: every node is its own neighbor, so one neighbor-min
+    # aggregate IS the propagation step (no join-back to prior labels)
     edges = persisted(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        sym.unionAll(
+            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
         )
     )
-    labels = persisted(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
+    labels = persisted(nodes.withColumn("label", F.col("id")))
     changed = -1
     behind: list[DataFrame] = []  # rounds before the last checked one
     for i in range(1, max_iter + 1):
-        nbr_min = (
+        new_labels = persisted(
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = persisted(
-            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("id"), "label")
         )
         prev, labels = labels, new_labels
         behind.append(prev)
@@ -510,6 +515,20 @@ def dedup_components(
             behind = []
             if changed == 0:
                 break
+            if i % truncate_every == 0:
+                # Deep graphs: even linear plan growth accumulates --
+                # rounds of cached layers + codegen classes OOM the
+                # driver past ~15 rounds. Truncate lineage to an RDD
+                # scan (what GraphFrames' CC does, its
+                # checkpointInterval). localCheckpoint suits
+                # single-JVM runs; on a real cluster configure
+                # sparkContext.setCheckpointDir and swap in
+                # .checkpoint() -- localCheckpoint data dies with an
+                # executor.
+                trunc = new_labels.localCheckpoint()
+                new_labels.unpersist()
+                untrack(new_labels)
+                labels = trunc
     edges.unpersist()
     untrack(edges)
     if changed != 0:

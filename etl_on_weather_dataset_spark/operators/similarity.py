@@ -863,3 +863,166 @@ def lsh_topk_sql(
             FROM scored
         ) WHERE rk <= {k}
     """
+
+
+# --- SemDeDup: semantic dedup inside embedding clusters ----------------------
+
+def semdedup(
+    df: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): drop semantic duplicates
+    -- items whose embeddings are near-identical even when their bytes
+    are not (re-encodes, templated rewrites, copies with boilerplate
+    swapped), which survive every text-level dedup tier.
+
+    Procedure, re-expressed for Spark:
+      1. Partition the corpus into ``n_cells`` Voronoi cells around
+         fixed seeded unit centroids (the ivf_topk assignment -- the
+         paper uses k-means; training only rebalances cells and is
+         orthogonal to the dedup mechanics).
+      2. WITHIN each cell, pairwise cosine; pairs >= ``threshold``
+         are semantic-duplicate edges. Cross-cell pairs are never
+         scored -- that is SemDeDup's documented approximation, and
+         the reason it scales: the quadratic is contained per cell,
+         so n_cells must grow ~N/target_cell_size (the paper runs 50k
+         clusters for LAION-scale data).
+      3. Edges resolve to duplicate GROUPS via the repo's
+         connected-components operator (min-label propagation).
+      4. One representative survives per group: the member LEAST like
+         its centroid (the paper's keep-low-centroid-similarity rule
+         -- keeps the outlier, drops the redundant middle), ties by
+         min id.
+
+    Returns one row per input vector:
+      (id, cell, cent_sim, component, keep)
+    where component is null for vectors with no semantic duplicate
+    (always kept), and cent_sim = round(max-centroid-dot / |v|,
+    SIM_DECIMALS) -- centroids are unit to 1e-6 by construction and
+    the same formula runs in the DuckDB twin, so the value is
+    engine-exact.
+
+    Scale: cell assignment is per-row codegen against a one-row
+    broadcast centroid relation (constants-as-data rule, SCALE.md);
+    the within-cell join is an equi-join on cell id (AQE splits hot
+    cells); components is O(diameter) rounds; the keep rule is one
+    per-component window over dup-group members only.
+    """
+    from .caching import persisted
+
+    centroids = lsh_hyperplanes(dim, n_cells, seed)
+    cent_df = df.sparkSession.createDataFrame(
+        [(centroids, 0)], "cents array<array<double>>, __k long"
+    )
+    dots = F.transform(F.col("cents"), lambda c: dot(F.col("v"), c))
+    vecs = persisted(
+        _with_constant_row(
+            df.select(
+                F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+            ),
+            cent_df,
+            "id",
+        )
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("dots", dots)
+        .select(
+            "id", "v", "n",
+            (F.array_position(F.col("dots"), F.array_max(F.col("dots")))
+             - 1).cast("int").alias("cell"),
+            F.round(
+                F.array_max(F.col("dots")) / F.col("n"), SIM_DECIMALS
+            ).alias("cent_sim"),
+        )
+    )
+    a = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "cell",
+    )
+    b = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "cell",
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        SIM_DECIMALS,
+    )
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= threshold)
+        .select("id_a", "id_b")
+    )
+    from .dedup import dedup_components
+
+    comp = dedup_components(edges)
+    members = vecs.select("id", "cent_sim").join(comp, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("cent_sim").asc(), F.col("id").asc()
+    )
+    ranked = members.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select("id", "component", "keep")
+    return (
+        vecs.select("id", "cell", "cent_sim")
+        .join(ranked, "id", "left")
+        .select(
+            "id", "cell", "cent_sim", "component",
+            F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semdedup_sql(
+    threshold: float,
+    n_cells: int = 16,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of semdedup: same centroid literals, same argmax,
+    same edge set, recursive-CTE components, same keep rule."""
+    from .dedup import dedup_components_ctes
+
+    centroids = lsh_hyperplanes(dim, n_cells, seed)
+    dots = ", ".join(
+        f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+    )
+    edges_sql = f"""
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM celled a JOIN celled b USING (cell)
+        WHERE a.id < b.id
+          AND ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                    {SIM_DECIMALS}) >= {threshold}
+    """
+    return f"""
+        WITH RECURSIVE vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), celled AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+                   CAST(list_position([{dots}],
+                        list_max([{dots}])) - 1 AS INTEGER) AS cell,
+                   ROUND(list_max([{dots}])
+                         / sqrt(list_dot_product(v, v)),
+                         {SIM_DECIMALS}) AS cent_sim
+            FROM vecs
+        ), {dedup_components_ctes(edges_sql)},
+        ranked AS (
+            SELECT c.id, c.component,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY v.cent_sim ASC, c.id ASC
+                   ) = 1 AS keep
+            FROM components c JOIN celled v USING (id)
+        )
+        SELECT v.id, v.cell, v.cent_sim, r.component,
+               COALESCE(r.keep, TRUE) AS keep
+        FROM celled v LEFT JOIN ranked r USING (id)
+    """

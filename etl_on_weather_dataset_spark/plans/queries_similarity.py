@@ -463,3 +463,44 @@ register(QuerySpec(
     """,
     covers=("multimodal-binary", "pandas-udf"),
 ))
+
+
+# --- SemDeDup: semantic dedup inside embedding clusters ----------------------
+#
+# n_cells=32 bounds the within-cell quadratic (~N^2/32 scored pairs);
+# threshold 0.9 is the paper's regime (eps ~0.95): semantic dups are
+# NEAR-IDENTICAL embeddings, so the dup graph is clean planted cliques
+# and label propagation converges in 1-2 rounds. (A loose cut like the
+# near-dup tier's 0.35 sweeps in weakly-similar random pairs, chaining
+# components to diameter ~6 -- 3x the rounds for semantically-wrong
+# groups; the deep-chain regression test covers that shape instead.)
+# Every vector comes back with its cell, centroid similarity,
+# duplicate component (null = no semantic dup) and survivor flag --
+# the full audit row, so the driver hash pins assignment, grouping,
+# AND the keep rule.
+
+_SEMDEDUP_CELLS = 32
+_SEMDEDUP_SIM = 0.9
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, _SEMDEDUP_SIM, n_cells=_SEMDEDUP_CELLS)
+
+
+def _semdedup_oracle() -> str:
+    from ..operators.similarity import semdedup_sql
+
+    return semdedup_sql(_SEMDEDUP_SIM, n_cells=_SEMDEDUP_CELLS)
+
+
+register(QuerySpec(
+    name="semdedup_embeddings",
+    spark_fn=_semdedup,
+    oracle=_semdedup_oracle,
+    covers=("semantic-dedup", "semdedup", "embedding-clusters"),
+    bench=True,
+    extended=True,
+))

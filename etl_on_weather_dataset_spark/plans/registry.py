@@ -94,7 +94,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "cosine_topk_lsh_multi", "ann_recall_multi_table",
     "dedup_incremental_exact",
     "boilerplate_line_removal", "per_source_document_cap",
-    "importance_resample_dsir",
+    "importance_resample_dsir", "semdedup_embeddings",
     # re-attest after round-4 implementation changes
     "curation_pipeline_stats", "dedup_connected_groups",
 })

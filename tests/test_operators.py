@@ -308,6 +308,26 @@ class TestDedupComponents:
         assert got == {**{i: 10 for i in range(10, 16)},
                        100: 100, 101: 100}
 
+    def test_deep_chain_stays_tractable(self, spark):
+        """A 40-node chain needs ~20 propagation rounds. Before the
+        self-loop rewrite each round's plan referenced the prior
+        labels TWICE, doubling the logical plan per round -- 20 rounds
+        meant a 2^20-node plan and hours of Catalyst analysis. This
+        test completing at all (plus the exact labels) pins the
+        linear-plan-growth formulation."""
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            dedup_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in dedup_components(pairs, max_iter=50).collect()
+        }
+        assert got == {i: 0 for i in range(41)}
+
     def test_non_convergence_raises(self, spark):
         """A cap below the chain diameter must raise, not silently
         return a partial labeling that splits one true component."""
@@ -1253,3 +1273,63 @@ class TestImportanceLogratio:
         b = sorted(map(tuple, importance_logratio(
             docs.repartition(11), F.col("lang") == "en").collect()))
         assert a == b
+
+
+class TestSemDeDup:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_semantic_dup_groups_and_keep_rule(self, spark):
+        """Identical/near-identical vectors group; exactly one member
+        survives per group (the one least like its centroid, min id on
+        ties); singletons always survive with null component."""
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            semdedup,
+        )
+
+        base = [1.0] + [0.0] * 63
+        near = [0.999] + [0.001] * 63
+        other = [0.0] * 32 + [1.0] + [0.0] * 31
+        rows = [(1, base), (2, list(base)), (3, near), (4, other)]
+        got = {r["id"]: r for r in semdedup(
+            self._emb(spark, rows), 0.99, n_cells=8, dim=64).collect()}
+        # 1,2,3 are one semantic group; 4 is alone
+        comps = {got[i]["component"] for i in (1, 2, 3)}
+        assert len(comps) == 1 and comps != {None}
+        assert got[4]["component"] is None and got[4]["keep"]
+        keepers = [i for i in (1, 2, 3) if got[i]["keep"]]
+        assert len(keepers) == 1
+        # the keep rule: minimum cent_sim wins, ties by min id
+        min_cs = min(got[i]["cent_sim"] for i in (1, 2, 3))
+        expected = min(i for i in (1, 2, 3)
+                       if got[i]["cent_sim"] == min_cs)
+        assert keepers == [expected]
+
+    def test_partitioning_invariant(self, spark):
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            semdedup,
+        )
+
+        rows = [(i, [((i * 37 + j * 11) % 97) / 97.0 - 0.5
+                     for j in range(64)]) for i in range(40)]
+        # plant dups: 100+i duplicates i for i < 5
+        rows += [(100 + i, list(rows[i][1])) for i in range(5)]
+        df = self._emb(spark, rows)
+        a = sorted(map(tuple, semdedup(df, 0.99, n_cells=4).collect()))
+        b = sorted(map(tuple, semdedup(
+            df.repartition(7), 0.99, n_cells=4).collect()))
+        assert a == b
+        got = {r[0]: r for r in a}  # (id, cell, cent_sim, comp, keep)
+        # every planted identical pair shares a component
+        for i in range(5):
+            assert got[i][3] is not None
+            assert got[i][3] == got[100 + i][3], (i, got[i], got[100 + i])
+        # exactly one survivor per component, overall
+        by_comp: dict[int, list] = {}
+        for r in a:
+            if r[3] is not None:
+                by_comp.setdefault(r[3], []).append(r[4])
+        for comp, keeps in by_comp.items():
+            assert keeps.count(True) == 1, (comp, keeps)

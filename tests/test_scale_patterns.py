@@ -168,6 +168,13 @@ class TestPlanProperties:
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, \
             plan[:1500]
 
+    def test_semdedup_is_cell_scoped_not_all_pairs(self, spark):
+        """SemDeDup's pairwise cosine must stay inside Voronoi cells
+        (equi-join on cell id), never a corpus-wide cartesian."""
+        plan = self._plan(spark, "semdedup_embeddings")
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
     def test_global_topk_avoids_single_task_sort(self, spark):
         plan = self._plan(spark, "top_orders_by_revenue")
         assert "TakeOrderedAndProject" in plan
