@@ -170,3 +170,94 @@ def cap_per_key_sql(
             PARTITION BY {key_col} ORDER BY {bucket}, {id_col}
         ) <= {cap}
     """
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample each stratum (source /
+    domain / dataset) so the kept corpus approximates ``weights``'
+    share of a ``token_budget`` -- the mixture step every pretraining
+    recipe publishes (Pile/Dolma/Llama-style sampling proportions).
+
+    Per stratum s with target weight w_s and available tokens T_s, the
+    keep fraction is f_s = min(1, token_budget * w_s / T_s); docs are
+    kept whole (a doc's tokens travel together) via the engine-portable
+    md5 bucket on ``key_col``. Strata not in ``weights`` get f = 0.
+    Hitting the budget exactly would need a per-stratum running-token
+    cut (a global sort per stratum); fraction-based mixing is the
+    scalable form -- achieved share converges to target by LLN at any
+    real corpus size, and the whole operator is one small aggregate +
+    one broadcast join + a stateless filter.
+
+    Exactness discipline: f_s comes from data, so the cutoff must
+    derive identically in engine and oracle -- floor((budget * w / T)
+    * buckets) with the same op order (floor, not round: round-half
+    rules differ across engines). Weight literals embed verbatim in
+    the SQL twin.
+
+    Returns the kept rows with the stratum cutoff fraction attached
+    (``mix_keep_frac``) for auditability.
+    """
+    from .text import token_count
+
+    w_expr = None
+    for s, w in weights.items():
+        cond = F.col(strata_col) == s
+        w_expr = F.when(cond, F.lit(float(w))) if w_expr is None \
+            else w_expr.when(cond, F.lit(float(w)))
+    w_expr = w_expr.otherwise(F.lit(0.0)) if w_expr is not None \
+        else F.lit(0.0)
+
+    totals = (
+        df.groupBy(strata_col)
+        .agg(F.sum(token_count(text_col)).alias("_mix_tokens"))
+        .select(
+            strata_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget)) * w_expr / F.col("_mix_tokens"),
+            ).alias("mix_keep_frac"),
+        )
+    )
+    cutoff = F.floor(F.col("mix_keep_frac") * HASH_BUCKETS)
+    return (
+        df.join(F.broadcast(totals), strata_col)
+        .filter(hash_bucket(F.col(key_col), salt=salt) < cutoff)
+    )
+
+
+def mix_corpus_sql(
+    table: str,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of mix_corpus (same weight CASE, same floor'd
+    cutoff, same md5 bucket)."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {float(w)!r}" for s, w in weights.items()
+    )
+    w_sql = f"(CASE {strata_col} {cases} ELSE 0.0 END)"
+    toks = f"len(regexp_split_to_array({text_col}, ' +'))"
+    bucket = hash_bucket_sql(key_col, salt=salt)
+    return f"""
+        WITH totals AS (
+            SELECT {strata_col},
+                   LEAST(1.0, {float(token_budget)!r} * {w_sql}
+                         / SUM({toks})) AS mix_keep_frac
+            FROM {table} GROUP BY {strata_col}
+        )
+        SELECT {select} FROM {table} JOIN totals USING ({strata_col})
+        WHERE {bucket} < floor(mix_keep_frac * {HASH_BUCKETS})
+    """

@@ -718,6 +718,22 @@ def _centroid_argmax(vec: Column, centroids: Column) -> Column:
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def _probe_cells(vec: Column, centroids: Column, n_probe: int) -> Column:
+    """0-based indices of the ``n_probe`` nearest centroids by dot
+    product, nearest first; ties by smaller index (so element 1 always
+    equals _centroid_argmax). Sorting structs of (-dot, index) gives
+    the deterministic total order in both engines."""
+    dots = F.transform(centroids, lambda c: dot(vec, c))
+    order = F.zip_with(
+        dots,
+        F.sequence(F.lit(0), F.size(centroids) - 1),
+        lambda d, i: F.struct((-d).alias("nd"), i.alias("i")),
+    )
+    return F.transform(
+        F.slice(F.array_sort(order), 1, n_probe), lambda s: s["i"]
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
@@ -726,6 +742,7 @@ def ivf_topk(
     n_cells: int = 16,
     dim: int = 64,
     seed: int = 7,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k via IVF-style cell partitioning.
 
@@ -733,18 +750,22 @@ def ivf_topk(
     fixed unit centroids (seeded pseudo-random -- the no-training
     baseline every IVF index starts from; k-means only rebalances
     cells, it doesn't change the search mechanics). Each query probes
-    its own cell: candidates come from one equi-join on cell id, then
-    exact cosine rescoring picks the top-k.
+    its ``n_probe`` nearest cells (the standard IVF recall dial --
+    recall grows ~linearly in probes for a linear candidate cost,
+    see the ivf_recall_probes curve): candidates come from one
+    equi-join on cell id, then exact cosine rescoring picks the
+    top-k.
 
     vs LSH (lsh_topk): one argmax assignment instead of a bit
-    signature; cells ~N/n_cells rows; recall grows with n_probe
-    (probing the p nearest cells -- p=1 here, the harshest setting).
-    At 100 TB: centroids are literals shipped in the plan (no side
-    lookup), assignment is per-row codegen, the join is the only
-    shuffle, and skewed cells split under AQE.
+    signature; cells ~N/n_cells rows. At 100 TB: centroids are a
+    one-row broadcast relation (constants-as-data, SCALE.md),
+    assignment is per-row codegen, the join is the only shuffle, and
+    skewed cells split under AQE. A query row explodes into n_probe
+    probe rows pre-join -- constant width, linear cost.
 
     Deterministic: seeded centroid literals shared verbatim with the
-    SQL oracle -- cell assignment itself is hash-checked.
+    SQL oracle -- cell assignment itself is hash-checked. n_probe=1
+    keeps the original first-max argmax expression path bit-for-bit.
     """
     centroids = lsh_hyperplanes(dim, n_cells, seed)
     cent_df = df.sparkSession.createDataFrame(
@@ -760,8 +781,39 @@ def ivf_topk(
         )
         .withColumn("n", norm(F.col("v")))
         .withColumn("cell", _centroid_argmax(F.col("v"), F.col("cents")))
-        .drop("cents")
     )
+    if n_probe > 1:
+        vecs = vecs.withColumn(
+            "probes", _probe_cells(F.col("v"), F.col("cents"), n_probe)
+        )
+    vecs = vecs.drop("cents")
+    if n_probe > 1:
+        a = vecs.select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+            F.explode(F.col("probes")).alias("cell"),
+        )
+        b = vecs.select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+            F.col("n").alias("cn"), "cell",
+        )
+        sim = F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            SIM_DECIMALS,
+        )
+        scored = (
+            a.join(b, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", sim.alias("sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "sim", "rk")
+        )
     a = vecs.select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("n").alias("qn"), "cell",
@@ -789,6 +841,72 @@ def ivf_topk(
     )
 
 
+def _ivf_ctes_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    dim: int,
+    seed: int,
+    n_probe: int,
+    query_filter: str | None,
+) -> str:
+    """Shared CTE chain for the IVF twins: vecs -> dotted (per-vector
+    dot list) -> celled (argmax cell) [-> probed (n_probe nearest
+    cells for the query side) -> cand]. ``cand`` is the distinct
+    candidate pair set (probe cells are distinct, so no DISTINCT
+    needed -- matching the Spark side)."""
+    centroids = lsh_hyperplanes(dim, n_cells, seed)
+    dots = ", ".join(
+        f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+    )
+    qf = f"WHERE {query_filter}" if query_filter else ""
+    probe = f"""
+        list_transform(list_slice(list_sort(
+            list_transform(range(1, {n_cells} + 1),
+                i -> struct_pack(nd := -ds[i], i := i - 1))),
+            1, {n_probe}), s -> s.i)
+    """
+    return f"""vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), dotted AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+                   [{dots}] AS ds
+            FROM vecs
+        ), celled AS (
+            SELECT id, v, n,
+                   CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER)
+                       AS cell
+            FROM dotted
+        ), probed AS (
+            SELECT id, v, n,
+                   CAST(unnest({probe}) AS INTEGER) AS cell
+            FROM dotted {qf}
+        ), cand AS (
+            SELECT a.id AS query_id, b.id AS neighbor_id
+            FROM probed a JOIN celled b USING (cell)
+            WHERE a.id != b.id
+        )"""
+
+
+def ivf_candidates_sql(
+    query_filter: str | None = None,
+    n_probe: int = 1,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """Candidate pairs an n_probe IVF search scores (the cost side of
+    the recall/cost curve)."""
+    ctes = _ivf_ctes_sql(table, id_col, vec_col, n_cells, dim, seed,
+                         n_probe, query_filter)
+    return f"WITH {ctes} SELECT query_id, neighbor_id FROM cand"
+
+
 def ivf_topk_sql(
     k: int = 5,
     table: str = "embeddings",
@@ -797,14 +915,20 @@ def ivf_topk_sql(
     n_cells: int = 16,
     dim: int = 64,
     seed: int = 7,
+    n_probe: int = 1,
+    query_filter: str | None = None,
 ) -> str:
     """DuckDB twin of ivf_topk: same centroid literals, same
-    first-max-wins argmax (list_position of list_max), same rescore."""
-    centroids = lsh_hyperplanes(dim, n_cells, seed)
-    dots = ", ".join(
-        f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
-    )
-    return f"""
+    first-max-wins argmax (list_position of list_max; for n_probe > 1
+    the same (-dot, index) struct sort), same rescore."""
+    if n_probe == 1 and query_filter is None:
+        # original single-probe form, kept verbatim for the attested
+        # cosine_topk_ivf hash
+        centroids = lsh_hyperplanes(dim, n_cells, seed)
+        dots = ", ".join(
+            f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+        )
+        return f"""
         WITH vecs AS (
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
@@ -819,6 +943,24 @@ def ivf_topk_sql(
                          {SIM_DECIMALS}) AS sim
             FROM celled a JOIN celled b USING (cell)
             WHERE a.id != b.id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k}
+    """
+    ctes = _ivf_ctes_sql(table, id_col, vec_col, n_cells, dim, seed,
+                         n_probe, query_filter)
+    return f"""
+        WITH {ctes}, scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                         {SIM_DECIMALS}) AS sim
+            FROM cand c
+            JOIN dotted a ON a.id = c.query_id
+            JOIN dotted b ON b.id = c.neighbor_id
         )
         SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
         FROM (

@@ -941,3 +941,40 @@ register(QuerySpec(
     bench=True,
     extended=True,
 ))
+
+
+# --- corpus mixing to a token budget (Pile/Dolma-style proportions) -----------
+
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2,
+                "src3": 0.15, "src4": 0.15}
+_MIX_BUDGET = 2_000  # tokens -- below availability at sf>=0.01, so
+#                      real downsampling happens (capped at 1 below)
+
+
+def _mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mix_corpus(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+    return kept.select(
+        "doc_id", "source",
+        F.round(F.col("mix_keep_frac"), 6).alias("keep_frac"),
+    )
+
+
+def _mix_oracle() -> str:
+    from ..operators.sample import mix_corpus_sql
+
+    return mix_corpus_sql(
+        "documents", _MIX_WEIGHTS, _MIX_BUDGET,
+        select="doc_id, source, ROUND(mix_keep_frac, 6) AS keep_frac",
+    )
+
+
+register(QuerySpec(
+    name="corpus_mixture_sample",
+    spark_fn=_mix,
+    oracle=_mix_oracle,
+    covers=("corpus-mixing", "mixture-weights"),
+    extended=True,
+))

@@ -504,3 +504,160 @@ register(QuerySpec(
     bench=True,
     extended=True,
 ))
+
+
+# --- IVF recall/cost curve over n_probe --------------------------------------
+#
+# The IVF counterpart of ann_recall_multi_table: n_probe is IVF's
+# recall dial (probe the p nearest cells instead of only the argmax
+# cell). Probe lists are nested by construction (_probe_cells sorts
+# once; config p takes the prefix), so the eval assigns once, persists,
+# and slices -- the oracle rebuilds each config from ivf_topk_sql /
+# ivf_candidates_sql, so any drift between the sliced plan and the
+# operator's own semantics hash-mismatches the driver row.
+
+_IVF_PROBES = (1, 2, 4)
+_IVF_CELLS = 16
+
+
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.caching import persisted
+    from ..operators.similarity import (
+        SIM_DECIMALS,
+        _as_double,
+        _centroid_argmax,
+        _probe_cells,
+        _with_constant_row,
+        dot,
+        lsh_hyperplanes,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    centroids = lsh_hyperplanes(64, _IVF_CELLS, 7)
+    cent_df = spark.createDataFrame(
+        [(centroids, 0)], "cents array<array<double>>, __k long"
+    )
+    vecs = persisted(
+        _with_constant_row(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                _as_double("embedding").alias("v"),
+            ),
+            cent_df,
+            "id",
+        )
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("cell", _centroid_argmax(F.col("v"), F.col("cents")))
+        .withColumn(
+            "probes",
+            _probe_cells(F.col("v"), F.col("cents"), max(_IVF_PROBES)),
+        )
+        .drop("cents")
+    )
+    exact = persisted(
+        cosine_topk(queries, emb, k=_K).select("query_id", "neighbor_id")
+    )
+    q_side = F.broadcast(
+        vecs.filter(F.col("id") < _RECALL_QUERIES).select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+        )
+    )
+    c_side = vecs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    corpus_cells = vecs.select(F.col("id").alias("neighbor_id"), "cell")
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        SIM_DECIMALS,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    out: DataFrame | None = None
+    for p in _IVF_PROBES:
+        q_probe = F.broadcast(
+            vecs.filter(F.col("id") < _RECALL_QUERIES).select(
+                F.col("id").alias("query_id"),
+                F.explode(F.slice(F.col("probes"), 1, p)).alias("cell"),
+            )
+        )
+        cand = persisted(
+            q_probe.join(corpus_cells, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        ann = (
+            cand.join(q_side, "query_id")
+            .join(c_side, "neighbor_id")
+            .select("query_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .crossJoin(
+                cand.agg(F.count(F.lit(1)).alias("n_scored_pairs"))
+            )
+            .select(
+                F.lit(p).alias("n_probe"),
+                "n_exact",
+                "n_hits",
+                "n_scored_pairs",
+                F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _ivf_recall_oracle() -> str:
+    from ..operators.similarity import ivf_candidates_sql, ivf_topk_sql
+
+    qf = f"id < {_RECALL_QUERIES}"
+    exact = cosine_topk_sql(k=_K, query_filter=qf)
+    ctes = [f"exact AS ({exact})"]
+    rows = []
+    for p in _IVF_PROBES:
+        ctes.append(
+            f"ann{p} AS ({ivf_topk_sql(k=_K, n_cells=_IVF_CELLS, n_probe=p, query_filter=qf)})"
+        )
+        ctes.append(
+            f"cand{p} AS ({ivf_candidates_sql(query_filter=qf, n_probe=p, n_cells=_IVF_CELLS)})"
+        )
+        hits = (
+            f"SELECT COUNT(*) FROM exact e JOIN ann{p} a "
+            f"ON e.query_id = a.query_id "
+            f"AND e.neighbor_id = a.neighbor_id"
+        )
+        rows.append(f"""
+            SELECT {p} AS n_probe,
+                   (SELECT COUNT(*) FROM exact) AS n_exact,
+                   ({hits}) AS n_hits,
+                   (SELECT COUNT(*) FROM cand{p}) AS n_scored_pairs,
+                   ROUND(({hits}) * 1.0 /
+                         (SELECT COUNT(*) FROM exact), 6) AS recall_at_k
+        """)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(rows) + ")"
+    )
+
+
+register(QuerySpec(
+    name="ivf_recall_probes",
+    spark_fn=_ivf_recall,
+    oracle=_ivf_recall_oracle,
+    covers=("ivf-n-probe", "ann-recall-cost-curve"),
+    extended=True,
+))

@@ -74,18 +74,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     entries in the pytest parity suite (which still oracle-checks
 #     every registered query on every run);
 #   - round 4 (now) completes the cycle: the 5 queries ADDED in round
-#     3 rotate in for their first attestation, the 3 queries added
-#     THIS round join them, and curation_pipeline_stats +
-#     dedup_connected_groups stay in to re-attest their round-4
-#     implementation changes (fused audit-trail aggregates; batched
-#     convergence checks). Everything else previously ROTATE_IN parks.
+#     3 rotate in for their first attestation, the 9 queries added
+#     THIS round join them (multi-table ANN + its recall curve,
+#     incremental dedup, boilerplate removal, per-source cap, DSIR,
+#     SemDeDup, IVF n_probe curve, corpus mixing), and
+#     curation_pipeline_stats + dedup_connected_groups stay in to
+#     re-attest their round-4 implementation changes (fused
+#     audit-trail aggregates; batched convergence checks; self-loop
+#     label propagation). Everything else previously ROTATE_IN parks.
 # After r4, every registry query has >= 1 green driver row. The 21
 # slots that never rotate are the flagships and one query per operator
 # family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user runs
-# hourly. The window is deliberately below DRIVER_CAP this round
-# (pinned + 10): breadth is already attested; a lean window keeps the
-# driver run fast and every row meaningful.
+# hourly. The window stays below DRIVER_CAP this round (pinned +
+# rotations = 37): breadth is already attested; a lean window keeps
+# the driver run fast and every row meaningful.
 ROTATE_IN: frozenset[str] = frozenset({
     # added in round 3, first driver attestation (r2 verdict item #1)
     "benchmark_decontamination", "packed_bins", "doc_repetition_stats",
@@ -95,6 +98,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "dedup_incremental_exact",
     "boilerplate_line_removal", "per_source_document_cap",
     "importance_resample_dsir", "semdedup_embeddings",
+    "ivf_recall_probes", "corpus_mixture_sample",
     # re-attest after round-4 implementation changes
     "curation_pipeline_stats", "dedup_connected_groups",
 })

@@ -1333,3 +1333,101 @@ class TestSemDeDup:
                 by_comp.setdefault(r[3], []).append(r[4])
         for comp, keeps in by_comp.items():
             assert keeps.count(True) == 1, (comp, keeps)
+
+
+class TestIvfProbes:
+    def test_probe_prefix_and_argmax_consistency(self, spark):
+        """Probe lists are nested (p=2's first element == the argmax
+        cell used by the corpus side and by n_probe=1), and n_probe>1
+        results are a superset-quality ranking: every n_probe=1 hit at
+        rank r stays at rank <= r under n_probe=2."""
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            _centroid_argmax,
+            _probe_cells,
+            _as_double,
+            ivf_topk,
+            lsh_hyperplanes,
+        )
+
+        rows = [(i, [((i * 13 + j * 7) % 89) / 89.0 - 0.5
+                     for j in range(64)]) for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cents = lsh_hyperplanes(64, 16, 7)
+        cents_col = F.array(*[
+            F.array(*[F.lit(x) for x in c]) for c in cents
+        ])
+        chk = df.select(
+            _centroid_argmax(
+                _as_double("embedding"), cents_col
+            ).alias("argmax"),
+            _probe_cells(
+                _as_double("embedding"), cents_col, 4
+            ).alias("probes"),
+        ).collect()
+        for r in chk:
+            assert r["probes"][0] == r["argmax"]
+            assert len(set(r["probes"])) == 4  # distinct cells
+        # monotone recall: the n_probe=1 result set is contained in
+        # the n_probe=2 candidate universe, so top-k can only improve
+        p1 = ivf_topk(df, k=3, n_probe=1)
+        p2 = ivf_topk(df, k=3, n_probe=2)
+        s1 = {(r["query_id"], r["neighbor_id"], r["sim"])
+              for r in p1.collect()}
+        s2 = {(r["query_id"], r["neighbor_id"], r["sim"])
+              for r in p2.collect()}
+        # every p2 top-3 sim is >= the p1 sim at the same rank
+        by_q1 = {}
+        for r in p1.collect():
+            by_q1.setdefault(r["query_id"], {})[r["rk"]] = r["sim"]
+        for r in p2.collect():
+            q = r["query_id"]
+            if q in by_q1 and r["rk"] in by_q1[q]:
+                assert r["sim"] >= by_q1[q][r["rk"]], (q, r)
+        assert s1 and s2
+
+
+class TestMixCorpus:
+    def test_mixture_respects_weights_and_budget(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            mix_corpus,
+        )
+
+        # 3 sources x 200 docs x 10 tokens = 2000 tokens each
+        rows = [(s * 1000 + i, f"s{s}", "tok " * 9 + "tok")
+                for s in range(3) for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        kept = mix_corpus(
+            df, {"s0": 0.5, "s1": 0.5}, token_budget=2000,
+        )
+        got = {r["source"]: r["n"] for r in kept.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        # s2 has weight 0 -> dropped entirely
+        assert "s2" not in got
+        # each kept source targets 1000 of its 2000 tokens (f=0.5):
+        # ~100 docs, binomial spread
+        for s in ("s0", "s1"):
+            assert 60 <= got[s] <= 140, got
+        # deterministic across partitionings
+        again = mix_corpus(
+            df.repartition(7), {"s0": 0.5, "s1": 0.5},
+            token_budget=2000,
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == \
+            sorted(r["doc_id"] for r in again.collect())
+
+    def test_fraction_caps_at_one(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            mix_corpus,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", "x y z"), (2, "a", "p q r")],
+            "doc_id long, source string, text string",
+        )
+        kept = mix_corpus(df, {"a": 1.0}, token_budget=10**9)
+        assert kept.count() == 2
+        assert all(r["mix_keep_frac"] == 1.0 for r in kept.collect())
