@@ -78,7 +78,5 @@ def scoped(blocking: bool = False) -> Iterator[None]:
     try:
         yield
     finally:
-        n = 0
         while len(_TRACKED) > mark:
             _TRACKED.pop().unpersist(blocking)
-            n += 1

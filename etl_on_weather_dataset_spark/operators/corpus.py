@@ -136,9 +136,13 @@ def unigram_logprob(
     frequencies -> per-doc sum. The frequency table is vocabulary-
     sized, far smaller than the corpus.
     """
-    toks = df.select(
+    from .caching import persisted
+
+    # both the frequency aggregate and the score join scan the token
+    # explode -- persist it so the corpus is tokenized once per action
+    toks = persisted(df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
-    )
+    ))
     freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
     total = freqs.agg(F.sum("tok_n").cast("double").alias("total_n"))
     scored = (
@@ -377,6 +381,7 @@ def remove_boilerplate_lines(
     min_docs: int = 2,
     sep: str = "\n",
     hash_keys: bool = False,
+    broadcast_common: bool = True,
 ) -> DataFrame:
     """Strip lines that repeat across >= ``min_docs`` distinct
     documents -- the CCNet/RefinedWeb boilerplate pass (nav bars,
@@ -393,11 +398,16 @@ def remove_boilerplate_lines(
     Plan shape (the 100 TB argument):
       1. posexplode lines, groupBy the line text with a distinct-doc
          count -- one shuffle, two-phase partial aggregation.
-      2. The boilerplate set (lines above the threshold) is SMALL by
-         construction -- bounded by corpus_lines / min_docs and in
-         practice by the number of distinct templates -- so it is
-         broadcast and applied as a left_anti join: the corpus is
-         never shuffled to be cleaned.
+      2. The boilerplate set (lines above the threshold) is applied
+         as a broadcast left_anti join, so the corpus is never
+         shuffled to be cleaned. In practice the set is the number of
+         distinct TEMPLATES (nav bars, banners) -- small. But its
+         only hard bound is corpus_lines / min_docs, so on a
+         duplicate-heavy corpus at a low min_docs the forced
+         broadcast can exceed driver memory: pass
+         ``broadcast_common=False`` there to let the optimizer pick
+         the join side (AQE still broadcasts at runtime when the set
+         turns out small).
       3. Per-doc rebuild sorts each doc's surviving lines by position
          inside a struct array -- per-row work after a groupBy on the
          doc id.
@@ -427,9 +437,9 @@ def remove_boilerplate_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select("lk")
     )
-    kept = lines.join(
-        F.broadcast(common), line_key == F.col("lk"), "left_anti"
-    )
+    if broadcast_common:
+        common = F.broadcast(common)
+    kept = lines.join(common, line_key == F.col("lk"), "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.transform(
@@ -526,11 +536,14 @@ def importance_logratio(
     same aggregate); totals + vocab size ride a one-row broadcast; the
     score join is token-keyed against a vocabulary-sized table.
     """
-    toks = df.select(
+    from .caching import persisted
+
+    # freqs aggregation and the score join both scan the explode
+    toks = persisted(df.select(
         F.col(id_col).alias("id"),
         target_pred.alias("is_target"),
         F.explode(tokens(text_col)).alias("token"),
-    )
+    ))
     freqs = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_bg"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_tg"),

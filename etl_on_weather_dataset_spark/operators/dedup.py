@@ -515,20 +515,25 @@ def dedup_components(
             behind = []
             if changed == 0:
                 break
-            if i % truncate_every == 0:
-                # Deep graphs: even linear plan growth accumulates --
-                # rounds of cached layers + codegen classes OOM the
-                # driver past ~15 rounds. Truncate lineage to an RDD
-                # scan (what GraphFrames' CC does, its
-                # checkpointInterval). localCheckpoint suits
-                # single-JVM runs; on a real cluster configure
-                # sparkContext.setCheckpointDir and swap in
-                # .checkpoint() -- localCheckpoint data dies with an
-                # executor.
-                trunc = new_labels.localCheckpoint()
-                new_labels.unpersist()
-                untrack(new_labels)
-                labels = trunc
+        if i % truncate_every == 0:
+            # Deep graphs: even linear plan growth accumulates --
+            # rounds of cached layers + codegen classes OOM the
+            # driver past ~15 rounds. Truncate lineage to an RDD
+            # scan (what GraphFrames' CC does, its
+            # checkpointInterval). Deliberately OUTSIDE the
+            # convergence-check branch: truncation must fire on its
+            # own cadence or a check_every that does not divide
+            # truncate_every would never truncate. localCheckpoint
+            # suits single-JVM runs; on a real cluster configure
+            # sparkContext.setCheckpointDir and swap in .checkpoint()
+            # -- localCheckpoint data dies with an executor. (The
+            # truncated frame is RDD-backed, not ledger-persisted; a
+            # later unpersist of it via `behind` is a no-op and its
+            # storage is reclaimed by the ContextCleaner.)
+            trunc = labels.localCheckpoint()
+            labels.unpersist()
+            untrack(labels)
+            labels = trunc
     edges.unpersist()
     untrack(edges)
     if changed != 0:

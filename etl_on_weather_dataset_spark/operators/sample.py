@@ -246,7 +246,8 @@ def mix_corpus_sql(
     """DuckDB twin of mix_corpus (same weight CASE, same floor'd
     cutoff, same md5 bucket)."""
     cases = " ".join(
-        f"WHEN '{s}' THEN {float(w)!r}" for s, w in weights.items()
+        "WHEN '{}' THEN {!r}".format(s.replace("'", "''"), float(w))
+        for s, w in weights.items()
     )
     w_sql = f"(CASE {strata_col} {cases} ELSE 0.0 END)"
     toks = f"len(regexp_split_to_array({text_col}, ' +'))"

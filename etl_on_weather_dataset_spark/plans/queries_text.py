@@ -261,6 +261,15 @@ register(QuerySpec(
 def _incremental_dedup_scenario(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Two-batch attestation scenario for incremental_exact_dedup.
+
+    The driver-local tempfile store is a deliberate SINGLE-JVM
+    assumption: this wrapper exists so the local attestation harness
+    can exercise the operator end-to-end. On a cluster the tempdir
+    would not be a shared filesystem -- real callers pass the operator
+    (which takes caller-provided paths, operators/dedup.py) an
+    HDFS/S3/DBFS location, exactly as its docstring requires.
+    """
     import shutil
     import tempfile
 

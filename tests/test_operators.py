@@ -328,6 +328,25 @@ class TestDedupComponents:
         }
         assert got == {i: 0 for i in range(41)}
 
+    def test_truncation_fires_on_its_own_cadence(self, spark):
+        """check_every=3 does not divide truncate_every=4: lineage
+        truncation must still fire (on rounds 4, 8, ...) and the
+        labels that pass through localCheckpoint stay exact."""
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            dedup_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in dedup_components(
+                pairs, max_iter=20, check_every=3, truncate_every=4
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(13)}
+
     def test_non_convergence_raises(self, spark):
         """A cap below the chain diameter must raise, not silently
         return a partial labeling that splits one true component."""
@@ -1431,3 +1450,23 @@ class TestMixCorpus:
         kept = mix_corpus(df, {"a": 1.0}, token_budget=10**9)
         assert kept.count() == 2
         assert all(r["mix_keep_frac"] == 1.0 for r in kept.collect())
+
+
+class TestCachingScoped:
+    def test_scoped_releases_only_inner_frames(self, spark):
+        from etl_on_weather_dataset_spark.operators import caching
+
+        outer = caching.persisted(spark.range(10))
+        outer.count()
+        try:
+            with caching.scoped():
+                inner = caching.persisted(spark.range(20))
+                inner.count()
+                assert inner.storageLevel.useMemory
+            # inner released by the scope, outer untouched
+            assert not inner.storageLevel.useMemory
+            assert outer.storageLevel.useMemory
+            assert outer in caching._TRACKED
+            assert inner not in caching._TRACKED
+        finally:
+            caching.release_all()
