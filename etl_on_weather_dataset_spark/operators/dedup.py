@@ -523,14 +523,21 @@ def dedup_components(
             # checkpointInterval). Deliberately OUTSIDE the
             # convergence-check branch: truncation must fire on its
             # own cadence or a check_every that does not divide
-            # truncate_every would never truncate. localCheckpoint
-            # suits single-JVM runs; on a real cluster configure
-            # sparkContext.setCheckpointDir and swap in .checkpoint()
-            # -- localCheckpoint data dies with an executor. (The
-            # truncated frame is RDD-backed, not ledger-persisted; a
-            # later unpersist of it via `behind` is a no-op and its
-            # storage is reclaimed by the ContextCleaner.)
-            trunc = labels.localCheckpoint()
+            # truncate_every would never truncate. When the session
+            # has a checkpoint dir configured (a cluster should:
+            # localCheckpoint data dies with an executor), the
+            # RELIABLE .checkpoint() is chosen automatically;
+            # otherwise localCheckpoint, which suits single-JVM runs.
+            # (The truncated frame is RDD-backed, not
+            # ledger-persisted; a later unpersist of it via `behind`
+            # is a no-op and its storage is reclaimed by the
+            # ContextCleaner.)
+            sc = labels.sparkSession.sparkContext
+            reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+            trunc = (
+                labels.checkpoint() if reliable
+                else labels.localCheckpoint()
+            )
             labels.unpersist()
             untrack(labels)
             labels = trunc

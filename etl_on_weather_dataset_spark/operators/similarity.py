@@ -1168,3 +1168,295 @@ def semdedup_sql(
                COALESCE(r.keep, TRUE) AS keep
         FROM celled v LEFT JOIN ranked r USING (id)
     """
+
+
+# --- IVF-PQ: product-quantized ANN with asymmetric distance ------------------
+
+def pq_codebooks(
+    dim: int, m_sub: int, k_codes: int, seed: int
+) -> list[list[list[float]]]:
+    """Seeded per-subspace codebooks (m_sub books of k_codes unit
+    vectors in dim/m_sub dims) -- the no-training PQ baseline, same
+    stance as the IVF centroids: k-means training rebalances the
+    codebook, it does not change the search mechanics. Deterministic
+    literals shared verbatim with the SQL twin."""
+    d_sub = dim // m_sub
+    return [
+        lsh_hyperplanes(d_sub, k_codes, seed + 101 * (m + 1))
+        for m in range(m_sub)
+    ]
+
+
+def _pq_encode(vec: Column, cbs: Column, m_sub: int, d_sub: int) -> Column:
+    """array<int> of per-subspace code ids: code_m = argmax dot of the
+    m-th subvector against codebook m (unit codewords make max-dot =
+    min-L2 up to the constant ||c||^2/2 term)."""
+    def code_for(m: Column) -> Column:
+        sub = F.slice(vec, m * d_sub + 1, d_sub)
+        dots = F.transform(
+            F.element_at(cbs, m + 1), lambda c: dot(sub, c)
+        )
+        return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)), code_for
+    )
+
+
+def _pq_adc_table(qv: Column, cbs: Column, m_sub: int,
+                  d_sub: int) -> Column:
+    """Per-QUERY ADC lookup table: table[m][k] = <q_sub_m, cb[m][k]>.
+    Built once per query row (m_sub * k_codes doubles); candidates
+    only index into it -- the classic asymmetric-distance table, and
+    the reason the candidate join never touches vectors or codebooks."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.transform(
+            F.element_at(cbs, m + 1),
+            lambda c: dot(F.slice(qv, m * d_sub + 1, d_sub), c),
+        ),
+    )
+
+
+def _pq_approx_dot(adc: Column, codes: Column) -> Column:
+    """ADC score: sum_m table[m][code_m] -- m_sub array lookups per
+    candidate, no float math beyond the adds."""
+    terms = F.zip_with(
+        codes,
+        F.sequence(F.lit(0), F.size(codes) - 1),
+        lambda c, m: F.element_at(F.element_at(adc, m + 1), c + 1),
+    )
+    return F.aggregate(
+        terms, F.lit(0.0), lambda acc, t: acc + t
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    n_probe: int = 1,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF-PQ approximate top-k -- the industry-standard serving index
+    (Jegou et al. 2011), re-expressed for Spark:
+
+      1. IVF: corpus vectors live in their argmax centroid cell;
+         each query probes its ``n_probe`` nearest cells.
+      2. PQ: every corpus vector is encoded once into ``m_sub``
+         4-bit-ish codes (argmax against seeded per-subspace
+         codebooks). THE CANDIDATE JOIN SHIPS ONLY (id, cell, codes)
+         -- m_sub ints instead of ``dim`` doubles, an 8x-64x shuffle
+         width cut, which is the entire point of PQ at 100 TB: the
+         corpus vectors themselves never move.
+      3. ADC: candidates are ranked by the asymmetric approximation
+         sum_m <q_sub, codeword_m> (query exact, candidate
+         reconstructed); the top ``rerank`` per query then join back
+         to the FULL vectors for exact cosine, and top-``k`` of that
+         is returned. Approx scores order the shortlist only -- every
+         reported ``sim`` is exact.
+
+    Accuracy is the PQ trade (measured honestly by ivf_pq_recall):
+    seeded codebooks are the no-training baseline, so recall lags
+    trained PQ; rerank absorbs most of the loss -- raising rerank
+    converges to plain IVF recall at the same shuffle width.
+
+    Determinism: codebook/centroid literals shared with the SQL twin;
+    approx scores rounded before the shortlist cut; ties by id.
+    """
+    d_sub = dim // m_sub
+    centroids = lsh_hyperplanes(dim, n_cells, seed)
+    cbs = pq_codebooks(dim, m_sub, k_codes, seed)
+    const_df = df.sparkSession.createDataFrame(
+        [(centroids, cbs, 0)],
+        "cents array<array<double>>, "
+        "cbs array<array<array<double>>>, __k long",
+    )
+    vecs = (
+        _with_constant_row(
+            df.select(
+                F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+            ),
+            const_df,
+            "id",
+        )
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("cell", _centroid_argmax(F.col("v"), F.col("cents")))
+        .withColumn("codes", _pq_encode(F.col("v"), F.col("cbs"),
+                                        m_sub, d_sub))
+    )
+    if n_probe > 1:
+        vecs = vecs.withColumn(
+            "probes", _probe_cells(F.col("v"), F.col("cents"), n_probe)
+        )
+    from .caching import persisted
+
+    vecs = persisted(
+        vecs.withColumn(
+            "adc", _pq_adc_table(F.col("v"), F.col("cbs"), m_sub, d_sub)
+        ).drop("cents", "cbs")
+    )
+    # query side ships the small ADC table (m_sub*k_codes doubles),
+    # not the vector and not the codebooks
+    probe_cell = (
+        F.explode(F.col("probes")) if n_probe > 1 else F.col("cell")
+    )
+    a = vecs.select(
+        F.col("id").alias("query_id"), F.col("adc"),
+        probe_cell.alias("cell"),
+    )
+    # candidate side ships codes only -- no vectors
+    b = vecs.select(
+        F.col("id").alias("neighbor_id"), F.col("cell"), "codes",
+    )
+    approx = F.round(
+        _pq_approx_dot(F.col("adc"), F.col("codes")), SIM_DECIMALS
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx"))
+        .withColumn("srk", F.row_number().over(w_short))
+        .filter(F.col("srk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = vecs.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    cv = vecs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        SIM_DECIMALS,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def ivf_pq_topk_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    n_probe: int = 1,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 32,
+    query_filter: str | None = None,
+) -> str:
+    """DuckDB twin of ivf_pq_topk: same centroid + codebook literals,
+    same per-subspace argmax encoding, same ADC shortlist + exact
+    rerank."""
+    d_sub = dim // m_sub
+    centroids = lsh_hyperplanes(dim, n_cells, seed)
+    cbs = pq_codebooks(dim, m_sub, k_codes, seed)
+    cdots = ", ".join(
+        f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+    )
+    qf = f"WHERE {query_filter}" if query_filter else ""
+
+    def sub(vexpr: str, m: int) -> str:
+        return f"{vexpr}[{m * d_sub + 1}:{m * d_sub + d_sub}]"
+
+    code_exprs = []
+    for m in range(m_sub):
+        dots_m = ", ".join(
+            f"list_dot_product({sub('v', m)}, {c!r}::DOUBLE[])"
+            for c in cbs[m]
+        )
+        code_exprs.append(
+            f"CAST(list_position([{dots_m}], list_max([{dots_m}])) - 1 "
+            f"AS INTEGER)"
+        )
+    codes_sql = "[" + ", ".join(code_exprs) + "]"
+
+    approx_terms = " + ".join(
+        f"list_dot_product({sub('q.v', m)}, "
+        f"([{', '.join(f'{c!r}::DOUBLE[]' for c in cbs[m])}])"
+        f"[c.codes[{m + 1}] + 1])"
+        for m in range(m_sub)
+    )
+    if n_probe == 1:
+        probed = f"""probed AS (
+            SELECT id, cell FROM celled {qf}
+        )"""
+    else:
+        probe = f"""
+            list_transform(list_slice(list_sort(
+                list_transform(range(1, {n_cells} + 1),
+                    i -> struct_pack(nd := -ds[i], i := i - 1))),
+                1, {n_probe}), s -> s.i)
+        """
+        probed = f"""probed AS (
+            SELECT id, CAST(unnest({probe}) AS INTEGER) AS cell
+            FROM dotted {qf}
+        )"""
+    return f"""
+        WITH vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), dotted AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+                   [{cdots}] AS ds
+            FROM vecs
+        ), celled AS (
+            SELECT id, v, n,
+                   CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER)
+                       AS cell,
+                   {codes_sql} AS codes
+            FROM dotted
+        ), {probed}, cand AS (
+            SELECT a.id AS query_id, b.id AS neighbor_id, b.codes
+            FROM probed a JOIN celled b USING (cell)
+            WHERE a.id != b.id
+        ), shortlist AS (
+            SELECT query_id, neighbor_id
+            FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY ROUND({approx_terms},
+                                          {SIM_DECIMALS}) DESC,
+                                    c.neighbor_id ASC
+                       ) AS srk
+                FROM cand c JOIN dotted q ON q.id = c.query_id
+            ) WHERE srk <= {rerank}
+        ), scored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   ROUND(list_dot_product(q.v, b.v) / (q.n * b.n),
+                         {SIM_DECIMALS}) AS sim
+            FROM shortlist s
+            JOIN dotted q ON q.id = s.query_id
+            JOIN dotted b ON b.id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k}
+    """

@@ -661,3 +661,110 @@ register(QuerySpec(
     covers=("ivf-n-probe", "ann-recall-cost-curve"),
     extended=True,
 ))
+
+
+# --- IVF-PQ: product-quantized ANN (codes-only candidate shuffle) ------------
+#
+# The serving-index shape (IVF cells + PQ codes + ADC shortlist +
+# exact rerank). The attested query returns full top-k rows; the
+# recall query pins the accuracy trade of the no-training codebooks at
+# two rerank depths against exact brute force -- rerank is the dial
+# that converges PQ back to plain-IVF recall at the same candidate
+# shuffle width (m_sub ints per candidate instead of dim doubles).
+
+_PQ_PROBES = 2
+_PQ_RERANKS = (8, 32)
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, k=_K, n_probe=_PQ_PROBES, rerank=32)
+
+
+def _pq_topk_oracle() -> str:
+    from ..operators.similarity import ivf_pq_topk_sql
+
+    return ivf_pq_topk_sql(k=_K, n_probe=_PQ_PROBES, rerank=32)
+
+
+register(QuerySpec(
+    name="cosine_topk_ivf_pq",
+    spark_fn=_pq_topk,
+    oracle=_pq_topk_oracle,
+    covers=("ivf-pq", "adc", "ann-serving-index"),
+    bench=True,
+    extended=True,
+))
+
+
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import release_all
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    exact = cosine_topk(queries, emb, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    out: DataFrame | None = None
+    for rr in _PQ_RERANKS:
+        ann = (
+            ivf_pq_topk(emb, k=_K, n_probe=_PQ_PROBES, rerank=rr)
+            .filter(F.col("query_id") < _RECALL_QUERIES)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(rr).alias("rerank"),
+                "n_exact",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _pq_recall_oracle() -> str:
+    from ..operators.similarity import ivf_pq_topk_sql
+
+    qf = f"id < {_RECALL_QUERIES}"
+    exact = cosine_topk_sql(k=_K, query_filter=qf)
+    ctes = [f"exact AS ({exact})"]
+    rows = []
+    for rr in _PQ_RERANKS:
+        ctes.append(
+            f"ann{rr} AS ({ivf_pq_topk_sql(k=_K, n_probe=_PQ_PROBES, rerank=rr, query_filter=qf)})"
+        )
+        hits = (
+            f"SELECT COUNT(*) FROM exact e JOIN ann{rr} a "
+            f"ON e.query_id = a.query_id "
+            f"AND e.neighbor_id = a.neighbor_id"
+        )
+        rows.append(f"""
+            SELECT {rr} AS rerank,
+                   (SELECT COUNT(*) FROM exact) AS n_exact,
+                   ({hits}) AS n_hits,
+                   ROUND(({hits}) * 1.0 /
+                         (SELECT COUNT(*) FROM exact), 6) AS recall_at_k
+        """)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(rows) + ")"
+    )
+
+
+register(QuerySpec(
+    name="ivf_pq_recall",
+    spark_fn=_pq_recall,
+    oracle=_pq_recall_oracle,
+    covers=("ivf-pq-recall", "rerank-dial"),
+    extended=True,
+))

@@ -1470,3 +1470,89 @@ class TestCachingScoped:
             assert inner not in caching._TRACKED
         finally:
             caching.release_all()
+
+
+class TestComponentsReliableCheckpoint:
+    def test_uses_reliable_checkpoint_dir_when_configured(
+        self, spark, tmp_path
+    ):
+        """With a checkpoint dir set, truncation writes reliable
+        checkpoints there (cluster-safe) and labels stay exact."""
+        import os
+
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            dedup_components,
+        )
+
+        ckpt = str(tmp_path / "ckpt")
+        spark.sparkContext.setCheckpointDir(ckpt)
+        try:
+            pairs = spark.createDataFrame(
+                [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+            )
+            got = {
+                r["id"]: r["component"]
+                for r in dedup_components(
+                    pairs, max_iter=20, check_every=3, truncate_every=4
+                ).collect()
+            }
+            assert got == {i: 0 for i in range(11)}
+            # a reliable checkpoint actually landed on disk
+            assert any(
+                files for _, _, files in os.walk(ckpt)
+            ), "no checkpoint files written"
+        finally:
+            # unset so later tests keep the localCheckpoint path
+            getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+                spark.sparkContext._jvm.scala.Option.empty()
+            )
+
+
+class TestIvfPq:
+    def test_full_rerank_equals_plain_ivf(self, spark):
+        """With rerank >= corpus size the ADC shortlist keeps every
+        candidate, so exact rescoring must reproduce plain ivf_topk
+        at the same probes exactly -- PQ only reorders the shortlist
+        CUT, never the reported sims."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            ivf_pq_topk,
+            ivf_topk,
+        )
+
+        rows = [(i, [((i * 29 + j * 17) % 101) / 101.0 - 0.5
+                     for j in range(64)]) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        try:
+            plain = sorted(map(tuple, ivf_topk(
+                df, k=4, n_probe=2).collect()))
+            pq = sorted(map(tuple, ivf_pq_topk(
+                df, k=4, n_probe=2, rerank=10_000).collect()))
+            assert plain == pq
+        finally:
+            release_all()
+
+    def test_codes_are_in_range_and_deterministic(self, spark):
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        rows = [(i, [((i * 7 + j * 3) % 53) / 53.0 - 0.5
+                     for j in range(64)]) for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        try:
+            a = sorted(map(tuple, ivf_pq_topk(df, k=3).collect()))
+            b = sorted(map(tuple, ivf_pq_topk(
+                df.repartition(5), k=3).collect()))
+            assert a == b and a
+        finally:
+            release_all()
