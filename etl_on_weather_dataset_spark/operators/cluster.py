@@ -1,0 +1,208 @@
+"""Distributed Lloyd's k-means with engine-exact aggregation.
+
+Why it exists: the IVF / SemDeDup tiers run on seeded centroids (the
+no-training baseline) and document that "k-means only rebalances
+cells". This operator IS that rebalancing -- MLlib-free, so results
+are reproducible bit-for-bit against the DuckDB oracle, which MLlib's
+float reductions can never be.
+
+Exactness discipline (functions/exact.py): per-dimension component
+sums are accumulated as ROUND(val * 1e6) longs -- integer addition is
+associative, so Spark's partial aggregation and the oracle's
+sequential sum agree exactly -- and the mean is rebuilt with one
+fixed op order ((CAST(s AS DOUBLE) / n) / 1e6). Assignment distances
+(||c||^2 - 2<v,c>) and inertia terms are the same IEEE expressions in
+both engines, micro-rounded before any sum.
+
+Scale shape: each round is one distributed assignment (per-row
+codegen against a one-row broadcast centroid relation,
+constants-as-data rule) + one (cluster, dim)-keyed partial-sum
+aggregate -- constant-width shuffle keys, map-side combine, identical
+to how MLlib's Lloyd iterations are laid out. The ONLY driver-side
+work per round is collecting the k x dim integer sums (a few KB,
+O(1) in corpus size) to rebuild the next centroid literals --
+coordination, not data movement, same stance as dedup_components'
+convergence counts.
+
+Empty clusters keep their previous centroid (the standard Lloyd
+fallback); ties in assignment go to the lowest cluster id in both
+engines (first-min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double, _with_constant_row, dot, lsh_hyperplanes
+
+MICRO = 1_000_000
+
+
+def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Add the argmin-distance cluster id (first-min tie-break)."""
+    spark = vecs.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cents, 0)], "cents array<array<double>>, __k long"
+    )
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: dot(c, c) - 2 * dot(F.col("v"), c),
+    )
+    return (
+        _with_constant_row(vecs, cent_df, "id")
+        .withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+        .drop("cents")
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds from seeded centroids; return the
+    final per-cluster summary (cluster, n_members, inertia_micro)
+    where inertia_micro = exact long sum of ROUND(||v - c||^2 * 1e6)
+    over members -- the full pipeline (every assignment and every
+    centroid update) is pinned by this hash.
+    """
+    from .caching import persisted
+
+    vecs = persisted(
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    )
+    cents = lsh_hyperplanes(dim, k, seed)
+    for _ in range(iters):
+        assigned = _assign(vecs, cents)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("v")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * MICRO).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            new[r["cluster"]][r["pos"]] = (float(r["s"]) / r["n"]) / MICRO
+        cents = new
+    final = _assign(vecs, cents)
+    vv = dot(F.col("v"), F.col("v"))
+    cent_df = vecs.sparkSession.createDataFrame(
+        [(cents, 0)], "cents array<array<double>>, __k long"
+    )
+    sq_dist = (
+        vv
+        - 2 * dot(F.col("v"), F.element_at(F.col("cents"),
+                                           F.col("cluster") + 1))
+        + dot(
+            F.element_at(F.col("cents"), F.col("cluster") + 1),
+            F.element_at(F.col("cents"), F.col("cluster") + 1),
+        )
+    )
+    return (
+        _with_constant_row(final, cent_df, "id")
+        .select(
+            "cluster",
+            F.round(sq_dist * MICRO).cast("long").alias("d_micro"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d_micro").alias("inertia_micro"),
+        )
+    )
+
+
+def kmeans_sql(
+    k: int = 8,
+    iters: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin: the Lloyd rounds unrolled as CTE chains (seeded
+    centroid literals -> assignment via first-min window -> exact
+    micro-long component sums -> rebuilt centroid relation), ending in
+    the same per-cluster inertia summary."""
+    cents0 = lsh_hyperplanes(dim, k, seed)
+    rows = ", ".join(
+        f"({j}, {c!r}::DOUBLE[])" for j, c in enumerate(cents0)
+    )
+    parts = [
+        f"""vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), spine AS (
+            SELECT unnest(range({k})) AS cluster
+        ), cents0(cluster, cent) AS (VALUES {rows})"""
+    ]
+    for r in range(iters):
+        parts.append(f"""a{r} AS (
+            SELECT id, v, CAST(cluster AS INTEGER) AS cluster FROM (
+                SELECT q.id, q.v, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.id
+                           ORDER BY (list_dot_product(c.cent, c.cent)
+                                     - 2 * list_dot_product(q.v, c.cent))
+                                    ASC, c.cluster ASC
+                       ) AS rn
+                FROM vecs q CROSS JOIN cents{r} c
+            ) WHERE rn = 1
+        ), s{r} AS (
+            SELECT cluster, u.pos,
+                   SUM(CAST(ROUND(u.val * {MICRO}) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM (
+                SELECT cluster, unnest(list_transform(v,
+                    (x, i) -> struct_pack(pos := i, val := x))) AS u
+                FROM a{r}
+            ) GROUP BY cluster, u.pos
+        ), cents{r + 1} AS (
+            SELECT sp.cluster,
+                   COALESCE(l.cent, p.cent) AS cent
+            FROM spine sp
+            LEFT JOIN (
+                SELECT cluster,
+                       list((CAST(s AS DOUBLE) / n) / {MICRO}
+                            ORDER BY pos) AS cent
+                FROM s{r} GROUP BY cluster
+            ) l ON l.cluster = sp.cluster
+            JOIN cents{r} p ON p.cluster = sp.cluster
+        )""")
+    parts.append(f"""afinal AS (
+            SELECT id, v, cluster, cent FROM (
+                SELECT q.id, q.v, c.cluster, c.cent,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.id
+                           ORDER BY (list_dot_product(c.cent, c.cent)
+                                     - 2 * list_dot_product(q.v, c.cent))
+                                    ASC, c.cluster ASC
+                       ) AS rn
+                FROM vecs q CROSS JOIN cents{iters} c
+            ) WHERE rn = 1
+        )""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT CAST(cluster AS INTEGER) AS cluster,
+               COUNT(*) AS n_members,
+               SUM(CAST(ROUND((list_dot_product(v, v)
+                    - 2 * list_dot_product(v, cent)
+                    + list_dot_product(cent, cent)) * {MICRO})
+                   AS BIGINT)) AS inertia_micro
+        FROM afinal GROUP BY cluster
+    """
+    )

@@ -768,3 +768,37 @@ register(QuerySpec(
     covers=("ivf-pq-recall", "rerank-dial"),
     extended=True,
 ))
+
+
+# --- k-means (Lloyd) over embeddings -----------------------------------------
+#
+# The trained-cell counterpart of the seeded IVF/SemDeDup centroids
+# (operators/cluster.py). The summary row set pins every assignment
+# and every centroid update across the rounds: a single flipped
+# assignment in any round changes some cluster's member count or
+# exact micro-inertia.
+
+_KM_K, _KM_ITERS = 8, 3
+
+
+def _kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+def _kmeans_oracle() -> str:
+    from ..operators.cluster import kmeans_sql
+
+    return kmeans_sql(k=_KM_K, iters=_KM_ITERS)
+
+
+register(QuerySpec(
+    name="kmeans_cluster_stats",
+    spark_fn=_kmeans_stats,
+    oracle=_kmeans_oracle,
+    covers=("kmeans", "lloyd-iterations", "exact-aggregation"),
+    bench=True,
+    extended=True,
+))

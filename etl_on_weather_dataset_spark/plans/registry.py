@@ -99,7 +99,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "boilerplate_line_removal", "per_source_document_cap",
     "importance_resample_dsir", "semdedup_embeddings",
     "ivf_recall_probes", "corpus_mixture_sample",
-    "cosine_topk_ivf_pq", "ivf_pq_recall",
+    "cosine_topk_ivf_pq", "ivf_pq_recall", "kmeans_cluster_stats",
     # re-attest after round-4 implementation changes
     "curation_pipeline_stats", "dedup_connected_groups",
 })

@@ -1556,3 +1556,36 @@ class TestIvfPq:
             assert a == b and a
         finally:
             release_all()
+
+
+class TestKmeans:
+    def test_separates_planted_clusters(self, spark):
+        """Two tight planted blobs end up in different clusters with
+        low inertia; assignment is partitioning-invariant."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.cluster import kmeans
+
+        def blob(center, i):
+            return [center + ((i * 31 + j * 13) % 7) * 1e-3
+                    for j in range(64)]
+
+        rows = [(i, blob(1.0, i)) for i in range(30)] + \
+               [(100 + i, blob(-1.0, i)) for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        try:
+            out = kmeans(df, k=4, iters=3).collect()
+            # the two blobs cannot share a cluster: total inertia of a
+            # mixed cluster would be ~2 per axis * 64 dims * members
+            sizes = sorted(r["n_members"] for r in out)
+            assert sum(sizes) == 60
+            for r in out:
+                # within-blob spread is ~1e-3 -> tiny exact inertia
+                assert r["inertia_micro"] < 10_000_000 * r["n_members"]
+            again = kmeans(df.repartition(7), k=4, iters=3).collect()
+            assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        finally:
+            release_all()
