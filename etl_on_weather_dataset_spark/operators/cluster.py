@@ -59,6 +59,71 @@ def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
+def _lloyd(vecs: DataFrame, k: int, iters: int, dim: int,
+           seed: int) -> list[list[float]]:
+    """Run the Lloyd rounds; return the final centroids as plain
+    Python floats (exact: integer sums come back from the cluster,
+    the mean arithmetic is the same fixed op order as the oracle)."""
+    cents = lsh_hyperplanes(dim, k, seed)
+    for _ in range(iters):
+        assigned = _assign(vecs, cents)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("v")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * MICRO).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            new[r["cluster"]][r["pos"]] = (float(r["s"]) / r["n"]) / MICRO
+        cents = new
+    return cents
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Fit and return the trained centroids -- feed them to
+    kmeans_assignments / a trained-cell ANN query."""
+    from .caching import persisted
+
+    vecs = persisted(
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    )
+    return _lloyd(vecs, k, iters, dim, seed)
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, v, cluster) under the trained centroids -- the
+    trained-cell partition that IVF-style search runs on."""
+    from .caching import persisted
+
+    vecs = persisted(
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    )
+    cents = _lloyd(vecs, k, iters, dim, seed)
+    return _assign(vecs, cents)
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -79,24 +144,7 @@ def kmeans(
     vecs = persisted(
         df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     )
-    cents = lsh_hyperplanes(dim, k, seed)
-    for _ in range(iters):
-        assigned = _assign(vecs, cents)
-        sums = (
-            assigned.select(
-                "cluster", F.posexplode(F.col("v")).alias("pos", "val")
-            )
-            .groupBy("cluster", "pos")
-            .agg(
-                F.sum(F.round(F.col("val") * MICRO).cast("long")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in sums:
-            new[r["cluster"]][r["pos"]] = (float(r["s"]) / r["n"]) / MICRO
-        cents = new
+    cents = _lloyd(vecs, k, iters, dim, seed)
     final = _assign(vecs, cents)
     vv = dot(F.col("v"), F.col("v"))
     cent_df = vecs.sparkSession.createDataFrame(
@@ -125,7 +173,7 @@ def kmeans(
     )
 
 
-def kmeans_sql(
+def kmeans_ctes(
     k: int = 8,
     iters: int = 3,
     table: str = "embeddings",
@@ -134,10 +182,12 @@ def kmeans_sql(
     dim: int = 64,
     seed: int = 7,
 ) -> str:
-    """DuckDB twin: the Lloyd rounds unrolled as CTE chains (seeded
-    centroid literals -> assignment via first-min window -> exact
-    micro-long component sums -> rebuilt centroid relation), ending in
-    the same per-cluster inertia summary."""
+    """The Lloyd rounds unrolled as CTE chains (seeded centroid
+    literals -> assignment via first-min window -> exact micro-long
+    component sums -> rebuilt centroid relation), ending in
+    ``afinal(id, v, cluster, cent)`` -- exposed separately so
+    composed queries (trained-cell ANN) can build on the final
+    partition."""
     cents0 = lsh_hyperplanes(dim, k, seed)
     rows = ", ".join(
         f"({j}, {c!r}::DOUBLE[])" for j, c in enumerate(cents0)
@@ -195,8 +245,22 @@ def kmeans_sql(
                 FROM vecs q CROSS JOIN cents{iters} c
             ) WHERE rn = 1
         )""")
-    return (
-        "WITH " + ",\n".join(parts) + f"""
+    return ",\n".join(parts)
+
+
+def kmeans_sql(
+    k: int = 8,
+    iters: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of kmeans: the unrolled CTE chain + the same
+    per-cluster inertia summary."""
+    ctes = kmeans_ctes(k, iters, table, id_col, vec_col, dim, seed)
+    return f"""WITH {ctes}
         SELECT CAST(cluster AS INTEGER) AS cluster,
                COUNT(*) AS n_members,
                SUM(CAST(ROUND((list_dot_product(v, v)
@@ -205,4 +269,3 @@ def kmeans_sql(
                    AS BIGINT)) AS inertia_micro
         FROM afinal GROUP BY cluster
     """
-    )

@@ -802,3 +802,124 @@ register(QuerySpec(
     bench=True,
     extended=True,
 ))
+
+
+# --- trained-cell IVF recall (k-means cells instead of seeded cells) ---------
+#
+# Composition of the two tiers: kmeans_fit rebalances the Voronoi
+# partition, then the IVF candidate mechanics run on the trained
+# cells (assignment by min-L2 against the trained centroids, matching
+# Lloyd's own rule -- argmax-dot and argmin-L2 only coincide for
+# equal-norm centroids). Hash-pins recall + candidate cost on the
+# trained partition next to the seeded curves.
+
+def _trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.caching import persisted
+    from ..operators.cluster import kmeans_assignments
+    from ..operators.similarity import SIM_DECIMALS, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    exact = persisted(
+        cosine_topk(queries, emb, k=_K).select("query_id", "neighbor_id")
+    )
+    assigned = persisted(
+        kmeans_assignments(emb, k=_KM_K, iters=_KM_ITERS)
+        .withColumn("n", norm(F.col("v")))
+    )
+    a = assigned.filter(F.col("id") < _RECALL_QUERIES).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"), "cluster",
+    )
+    b = assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"), "cluster",
+    )
+    cand = persisted(
+        a.join(b, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        SIM_DECIMALS,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_scored_pairs")))
+        .select(
+            "n_exact",
+            "n_hits",
+            "n_scored_pairs",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def _trained_ivf_oracle() -> str:
+    from ..operators.cluster import kmeans_ctes
+    from ..operators.similarity import SIM_DECIMALS
+
+    qf = f"id < {_RECALL_QUERIES}"
+    exact = cosine_topk_sql(k=_K, query_filter=qf)
+    km = kmeans_ctes(k=_KM_K, iters=_KM_ITERS)
+    return f"""
+        WITH exact AS ({exact}),
+        assigned AS (
+            WITH {km}
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS n, cluster
+            FROM afinal
+        ),
+        cand AS (
+            SELECT a.id AS query_id, a.v AS qv, a.n AS qn,
+                   b.id AS neighbor_id, b.v AS cv, b.n AS cn
+            FROM assigned a JOIN assigned b USING (cluster)
+            WHERE a.id < {_RECALL_QUERIES} AND a.id != b.id
+        ),
+        ann AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY ROUND(list_dot_product(qv, cv)
+                                          / (qn * cn),
+                                          {SIM_DECIMALS}) DESC,
+                                    neighbor_id ASC
+                       ) AS rk
+                FROM cand
+            ) WHERE rk <= {_K}
+        ),
+        hits AS (
+            SELECT COUNT(*) AS c FROM exact e JOIN ann a
+              ON e.query_id = a.query_id
+             AND e.neighbor_id = a.neighbor_id
+        )
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT c FROM hits) AS n_hits,
+               (SELECT COUNT(*) FROM cand) AS n_scored_pairs,
+               ROUND((SELECT c FROM hits) * 1.0 /
+                     (SELECT COUNT(*) FROM exact), 6) AS recall_at_k
+    """
+
+
+register(QuerySpec(
+    name="trained_ivf_recall",
+    spark_fn=_trained_ivf_recall,
+    oracle=_trained_ivf_oracle,
+    covers=("trained-ivf", "kmeans-ann-composition"),
+    extended=True,
+))
