@@ -85,6 +85,16 @@ def _lloyd(vecs: DataFrame, k: int, iters: int, dim: int,
     return cents
 
 
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Normalized (id, v) projection, persisted: every Lloyd round and
+    the final assignment scan it."""
+    from .caching import persisted
+
+    return persisted(
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -96,12 +106,7 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Fit and return the trained centroids -- feed them to
     kmeans_assignments / a trained-cell ANN query."""
-    from .caching import persisted
-
-    vecs = persisted(
-        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    )
-    return _lloyd(vecs, k, iters, dim, seed)
+    return _lloyd(_prep(df, id_col, vec_col), k, iters, dim, seed)
 
 
 def kmeans_assignments(
@@ -115,13 +120,8 @@ def kmeans_assignments(
 ) -> DataFrame:
     """(id, v, cluster) under the trained centroids -- the
     trained-cell partition that IVF-style search runs on."""
-    from .caching import persisted
-
-    vecs = persisted(
-        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    )
-    cents = _lloyd(vecs, k, iters, dim, seed)
-    return _assign(vecs, cents)
+    vecs = _prep(df, id_col, vec_col)
+    return _assign(vecs, _lloyd(vecs, k, iters, dim, seed))
 
 
 def kmeans(
@@ -141,27 +141,29 @@ def kmeans(
     """
     from .caching import persisted
 
-    vecs = persisted(
-        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    )
+    vecs = _prep(df, id_col, vec_col)
     cents = _lloyd(vecs, k, iters, dim, seed)
-    final = _assign(vecs, cents)
-    vv = dot(F.col("v"), F.col("v"))
+    # ONE broadcast join: cluster and its inertia term come out of the
+    # same joined frame (the cents column is still present), instead
+    # of assigning, dropping cents, and re-joining to look them up
     cent_df = vecs.sparkSession.createDataFrame(
         [(cents, 0)], "cents array<array<double>>, __k long"
     )
+    dists = F.transform(
+        F.col("cents"), lambda c: dot(c, c) - 2 * dot(F.col("v"), c)
+    )
+    joined = _with_constant_row(vecs, cent_df, "id").withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+    sel = F.element_at(F.col("cents"), F.col("cluster") + 1)
     sq_dist = (
-        vv
-        - 2 * dot(F.col("v"), F.element_at(F.col("cents"),
-                                           F.col("cluster") + 1))
-        + dot(
-            F.element_at(F.col("cents"), F.col("cluster") + 1),
-            F.element_at(F.col("cents"), F.col("cluster") + 1),
-        )
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), sel)
+        + dot(sel, sel)
     )
     return (
-        _with_constant_row(final, cent_df, "id")
-        .select(
+        joined.select(
             "cluster",
             F.round(sq_dist * MICRO).cast("long").alias("d_micro"),
         )

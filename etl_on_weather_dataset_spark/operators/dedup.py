@@ -530,10 +530,14 @@ def dedup_components(
             # otherwise localCheckpoint, which suits single-JVM runs.
             # (The truncated frame is RDD-backed, not
             # ledger-persisted; a later unpersist of it via `behind`
-            # is a no-op and its storage is reclaimed by the
-            # ContextCleaner.)
+            # is a no-op. localCheckpoint blocks are reclaimed by the
+            # ContextCleaner; reliable checkpoint FILES are deleted
+            # on RDD GC only under
+            # spark.cleaner.referenceTracking.cleanCheckpoints=true,
+            # which session.get_spark sets -- sessions built without
+            # it must clean their checkpoint dir themselves.)
             sc = labels.sparkSession.sparkContext
-            reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+            reliable = sc.getCheckpointDir() is not None
             trunc = (
                 labels.checkpoint() if reliable
                 else labels.localCheckpoint()

@@ -1180,6 +1180,11 @@ def pq_codebooks(
     stance as the IVF centroids: k-means training rebalances the
     codebook, it does not change the search mechanics. Deterministic
     literals shared verbatim with the SQL twin."""
+    if dim % m_sub:
+        raise ValueError(
+            f"dim={dim} not divisible by m_sub={m_sub}: trailing "
+            "dimensions would be silently dropped from every code"
+        )
     d_sub = dim // m_sub
     return [
         lsh_hyperplanes(d_sub, k_codes, seed + 101 * (m + 1))
@@ -1243,6 +1248,7 @@ def ivf_pq_topk(
     m_sub: int = 8,
     k_codes: int = 16,
     rerank: int = 32,
+    with_shortlist_rank: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k -- the industry-standard serving index
     (Jegou et al. 2011), re-expressed for Spark:
@@ -1270,6 +1276,11 @@ def ivf_pq_topk(
     Determinism: codebook/centroid literals shared with the SQL twin;
     approx scores rounded before the shortlist cut; ties by id.
     """
+    if rerank < k:
+        raise ValueError(
+            f"rerank={rerank} < k={k}: the exact pass could never "
+            "return k rows per query"
+        )
     d_sub = dim // m_sub
     centroids = lsh_hyperplanes(dim, n_cells, seed)
     cbs = pq_codebooks(dim, m_sub, k_codes, seed)
@@ -1327,7 +1338,7 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id", approx.alias("approx"))
         .withColumn("srk", F.row_number().over(w_short))
         .filter(F.col("srk") <= rerank)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "srk")
     )
     qv = vecs.select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
@@ -1344,13 +1355,19 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
+    out_cols = ["query_id", "neighbor_id", "sim", "rk"]
+    if with_shortlist_rank:
+        # srk (the ADC approx rank) lets evaluation harnesses derive
+        # every smaller-rerank result from one build: shortlists are
+        # nested, so filter(srk <= r) + re-rank == rerank=r exactly
+        out_cols.append("srk")
     return (
         shortlist.join(qv, "query_id")
         .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .select("query_id", "neighbor_id", "srk", sim.alias("sim"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "sim", "rk")
+        .select(*out_cols)
     )
 
 

@@ -111,6 +111,33 @@ register(QuerySpec(
 _RECALL_QUERIES = 200  # query set: vec_id < 200
 
 
+def _recall_row(
+    exact: DataFrame,
+    ann: DataFrame,
+    lits: dict[str, int] | None = None,
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """One recall-summary row: hits = exact ∩ ann (semi-join), plus
+    optional config-literal columns and an optional candidate-cost
+    count. Shared by every recall harness in this module so the
+    metric, rounding, and column names cannot drift between curves."""
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    row = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    cols = [F.lit(v).alias(name) for name, v in (lits or {}).items()]
+    cols += [F.col("n_exact"), F.col("n_hits")]
+    if cand is not None:
+        row = row.crossJoin(
+            cand.agg(F.count(F.lit(1)).alias("n_scored_pairs"))
+        )
+        cols.append(F.col("n_scored_pairs"))
+    cols.append(
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_at_k")
+    )
+    return row.select(*cols)
+
+
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
@@ -600,23 +627,7 @@ def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= _K)
             .select("query_id", "neighbor_id")
         )
-        hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-        row = (
-            exact.agg(F.count(F.lit(1)).alias("n_exact"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-            .crossJoin(
-                cand.agg(F.count(F.lit(1)).alias("n_scored_pairs"))
-            )
-            .select(
-                F.lit(p).alias("n_probe"),
-                "n_exact",
-                "n_hits",
-                "n_scored_pairs",
-                F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
-                    "recall_at_k"
-                ),
-            )
-        )
+        row = _recall_row(exact, ann, {"n_probe": p}, cand=cand)
         out = row if out is None else out.unionAll(row)
     return out
 
@@ -700,34 +711,41 @@ register(QuerySpec(
 
 
 def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.caching import release_all
+    from pyspark.sql import Window
+
+    from ..operators.caching import persisted
     from ..operators.similarity import ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
-    exact = cosine_topk(queries, emb, k=_K).select(
-        "query_id", "neighbor_id"
+    exact = persisted(
+        cosine_topk(queries, emb, k=_K).select("query_id", "neighbor_id")
+    )
+    # ONE index build + rescore at the max rerank: ADC shortlists are
+    # NESTED (srk <= 8 is a prefix of srk <= 32), so every smaller
+    # config derives from the same persisted rescored frame by
+    # filtering on srk and re-ranking -- identical to running
+    # ivf_pq_topk(rerank=rr) (the oracle builds each config
+    # independently, so the equivalence is hash-enforced).
+    rr_max = max(_PQ_RERANKS)
+    full = persisted(
+        ivf_pq_topk(
+            emb, k=rr_max, n_probe=_PQ_PROBES, rerank=rr_max,
+            with_shortlist_rank=True,
+        ).filter(F.col("query_id") < _RECALL_QUERIES)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     out: DataFrame | None = None
     for rr in _PQ_RERANKS:
         ann = (
-            ivf_pq_topk(emb, k=_K, n_probe=_PQ_PROBES, rerank=rr)
-            .filter(F.col("query_id") < _RECALL_QUERIES)
+            full.filter(F.col("srk") <= rr)
+            .withColumn("rk2", F.row_number().over(w))
+            .filter(F.col("rk2") <= _K)
             .select("query_id", "neighbor_id")
         )
-        hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-        row = (
-            exact.agg(F.count(F.lit(1)).alias("n_exact"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-            .select(
-                F.lit(rr).alias("rerank"),
-                "n_exact",
-                "n_hits",
-                F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
-                    "recall_at_k"
-                ),
-            )
-        )
+        row = _recall_row(exact, ann, {"rerank": rr})
         out = row if out is None else out.unionAll(row)
     return out
 
@@ -854,20 +872,7 @@ def _trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _K)
         .select("query_id", "neighbor_id")
     )
-    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_scored_pairs")))
-        .select(
-            "n_exact",
-            "n_hits",
-            "n_scored_pairs",
-            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
-                "recall_at_k"
-            ),
-        )
-    )
+    return _recall_row(exact, ann, cand=cand)
 
 
 def _trained_ivf_oracle() -> str:

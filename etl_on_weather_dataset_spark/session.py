@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # reliable RDD checkpoints (dedup_components truncation on a
+        # cluster with a checkpoint dir) are deleted when their RDD is
+        # GC'd ONLY under this flag -- without it checkpoint storage
+        # grows without bound in a long-lived driver
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet scans: vectorized reader + pushdown are defaults, but we
         # pin them so a misconfigured site profile can't silently regress.
