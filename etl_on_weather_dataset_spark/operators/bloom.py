@@ -83,3 +83,120 @@ def probe_bloom(
         .agg(F.min("hit_i").alias("bloom_hit"))
     )
     return probes.join(hits, key, "left").na.fill({"bloom_hit": False})
+
+
+# --- count-min sketch + heavy hitters ----------------------------------------
+
+def _cms_cells(key: Column, width: int, depth: int) -> Column:
+    """array<struct<row int, cell long>>: one md5-bucket cell per
+    sketch row, salted by the row index (operators/sample.py
+    hash_bucket -- engine-portable, so the oracle rebuilds the same
+    sketch cell-for-cell)."""
+    from .sample import hash_bucket
+
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            hash_bucket(key, buckets=width, salt=f"cms{r}").alias("cell"),
+        )
+        for r in range(depth)
+    ])
+
+
+def build_count_min(
+    df: DataFrame,
+    key: str,
+    width: int,
+    depth: int = 4,
+) -> DataFrame:
+    """Distributed count-min sketch over ``df[key]`` -> (row, cell,
+    cnt): depth x width counter rows, never a driver-side object (a
+    sketch for a 10^10-key stream is GBs of counters; it stays a
+    DataFrame, and two sketches merge by unioning and re-summing
+    cells -- the multi-batch story). Build is one explode (depth rows
+    per input row) + one (row, cell)-keyed sum: constant-width
+    shuffle keys, map-side combine.
+    """
+    return (
+        df.select(
+            F.explode(_cms_cells(F.col(key), width, depth)).alias("rc")
+        )
+        .select("rc.row", "rc.cell")
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    width: int,
+    depth: int = 4,
+) -> DataFrame:
+    """Point estimates for ``keys[key]``: est = min over sketch rows
+    of the key's cell counter -- the count-min guarantee is one-sided
+    (est >= true count, always; collisions only inflate). The probe
+    side explodes to depth rows and equi-joins the sketch on
+    (row, cell); a missing cell counts 0.
+
+    Returns (key, est).
+    """
+    probes = keys.select(
+        F.col(key).alias("k"),
+        F.explode(_cms_cells(F.col(key), width, depth)).alias("rc"),
+    ).select("k", "rc.row", "rc.cell")
+    return (
+        probes.join(sketch, ["row", "cell"], "left")
+        .na.fill({"cnt": 0})
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est"))
+        .select(F.col("k").alias(key), "est")
+    )
+
+
+def cms_sql(
+    table_sql: str,
+    key: str,
+    width: int,
+    depth: int = 4,
+) -> str:
+    """DuckDB CTEs rebuilding the same sketch: yields ``cms(row,
+    cell, cnt)`` over a (k) subquery -- splice into a WITH chain."""
+    from .sample import hash_bucket_sql
+
+    arms = " UNION ALL ".join(
+        f"SELECT {r} AS row, "
+        f"{hash_bucket_sql('k', buckets=width, salt=f'cms{r}')} AS cell "
+        f"FROM src"
+        for r in range(depth)
+    )
+    return f"""src AS ({table_sql}),
+        cms AS (
+            SELECT row, cell, COUNT(*) AS cnt
+            FROM ({arms}) GROUP BY row, cell
+        )"""
+
+
+def cms_estimates_sql(
+    keys_sql: str,
+    key: str,
+    width: int,
+    depth: int = 4,
+) -> str:
+    """DuckDB estimates CTE over ``cms`` (from cms_sql) and a keys
+    subquery: yields ``est(k, est)``."""
+    from .sample import hash_bucket_sql
+
+    arms = " UNION ALL ".join(
+        f"SELECT k, {r} AS row, "
+        f"{hash_bucket_sql('k', buckets=width, salt=f'cms{r}')} AS cell "
+        f"FROM keys"
+        for r in range(depth)
+    )
+    return f"""keys AS ({keys_sql}),
+        est AS (
+            SELECT k, MIN(COALESCE(c.cnt, 0)) AS est
+            FROM ({arms}) p LEFT JOIN cms c USING (row, cell)
+            GROUP BY k
+        )"""

@@ -978,3 +978,89 @@ register(QuerySpec(
     covers=("corpus-mixing", "mixture-weights"),
     extended=True,
 ))
+
+
+# --- count-min sketch: token frequencies + heavy hitters ----------------------
+#
+# Width 16 is deliberately SMALLER than the corpus vocabulary so
+# collisions actually happen and the attested table shows real
+# overestimates -- with the one-sided guarantee (est >= true, so
+# overestimate >= 0 on every row and the heavy-hitter flag can only
+# over-fire, never miss) holding exactly. The oracle rebuilds the
+# identical sketch from the shared md5-bucket hash, so every estimate
+# is value-checked, not bounded.
+
+_CMS_W, _CMS_D = 16, 4
+_CMS_HH_FRAC = 0.05  # heavy hitter: >= 5% of all tokens
+
+
+def _cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import build_count_min, cms_estimates
+    from ..operators.caching import persisted
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = persisted(
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+    )
+    sketch = build_count_min(toks, "token", width=_CMS_W, depth=_CMS_D)
+    exact = persisted(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    est = cms_estimates(
+        sketch, exact.select("token"), "token",
+        width=_CMS_W, depth=_CMS_D,
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total_n"))
+    return (
+        exact.join(est, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "true_n",
+            F.col("est").alias("est_n"),
+            (F.col("est") - F.col("true_n")).alias("overestimate"),
+            (F.col("true_n") >= _CMS_HH_FRAC * F.col("total_n")).alias(
+                "hh_true"
+            ),
+            (F.col("est") >= _CMS_HH_FRAC * F.col("total_n")).alias(
+                "hh_est"
+            ),
+        )
+    )
+
+
+def _cms_oracle() -> str:
+    from ..operators.bloom import cms_estimates_sql, cms_sql
+
+    cms = cms_sql("SELECT k FROM toks", "k", _CMS_W, _CMS_D)
+    est = cms_estimates_sql(
+        "SELECT DISTINCT k FROM toks", "k", _CMS_W, _CMS_D
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(text, ' +')) AS k
+            FROM documents
+        ),
+        {cms},
+        {est},
+        exact AS (
+            SELECT k, COUNT(*) AS true_n FROM toks GROUP BY k
+        ),
+        total AS (SELECT COUNT(*) AS total_n FROM toks)
+        SELECT x.k AS token,
+               x.true_n,
+               e.est AS est_n,
+               e.est - x.true_n AS overestimate,
+               x.true_n >= {_CMS_HH_FRAC} * t.total_n AS hh_true,
+               e.est >= {_CMS_HH_FRAC} * t.total_n AS hh_est
+        FROM exact x JOIN est e USING (k) CROSS JOIN total t
+    """
+
+
+register(QuerySpec(
+    name="cms_token_frequencies",
+    spark_fn=_cms_tokens,
+    oracle=_cms_oracle,
+    covers=("count-min-sketch", "heavy-hitters"),
+    extended=True,
+))

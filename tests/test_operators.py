@@ -1589,3 +1589,39 @@ class TestKmeans:
             assert sorted(map(tuple, out)) == sorted(map(tuple, again))
         finally:
             release_all()
+
+
+class TestCountMin:
+    def test_one_sided_guarantee_and_merge(self, spark):
+        """est >= true for every key (deterministically -- collisions
+        only inflate), and a sketch merged from two batches equals the
+        one-shot sketch (cell-wise re-sum)."""
+        from etl_on_weather_dataset_spark.operators.bloom import (
+            build_count_min,
+            cms_estimates,
+        )
+
+        rows = [(f"k{i % 7}",) for i in range(100)] + [("rare",)]
+        df = spark.createDataFrame(rows, "key string")
+        sketch = build_count_min(df, "key", width=4, depth=3)
+        keys = df.distinct()
+        est = {r["key"]: r["est"] for r in cms_estimates(
+            sketch, keys, "key", width=4, depth=3).collect()}
+        true = {r["key"]: r["n"] for r in df.groupBy("key")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(est) == set(true)
+        for k in true:
+            assert est[k] >= true[k], (k, est[k], true[k])
+        # merge = union the cell rows and re-sum (batch split by a
+        # clean predicate so multiplicities are preserved)
+        h1 = df.filter(F.col("key") < "k4")
+        h2 = df.filter(~(F.col("key") < "k4"))
+        s1 = build_count_min(h1, "key", width=4, depth=3)
+        s2 = build_count_min(h2, "key", width=4, depth=3)
+        merged = (
+            s1.unionAll(s2).groupBy("row", "cell")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        a = sorted(map(tuple, sketch.collect()))
+        b = sorted(map(tuple, merged.collect()))
+        assert a == b
