@@ -81,6 +81,13 @@ def _lloyd(vecs: DataFrame, k: int, iters: int, dim: int,
         new = [list(c) for c in cents]
         for r in sums:
             new[r["cluster"]][r["pos"]] = (float(r["s"]) / r["n"]) / MICRO
+        if new == cents:
+            # exact fixpoint (component arithmetic is exact, so float
+            # equality is meaningful): every further round would
+            # reproduce these centroids bit-for-bit, which is also why
+            # early-stopping cannot diverge from the oracle's fully
+            # unrolled CTE rounds
+            break
         cents = new
     return cents
 

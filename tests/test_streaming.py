@@ -273,3 +273,69 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
 
     files = glob.glob(f"{out_dir}/batch={seen_batches[0]}/part-*.parquet")
     assert len(files) == 1  # target_files honored per microbatch
+
+
+def test_streaming_count_min_merge(spark, tmp_path):
+    """Streaming frequency sketching: each microbatch builds its own
+    count-min sketch and foreachBatch merges it into a persistent
+    counter store by cell re-sum -- the same merge law the batch
+    operator pins (merge == one-shot). After draining, estimates from
+    the merged store must dominate the true counts (one-sided CMS
+    guarantee) and EQUAL the one-shot sketch of the full corpus,
+    because cell-wise sums are associative across microbatches."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_on_weather_dataset_spark.operators.bloom import (
+        build_count_min,
+        cms_estimates,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    landed = str(tmp_path / "docs_in")
+    docs.limit(200).repartition(4).write.parquet(landed)
+
+    store = str(tmp_path / "cms_store")
+
+    def sink(batch_df, batch_id):
+        toks = batch_df.select(
+            F.explode(F.split("text", " +")).alias("token")
+        )
+        sketch = build_count_min(toks, "token", width=16, depth=4)
+        sketch.write.mode("append").parquet(store)
+
+    schema = spark.read.parquet(landed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # force >= 2 microbatches
+        .parquet(landed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(glob.glob(f"{store}/part-*.parquet")) >= 2
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    all_toks = spark.read.parquet(landed).select(
+        F.explode(F.split("text", " +")).alias("token")
+    )
+    one_shot = build_count_min(all_toks, "token", width=16, depth=4)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, one_shot.collect()))
+
+    true = {r["token"]: r["n"] for r in all_toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = all_toks.distinct()
+    est = {r["token"]: r["est"] for r in cms_estimates(
+        merged, keys, "token", width=16, depth=4).collect()}
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
