@@ -116,9 +116,15 @@ def build_count_min(
     cells -- the multi-batch story). Build is one explode (depth rows
     per input row) + one (row, cell)-keyed sum: constant-width
     shuffle keys, map-side combine.
+
+    NULL keys are EXCLUDED on build and probe (a NULL hashes to a
+    NULL cell no probe's null-unequal equi-join could ever reach, so
+    counting them would silently break est >= true); the one-sided
+    guarantee therefore reads "for every non-null key".
     """
     return (
-        df.select(
+        df.filter(F.col(key).isNotNull())
+        .select(
             F.explode(_cms_cells(F.col(key), width, depth)).alias("rc")
         )
         .select("rc.row", "rc.cell")
@@ -136,12 +142,14 @@ def cms_estimates(
 ) -> DataFrame:
     """Point estimates for ``keys[key]``: est = min over sketch rows
     of the key's cell counter -- the count-min guarantee is one-sided
-    (est >= true count, always; collisions only inflate). The probe
-    side explodes to depth rows and equi-joins the sketch on
-    (row, cell); a missing cell counts 0.
+    (est >= true count for every NON-NULL key, always; collisions
+    only inflate -- NULL keys are excluded on build and probe, see
+    build_count_min). The probe side explodes to depth rows and
+    equi-joins the sketch on (row, cell); a missing cell counts 0.
 
     Returns (key, est).
     """
+    keys = keys.filter(F.col(key).isNotNull())
     probes = keys.select(
         F.col(key).alias("k"),
         F.explode(_cms_cells(F.col(key), width, depth)).alias("rc"),

@@ -74,10 +74,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     entries in the pytest parity suite (which still oracle-checks
 #     every registered query on every run);
 #   - round 4 (now) completes the cycle: the 5 queries ADDED in round
-#     3 rotate in for their first attestation, the 9 queries added
+#     3 rotate in for their first attestation, the 14 queries added
 #     THIS round join them (multi-table ANN + its recall curve,
 #     incremental dedup, boilerplate removal, per-source cap, DSIR,
-#     SemDeDup, IVF n_probe curve, corpus mixing), and
+#     SemDeDup, IVF n_probe curve, corpus mixing, IVF-PQ + its
+#     rerank curve, k-means, trained-cell IVF, count-min sketch), and
 #     curation_pipeline_stats + dedup_connected_groups stay in to
 #     re-attest their round-4 implementation changes (fused
 #     audit-trail aggregates; batched convergence checks; self-loop
@@ -87,8 +88,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user runs
 # hourly. The window stays below DRIVER_CAP this round (pinned +
-# rotations = 37): breadth is already attested; a lean window keeps
-# the driver run fast and every row meaningful.
+# rotations = 42 of 50): breadth is already attested; a lean window
+# keeps the driver run fast and every row meaningful.
 ROTATE_IN: frozenset[str] = frozenset({
     # added in round 3, first driver attestation (r2 verdict item #1)
     "benchmark_decontamination", "packed_bins", "doc_repetition_stats",

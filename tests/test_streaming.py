@@ -283,10 +283,9 @@ def test_streaming_count_min_merge(spark, tmp_path):
     the merged store must dominate the true counts (one-sided CMS
     guarantee) and EQUAL the one-shot sketch of the full corpus,
     because cell-wise sums are associative across microbatches."""
-    import glob
-
     from pyspark.sql import functions as F
 
+    from etl_on_weather_dataset_spark.operators import text as T
     from etl_on_weather_dataset_spark.operators.bloom import (
         build_count_min,
         cms_estimates,
@@ -297,13 +296,19 @@ def test_streaming_count_min_merge(spark, tmp_path):
     docs.limit(200).repartition(4).write.parquet(landed)
 
     store = str(tmp_path / "cms_store")
+    seen_batches = []
 
     def sink(batch_df, batch_id):
-        toks = batch_df.select(
-            F.explode(F.split("text", " +")).alias("token")
-        )
+        # per-batch_id overwrite path = idempotent under foreachBatch
+        # replay (same discipline as test_foreachbatch_parquet_sink):
+        # a replayed microbatch rewrites its own sketch instead of
+        # appending a double-count
+        seen_batches.append(batch_id)
+        toks = batch_df.select(F.explode(T.tokens("text")).alias("token"))
         sketch = build_count_min(toks, "token", width=16, depth=4)
-        sketch.write.mode("append").parquet(store)
+        sketch.write.mode("overwrite").parquet(
+            f"{store}/batch={batch_id}"
+        )
 
     schema = spark.read.parquet(landed).schema
     stream = (
@@ -318,7 +323,7 @@ def test_streaming_count_min_merge(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    assert len(glob.glob(f"{store}/part-*.parquet")) >= 2
+    assert len(seen_batches) >= 2, seen_batches
 
     merged = (
         spark.read.parquet(store)
@@ -326,7 +331,7 @@ def test_streaming_count_min_merge(spark, tmp_path):
         .agg(F.sum("cnt").alias("cnt"))
     )
     all_toks = spark.read.parquet(landed).select(
-        F.explode(F.split("text", " +")).alias("token")
+        F.explode(T.tokens("text")).alias("token")
     )
     one_shot = build_count_min(all_toks, "token", width=16, depth=4)
     assert sorted(map(tuple, merged.collect())) == \
