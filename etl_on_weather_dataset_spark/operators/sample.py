@@ -262,3 +262,67 @@ def mix_corpus_sql(
         SELECT {select} FROM {table} JOIN totals USING ({strata_col})
         WHERE {bucket} < floor(mix_keep_frac * {HASH_BUCKETS})
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    n: int,
+    key_col: str,
+    salt: str = "wsample",
+    es_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES, public): every row draws a uniform
+    u in (0,1) from its md5 bucket ((bucket + 0.5) / B -- engine-
+    portable, seeded by ``salt``), ranks by ln(u)/w (the log form of
+    the ES key u^(1/w); larger wins), and the global top-``n`` is the
+    sample. Inclusion probability is proportional to weight, which is
+    what "sample training docs by quality score" actually needs --
+    mix_corpus handles per-stratum PROPORTIONS, this handles per-ROW
+    weights.
+
+    Rows with weight <= 0 or null are excluded (ES is undefined
+    there; a zero-weight row must never be sampled anyway).
+
+    Determinism across engines: the ES key is ROUNDED to 9 decimals
+    before ranking with the row key as tie-break -- ln() may differ
+    in the last ulp between engines, and an unrounded orderBy could
+    flip two near-equal keys at the cut; after rounding, anything
+    closer than 1e-9 resolves by key identically everywhere.
+
+    Scale: global top-n compiles to TakeOrderedAndProject (per-task
+    partial top-n, no global sort -- plan-asserted), so the exchange
+    carries at most n rows per task.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_bucket(F.col(key_col), salt=salt) + 0.5) / HASH_BUCKETS
+    es = F.round(F.ln(u) / w, 9)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn(es_col, es)
+        .orderBy(F.col(es_col).desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(
+    table_sql: str,
+    weight_sql: str,
+    n: int,
+    key_col: str,
+    salt: str = "wsample",
+    select: str = "*",
+    es_col: str = "es_key",
+) -> str:
+    """DuckDB twin (same md5 uniform, same rounded ES key, same
+    tie-break)."""
+    bucket = hash_bucket_sql(key_col, salt=salt)
+    es = f"ROUND(ln(({bucket} + 0.5) / {HASH_BUCKETS}) / ({weight_sql}), 9)"
+    return f"""
+        SELECT {select}, {es} AS {es_col}
+        FROM ({table_sql})
+        WHERE ({weight_sql}) IS NOT NULL AND ({weight_sql}) > 0
+        ORDER BY {es} DESC, {key_col} ASC
+        LIMIT {n}
+    """

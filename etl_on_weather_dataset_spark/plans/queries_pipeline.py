@@ -1064,3 +1064,35 @@ register(QuerySpec(
     covers=("count-min-sketch", "heavy-hitters"),
     extended=True,
 ))
+
+
+# --- weighted sampling (Efraimidis-Spirakis, deterministic) -------------------
+
+_WS_N = 100
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", _WS_N, "doc_id").select(
+        "doc_id", "source", "n_chars", "es_key"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from ..operators.sample import weighted_sample_sql
+
+    return weighted_sample_sql(
+        "SELECT * FROM documents", "n_chars", _WS_N, "doc_id",
+        select="doc_id, source, n_chars",
+    )
+
+
+register(QuerySpec(
+    name="weighted_sample_docs",
+    spark_fn=_weighted_sample,
+    oracle=_weighted_sample_oracle,
+    covers=("weighted-sampling", "efraimidis-spirakis"),
+    extended=True,
+))

@@ -1625,3 +1625,37 @@ class TestCountMin:
         a = sorted(map(tuple, sketch.collect()))
         b = sorted(map(tuple, merged.collect()))
         assert a == b
+
+
+class TestWeightedSample:
+    def test_weight_proportional_and_deterministic(self, spark):
+        """Heavier rows are sampled more often (ES guarantee,
+        verified over independent salts), zero/null weights are never
+        sampled, and the draw is partitioning-invariant."""
+        from etl_on_weather_dataset_spark.operators.sample import (
+            weighted_sample,
+        )
+
+        rows = [(i, 10.0 if i < 20 else 1.0) for i in range(120)]
+        rows += [(900, 0.0), (901, None)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        picks: dict[int, int] = {}
+        for s in range(8):
+            got = weighted_sample(
+                df, "w", 30, "doc_id", salt=f"t{s}"
+            ).collect()
+            assert len(got) == 30
+            ids = [r["doc_id"] for r in got]
+            assert 900 not in ids and 901 not in ids
+            for i in ids:
+                picks[i] = picks.get(i, 0) + 1
+        heavy = sum(picks.get(i, 0) for i in range(20))
+        light = sum(picks.get(i, 0) for i in range(20, 120))
+        # 20 heavy rows carry 200 of 300 total weight; with 30 draws
+        # x 8 salts they must dominate the 100 light rows
+        assert heavy > light, (heavy, light)
+        a = sorted(map(tuple, weighted_sample(
+            df, "w", 30, "doc_id").collect()))
+        b = sorted(map(tuple, weighted_sample(
+            df.repartition(7), "w", 30, "doc_id").collect()))
+        assert a == b

@@ -179,6 +179,12 @@ class TestPlanProperties:
         plan = self._plan(spark, "top_orders_by_revenue")
         assert "TakeOrderedAndProject" in plan
 
+    def test_weighted_sample_avoids_global_sort(self, spark):
+        """ES top-n must be a per-task partial top-n, never a global
+        sort through one task."""
+        plan = self._plan(spark, "weighted_sample_docs")
+        assert "TakeOrderedAndProject" in plan, plan[:1500]
+
     def test_embedding_near_dup_is_not_all_pairs(self, spark):
         """The VERDICT r1 scale-killer: dedup_embedding_cosine must be
         the LSH-bucketed equi-join, never an O(n^2) cartesian."""
