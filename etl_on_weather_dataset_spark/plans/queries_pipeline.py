@@ -1096,3 +1096,54 @@ register(QuerySpec(
     covers=("weighted-sampling", "efraimidis-spirakis"),
     extended=True,
 ))
+
+
+# --- DSIR selection = importance scores as sampling weights -------------------
+#
+# The actual DSIR procedure (Xie et al. 2023): score docs by the
+# target/background log-ratio, then SAMPLE with probability
+# proportional to the importance weight exp(score) -- not a hard
+# threshold. Composes importance_logratio with the ES weighted
+# sampler; both stages are individually attested, and this pins the
+# composition.
+
+_DSIR_N = 100
+
+
+def _dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import importance_logratio
+    from ..operators.sample import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = importance_logratio(docs, F.col("lang") == "en")
+    weighted = scored.select(
+        "id", "avg_logratio_micro",
+        F.exp(F.col("avg_logratio_micro") / 1e6).alias("w"),
+    )
+    return weighted_sample(weighted, "w", _DSIR_N, "id").select(
+        "id", "avg_logratio_micro", "es_key"
+    )
+
+
+def _dsir_selection_oracle() -> str:
+    from ..operators.corpus import importance_logratio_sql
+    from ..operators.sample import weighted_sample_sql
+
+    scored = importance_logratio_sql("documents", "lang = 'en'")
+    weighted = (
+        f"SELECT id, avg_logratio_micro, "
+        f"exp(avg_logratio_micro / 1000000.0) AS w FROM ({scored})"
+    )
+    return weighted_sample_sql(
+        weighted, "w", _DSIR_N, "id",
+        select="id, avg_logratio_micro",
+    )
+
+
+register(QuerySpec(
+    name="dsir_weighted_selection",
+    spark_fn=_dsir_selection,
+    oracle=_dsir_selection_oracle,
+    covers=("dsir-selection", "importance-weighted-sampling"),
+    extended=True,
+))

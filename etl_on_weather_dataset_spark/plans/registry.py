@@ -102,7 +102,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "ivf_recall_probes", "corpus_mixture_sample",
     "cosine_topk_ivf_pq", "ivf_pq_recall", "kmeans_cluster_stats",
     "trained_ivf_recall", "cms_token_frequencies",
-    "weighted_sample_docs",
+    "weighted_sample_docs", "dsir_weighted_selection",
     # re-attest after round-4 implementation changes
     "curation_pipeline_stats", "dedup_connected_groups",
 })
