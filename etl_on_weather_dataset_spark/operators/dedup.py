@@ -742,3 +742,342 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard_dist") <= max_distance)
     )
+
+
+# --- tier 5: exact-substring span dedup (Lee et al. 2022 shape) --------------
+#
+# "Deduplicating Training Data Makes Language Models Better" removes
+# VERBATIM repeated substrings (>= L tokens) rather than whole near-dup
+# documents -- the suffix-array ExactSubstr dedup. A distributed
+# suffix array is the wrong tool on Spark; the equivalent declarative
+# shape is rolling token windows: a length-L token window that occurs
+# >= min_count times anywhere in the corpus IS a duplicated substring
+# occurrence, and the union of its [start, start+L) intervals is
+# exactly the set of tokens inside duplicated substrings.
+#
+# Scale shape: never forms doc pairs. Total exploded rows = total
+# token count (one row per window start), the shuffle key is a 32-byte
+# md5 of the window -- constant width however long the documents are --
+# and the global window count is a map-side-combinable agg. Join-back
+# is an equi-join on the same key; pathological hot windows (the same
+# L-gram everywhere) inflate only the count agg, not a pair join, and
+# AQE splits the skewed partitions.
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 6,
+    min_count: int = 2,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-doc stats of verbatim duplicated token spans.
+
+    A window = ``window`` consecutive tokens; a window string occurring
+    >= ``min_count`` times corpus-wide (across OR within docs) marks
+    every token it covers as duplicated. Overlapping/adjacent covered
+    intervals merge into spans (gaps-and-islands over start offsets).
+
+    Returns one row per input doc:
+      (id, n_tokens, n_dup_windows, n_dup_spans, covered_tokens,
+       dup_frac, flagged) -- ``dup_frac`` = covered/n_tokens rounded to
+    6 dp, ``flagged`` = dup_frac > flag_threshold.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tokens") - window)
+    wins = base.filter(F.col("n_tokens") >= window).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.md5(
+                    F.array_join(F.slice("toks", i + 1, window), " ")
+                ),
+            )
+        ).alias("pos", "wh"),
+    )
+    dup_keys = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("wh")
+    )
+    dup_wins = wins.join(dup_keys, "wh").select(
+        "id", "pos", (F.col("pos") + window - 1).alias("end")
+    )
+    w_ord = W.partitionBy("id").orderBy("pos")
+    w_prev = w_ord.rowsBetween(W.unboundedPreceding, -1)
+    spans = (
+        dup_wins.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w_ord))
+        .groupBy("id", "span_id")
+        .agg(
+            F.count("*").alias("n_wins"),
+            (F.max("end") - F.min("pos") + 1).alias("covered"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("n_wins").alias("n_dup_windows"),
+            F.count("*").alias("n_dup_spans"),
+            F.sum("covered").alias("covered_tokens"),
+        )
+    )
+    out = (
+        base.select("id", "n_tokens")
+        .join(spans, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .withColumn(
+            "flagged", (F.col("dup_frac") > flag_threshold).cast("int")
+        )
+    )
+    return out
+
+
+def duplicated_span_stats_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 6,
+    min_count: int = 2,
+    flag_threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of duplicated_span_stats (identical windowing, md5
+    keys, gaps-and-islands merge, and rounding)."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id,
+                   regexp_split_to_array({text_col}, ' +') AS toks,
+                   len(regexp_split_to_array({text_col}, ' +'))
+                       AS n_tokens
+            FROM {table}
+        ),
+        wins AS (
+            SELECT id, u.pos AS pos, u.wh AS wh
+            FROM (
+                SELECT id,
+                       unnest(list_transform(
+                           range(1, n_tokens - {window} + 2),
+                           i -> {{'pos': i - 1,
+                                 'wh': md5(array_to_string(
+                                     toks[i:i+{window}-1], ' '))}}
+                       )) AS u
+                FROM base
+                WHERE n_tokens >= {window}
+            )
+        ),
+        dup_keys AS (
+            SELECT wh FROM wins GROUP BY wh
+            HAVING COUNT(*) >= {min_count}
+        ),
+        dup_wins AS (
+            SELECT w.id, w.pos, w.pos + {window} - 1 AS e
+            FROM wins w JOIN dup_keys d USING (wh)
+        ),
+        marked AS (
+            SELECT id, pos, e,
+                   CASE WHEN max(e) OVER (
+                            PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                         OR pos > max(e) OVER (
+                            PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS new_span
+            FROM dup_wins
+        ),
+        islands AS (
+            SELECT id, pos, e,
+                   SUM(new_span) OVER (
+                       PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS span_id
+            FROM marked
+        ),
+        spans AS (
+            SELECT id,
+                   SUM(n_wins) AS n_dup_windows,
+                   COUNT(*) AS n_dup_spans,
+                   SUM(covered) AS covered_tokens
+            FROM (
+                SELECT id, span_id, COUNT(*) AS n_wins,
+                       MAX(e) - MIN(pos) + 1 AS covered
+                FROM islands GROUP BY id, span_id
+            ) GROUP BY id
+        )
+        SELECT b.id,
+               b.n_tokens,
+               COALESCE(s.n_dup_windows, 0) AS n_dup_windows,
+               COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
+               COALESCE(s.covered_tokens, 0) AS covered_tokens,
+               ROUND(CAST(COALESCE(s.covered_tokens, 0) AS DOUBLE)
+                     / b.n_tokens, 6) AS dup_frac,
+               CAST(ROUND(CAST(COALESCE(s.covered_tokens, 0) AS DOUBLE)
+                          / b.n_tokens, 6) > {flag_threshold}
+                    AS INTEGER) AS flagged
+        FROM base b LEFT JOIN spans s ON b.id = s.id
+    """
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rebuild each doc with tokens inside duplicated spans removed
+    (the destructive half of ExactSubstr dedup).
+
+    Covered token positions come from the same global window-count
+    pass as duplicated_span_stats; the rebuild is
+    posexplode -> anti-join covered positions -> ordered re-aggregate.
+    Docs shorter than ``window`` pass through verbatim.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tokens") - window)
+    wins = base.filter(F.col("n_tokens") >= window).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.md5(
+                    F.array_join(F.slice("toks", i + 1, window), " ")
+                ),
+            )
+        ).alias("pos", "wh"),
+    )
+    dup_keys = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("wh")
+    )
+    covered = (
+        wins.join(dup_keys, "wh")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        "id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = tok_rows.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return (
+        base.select("id")
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
+
+
+def remove_duplicated_spans_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 6,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of remove_duplicated_spans."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id,
+                   regexp_split_to_array({text_col}, ' +') AS toks,
+                   len(regexp_split_to_array({text_col}, ' +'))
+                       AS n_tokens
+            FROM {table}
+        ),
+        wins AS (
+            SELECT id, u.pos AS pos, u.wh AS wh
+            FROM (
+                SELECT id,
+                       unnest(list_transform(
+                           range(1, n_tokens - {window} + 2),
+                           i -> {{'pos': i - 1,
+                                 'wh': md5(array_to_string(
+                                     toks[i:i+{window}-1], ' '))}}
+                       )) AS u
+                FROM base
+                WHERE n_tokens >= {window}
+            )
+        ),
+        dup_keys AS (
+            SELECT wh FROM wins GROUP BY wh
+            HAVING COUNT(*) >= {min_count}
+        ),
+        covered AS (
+            SELECT DISTINCT w.id, p.p AS pos
+            FROM wins w
+            JOIN dup_keys d USING (wh),
+                 LATERAL (SELECT unnest(range(w.pos,
+                                              w.pos + {window})) AS p) p
+        ),
+        tok_rows AS (
+            SELECT id, u.pos AS pos, u.tok AS tok
+            FROM (
+                SELECT id,
+                       unnest(list_transform(
+                           range(1, n_tokens + 1),
+                           i -> {{'pos': i - 1, 'tok': toks[i]}}
+                       )) AS u
+                FROM base
+            )
+        ),
+        kept AS (
+            SELECT t.id, t.pos, t.tok
+            FROM tok_rows t
+            LEFT JOIN covered c ON t.id = c.id AND t.pos = c.pos
+            WHERE c.id IS NULL
+        ),
+        rebuilt AS (
+            SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY id
+        )
+        SELECT b.id, COALESCE(r.clean_text, '') AS clean_text
+        FROM base b LEFT JOIN rebuilt r ON b.id = r.id
+    """

@@ -1147,3 +1147,63 @@ register(QuerySpec(
     covers=("dsir-selection", "importance-weighted-sampling"),
     extended=True,
 ))
+
+
+# --- exact-substring span dedup (Lee et al. ExactSubstr shape) ---------------
+#
+# Tier 5 of the dedup family: verbatim repeated token windows mark
+# duplicated SPANS inside documents (not whole-doc near-dups). The
+# stats query attests the measurement; the removal query attests the
+# destructive rebuild. Reference has no counterpart (north-star
+# par.2b training-data surface).
+
+_SPAN_W, _SPAN_MIN = 6, 2
+
+
+def _span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, "text", "doc_id",
+                                 window=_SPAN_W, min_count=_SPAN_MIN)
+
+
+def _span_stats_oracle() -> str:
+    from ..operators.dedup import duplicated_span_stats_sql
+
+    return duplicated_span_stats_sql("documents", "text", "doc_id",
+                                     window=_SPAN_W, min_count=_SPAN_MIN)
+
+
+register(QuerySpec(
+    name="dup_span_stats",
+    spark_fn=_span_stats,
+    oracle=_span_stats_oracle,
+    covers=("exact-substring-dedup", "dup-span-measurement"),
+    bench=True,
+    extended=True,
+))
+
+
+def _span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, "text", "doc_id",
+                                   window=_SPAN_W, min_count=_SPAN_MIN)
+
+
+def _span_removal_oracle() -> str:
+    from ..operators.dedup import remove_duplicated_spans_sql
+
+    return remove_duplicated_spans_sql("documents", "text", "doc_id",
+                                       window=_SPAN_W, min_count=_SPAN_MIN)
+
+
+register(QuerySpec(
+    name="dup_span_removal",
+    spark_fn=_span_removal,
+    oracle=_span_removal_oracle,
+    covers=("exact-substring-dedup", "span-removal-rebuild"),
+    extended=True,
+))

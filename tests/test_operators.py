@@ -1659,3 +1659,82 @@ class TestWeightedSample:
         b = sorted(map(tuple, weighted_sample(
             df.repartition(7), "w", 30, "doc_id").collect()))
         assert a == b
+
+
+class TestDuplicatedSpans:
+    """Exact-substring span dedup (dedup.py tier 5)."""
+
+    def _docs(self, spark):
+        # doc 0 and 1 share the verbatim 6-token run "a b c d e f";
+        # doc 2 repeats its own 6-token window twice (within-doc dup);
+        # doc 3 is unique; doc 4 is shorter than the window.
+        return spark.createDataFrame(
+            [
+                (0, "a b c d e f x y z"),
+                (1, "p q a b c d e f"),
+                (2, "m n o p q r m n o p q r"),
+                (3, "one two three four five six seven"),
+                (4, "too short"),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_span_stats_semantics(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            duplicated_span_stats,
+        )
+
+        out = {
+            r["id"]: r
+            for r in duplicated_span_stats(
+                self._docs(spark), window=6
+            ).collect()
+        }
+        assert len(out) == 5
+        # cross-doc dup: exactly the 6 shared tokens covered
+        assert out[0]["covered_tokens"] == 6
+        assert out[0]["n_dup_spans"] == 1
+        assert out[1]["covered_tokens"] == 6
+        # within-doc repeat: windows at starts 0..6 all dup ("m n o p
+        # q r m..." every 6-window of a 12-token doubled string occurs
+        # twice corpus-wide via self-overlap) -> whole doc covered
+        assert out[2]["covered_tokens"] == 12
+        assert out[2]["flagged"] == 1
+        # unique doc and short doc: untouched
+        assert out[3]["covered_tokens"] == 0
+        assert out[3]["flagged"] == 0
+        assert out[4]["n_dup_windows"] == 0
+
+    def test_span_removal_rebuild(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        out = {
+            r["id"]: r["clean_text"]
+            for r in remove_duplicated_spans(
+                self._docs(spark), window=6
+            ).collect()
+        }
+        assert out[0] == "x y z"
+        assert out[1] == "p q"
+        assert out[2] == ""          # fully duplicated doc vanishes
+        assert out[3] == "one two three four five six seven"
+        assert out[4] == "too short"
+
+    def test_adjacent_windows_merge_to_one_span(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            duplicated_span_stats,
+        )
+
+        # two docs sharing a 7-token run -> two overlapping dup
+        # windows merge into ONE 7-token span
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g x"), (1, "y a b c d e f g")],
+            ["doc_id", "text"],
+        )
+        rows = duplicated_span_stats(df, window=6).collect()
+        for r in rows:
+            assert r["n_dup_windows"] == 2
+            assert r["n_dup_spans"] == 1
+            assert r["covered_tokens"] == 7
