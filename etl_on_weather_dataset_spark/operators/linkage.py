@@ -1,0 +1,242 @@
+"""Entity resolution / record linkage: q-gram blocking + edit-distance
+verification (north-star par.2b -- the dedup problem for STRUCTURED
+records rather than documents).
+
+Pipeline shape (the only scalable one -- never all-pairs):
+
+1. each record's name -> distinct character q-grams (in-row array
+   expressions, no shuffle);
+2. hot-gram guard: grams occurring in more than ``max_rel_freq`` of
+   all records are dropped from the index (same role as
+   ngram_jaccard's ``max_doc_freq`` stop-shingles -- a shared prefix
+   like "Customer#" would otherwise put every record in one block);
+   the total-record count is a one-row broadcast aggregate, never a
+   driver-side ``.count()``;
+3. blocking: equi-join the two sides' (id, gram) postings on gram ->
+   distinct candidate id pairs (ids only; names join back afterwards
+   so the gram exchange ships no strings);
+4. verification: ``levenshtein(name_a, name_b) <= max_dist`` on
+   candidates only.
+
+Deletion-robustness: a single character edit destroys at most q grams
+of its record, so any pair within edit distance d still shares grams
+whenever the name has more than (d+1)*q grams -- blocking recall is
+structural, not probabilistic, modulo the hot-gram drops (reported
+honestly by the summary's recall column).
+
+Both engines have identical ``levenshtein``; everything else is
+integer counting, so the DuckDB twin is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_qgrams(name: Column | str, q: int = 3) -> Column:
+    """Distinct character q-grams; names shorter than q collapse to a
+    single whole-string gram."""
+    c = F.col(name) if isinstance(name, str) else name
+    starts = F.sequence(F.lit(1), F.length(c) - q + 1)
+    return F.array_distinct(
+        F.when(
+            F.length(c) >= q,
+            F.transform(starts, lambda i: F.substring(c, i, q)),
+        ).otherwise(F.array(c))
+    )
+
+
+def _char_qgrams_sql(name_sql: str, q: int = 3) -> str:
+    return (
+        f"list_distinct(CASE WHEN length({name_sql}) >= {q} THEN "
+        f"list_transform(range(1, length({name_sql}) - {q} + 2), "
+        f"i -> {name_sql}[i:i+{q}-1]) "
+        f"ELSE [{name_sql}] END)"
+    )
+
+
+def qgram_blocked_pairs(
+    clean: DataFrame,
+    dirty: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+) -> DataFrame:
+    """Verified links (id_a, id_b, dist) between two record sets.
+
+    ``id_a``/``name_a`` come from ``clean``, ``id_b``/``name_b`` from
+    ``dirty``. Only pairs sharing >= 1 sufficiently-rare q-gram are
+    ever scored. The hot-gram cutoff is
+    ``greatest(max_rel_freq * n_records, min_keep_count)`` -- the
+    absolute floor keeps small corpora from dropping every gram
+    (0.05 * 7 records would otherwise ban even singletons).
+    """
+    a = clean.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
+    )
+    b = dirty.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b")
+    )
+    ga = a.select(
+        "id_a", F.explode(char_qgrams("name_a", q)).alias("gram")
+    )
+    gb = b.select(
+        "id_b", F.explode(char_qgrams("name_b", q)).alias("gram")
+    )
+    # hot-gram guard: rel-freq over total records, computed as a
+    # broadcast scalar (one aggregate row, no driver action)
+    totals = (
+        a.select(F.count("*").alias("na"))
+        .crossJoin(b.select(F.count("*").alias("nb")))
+        .select((F.col("na") + F.col("nb")).alias("n_records"))
+    )
+    gram_freq = (
+        ga.select("gram").unionAll(gb.select("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    keep = (
+        gram_freq.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("cnt").cast("double")
+            <= F.greatest(
+                F.lit(max_rel_freq) * F.col("n_records"),
+                F.lit(float(min_keep_count)),
+            )
+        )
+        .select("gram")
+    )
+    cand = (
+        ga.join(keep, "gram")
+        .join(gb.join(keep, "gram"), "gram")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def qgram_blocked_pairs_sql(
+    clean_sql: str,
+    dirty_sql: str,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+) -> str:
+    """DuckDB twin of qgram_blocked_pairs. ``clean_sql``/``dirty_sql``
+    are subqueries yielding (id, name) under the given column names."""
+    return f"""
+        WITH a AS (SELECT {id_col} AS id_a, {name_col} AS name_a
+                   FROM ({clean_sql})),
+        b AS (SELECT {id_col} AS id_b, {name_col} AS name_b
+              FROM ({dirty_sql})),
+        ga AS (SELECT id_a, unnest({_char_qgrams_sql('name_a', q)})
+                   AS gram FROM a),
+        gb AS (SELECT id_b, unnest({_char_qgrams_sql('name_b', q)})
+                   AS gram FROM b),
+        totals AS (
+            SELECT (SELECT COUNT(*) FROM a)
+                 + (SELECT COUNT(*) FROM b) AS n_records
+        ),
+        keep AS (
+            SELECT gram FROM (
+                SELECT gram, COUNT(*) AS cnt
+                FROM (SELECT gram FROM ga
+                      UNION ALL SELECT gram FROM gb)
+                GROUP BY gram
+            ) CROSS JOIN totals
+            WHERE CAST(cnt AS DOUBLE)
+                  <= greatest({max_rel_freq!r} * n_records,
+                              {float(min_keep_count)!r})
+        ),
+        cand AS (
+            SELECT DISTINCT id_a, id_b
+            FROM (SELECT * FROM ga JOIN keep USING (gram)) x
+            JOIN (SELECT * FROM gb JOIN keep USING (gram)) y
+                USING (gram)
+        )
+        SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
+        FROM cand JOIN a USING (id_a) JOIN b USING (id_b)
+        WHERE levenshtein(name_a, name_b) <= {max_dist}
+    """
+
+
+def linkage_summary(
+    clean: DataFrame,
+    dirty: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+) -> DataFrame:
+    """One-row audit of a linkage run: verified links, how many link a
+    record to its own counterpart (id_a = id_b -- ground truth when
+    ``dirty`` is a perturbed copy of ``clean``), and structural recall
+    = true links / clean records (exact IEEE division, no rounding)."""
+    pairs = qgram_blocked_pairs(
+        clean, dirty, name_col, id_col, q, max_rel_freq, max_dist,
+        min_keep_count,
+    )
+    n_clean = clean.select(F.count("*").alias("n_records"))
+    return (
+        pairs.agg(
+            F.count("*").alias("n_links"),
+            F.coalesce(
+                F.sum((F.col("id_a") == F.col("id_b")).cast("long")),
+                F.lit(0),
+            ).alias("n_true_links"),
+        )
+        .crossJoin(F.broadcast(n_clean))
+        .select(
+            "n_records",
+            "n_links",
+            "n_true_links",
+            (
+                F.col("n_true_links").cast("double")
+                / F.col("n_records")
+            ).alias("recall"),
+        )
+    )
+
+
+def linkage_summary_sql(
+    clean_sql: str,
+    dirty_sql: str,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+) -> str:
+    pairs = qgram_blocked_pairs_sql(
+        clean_sql, dirty_sql, name_col, id_col, q, max_rel_freq,
+        max_dist, min_keep_count,
+    )
+    return f"""
+        SELECT (SELECT COUNT(*) FROM ({clean_sql})) AS n_records,
+               COUNT(*) AS n_links,
+               COALESCE(SUM(CASE WHEN id_a = id_b THEN 1 ELSE 0 END),
+                        0) AS n_true_links,
+               CAST(COALESCE(SUM(CASE WHEN id_a = id_b
+                                      THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM ({clean_sql})) AS recall
+        FROM ({pairs})
+    """

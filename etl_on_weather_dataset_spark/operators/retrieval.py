@@ -1,0 +1,173 @@
+"""Sparse retrieval scoring over a documents table: BM25 top-k.
+
+The retrieval counterpart of the dense (embedding) ANN tier
+(north-star par.2b): given a bag of query terms, score every document
+with Okapi BM25 and return the top-k. The reference has no retrieval
+surface at all; this is the standard lexical baseline every
+training-data / RAG pipeline keeps next to its ANN index.
+
+Scale shape (the only acceptable one at 100 TB):
+- per-doc term frequencies are in-row array expressions
+  (``size(filter(tokens, t == term))``) -- zero shuffle, stays in
+  whole-stage codegen; the query's terms are plan constants.
+- corpus statistics (N, avgdl, per-term document frequencies) are ONE
+  map-side-combinable aggregate collapsing to a single row that is
+  broadcast-cross-joined back -- the scalar-subquery shape used by
+  tfidf/median; no driver-side ``.count()``.
+- the final top-k is ``ORDER BY ... LIMIT k`` which Spark executes as
+  TakeOrderedAndProject (per-partition heaps + driver merge of k rows,
+  never a global sort).
+
+Engine-invariance: the only transcendental is ``ln`` inside idf, which
+is snapped to integer micro-nats (round(ln(x)*1e6)) before any further
+arithmetic, so a last-ulp difference between Spark's and DuckDB's libm
+cannot propagate; everything else is IEEE-exact integer/double ops
+performed in the same textual order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _safe_term(term: str) -> str:
+    if "'" in term or "\\" in term:
+        raise ValueError(f"unsupported characters in query term {term!r}")
+    return term
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag of query terms.
+
+    Returns (id, n_tokens, score) -- score rounded to 6 dp, ties broken
+    by id ascending, docs matching no term excluded before the top-k.
+    """
+    toks = tokens(text_col)
+
+    def _tf(term: str):
+        # closure factory: a two-arg lambda would be read by F.filter
+        # as its (element, index) form
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        _tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        *tf_cols,
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf_micro = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - dfreq + 0.5) / (dfreq + 0.5)
+            )
+            * 1e6
+        ).cast("long")
+        tf = F.col(f"tf_{i}").cast("double")
+        sat = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+        )
+        score = score + (idf_micro.cast("double") / 1e6) * sat
+    matched = F.lit(False)
+    for i in range(len(query_terms)):
+        matched = matched | (F.col(f"tf_{i}") > 0)
+    return (
+        scored.filter(matched)
+        .select(
+            "id",
+            F.col("dl").alias("n_tokens"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of bm25_topk (identical micro-nat idf snap, term
+    order, rounding, and tie-break)."""
+    tf_exprs = []
+    df_exprs = []
+    for i, term in enumerate(query_terms):
+        t = _safe_term(term)
+        tf_exprs.append(
+            f"len(list_filter(regexp_split_to_array({text_col}, ' +'),"
+            f" t -> t = '{t}')) AS tf_{i}"
+        )
+        df_exprs.append(
+            f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        )
+    score_terms = []
+    for i in range(len(query_terms)):
+        idf_micro = (
+            f"CAST(ROUND(ln(1.0 + (n_docs - CAST(df_{i} AS DOUBLE)"
+            f" + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5)) * 1e6)"
+            f" AS BIGINT)"
+        )
+        sat = (
+            f"(CAST(tf_{i} AS DOUBLE) * ({k1!r} + 1.0))"
+            f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * (1.0 - {b!r}"
+            f" + {b!r} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        )
+        score_terms.append(
+            f"(CAST({idf_micro} AS DOUBLE) / 1e6) * {sat}"
+        )
+    score_sql = " + ".join(f"({s})" for s in score_terms)
+    any_match = " OR ".join(
+        f"tf_{i} > 0" for i in range(len(query_terms))
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id,
+                   len(regexp_split_to_array({text_col}, ' +')) AS dl,
+                   {", ".join(tf_exprs)}
+            FROM {table}
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                   {", ".join(df_exprs)}
+            FROM base
+        )
+        SELECT id, dl AS n_tokens,
+               ROUND(0.0 + {score_sql}, 6) AS score
+        FROM base CROSS JOIN stats
+        WHERE {any_match}
+        ORDER BY score DESC, id
+        LIMIT {k}
+    """

@@ -798,3 +798,64 @@ register(QuerySpec(
     extended=True,  # math scalars exercised by the TPC-H arithmetic
     # the driver does attest
 ))
+
+
+# --- record linkage (operators/linkage.py) -----------------------------------
+#
+# Entity resolution over customer names: the dirty side deterministically
+# drops one character at (custkey % len) + 1, then q-gram blocking (with
+# the hot-gram guard -- "Customer#" grams are dropped as stop-grams) +
+# levenshtein verify links the two sides. The one-row audit reports
+# structural recall honestly; the TPC-H digit-dense name space also makes
+# many legitimate non-self links at dist <= 2 (consecutive keys differ by
+# one digit), all counted in n_links.
+
+def _linkage_dirty_names(cust: DataFrame) -> DataFrame:
+    p = (F.col("c_custkey") % F.length("c_name")) + 1
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), p - 1),
+            F.substring(F.col("c_name"), p + 1, F.length("c_name")),
+        ).alias("name"),
+    )
+
+
+_LINKAGE_DIRTY_SQL = """
+    SELECT c_custkey AS id,
+           substr(c_name, 1, (c_custkey % length(c_name)))
+           || substr(c_name, (c_custkey % length(c_name)) + 2,
+                     length(c_name)) AS name
+    FROM customer"""
+_LINKAGE_CLEAN_SQL = "SELECT c_custkey AS id, c_name AS name FROM customer"
+_LINKAGE_REL_FREQ = 0.02
+
+
+def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import linkage_summary
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    # 0.02 rel-freq cutoff measured equal-output to 0.05 on this name
+    # space but ~2x faster (fewer surviving grams in the block join)
+    return linkage_summary(clean, _linkage_dirty_names(cust),
+                           max_rel_freq=_LINKAGE_REL_FREQ)
+
+
+def _record_linkage_oracle() -> str:
+    from ..operators.linkage import linkage_summary_sql
+
+    return linkage_summary_sql(_LINKAGE_CLEAN_SQL, _LINKAGE_DIRTY_SQL,
+                               max_rel_freq=_LINKAGE_REL_FREQ)
+
+
+register(QuerySpec(
+    name="record_linkage_summary",
+    spark_fn=_record_linkage,
+    oracle=_record_linkage_oracle,
+    covers=("record-linkage", "qgram-blocking", "edit-distance-verify"),
+    bench=True,
+    extended=True,
+))

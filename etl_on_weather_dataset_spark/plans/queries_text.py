@@ -514,3 +514,96 @@ register(QuerySpec(
     """,
     covers=("tokenize", "explode"),
 ))
+
+
+# --- BM25 lexical retrieval top-k (operators/retrieval.py) -------------------
+#
+# The sparse-retrieval twin of the ANN tier: corpus stats broadcast
+# back as one aggregate row, per-doc tf in-row, TakeOrderedAndProject
+# top-k. idf is snapped to micro-nats so Spark/DuckDB ln ulps cannot
+# diverge the hash.
+
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K = 25
+
+
+def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+def _bm25_oracle() -> str:
+    from ..operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql("documents", _BM25_TERMS, k=_BM25_K)
+
+
+register(QuerySpec(
+    name="bm25_topk_docs",
+    spark_fn=_bm25,
+    oracle=_bm25_oracle,
+    covers=("bm25-retrieval", "lexical-topk"),
+    bench=True,
+    extended=True,
+))
+
+
+# --- linear quality classifier scoring (operators/classify.py) ---------------
+#
+# fastText-style gate in front of pretraining data, run as pure
+# codegen: exact BIGINT weight fold per doc, one IEEE division, no
+# explode/shuffle/Python. The hashed form is the driver-attested
+# query; the explicit-vocabulary form is oracle-checked in pytest.
+
+def _hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, "text", "doc_id")
+
+
+def _hashed_classifier_oracle() -> str:
+    from ..operators.classify import hashed_linear_score_sql
+
+    return hashed_linear_score_sql("documents", "text", "doc_id")
+
+
+register(QuerySpec(
+    name="doc_quality_classifier",
+    spark_fn=_hashed_classifier,
+    oracle=_hashed_classifier_oracle,
+    covers=("quality-classifier", "hashing-trick-scoring"),
+    bench=True,
+    extended=True,
+))
+
+
+_VOCAB_WEIGHTS = {
+    "spark": 800, "hash": 350, "merge": 200,
+    "slow": -900, "the": -50, "a": -50,
+}
+
+
+def _vocab_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import vocab_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_linear_score(docs, _VOCAB_WEIGHTS, "text", "doc_id")
+
+
+def _vocab_classifier_oracle() -> str:
+    from ..operators.classify import vocab_linear_score_sql
+
+    return vocab_linear_score_sql("documents", _VOCAB_WEIGHTS,
+                                  "text", "doc_id")
+
+
+register(QuerySpec(
+    name="doc_vocab_classifier",
+    spark_fn=_vocab_classifier,
+    oracle=_vocab_classifier_oracle,
+    covers=("quality-classifier", "vocab-weight-scoring"),
+    extended=True,
+))

@@ -79,7 +79,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     incremental dedup, boilerplate removal, per-source cap, DSIR,
 #     SemDeDup, IVF n_probe curve, corpus mixing, IVF-PQ + its
 #     rerank curve, k-means, trained-cell IVF, count-min sketch,
-#     exact-substring span dedup stats + removal), and
+#     exact-substring span dedup stats + removal, BM25 retrieval,
+#     hashed linear quality classifier, q-gram record linkage), and
 #     curation_pipeline_stats + dedup_connected_groups stay in to
 #     re-attest their round-4 implementation changes (fused
 #     audit-trail aggregates; batched convergence checks; self-loop
@@ -89,7 +90,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user runs
 # hourly. The window stays below DRIVER_CAP this round (pinned +
-# rotations = 46 of 50): breadth is already attested; a lean window
+# rotations = 49 of 50): breadth is already attested; a lean window
 # keeps the driver run fast and every row meaningful.
 ROTATE_IN: frozenset[str] = frozenset({
     # added in round 3, first driver attestation (r2 verdict item #1)
@@ -105,6 +106,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "trained_ivf_recall", "cms_token_frequencies",
     "weighted_sample_docs", "dsir_weighted_selection",
     "dup_span_stats", "dup_span_removal",
+    "bm25_topk_docs", "doc_quality_classifier", "record_linkage_summary",
     # re-attest after round-4 implementation changes
     "curation_pipeline_stats", "dedup_connected_groups",
 })

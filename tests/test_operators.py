@@ -1738,3 +1738,177 @@ class TestDuplicatedSpans:
             assert r["n_dup_windows"] == 2
             assert r["n_dup_spans"] == 1
             assert r["covered_tokens"] == 7
+
+
+class TestBM25:
+    def test_ranking_and_exclusion(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            bm25_topk,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "x x x pad"),          # high tf, short
+                (1, "x pad pad pad pad pad pad pad"),  # low tf, long
+                (2, "pad pad pad"),        # no match -> excluded
+                (3, "x x pad pad"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = bm25_topk(df, ["x"], k=10).collect()
+        ids = [r["id"] for r in rows]
+        assert 2 not in ids                 # non-matching doc excluded
+        assert ids[0] == 0                  # highest tf, shortest
+        assert ids.index(3) < ids.index(1)  # tf and length norm order
+        assert all(r["score"] > 0 for r in rows)
+
+    def test_k_limit_and_tiebreak(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            bm25_topk,
+        )
+
+        # four identical docs -> identical scores; tie-break is id asc
+        df = spark.createDataFrame(
+            [(i, "x pad") for i in range(4)], ["doc_id", "text"]
+        )
+        rows = bm25_topk(df, ["x"], k=2).collect()
+        assert [r["id"] for r in rows] == [0, 1]
+
+    def test_multi_term_additivity(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            bm25_topk,
+        )
+
+        # doc matching both terms must outscore docs matching one,
+        # all else equal
+        df = spark.createDataFrame(
+            [(0, "x y"), (1, "x pad"), (2, "y pad"), (3, "pad pad")],
+            ["doc_id", "text"],
+        )
+        rows = bm25_topk(df, ["x", "y"], k=10).collect()
+        assert rows[0]["id"] == 0
+        assert len(rows) == 3
+
+
+class TestLinearClassifiers:
+    def test_vocab_score_exact(self, spark):
+        from etl_on_weather_dataset_spark.operators.classify import (
+            vocab_linear_score,
+        )
+
+        w = {"good": 500, "bad": -700}
+        df = spark.createDataFrame(
+            [
+                (0, "good good neutral"),   # 1000 milli / 3 tokens
+                (1, "bad neutral"),         # -700 / 2
+                (2, "neutral only here"),   # 0 -> label 0 (not >0)
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["id"]: r for r in vocab_linear_score(df, w).collect()}
+        assert out[0]["logit_milli"] == 1000
+        assert out[0]["label"] == 1
+        assert out[1]["logit_milli"] == -700
+        assert out[1]["label"] == 0
+        assert out[2]["logit_milli"] == 0
+        assert out[2]["label"] == 0
+        assert out[0]["logit"] == 1000 / 3000.0
+
+    def test_hashed_score_deterministic_and_integer_exact(self, spark):
+        from etl_on_weather_dataset_spark.operators.classify import (
+            hashed_linear_score,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "alpha beta gamma")],
+            ["doc_id", "text"],
+        )
+        rows = hashed_linear_score(df).collect()
+        # same text -> identical exact integer logits
+        assert rows[0]["logit_milli"] == rows[1]["logit_milli"]
+        # partitioning must not change the per-row result
+        rows2 = hashed_linear_score(df.repartition(5)).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    def test_threshold_applies_to_exact_sum(self, spark):
+        from etl_on_weather_dataset_spark.operators.classify import (
+            vocab_linear_score,
+        )
+
+        # threshold is per-token milli: mean weight must EXCEED it
+        w = {"good": 100}
+        df = spark.createDataFrame([(0, "good good")], ["doc_id", "text"])
+        assert (
+            vocab_linear_score(df, w, threshold_milli=100)
+            .collect()[0]["label"] == 0   # mean == threshold -> 0
+        )
+        assert (
+            vocab_linear_score(df, w, threshold_milli=99)
+            .collect()[0]["label"] == 1
+        )
+
+
+class TestRecordLinkage:
+    def test_blocked_pairs_find_single_edit(self, spark):
+        from etl_on_weather_dataset_spark.operators.linkage import (
+            qgram_blocked_pairs,
+        )
+
+        clean = spark.createDataFrame(
+            [(1, "jonathan smith"), (2, "mary-jane kelly"),
+             (3, "zz")],                     # shorter than q
+            ["id", "name"],
+        )
+        dirty = spark.createDataFrame(
+            [(1, "jonathn smith"),           # one deletion
+             (2, "mary-jane kelly"),         # identical
+             (3, "zz"),                      # identical short name
+             (9, "completely other")],
+            ["id", "name"],
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in qgram_blocked_pairs(clean, dirty).collect()
+        }
+        assert pairs[(1, 1)] == 1
+        assert pairs[(2, 2)] == 0
+        assert pairs[(3, 3)] == 0            # whole-string gram block
+        assert all(a != 9 and b != 9 for a, b in pairs)
+
+    def test_hot_gram_guard_drops_universal_grams(self, spark):
+        from etl_on_weather_dataset_spark.operators.linkage import (
+            qgram_blocked_pairs,
+        )
+
+        # every record shares the prefix "AAAA"; with the guard at 50%
+        # those grams are stop-grams, so records whose remaining grams
+        # differ never become candidates
+        clean = spark.createDataFrame(
+            [(1, "AAAAxyzw"), (2, "AAAAqrst")], ["id", "name"]
+        )
+        dirty = spark.createDataFrame(
+            [(3, "AAAAmnop")], ["id", "name"]
+        )
+        pairs = qgram_blocked_pairs(
+            clean, dirty, max_rel_freq=0.5, max_dist=99,
+            min_keep_count=2,
+        ).collect()
+        assert pairs == []                   # only hot grams shared
+
+    def test_summary_full_recall_when_grams_survive(self, spark):
+        from etl_on_weather_dataset_spark.operators.linkage import (
+            linkage_summary,
+        )
+
+        clean = spark.createDataFrame(
+            [(i, f"record-{i}-alpha") for i in range(1, 5)],
+            ["id", "name"],
+        )
+        dirty = spark.createDataFrame(
+            [(i, f"recrd-{i}-alpha") for i in range(1, 5)],  # drop 'o'
+            ["id", "name"],
+        )
+        row = linkage_summary(clean, dirty, max_rel_freq=1.0).collect()[0]
+        assert row["n_records"] == 4
+        assert row["n_true_links"] == 4
+        assert row["recall"] == 1.0
