@@ -1081,3 +1081,111 @@ def remove_duplicated_spans_sql(
         SELECT b.id, COALESCE(r.clean_text, '') AS clean_text
         FROM base b LEFT JOIN rebuilt r ON b.id = r.id
     """
+
+
+# --- incremental cross-batch NEAR-dup dedup (persistent simhash store) -------
+
+def incremental_simhash_dedup(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup dedup ACROSS ingestion batches: drop new docs whose
+    SimHash is within ``max_hamming`` bits of any fingerprint in a
+    persistent parquet store, collapse exact-SimHash duplicates within
+    the batch (keep min id), land the survivors, append their
+    fingerprints, return the landed survivors.
+
+    The near-dup twin of ``incremental_exact_dedup`` (same
+    land-then-append ordering contract, same crash-recovery story --
+    the store is derivable from the landed batch dirs). SimHash is the
+    right fingerprint for INCREMENTAL near-dup: the store holds ONE
+    64-bit value per kept doc (vs minhash's k-element signatures or
+    jaccard's shingle sets), and the decision rule is exact and
+    deterministic -- with ``max_hamming <= n_bands - 1`` the pigeonhole
+    guarantee makes the banded probe's recall total, so the operator's
+    semantics are simply "drop iff a stored neighbor is within
+    max_hamming bits", no probabilistic rescore.
+
+    Intra-batch NEAR-dups (0 < Hamming <= max_hamming within one
+    batch) are deliberately out of scope -- resolving them needs the
+    pair->component machinery (simhash_band_pairs + dedup_components);
+    compose those upstream when a batch may near-duplicate itself.
+
+    Scale: probe = two projections + an equi-join on (band, key) 16-bit
+    keys + a bit_count verify before any exchange of results; store
+    rows are constant width. Bucket the store by band key at real
+    scale and compact periodically, as with the exact store.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee for n_bands={n_bands}; need <= {n_bands - 1}"
+        )
+    from pyspark.errors import AnalysisException
+
+    fresh = new_docs.join(
+        simhash(new_docs, text_col, id_col).withColumnRenamed(
+            "id", id_col
+        ),
+        id_col,
+    )
+    keep = fresh.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+    batch_unique = fresh.join(keep, ["simhash", id_col], "left_semi")
+
+    band_width = 64 // n_bands
+    mask = (1 << band_width) - 1
+
+    def _bands(df: DataFrame, sh: str, keep_cols: list[str]) -> DataFrame:
+        return df.select(
+            *keep_cols,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(sh, i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ])
+            ).alias("bk"),
+        ).select(*keep_cols, "bk.band", "bk.key")
+
+    try:
+        store = spark.read.parquet(store_path).select(
+            F.col("simhash").alias("sh_stored")
+        )
+    except AnalysisException:  # first batch: no store yet
+        store = None
+    if store is None:
+        survivors = batch_unique
+    else:
+        probe = _bands(
+            batch_unique.select(id_col, "simhash"), "simhash",
+            [id_col, "simhash"],
+        )
+        posting = _bands(store, "sh_stored", ["sh_stored"])
+        hits = (
+            probe.join(posting, ["band", "key"])
+            .filter(
+                F.bit_count(
+                    F.col("simhash").bitwiseXOR(F.col("sh_stored"))
+                )
+                <= max_hamming
+            )
+            .select(id_col)
+            .distinct()
+        )
+        survivors = batch_unique.join(hits, id_col, "left_anti")
+    survivors.write.mode("overwrite").parquet(out_path)
+    landed = spark.read.parquet(out_path)
+    landed.select(
+        "simhash", F.col(id_col).alias("keep_id")
+    ).write.mode("append").parquet(store_path)
+    return landed.drop("simhash")

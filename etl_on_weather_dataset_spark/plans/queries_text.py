@@ -607,3 +607,135 @@ register(QuerySpec(
     covers=("quality-classifier", "vocab-weight-scoring"),
     extended=True,
 ))
+
+
+# --- incremental NEAR-dup dedup (cross-batch simhash store) -------------------
+#
+# Same scenario contract as dedup_incremental_exact (two deterministic
+# batches through a per-invocation temp store), but for the near-dup
+# tier, whose drop rule ("stored neighbor within max_hamming bits")
+# depends on xxhash64-based SimHash that DuckDB cannot recompute. The
+# attested columns are therefore the STRUCTURAL subset, mirroring the
+# guarantee-flag pattern of dedup_simhash_bands:
+#   - n_input / n_exact_copy_inputs are content-level values both
+#     engines compute exactly (fingerprint membership vs the earlier
+#     batch);
+#   - n_exact_copies_landed must be 0 (an exact copy has Hamming 0 to
+#     a stored fingerprint, and pigeonhole banding at
+#     max_hamming <= n_bands - 1 makes the probe's recall total);
+#   - n_land_viol / n_drop_viol are brute-force re-audits of every
+#     land/drop decision against the full store (attestation-scale
+#     crossJoin, not part of the operator), structurally 0.
+
+def _incremental_simhash_scenario(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_simhash_dedup, simhash
+
+    max_h = 3
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0).unionAll(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    fp1 = b1.select(T.fingerprint("text").alias("fp")).distinct()
+
+    tmp = tempfile.mkdtemp(prefix="spark_incr_simhash_")
+    try:
+        store = f"{tmp}/store"
+        landed1 = incremental_simhash_dedup(
+            spark, b1, store, f"{tmp}/o1", max_hamming=max_h
+        )
+        n1_in, n1_land = b1.count(), landed1.count()
+        store_before = spark.createDataFrame(
+            spark.read.parquet(store)
+            .select(F.col("simhash").alias("sh_s"))
+            .collect()
+        )
+        landed2 = incremental_simhash_dedup(
+            spark, b2, store, f"{tmp}/o2", max_hamming=max_h
+        )
+        n2_in, n2_land = b2.count(), landed2.count()
+        landed2_sh = spark.read.parquet(f"{tmp}/o2")
+
+        n_copy_in = (
+            b2.select(T.fingerprint("text").alias("fp"))
+            .join(fp1, "fp", "left_semi")
+            .count()
+        )
+        n_copy_landed = (
+            landed2.select(T.fingerprint("text").alias("fp"))
+            .join(fp1, "fp", "left_semi")
+            .count()
+        )
+        near = F.bit_count(
+            F.col("simhash").bitwiseXOR(F.col("sh_s"))
+        ) <= max_h
+        n_land_viol = (
+            landed2_sh.crossJoin(store_before).filter(near)
+            .select("doc_id").distinct().count()
+        )
+        # recompute the batch's within-batch survivors to identify the
+        # cross-batch drops, then confirm each had a real neighbor
+        fresh = b2.join(
+            simhash(b2).withColumnRenamed("id", "doc_id"), "doc_id"
+        )
+        keep = fresh.groupBy("simhash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        eligible = fresh.join(keep, ["simhash", "doc_id"], "left_semi")
+        dropped = eligible.join(landed2, "doc_id", "left_anti")
+        n_drop_viol = (
+            dropped.join(
+                dropped.crossJoin(store_before).filter(near)
+                .select("doc_id").distinct(),
+                "doc_id", "left_anti",
+            ).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("batch1", n1_in, 0, 0, 0, 0),
+            ("batch2", n2_in, n_copy_in, n_copy_landed,
+             n_land_viol, n_drop_viol),
+        ],
+        "batch string, n_input long, n_exact_copy_inputs long, "
+        "n_exact_copies_landed long, n_land_viol long, n_drop_viol long",
+    )
+
+
+register(QuerySpec(
+    name="dedup_incremental_simhash",
+    spark_fn=_incremental_simhash_scenario,
+    oracle=f"""
+        WITH b1 AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+        ), b2 AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT 'batch1' AS batch,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b1) AS n_input,
+               CAST(0 AS BIGINT) AS n_exact_copy_inputs,
+               CAST(0 AS BIGINT) AS n_exact_copies_landed,
+               CAST(0 AS BIGINT) AS n_land_viol,
+               CAST(0 AS BIGINT) AS n_drop_viol
+        UNION ALL
+        SELECT 'batch2',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b2),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b2
+                WHERE {T.fingerprint_sql('text')} IN
+                      (SELECT {T.fingerprint_sql('text')} FROM b1)),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+    covers=("incremental-near-dup", "simhash-store"),
+    extended=True,
+))

@@ -90,8 +90,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user runs
 # hourly. The window stays below DRIVER_CAP this round (pinned +
-# rotations = 49 of 50): breadth is already attested; a lean window
-# keeps the driver run fast and every row meaningful.
+# rotations = 50 of 50): breadth is already attested; every row in
+# the window is either a flagship or earning its first attestation.
 ROTATE_IN: frozenset[str] = frozenset({
     # added in round 3, first driver attestation (r2 verdict item #1)
     "benchmark_decontamination", "packed_bins", "doc_repetition_stats",
@@ -107,6 +107,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "weighted_sample_docs", "dsir_weighted_selection",
     "dup_span_stats", "dup_span_removal",
     "bm25_topk_docs", "doc_quality_classifier", "record_linkage_summary",
+    "dedup_incremental_simhash",
     # re-attest after round-4 implementation changes
     "curation_pipeline_stats", "dedup_connected_groups",
 })

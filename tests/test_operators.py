@@ -1912,3 +1912,65 @@ class TestRecordLinkage:
         assert row["n_records"] == 4
         assert row["n_true_links"] == 4
         assert row["recall"] == 1.0
+
+
+class TestIncrementalSimhashDedup:
+    def _run(self, spark, tmp_path, batches, **kw):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            incremental_simhash_dedup,
+        )
+
+        outs = []
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, ["doc_id", "text"])
+            outs.append(
+                incremental_simhash_dedup(
+                    spark, df, str(tmp_path / "store"),
+                    str(tmp_path / f"o{i}"), **kw
+                )
+            )
+        return outs
+
+    def test_cross_batch_exact_copy_drops(self, spark, tmp_path):
+        l1, l2 = self._run(
+            spark, tmp_path,
+            [
+                [(1, "alpha beta gamma delta")],
+                [(2, "alpha beta gamma delta"),        # exact copy
+                 (3, "totally different words here")],
+            ],
+        )
+        assert [r["doc_id"] for r in l1.collect()] == [1]
+        assert [r["doc_id"] for r in l2.collect()] == [3]
+
+    def test_token_set_permutation_is_hamming_zero(self, spark, tmp_path):
+        # simhash is over DISTINCT tokens: same token set in another
+        # order is Hamming 0 -> dropped even though md5(text) differs
+        l1, l2 = self._run(
+            spark, tmp_path,
+            [
+                [(1, "a b c d e f g h")],
+                [(2, "h g f e d c b a")],
+            ],
+        )
+        assert l1.count() == 1
+        assert l2.count() == 0
+
+    def test_within_batch_collapse_keeps_min_id(self, spark, tmp_path):
+        (l1,) = self._run(
+            spark, tmp_path,
+            [[(7, "x y z w"), (4, "x y z w"), (9, "p q r s")]],
+        )
+        assert sorted(r["doc_id"] for r in l1.collect()) == [4, 9]
+
+    def test_pigeonhole_parameter_guard(self, spark, tmp_path):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            incremental_simhash_dedup,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="pigeonhole"):
+            incremental_simhash_dedup(
+                spark, df, str(tmp_path / "s"), str(tmp_path / "o"),
+                n_bands=4, max_hamming=4,
+            )
