@@ -119,6 +119,11 @@ def qgram_blocked_pairs(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
+        # levenshtein >= |len(a) - len(b)|: the length gate prunes
+        # pairs before the O(len^2) distance computation ever runs
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
         .select(
             "id_a",
             "id_b",
@@ -172,7 +177,8 @@ def qgram_blocked_pairs_sql(
         )
         SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
         FROM cand JOIN a USING (id_a) JOIN b USING (id_b)
-        WHERE levenshtein(name_a, name_b) <= {max_dist}
+        WHERE abs(length(name_a) - length(name_b)) <= {max_dist}
+          AND levenshtein(name_a, name_b) <= {max_dist}
     """
 
 

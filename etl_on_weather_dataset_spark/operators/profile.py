@@ -1,0 +1,157 @@
+"""Column profiling: one-pass data-quality statistics per column
+(the Deequ/great-expectations "profiler" surface -- the first thing a
+data engineer runs against an unfamiliar 100 TB table).
+
+One aggregate job over the table computes, for every profiled column:
+row count, null count, exact distinct count, and a type-appropriate
+min/max (numeric as double, strings by length, timestamps natively).
+The single agg row is then exploded into one row per column -- so the
+table is scanned ONCE however many columns are profiled.
+
+Scale notes:
+- multiple exact COUNT(DISTINCT col) in one aggregate compile to
+  Spark's Expand (one pass over the data, one duplicated row per
+  distinct-aggregate) -- the standard multi-distinct shape. At very
+  wide tables or petabyte scale pass ``exact_distinct=False`` to use
+  HLL (`approx_count_distinct`) instead: no Expand, pure map-side
+  sketch merge. The oracle twin only exists for the exact form.
+- min/max/count/null-count are map-side-combinable; nothing here
+  shuffles anything wider than the aggregation buffers.
+
+Engine-invariance: counts are exact integers; numeric min/max are
+selections of existing values (no arithmetic), so their doubles are
+bit-identical; string columns are profiled by LENGTH bounds (integers)
+-- never by value casting, whose text formatting differs between
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def profile(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
+    """Profile every column of supported type; one output row each.
+
+    Output: (col_name, dtype, n_rows, n_null, n_distinct,
+    min_num, max_num, min_len, max_len, min_ts, max_ts) -- the
+    type-inappropriate slots are null.
+    """
+    num_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    ts_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
+
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    specs: list[tuple[str, str]] = []  # (column, kind)
+    for field in df.schema.fields:
+        c, name = F.col(field.name), field.name
+        if isinstance(field.dataType, num_types):
+            kind = "numeric"
+        elif isinstance(field.dataType, T.StringType):
+            kind = "string"
+        elif isinstance(field.dataType, ts_types):
+            kind = "timestamp"
+        else:
+            continue  # arrays/binary/maps: not profiled
+        specs.append((name, kind))
+        aggs.append(
+            F.count(F.when(c.isNull(), 1)).alias(f"__null_{name}")
+        )
+        aggs.append(
+            (
+                F.countDistinct(c)
+                if exact_distinct
+                else F.approx_count_distinct(c)
+            ).alias(f"__dist_{name}")
+        )
+        if kind == "numeric":
+            aggs.append(F.min(c).cast("double").alias(f"__min_{name}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{name}"))
+        elif kind == "string":
+            aggs.append(F.min(F.length(c)).alias(f"__min_{name}"))
+            aggs.append(F.max(F.length(c)).alias(f"__max_{name}"))
+        else:
+            aggs.append(F.min(c).alias(f"__min_{name}"))
+            aggs.append(F.max(c).alias(f"__max_{name}"))
+
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.lit(kind).alias("dtype"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{name}").alias("n_null"),
+            F.col(f"__dist_{name}").alias("n_distinct"),
+            (
+                F.col(f"__min_{name}")
+                if kind == "numeric"
+                else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.col(f"__max_{name}")
+                if kind == "numeric"
+                else F.lit(None).cast("double")
+            ).alias("max_num"),
+            (
+                F.col(f"__min_{name}").cast("long")
+                if kind == "string"
+                else F.lit(None).cast("long")
+            ).alias("min_len"),
+            (
+                F.col(f"__max_{name}").cast("long")
+                if kind == "string"
+                else F.lit(None).cast("long")
+            ).alias("max_len"),
+            (
+                F.col(f"__min_{name}")
+                if kind == "timestamp"
+                else F.lit(None).cast("timestamp")
+            ).alias("min_ts"),
+            (
+                F.col(f"__max_{name}")
+                if kind == "timestamp"
+                else F.lit(None).cast("timestamp")
+            ).alias("max_ts"),
+        )
+        for name, kind in specs
+    ])
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def profile_sql(table: str, columns: list[tuple[str, str]]) -> str:
+    """DuckDB twin of profile(exact_distinct=True) for the given
+    (column, kind) list, kinds in {numeric, string, timestamp}."""
+    parts = []
+    for name, kind in columns:
+        if kind == "numeric":
+            mn = f"CAST(MIN({name}) AS DOUBLE)"
+            mx = f"CAST(MAX({name}) AS DOUBLE)"
+            ln = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+            ts = "CAST(NULL AS TIMESTAMP)", "CAST(NULL AS TIMESTAMP)"
+            num = mn, mx
+        elif kind == "string":
+            num = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ln = (
+                f"CAST(MIN(length({name})) AS BIGINT)",
+                f"CAST(MAX(length({name})) AS BIGINT)",
+            )
+            ts = "CAST(NULL AS TIMESTAMP)", "CAST(NULL AS TIMESTAMP)"
+        else:
+            num = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ln = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+            ts = f"MIN({name})", f"MAX({name})"
+        parts.append(f"""
+            SELECT '{name}' AS col_name, '{kind}' AS dtype,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+                   {num[0]} AS min_num, {num[1]} AS max_num,
+                   {ln[0]} AS min_len, {ln[1]} AS max_len,
+                   {ts[0]} AS min_ts, {ts[1]} AS max_ts
+            FROM {table}""")
+    return " UNION ALL ".join(parts)

@@ -859,3 +859,40 @@ register(QuerySpec(
     bench=True,
     extended=True,
 ))
+
+
+# --- column profiling (operators/profile.py) ---------------------------------
+#
+# Deequ-style one-pass profiler: 11 lineitem columns -> 11 stat rows
+# from a single aggregate job. Registered extended (the round-4 driver
+# window is full at 50); earns its driver row in the next rotation.
+
+_PROFILE_COLS = [
+    ("l_orderkey", "numeric"), ("l_partkey", "numeric"),
+    ("l_suppkey", "numeric"), ("l_linenumber", "numeric"),
+    ("l_quantity", "numeric"), ("l_extendedprice", "numeric"),
+    ("l_discount", "numeric"), ("l_tax", "numeric"),
+    ("l_returnflag", "string"), ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+
+
+def _column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile
+
+    return profile(load_table(spark, sf_dir, "lineitem"))
+
+
+def _column_profile_oracle() -> str:
+    from ..operators.profile import profile_sql
+
+    return profile_sql("lineitem", _PROFILE_COLS)
+
+
+register(QuerySpec(
+    name="column_profile_lineitem",
+    spark_fn=_column_profile,
+    oracle=_column_profile_oracle,
+    covers=("column-profiling", "data-quality-stats"),
+    extended=True,
+))

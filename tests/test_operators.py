@@ -1974,3 +1974,39 @@ class TestIncrementalSimhashDedup:
                 spark, df, str(tmp_path / "s"), str(tmp_path / "o"),
                 n_bands=4, max_hamming=4,
             )
+
+
+class TestColumnProfile:
+    def test_stats_and_type_slots(self, spark):
+        from etl_on_weather_dataset_spark.operators.profile import (
+            profile,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "aa", 2.5), (2, None, -1.0), (2, "bbb", None)],
+            "k long, s string, v double",
+        )
+        out = {r["col_name"]: r for r in profile(df).collect()}
+        assert out["k"]["n_rows"] == 3
+        assert out["k"]["n_null"] == 0
+        assert out["k"]["n_distinct"] == 2
+        assert out["k"]["min_num"] == 1.0 and out["k"]["max_num"] == 2.0
+        assert out["k"]["min_len"] is None          # numeric slot only
+        assert out["s"]["n_null"] == 1
+        assert out["s"]["n_distinct"] == 2
+        assert out["s"]["min_len"] == 2 and out["s"]["max_len"] == 3
+        assert out["s"]["min_num"] is None
+        assert out["v"]["n_null"] == 1
+        assert out["v"]["min_num"] == -1.0 and out["v"]["max_num"] == 2.5
+
+    def test_approx_mode_runs_without_expand(self, spark):
+        from etl_on_weather_dataset_spark.operators.profile import (
+            profile,
+        )
+
+        df = spark.createDataFrame([(i, str(i)) for i in range(100)],
+                                   "k long, s string")
+        out = profile(df, exact_distinct=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan       # HLL path: no multi-distinct
+        assert out.count() == 2

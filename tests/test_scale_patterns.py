@@ -195,6 +195,36 @@ class TestPlanProperties:
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
             or "BroadcastHashJoin" in plan
 
+    def test_bm25_topk_is_heap_not_global_sort(self, spark):
+        """BM25's top-k must be TakeOrderedAndProject (per-partition
+        heaps), and its corpus stats must come back as a broadcast of
+        the one-row aggregate, never a shuffled join."""
+        plan = self._plan(spark, "bm25_topk_docs")
+        assert "TakeOrderedAndProject" in plan, plan[:1500]
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastHashJoin" in plan, plan[:1500]
+
+    def test_span_dedup_never_forms_pairs(self, spark):
+        """Exact-substring dedup joins occurrences back to the window
+        count -- equi-joins only, no pair cartesian anywhere."""
+        for name in ("dup_span_stats", "dup_span_removal"):
+            plan = self._plan(spark, name)
+            assert "CartesianProduct" not in plan, (name, plan[:2000])
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                name, plan[:2000])
+
+    def test_classifier_is_single_stage_scan(self, spark):
+        """The hashed classifier is a per-row fold: its plan must have
+        no exchange at all (one codegen stage over the scan)."""
+        plan = self._plan(spark, "doc_quality_classifier")
+        assert "Exchange" not in plan, plan[:1500]
+
+    def test_linkage_blocks_via_equi_join(self, spark):
+        """Record linkage must block on gram equi-joins; the only
+        nested-loop is the broadcast of the one-row totals."""
+        plan = self._plan(spark, "record_linkage_summary")
+        assert "CartesianProduct" not in plan, plan[:2000]
+
     def test_minhash_banding_is_equi_join_over_persisted_index(
         self, spark
     ):
