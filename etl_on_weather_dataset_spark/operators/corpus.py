@@ -630,3 +630,107 @@ def importance_logratio_sql(
                avg_logratio_micro >= {threshold_micro} AS selected
         FROM per_doc
     """
+
+
+# --- bigram-conditional log-probability quality score ------------------------
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc average bigram log-probability ln P(t_i | t_{i-1})
+    under the corpus's own MLE bigram model -- the next step up from
+    ``unigram_logprob``: word salad with plausible unigrams but
+    improbable transitions scores low here.
+
+    Same exactness discipline as the unigram score: each transition's
+    log-prob is snapped to micro-nat longs before the per-doc sum, so
+    the parallel sum is engine/partition-invariant. MLE needs no
+    smoothing for scoring the training corpus itself (every observed
+    bigram has count >= 1).
+
+    Plan: one bigram explode (persisted; scanned by both the count
+    aggregate and the score join) -> bigram counts (shuffle on the
+    pair, map-side combine) -> context counts derived from the
+    BIGRAM-COUNT table (vocabulary-squared-bounded, far smaller than
+    the corpus) -> two joins back -> per-doc sum. Docs with fewer than
+    2 tokens have no transitions and are absent from the output.
+    """
+    from .caching import persisted
+
+    toks = tokens(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = persisted(
+        df.select(
+            F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+        ).select("id", "p.prev", "p.cur")
+    )
+    c2 = persisted(
+        bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bi_n"))
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("bi_n").alias("ctx_n"))
+    scored = (
+        bi.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .select(
+            "id",
+            F.round(
+                F.log(F.col("bi_n").cast("double") / F.col("ctx_n"))
+                * 1e6
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.round(F.sum("lp_micro") / F.count(F.lit(1)))
+            .cast("long")
+        ).alias("avg_logprob_micro"),
+    )
+
+
+def bigram_logprob_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin (same micro-nat rounding before the sum)."""
+    return f"""
+        WITH t AS (
+            SELECT {id_col} AS id,
+                   regexp_split_to_array({text_col}, ' +') AS toks
+            FROM {table}
+        ), bi AS (
+            SELECT id, u.prev AS prev, u.cur AS cur
+            FROM (
+                SELECT id,
+                       unnest(CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> {{'prev': toks[i],
+                                     'cur': toks[i + 1]}})
+                       ELSE [] END) AS u
+                FROM t
+            )
+        ), c2 AS (
+            SELECT prev, cur, COUNT(*) AS bi_n
+            FROM bi GROUP BY prev, cur
+        ), c1 AS (
+            SELECT prev, SUM(bi_n) AS ctx_n FROM c2 GROUP BY prev
+        )
+        SELECT id,
+               COUNT(*) AS n_bigrams,
+               CAST(ROUND(SUM(CAST(ROUND(
+                   ln(CAST(bi_n AS DOUBLE) / ctx_n) * 1000000)
+                   AS BIGINT)) * 1.0 / COUNT(*)) AS BIGINT)
+                   AS avg_logprob_micro
+        FROM bi JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        GROUP BY id
+    """

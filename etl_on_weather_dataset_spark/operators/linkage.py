@@ -65,6 +65,7 @@ def qgram_blocked_pairs(
     max_rel_freq: float = 0.05,
     max_dist: int = 2,
     min_keep_count: int = 5,
+    max_abs_count: int | None = None,
 ) -> DataFrame:
     """Verified links (id_a, id_b, dist) between two record sets.
 
@@ -74,6 +75,15 @@ def qgram_blocked_pairs(
     ``greatest(max_rel_freq * n_records, min_keep_count)`` -- the
     absolute floor keeps small corpora from dropping every gram
     (0.05 * 7 records would otherwise ban even singletons).
+
+    ``max_abs_count`` additionally CAPS the cutoff with an absolute
+    block-size bound. A relative cutoff alone lets block sizes (and
+    so candidate pairs, quadratic per block) grow linearly with the
+    corpus -- measured: the 10x scale smoke on a dense digit-name
+    space went 179x in wall time before this cap existed. Real
+    deployments always bound block size absolutely; recall then
+    degrades gracefully on pathological key spaces instead of the job
+    going quadratic.
     """
     a = clean.select(
         F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
@@ -103,9 +113,19 @@ def qgram_blocked_pairs(
         gram_freq.crossJoin(F.broadcast(totals))
         .filter(
             F.col("cnt").cast("double")
-            <= F.greatest(
-                F.lit(max_rel_freq) * F.col("n_records"),
-                F.lit(float(min_keep_count)),
+            <= (
+                F.greatest(
+                    F.lit(max_rel_freq) * F.col("n_records"),
+                    F.lit(float(min_keep_count)),
+                )
+                if max_abs_count is None
+                else F.least(
+                    F.greatest(
+                        F.lit(max_rel_freq) * F.col("n_records"),
+                        F.lit(float(min_keep_count)),
+                    ),
+                    F.lit(float(max_abs_count)),
+                )
             )
         )
         .select("gram")
@@ -142,9 +162,16 @@ def qgram_blocked_pairs_sql(
     max_rel_freq: float = 0.05,
     max_dist: int = 2,
     min_keep_count: int = 5,
+    max_abs_count: int | None = None,
 ) -> str:
     """DuckDB twin of qgram_blocked_pairs. ``clean_sql``/``dirty_sql``
     are subqueries yielding (id, name) under the given column names."""
+    cutoff = (
+        f"greatest({max_rel_freq!r} * n_records,"
+        f" {float(min_keep_count)!r})"
+    )
+    if max_abs_count is not None:
+        cutoff = f"least({cutoff}, {float(max_abs_count)!r})"
     return f"""
         WITH a AS (SELECT {id_col} AS id_a, {name_col} AS name_a
                    FROM ({clean_sql})),
@@ -165,9 +192,7 @@ def qgram_blocked_pairs_sql(
                       UNION ALL SELECT gram FROM gb)
                 GROUP BY gram
             ) CROSS JOIN totals
-            WHERE CAST(cnt AS DOUBLE)
-                  <= greatest({max_rel_freq!r} * n_records,
-                              {float(min_keep_count)!r})
+            WHERE CAST(cnt AS DOUBLE) <= {cutoff}
         ),
         cand AS (
             SELECT DISTINCT id_a, id_b
@@ -191,6 +216,7 @@ def linkage_summary(
     max_rel_freq: float = 0.05,
     max_dist: int = 2,
     min_keep_count: int = 5,
+    max_abs_count: int | None = None,
 ) -> DataFrame:
     """One-row audit of a linkage run: verified links, how many link a
     record to its own counterpart (id_a = id_b -- ground truth when
@@ -198,7 +224,7 @@ def linkage_summary(
     = true links / clean records (exact IEEE division, no rounding)."""
     pairs = qgram_blocked_pairs(
         clean, dirty, name_col, id_col, q, max_rel_freq, max_dist,
-        min_keep_count,
+        min_keep_count, max_abs_count,
     )
     n_clean = clean.select(F.count("*").alias("n_records"))
     return (
@@ -231,10 +257,11 @@ def linkage_summary_sql(
     max_rel_freq: float = 0.05,
     max_dist: int = 2,
     min_keep_count: int = 5,
+    max_abs_count: int | None = None,
 ) -> str:
     pairs = qgram_blocked_pairs_sql(
         clean_sql, dirty_sql, name_col, id_col, q, max_rel_freq,
-        max_dist, min_keep_count,
+        max_dist, min_keep_count, max_abs_count,
     )
     return f"""
         SELECT (SELECT COUNT(*) FROM ({clean_sql})) AS n_records,

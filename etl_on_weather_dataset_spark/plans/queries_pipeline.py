@@ -1207,3 +1207,27 @@ register(QuerySpec(
     covers=("exact-substring-dedup", "span-removal-rebuild"),
     extended=True,
 ))
+
+
+# --- bigram-conditional LM quality score -------------------------------------
+
+def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "text", "doc_id")
+
+
+def _bigram_logprob_oracle() -> str:
+    from ..operators.corpus import bigram_logprob_sql
+
+    return bigram_logprob_sql("documents", "text", "doc_id")
+
+
+register(QuerySpec(
+    name="doc_bigram_logprob",
+    spark_fn=_bigram_logprob,
+    oracle=_bigram_logprob_oracle,
+    covers=("lm-quality-score", "bigram-logprob"),
+    extended=True,
+))

@@ -928,3 +928,28 @@ register(QuerySpec(
     covers=("trained-ivf", "kmeans-ann-composition"),
     extended=True,
 ))
+
+
+# --- embedding curation flagship (plans/embedding_pipeline.py) ---------------
+
+def _embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .embedding_pipeline import embed_curate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embed_curate(emb).stats
+
+
+def _embed_pipeline_oracle() -> str:
+    from .embedding_pipeline import embed_curation_stats_sql
+
+    return embed_curation_stats_sql("embeddings")
+
+
+register(QuerySpec(
+    name="embedding_pipeline_stats",
+    spark_fn=_embed_pipeline,
+    oracle=_embed_pipeline_oracle,
+    covers=("embedding-curation-pipeline", "composed-flagship"),
+    bench=True,
+    extended=True,
+))

@@ -481,3 +481,155 @@ register(QuerySpec(
     """,
     covers=("subquery", "self-join"),
 ))
+
+
+# --- Q14 shape: promotion revenue share --------------------------------------
+#
+# Exactness: both revenue sums are exact cents^2 BIGINTs (the repo's
+# fixed-decimal rule); the percentage is ONE IEEE division of the two
+# exact integers -- bit-identical across engines, no rounding.
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", disc_price)
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("_promo"),
+            F.sum(disc_price).alias("_total"),
+        )
+        .select(
+            (
+                100.0 * F.col("_promo").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+register(QuerySpec(
+    name="promo_revenue_share",
+    spark_fn=_q14,
+    oracle="""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+                   CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+               ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+               AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-07-01'
+    """,
+    covers=("tpch-q14", "conditional-ratio", "broadcast-dim-join"),
+    extended=True,
+))
+
+
+# --- Q17 shape: small-quantity revenue (correlated per-part average) ---------
+
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    # per-part quantity average as exact micro units (qty has <= 1 dp)
+    avg_q = brand.groupBy("p_partkey").agg(
+        (
+            F.sum((F.col("l_quantity") * 10).cast("long"))
+            / F.count(F.lit(1)) / 10.0
+        ).alias("avg_qty")
+    )
+    small = brand.join(avg_q, "p_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        (
+            F.coalesce(
+                F.sum(_cents("l_extendedprice")), F.lit(0).cast("long")
+            ).cast("double")
+            / 100.0 / 7.0
+        ).alias("avg_yearly")
+    )
+
+
+register(QuerySpec(
+    name="small_quantity_revenue",
+    spark_fn=_q17,
+    oracle="""
+        WITH brand AS (
+            SELECT l_partkey AS p_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+        ), avg_q AS (
+            SELECT p_partkey,
+                   SUM(CAST(ROUND(l_quantity * 10) AS BIGINT))
+                       / COUNT(*) / 10.0 AS avg_qty
+            FROM brand GROUP BY p_partkey
+        )
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)), 0) AS DOUBLE)
+               / 100.0 / 7.0 AS avg_yearly
+        FROM brand JOIN avg_q USING (p_partkey)
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    covers=("tpch-q17", "correlated-per-group-average"),
+    extended=True,
+))
+
+
+# --- Q18 shape: large-volume orders ------------------------------------------
+
+_Q18_MIN_QTY = 150
+
+
+def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+register(QuerySpec(
+    name="large_volume_orders",
+    spark_fn=_q18,
+    oracle=f"""
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM (
+            SELECT l_orderkey, {exact_sum_sql('l_quantity')} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {exact_sum_sql('l_quantity')} > {_Q18_MIN_QTY}
+        ) b
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    covers=("tpch-q18", "having-filtered-agg-join", "topn"),
+    extended=True,
+))

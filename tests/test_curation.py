@@ -58,3 +58,40 @@ def test_redaction_applied_before_dedup(spark):
     assert stats["exact_unique"] == 2
     survivors = {r["doc_id"] for r in res.clean.collect()}
     assert 1 in survivors and 2 not in survivors
+
+
+class TestEmbeddingPipeline:
+    def test_stage_drops(self, spark):
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.plans.embedding_pipeline import (
+            EMB_DIM,
+            embed_curate,
+        )
+
+        good = [float((i * 7 + j) % 13) - 6.0 for j in range(EMB_DIM)
+                for i in (1,)]
+        vecs = [
+            (0, [float((j % 7) - 3) for j in range(EMB_DIM)]),   # ok
+            (1, [float((j % 7) - 3) for j in range(EMB_DIM)]),   # dup of 0
+            (2, [float((j % 5) - 2) for j in range(EMB_DIM)]),   # ok
+            (3, None),                                           # invalid
+            (4, [1.0, 2.0]),                                     # wrong dim
+            (5, [0.0] * EMB_DIM),                                # zero norm
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        try:
+            res = embed_curate(df)
+            stats = dict(map(tuple, res.stats.collect()))
+            assert stats["input"] == 6
+            assert stats["valid"] == 3
+            # identical vectors are semantic dups (cos=1 >= 0.9):
+            # exactly one of {0,1} survives
+            assert stats["sem_unique"] == 2
+            surv = sorted(r["vec_id"] for r in res.clean.collect())
+            assert 2 in surv and len(surv) == 2
+            # every survivor gets a cluster
+            assert res.assignments.count() == 2
+        finally:
+            release_all()

@@ -2010,3 +2010,55 @@ class TestColumnProfile:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Expand" not in plan       # HLL path: no multi-distinct
         assert out.count() == 2
+
+
+class TestBigramLogprob:
+    def test_transition_probabilities_exact(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            bigram_logprob,
+        )
+
+        # corpus bigrams: (a,b) x2, (b,a) x1, (a,c) x1
+        # context counts: a->3, b->1
+        df = spark.createDataFrame(
+            [(0, "a b a c"), (1, "a b"), (2, "x")],
+            ["doc_id", "text"],
+        )
+        out = {r["id"]: r for r in bigram_logprob(df).collect()}
+        import math
+
+        def micro(p):
+            return round(math.log(p) * 1e6)
+
+        # doc 0: ln(2/3) + ln(1/1) + ln(1/3) over 3 transitions
+        exp0 = round((micro(2 / 3) + micro(1.0) + micro(1 / 3)) / 3)
+        assert out[0]["n_bigrams"] == 3
+        assert out[0]["avg_logprob_micro"] == exp0
+        # doc 1: single transition (a,b): ln(2/3)
+        assert out[1]["avg_logprob_micro"] == micro(2 / 3)
+        # doc 2: one token -> no transitions -> absent
+        assert 2 not in out
+
+
+class TestLinkageAbsCap:
+    def test_abs_cap_bounds_hot_blocks(self, spark):
+        from etl_on_weather_dataset_spark.operators.linkage import (
+            qgram_blocked_pairs,
+        )
+
+        # 30 records all sharing the prefix "AAAA": with the absolute
+        # cap below the prefix-gram frequency (60 postings), those
+        # blocks drop; each record's unique suffix grams survive and
+        # still link it to its own perturbed twin
+        clean = spark.createDataFrame(
+            [(i, f"AAAA-{i:04d}x") for i in range(30)], ["id", "name"]
+        )
+        dirty = spark.createDataFrame(
+            [(i, f"AAAA{i:04d}x") for i in range(30)],  # drop the '-'
+            ["id", "name"],
+        )
+        pairs = qgram_blocked_pairs(
+            clean, dirty, max_rel_freq=1.0, max_abs_count=10,
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert {(i, i) for i in range(30)} <= got
