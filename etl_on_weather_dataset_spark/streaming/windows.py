@@ -289,3 +289,58 @@ def sessionize_batch(
         )
         .select(user_col, "session_start", "n_events", "total_value")
     )
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    store_path: str,
+    out_root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 1,
+) -> list[int]:
+    """Continuous ingestion with cross-batch exact dedup: a file
+    stream drives ``incremental_exact_dedup`` through foreachBatch, so
+    every microbatch lands its content-unique survivors at
+    ``out_root/batch=<id>`` and appends their fingerprints to the
+    persistent store -- the streaming face of the incremental store
+    (the batch operator is the per-trigger body; watermarked
+    ``stream_dedup`` covers the bounded-state, same-stream case).
+
+    Delivery contract: at-least-once from the checkpoint; a REPLAYED
+    batch re-probes a store that already holds its fingerprints, so
+    its docs are dropped and the replay lands an empty batch dir --
+    duplicate CONTENT can never land twice, which is the invariant a
+    training-corpus ingest needs (the empty re-land is visible in the
+    batch audit, not silent).
+
+    Returns the processed batch ids (AvailableNow run).
+    """
+    from ..operators.dedup import incremental_exact_dedup
+
+    seen: list[int] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        incremental_exact_dedup(
+            spark, batch_df, store_path,
+            f"{out_root}/batch={batch_id}",
+            text_col=text_col, id_col=id_col,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

@@ -146,3 +146,72 @@ def test_mode_is_in_group_domain(spark, rows):
             assert r["m"] is None
         else:
             assert r["m"] in vals
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1, max_size=20,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_span_stats_fraction_bounds_and_consistency(spark, docs):
+    from etl_on_weather_dataset_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in duplicated_span_stats(df, window=3).collect():
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert r["covered_tokens"] <= r["n_tokens"]
+        # spans only exist where windows do
+        assert (r["n_dup_spans"] == 0) == (r["n_dup_windows"] == 0)
+        assert (r["covered_tokens"] == 0) == (r["n_dup_spans"] == 0)
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_span_removal_only_shrinks_and_is_idempotent_when_clean(
+    spark, docs
+):
+    from etl_on_weather_dataset_spark.operators.dedup import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {
+        r["id"]: r for r in duplicated_span_stats(df, window=3).collect()
+    }
+    cleaned = {
+        r["id"]: r["clean_text"]
+        for r in remove_duplicated_spans(df, window=3).collect()
+    }
+    for doc_id, text in docs:
+        n_in = len(text.split())
+        n_out = len(cleaned[doc_id].split()) if cleaned[doc_id] else 0
+        assert n_out == n_in - stats[doc_id]["covered_tokens"]
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_classifier_logit_matches_integer_sum(spark, docs):
+    from etl_on_weather_dataset_spark.operators.classify import (
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in hashed_linear_score(df).collect():
+        assert r["logit"] == r["logit_milli"] / (1000.0 * r["n_tokens"])
+        assert r["label"] == int(r["logit_milli"] > 0)
+        # per-token weights are bounded by 1000 milli
+        assert abs(r["logit_milli"]) <= 1000 * r["n_tokens"]

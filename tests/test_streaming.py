@@ -344,3 +344,44 @@ def test_streaming_count_min_merge(spark, tmp_path):
         merged, keys, "token", width=16, depth=4).collect()}
     for k, t in true.items():
         assert est[k] >= t, (k, est[k], t)
+
+
+def test_stream_incremental_dedup_across_microbatches(spark, tmp_path):
+    """File-stream ingestion through the persistent fingerprint store:
+    content arriving again in a LATER microbatch must not land twice."""
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_incremental_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    w1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    w1.coalesce(1).write.parquet(str(src / "wave1"))
+    w2 = spark.createDataFrame(
+        [(10, "alpha beta"),          # content dup of wave 1 -> drop
+         (11, "epsilon zeta")],       # new -> lands
+        "doc_id long, text string",
+    )
+    w2.coalesce(1).write.parquet(str(src / "wave2"))
+
+    # the file source lists one FILE per trigger; each wave dir holds
+    # one part file, so the two waves arrive as separate microbatches
+    # (plus empty/metadata triggers the source may add)
+    batches = stream_incremental_dedup(
+        spark,
+        f"{src}/*",
+        w1.schema,
+        str(tmp_path / "store"),
+        str(tmp_path / "landed"),
+        str(tmp_path / "ckpt"),
+    )
+    assert len(batches) >= 2
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    texts = sorted(r["text"] for r in landed.collect())
+    # within-batch dup (id 3) and cross-batch dup (id 10) both dropped
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 3
