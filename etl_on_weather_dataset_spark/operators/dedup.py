@@ -48,6 +48,16 @@ def exact_dedup(
     )
 
 
+def _landing_complete(spark, out_path: str) -> bool:
+    """True iff ``out_path`` holds a COMPLETED parquet landing (its
+    _SUCCESS marker exists). Filesystem-agnostic via the Hadoop FS API
+    so the same check works on HDFS/S3A/local."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_path + "/_SUCCESS")
+    return path.getFileSystem(conf).exists(path)
+
+
 def incremental_exact_dedup(
     spark,
     new_docs: DataFrame,
@@ -99,7 +109,20 @@ def incremental_exact_dedup(
     rebuild it from the landed datasets (or re-append the last batch's
     fingerprints -- the probe is a semi/anti join, so duplicate store
     rows only cost space until the next compaction, never correctness).
+
+    Replay contract (at-least-once drivers, e.g. streaming
+    foreachBatch): a COMPLETED landing at ``out_path`` (detected by
+    its _SUCCESS marker) short-circuits -- the landed data is returned
+    untouched and nothing is rewritten. Without this guard a replayed
+    batch would probe a store that already holds its fingerprints,
+    produce an EMPTY survivor set, and the overwrite would destroy the
+    previously landed files while the store still blocks re-ingestion
+    -- silent data loss. A half-written ``out_path`` (no _SUCCESS) is
+    re-run from scratch.
     """
+    if _landing_complete(spark, out_path):
+        landed = spark.read.parquet(out_path)
+        return landed.drop("fp")
     from pyspark.errors import AnalysisException
 
     fresh = new_docs.withColumn(
@@ -317,6 +340,16 @@ def simhash(
     two nested higher-order functions of constant size. Per-bit vote
     arithmetic and order are unchanged -- fingerprints are identical.
     """
+    return df.select(
+        F.col(id_col).alias("id"),
+        simhash_col(text_col, bits).alias("simhash"),
+    )
+
+
+def simhash_col(text_col: str = "text", bits: int = 64) -> F.Column:
+    """The SimHash fingerprint as a pure per-row COLUMN expression --
+    no shuffle, usable via withColumn wherever the (id, simhash)
+    projection of :func:`simhash` would force a join back."""
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # bit value per position, as longs; the last is 1<<63 = Long.MIN
@@ -329,7 +362,7 @@ def simhash(
     ])
     # vote for mask m: sum over token hashes of +-1 on (h & m) != 0;
     # bit set in the fingerprint iff the vote is positive
-    fp = F.aggregate(
+    return F.aggregate(
         masks,
         F.lit(0).cast("long"),
         lambda acc, m: acc
@@ -344,7 +377,6 @@ def simhash(
             m,
         ).otherwise(F.lit(0).cast("long")),
     )
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
 
 
 def simhash_band_pairs(
@@ -763,6 +795,54 @@ def minhash_lsh_pairs(
 # L-gram everywhere) inflate only the count agg, not a pair join, and
 # AQE splits the skewed partitions.
 
+def _window_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    min_count: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared first half of the span-dedup tier: (base, dup_wins).
+
+    ``base`` = (id, toks, n_tokens); ``dup_wins`` = one (id, pos) row
+    per occurrence of a window whose corpus-wide count >= min_count.
+    The exploded window table feeds BOTH the global count aggregate
+    and the join-back, so it is persisted via the caching ledger --
+    without it the corpus is tokenized and exploded twice per action
+    (the dominant cost of the operator).
+    """
+    from .caching import persisted
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tokens") - window)
+    wins = persisted(
+        base.filter(F.col("n_tokens") >= window).select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.md5(
+                        F.array_join(F.slice("toks", i + 1, window), " ")
+                    ),
+                )
+            ).alias("pos", "wh"),
+        )
+    )
+    dup_keys = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("wh")
+    )
+    dup_wins = wins.join(dup_keys, "wh").select("id", "pos")
+    return base, dup_wins
+
+
 def duplicated_span_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -785,31 +865,9 @@ def duplicated_span_stats(
     """
     from pyspark.sql import Window as W
 
-    toks = tokens(text_col)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("toks"),
-        F.size(toks).alias("n_tokens"),
-    )
-    starts = F.sequence(F.lit(0), F.col("n_tokens") - window)
-    wins = base.filter(F.col("n_tokens") >= window).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda i: F.md5(
-                    F.array_join(F.slice("toks", i + 1, window), " ")
-                ),
-            )
-        ).alias("pos", "wh"),
-    )
-    dup_keys = (
-        wins.groupBy("wh")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("wh")
-    )
-    dup_wins = wins.join(dup_keys, "wh").select(
+    base, occ = _window_occurrences(df, text_col, id_col, window,
+                                    min_count)
+    dup_wins = occ.select(
         "id", "pos", (F.col("pos") + window - 1).alias("end")
     )
     w_ord = W.partitionBy("id").orderBy("pos")
@@ -962,33 +1020,10 @@ def remove_duplicated_spans(
     posexplode -> anti-join covered positions -> ordered re-aggregate.
     Docs shorter than ``window`` pass through verbatim.
     """
-    toks = tokens(text_col)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("toks"),
-        F.size(toks).alias("n_tokens"),
-    )
-    starts = F.sequence(F.lit(0), F.col("n_tokens") - window)
-    wins = base.filter(F.col("n_tokens") >= window).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda i: F.md5(
-                    F.array_join(F.slice("toks", i + 1, window), " ")
-                ),
-            )
-        ).alias("pos", "wh"),
-    )
-    dup_keys = (
-        wins.groupBy("wh")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("wh")
-    )
+    base, occ = _window_occurrences(df, text_col, id_col, window,
+                                    min_count)
     covered = (
-        wins.join(dup_keys, "wh")
-        .select(
+        occ.select(
             "id",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + window - 1)
@@ -1103,7 +1138,9 @@ def incremental_simhash_dedup(
 
     The near-dup twin of ``incremental_exact_dedup`` (same
     land-then-append ordering contract, same crash-recovery story --
-    the store is derivable from the landed batch dirs). SimHash is the
+    the store is derivable from the landed batch dirs -- and the same
+    _SUCCESS-marker replay guard, so an at-least-once replay returns
+    the completed landing instead of overwriting it). SimHash is the
     right fingerprint for INCREMENTAL near-dup: the store holds ONE
     64-bit value per kept doc (vs minhash's k-element signatures or
     jaccard's shingle sets), and the decision rule is exact and
@@ -1127,14 +1164,13 @@ def incremental_simhash_dedup(
             f"max_hamming={max_hamming} breaks the pigeonhole recall "
             f"guarantee for n_bands={n_bands}; need <= {n_bands - 1}"
         )
+    if _landing_complete(spark, out_path):  # replay: see exact twin
+        return spark.read.parquet(out_path).drop("simhash")
     from pyspark.errors import AnalysisException
 
-    fresh = new_docs.join(
-        simhash(new_docs, text_col, id_col).withColumnRenamed(
-            "id", id_col
-        ),
-        id_col,
-    )
+    # per-row column, not a self-join: the fingerprint is a pure
+    # array expression, so attaching it must not cost an exchange
+    fresh = new_docs.withColumn("simhash", simhash_col(text_col))
     keep = fresh.groupBy("simhash").agg(F.min(id_col).alias(id_col))
     batch_unique = fresh.join(keep, ["simhash", id_col], "left_semi")
 

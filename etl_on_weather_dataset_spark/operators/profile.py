@@ -143,7 +143,13 @@ def profile_sql(table: str, columns: list[tuple[str, str]]) -> str:
         else:
             num = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
             ln = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
-            ts = f"MIN({name})", f"MAX({name})"
+            # explicit TIMESTAMP cast: Spark's struct array coerces a
+            # DATE column's min/max to timestamp to unify with the
+            # other rows' null slots, so the twin must match
+            ts = (
+                f"CAST(MIN({name}) AS TIMESTAMP)",
+                f"CAST(MAX({name}) AS TIMESTAMP)",
+            )
         parts.append(f"""
             SELECT '{name}' AS col_name, '{kind}' AS dtype,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -42,6 +42,14 @@ def _safe_term(term: str) -> str:
     return term
 
 
+def _require_terms(query_terms: list[str]) -> None:
+    # both halves of the attested pair must fail the same way: with no
+    # terms the Spark side would return empty while the generated SQL
+    # would be a parse error (dangling commas, empty WHERE)
+    if not query_terms:
+        raise ValueError("bm25 requires at least one query term")
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -56,6 +64,7 @@ def bm25_topk(
     Returns (id, n_tokens, score) -- score rounded to 6 dp, ties broken
     by id ascending, docs matching no term excluded before the top-k.
     """
+    _require_terms(query_terms)
     toks = tokens(text_col)
 
     def _tf(term: str):
@@ -122,6 +131,7 @@ def bm25_topk_sql(
 ) -> str:
     """DuckDB twin of bm25_topk (identical micro-nat idf snap, term
     order, rounding, and tie-break)."""
+    _require_terms(query_terms)
     tf_exprs = []
     df_exprs = []
     for i, term in enumerate(query_terms):

@@ -648,10 +648,10 @@ def _incremental_simhash_scenario(
     tmp = tempfile.mkdtemp(prefix="spark_incr_simhash_")
     try:
         store = f"{tmp}/store"
-        landed1 = incremental_simhash_dedup(
+        incremental_simhash_dedup(
             spark, b1, store, f"{tmp}/o1", max_hamming=max_h
         )
-        n1_in, n1_land = b1.count(), landed1.count()
+        n1_in = b1.count()
         store_before = spark.createDataFrame(
             spark.read.parquet(store)
             .select(F.col("simhash").alias("sh_s"))
@@ -660,7 +660,7 @@ def _incremental_simhash_scenario(
         landed2 = incremental_simhash_dedup(
             spark, b2, store, f"{tmp}/o2", max_hamming=max_h
         )
-        n2_in, n2_land = b2.count(), landed2.count()
+        n2_in = b2.count()
         landed2_sh = spark.read.parquet(f"{tmp}/o2")
 
         n_copy_in = (

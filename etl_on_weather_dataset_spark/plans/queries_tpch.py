@@ -544,10 +544,13 @@ def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    # per-part quantity average as exact micro units (qty has <= 1 dp)
+    # per-part quantity average as exact deci units (qty has <= 1 dp);
+    # ROUND before the cast -- bare cast truncates, and 2.3*10 is
+    # 22.999... in IEEE doubles (the oracle rounds, so truncation
+    # would diverge the engines on any genuinely fractional quantity)
     avg_q = brand.groupBy("p_partkey").agg(
         (
-            F.sum((F.col("l_quantity") * 10).cast("long"))
+            F.sum(F.round(F.col("l_quantity") * 10).cast("long"))
             / F.count(F.lit(1)) / 10.0
         ).alias("avg_qty")
     )

@@ -310,12 +310,13 @@ def stream_incremental_dedup(
     (the batch operator is the per-trigger body; watermarked
     ``stream_dedup`` covers the bounded-state, same-stream case).
 
-    Delivery contract: at-least-once from the checkpoint; a REPLAYED
-    batch re-probes a store that already holds its fingerprints, so
-    its docs are dropped and the replay lands an empty batch dir --
-    duplicate CONTENT can never land twice, which is the invariant a
-    training-corpus ingest needs (the empty re-land is visible in the
-    batch audit, not silent).
+    Delivery contract: at-least-once from the checkpoint. A REPLAYED
+    batch hits the operator's _SUCCESS-marker guard: the batch's
+    previously landed survivors are returned untouched (NOT
+    re-probed against a store that already holds their fingerprints,
+    which would land an empty dir over the real data). Duplicate
+    content can never land twice, and a completed landing can never
+    be destroyed by its own replay.
 
     Returns the processed batch ids (AvailableNow run).
     """

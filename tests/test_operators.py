@@ -2062,3 +2062,60 @@ class TestLinkageAbsCap:
         ).collect()
         got = {(r["id_a"], r["id_b"]) for r in pairs}
         assert {(i, i) for i in range(30)} <= got
+
+
+class TestProfileDateCoercion:
+    def test_date_min_max_surface_as_timestamp(self, spark):
+        """The struct-array unpivot coerces DATE min/max to timestamp;
+        the SQL twin casts to TIMESTAMP to match (review finding)."""
+        import datetime
+
+        from etl_on_weather_dataset_spark.operators.profile import (
+            profile,
+        )
+
+        df = spark.createDataFrame(
+            [(1, datetime.date(2020, 1, 2)),
+             (2, datetime.date(2021, 3, 4))],
+            "k long, d date",
+        )
+        out = profile(df)
+        ts_field = {f.name: f.dataType.simpleString()
+                    for f in out.schema.fields}
+        assert ts_field["min_ts"].startswith("timestamp")
+        row = {r["col_name"]: r for r in out.collect()}
+        assert row["d"]["min_ts"] == datetime.datetime(2020, 1, 2)
+        assert row["d"]["max_ts"] == datetime.datetime(2021, 3, 4)
+
+
+class TestIncrementalReplayGuard:
+    def test_replay_returns_landing_instead_of_destroying_it(
+        self, spark, tmp_path
+    ):
+        """At-least-once replay: re-running a COMPLETED batch against a
+        store that already holds its fingerprints must return the
+        landed survivors untouched -- not overwrite them with the
+        empty re-probe (review finding: silent data loss)."""
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            incremental_exact_dedup,
+            incremental_simhash_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")],
+            "doc_id long, text string",
+        )
+        for op, store, out in (
+            (incremental_exact_dedup, "s_e", "o_e"),
+            (incremental_simhash_dedup, "s_h", "o_h"),
+        ):
+            first = op(spark, df, str(tmp_path / store),
+                       str(tmp_path / out))
+            assert first.count() == 2
+            replay = op(spark, df, str(tmp_path / store),
+                        str(tmp_path / out))
+            assert replay.count() == 2          # not an empty re-land
+            assert sorted(r["doc_id"] for r in replay.collect()) == [1, 2]
+            # and the store was not double-appended by the replay
+            n_store = spark.read.parquet(str(tmp_path / store)).count()
+            assert n_store == 2
