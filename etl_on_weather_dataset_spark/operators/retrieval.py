@@ -27,7 +27,7 @@ performed in the same textual order in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -180,4 +180,90 @@ def bm25_topk_sql(
         WHERE {any_match}
         ORDER BY score DESC, id
         LIMIT {k}
+    """
+
+
+# --- hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Fuse two ranked candidate lists with reciprocal-rank fusion
+    (the standard lexical+dense hybrid of a RAG stack): fused(id) =
+    sum over lists of 1/(k0 + rank), missing entries contribute 0.
+
+    Rank-based, so no score calibration between BM25 and cosine is
+    needed; contributions are snapped to micro units
+    (round(1e6/(k0+rank))) and summed as exact BIGINTs, making the
+    fusion engine/partition-invariant. Output: (id, rrf_micro,
+    fused_rank), top-``k`` by fused score, ties by id.
+
+    Scale: two small candidate lists (top-N each) -- the fuse is a
+    full outer join on id plus one TakeOrderedAndProject; the heavy
+    lifting happened upstream in the retrievers.
+    """
+    def _contrib(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.round(1e6 / (F.lit(k0) + F.col(rank_col)))
+            .cast("long").alias(name),
+        )
+
+    a = _contrib(ranked_a, "c_a")
+    b = _contrib(ranked_b, "c_b")
+    fused = (
+        a.join(b, "id", "full_outer")
+        .select(
+            "id",
+            (
+                F.coalesce("c_a", F.lit(0).cast("long"))
+                + F.coalesce("c_b", F.lit(0).cast("long"))
+            ).alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col("id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    )
+
+
+def rrf_fuse_sql(
+    ranked_a_sql: str,
+    ranked_b_sql: str,
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "id",
+    rank_col: str = "rk",
+) -> str:
+    """DuckDB twin of rrf_fuse; the inputs are subqueries yielding
+    (id_col, rank_col)."""
+    return f"""
+        WITH ra AS (
+            SELECT {id_col} AS id,
+                   CAST(ROUND(1e6 / ({k0} + {rank_col})) AS BIGINT)
+                       AS c_a
+            FROM ({ranked_a_sql})
+        ), rb AS (
+            SELECT {id_col} AS id,
+                   CAST(ROUND(1e6 / ({k0} + {rank_col})) AS BIGINT)
+                       AS c_b
+            FROM ({ranked_b_sql})
+        ), fused AS (
+            SELECT COALESCE(ra.id, rb.id) AS id,
+                   COALESCE(c_a, 0) + COALESCE(c_b, 0) AS rrf_micro
+            FROM ra FULL OUTER JOIN rb ON ra.id = rb.id
+            ORDER BY rrf_micro DESC, id
+            LIMIT {k}
+        )
+        SELECT id, rrf_micro,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, id)
+                    AS INTEGER) AS fused_rank
+        FROM fused
     """

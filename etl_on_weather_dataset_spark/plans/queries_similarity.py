@@ -953,3 +953,57 @@ register(QuerySpec(
     bench=True,
     extended=True,
 ))
+
+
+# --- hybrid retrieval: BM25 + dense ANN fused by reciprocal rank -------------
+#
+# The RAG-stack composition: lexical top-50 over `documents` and exact
+# cosine top-50 for one query vector over `embeddings` (doc_id and
+# vec_id share the entity space in the driver tables), fused with RRF.
+# Rank-based micro-unit contributions keep the fusion engine-exact.
+
+_HY_TERMS = ["spark", "hash", "window"]
+_HY_N, _HY_K0, _HY_K = 50, 60, 20
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _HY_TERMS, k=_HY_N).withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.col("score").desc(), F.col("id"))
+        ),
+    )
+    dense = cosine_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=_HY_N
+    ).select(F.col("neighbor_id").alias("id"), "rk")
+    return rrf_fuse(lex, dense, k0=_HY_K0, k=_HY_K)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from ..operators.retrieval import bm25_topk_sql, rrf_fuse_sql
+    from ..operators.similarity import cosine_topk_sql
+
+    lex = f"""
+        SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rk
+        FROM ({bm25_topk_sql("documents", _HY_TERMS, k=_HY_N)})
+    """
+    dense = f"""
+        SELECT neighbor_id AS id, rk
+        FROM ({cosine_topk_sql(k=_HY_N, query_filter="id = 0")})
+    """
+    return rrf_fuse_sql(lex, dense, k0=_HY_K0, k=_HY_K)
+
+
+register(QuerySpec(
+    name="hybrid_rrf_topk",
+    spark_fn=_hybrid_rrf,
+    oracle=_hybrid_rrf_oracle,
+    covers=("hybrid-retrieval", "reciprocal-rank-fusion"),
+    extended=True,
+))

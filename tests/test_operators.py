@@ -2119,3 +2119,38 @@ class TestIncrementalReplayGuard:
             # and the store was not double-appended by the replay
             n_store = spark.read.parquet(str(tmp_path / store)).count()
             assert n_store == 2
+
+
+class TestRRFFusion:
+    def test_fusion_semantics(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "id long, rk int"
+        )
+        b = spark.createDataFrame(
+            [(11, 1), (13, 2)], "id long, rk int"
+        )
+        rows = {r["id"]: r for r in rrf_fuse(a, b, k0=60, k=10).collect()}
+        m = lambda r: round(1e6 / (60 + r))  # noqa: E731
+        # doc in both lists sums both contributions
+        assert rows[11]["rrf_micro"] == m(2) + m(1)
+        assert rows[10]["rrf_micro"] == m(1)
+        assert rows[13]["rrf_micro"] == m(2)
+        # fused order: 11 (both lists) first
+        assert rows[11]["fused_rank"] == 1
+        assert len(rows) == 4
+
+    def test_k_truncation(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id long, rk int"
+        )
+        b = spark.createDataFrame([], "id long, rk int")
+        out = rrf_fuse(a, b, k=5).collect()
+        assert [r["id"] for r in out] == [0, 1, 2, 3, 4]
