@@ -48,14 +48,32 @@ def exact_dedup(
     )
 
 
-def _landing_complete(spark, out_path: str) -> bool:
-    """True iff ``out_path`` holds a COMPLETED parquet landing (its
-    _SUCCESS marker exists). Filesystem-agnostic via the Hadoop FS API
-    so the same check works on HDFS/S3A/local."""
+# Operator-owned landing markers (Hadoop FS API: HDFS/S3A/local all
+# work, and unlike Spark's _SUCCESS they do not depend on
+# mapreduce.fileoutputcommitter.marksuccessfuljobs staying enabled).
+# Two markers close the two crash windows of land-then-append:
+#   _LANDING_COMPLETE  -- written right after the survivors land;
+#   _STORE_APPENDED    -- written right after their fingerprints are
+#                         appended to the store.
+_MARK_LANDED = "_LANDING_COMPLETE"
+_MARK_APPENDED = "_STORE_APPENDED"
+
+
+def _marker_path(spark, out_path: str, name: str):
     jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(out_path + "/" + name)
+
+
+def _marker_exists(spark, out_path: str, name: str) -> bool:
+    path = _marker_path(spark, out_path, name)
     conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(out_path + "/_SUCCESS")
     return path.getFileSystem(conf).exists(path)
+
+
+def _write_marker(spark, out_path: str, name: str) -> None:
+    path = _marker_path(spark, out_path, name)
+    conf = spark._jsc.hadoopConfiguration()
+    path.getFileSystem(conf).create(path, True).close()
 
 
 def incremental_exact_dedup(
@@ -100,28 +118,42 @@ def incremental_exact_dedup(
     with a fixed sentinel, so all null-text docs dedup to one
     surviving row per corpus lifetime, visible in store and output.
 
-    Crash window: the batch LANDS at ``out_path`` before its
-    fingerprints are appended to the store (see ordering note above).
-    A crash between the two leaves landed docs missing from the store,
-    and the next batch would re-admit their content. Recovery contract:
-    the store is DERIVABLE from the landed batch dirs (it is exactly
-    the union of their (fp, id) projections), so on restart-after-crash
-    rebuild it from the landed datasets (or re-append the last batch's
-    fingerprints -- the probe is a semi/anti join, so duplicate store
-    rows only cost space until the next compaction, never correctness).
+    Crash/replay contract (at-least-once drivers, e.g. streaming
+    foreachBatch). Two operator-owned markers in ``out_path`` close
+    the two windows of land-then-append -- Spark's own _SUCCESS is
+    deliberately NOT used (it disappears when
+    mapreduce.fileoutputcommitter.marksuccessfuljobs is disabled, the
+    standard object-store setting, which would silently disarm the
+    guard):
 
-    Replay contract (at-least-once drivers, e.g. streaming
-    foreachBatch): a COMPLETED landing at ``out_path`` (detected by
-    its _SUCCESS marker) short-circuits -- the landed data is returned
-    untouched and nothing is rewritten. Without this guard a replayed
-    batch would probe a store that already holds its fingerprints,
-    produce an EMPTY survivor set, and the overwrite would destroy the
-    previously landed files while the store still blocks re-ingestion
-    -- silent data loss. A half-written ``out_path`` (no _SUCCESS) is
-    re-run from scratch.
+    - _STORE_APPENDED present: the batch fully completed; a replay
+      returns the landing untouched. Without this guard a replayed
+      batch would probe a store that already holds its fingerprints,
+      produce an EMPTY survivor set, and the overwrite would destroy
+      the previously landed files -- silent data loss.
+    - _LANDING_COMPLETE present (crash between landing and store
+      append): the replay re-appends the landing's fingerprints and
+      never re-probes. Duplicate store rows from repeated crashes
+      only cost space until compaction (the probe is a semi/anti
+      join), while a MISSING append would let later batches re-admit
+      the content.
+    - neither: a half-written landing; re-run from scratch (the
+      overwrite replaces the partial files).
     """
-    if _landing_complete(spark, out_path):
+    if _marker_exists(spark, out_path, _MARK_APPENDED):
+        # full replay: landing AND store append both completed
+        return spark.read.parquet(out_path).drop("fp")
+    if _marker_exists(spark, out_path, _MARK_LANDED):
+        # crash window replay: the landing completed but the store
+        # append may not have -- re-append the landing's fingerprints
+        # (duplicate store rows only cost space, see docstring) and
+        # NEVER re-probe: probing a store that already holds these
+        # fingerprints would overwrite the landing with nothing
         landed = spark.read.parquet(out_path)
+        landed.select(
+            "fp", F.col(id_col).alias("keep_id")
+        ).write.mode("append").parquet(store_path)
+        _write_marker(spark, out_path, _MARK_APPENDED)
         return landed.drop("fp")
     from pyspark.errors import AnalysisException
 
@@ -139,10 +171,12 @@ def incremental_exact_dedup(
     except AnalysisException:  # first batch: no store yet
         survivors = batch_unique
     survivors.write.mode("overwrite").parquet(out_path)
+    _write_marker(spark, out_path, _MARK_LANDED)
     landed = spark.read.parquet(out_path)
     landed.select(
         "fp", F.col(id_col).alias("keep_id")
     ).write.mode("append").parquet(store_path)
+    _write_marker(spark, out_path, _MARK_APPENDED)
     return landed.drop("fp")
 
 
@@ -1139,8 +1173,9 @@ def incremental_simhash_dedup(
     The near-dup twin of ``incremental_exact_dedup`` (same
     land-then-append ordering contract, same crash-recovery story --
     the store is derivable from the landed batch dirs -- and the same
-    _SUCCESS-marker replay guard, so an at-least-once replay returns
-    the completed landing instead of overwriting it). SimHash is the
+    two-marker replay guard, so an at-least-once replay returns the
+    completed landing or self-heals a missed append instead of
+    overwriting the data). SimHash is the
     right fingerprint for INCREMENTAL near-dup: the store holds ONE
     64-bit value per kept doc (vs minhash's k-element signatures or
     jaccard's shingle sets), and the decision rule is exact and
@@ -1164,8 +1199,17 @@ def incremental_simhash_dedup(
             f"max_hamming={max_hamming} breaks the pigeonhole recall "
             f"guarantee for n_bands={n_bands}; need <= {n_bands - 1}"
         )
-    if _landing_complete(spark, out_path):  # replay: see exact twin
+    if _marker_exists(spark, out_path, _MARK_APPENDED):
+        # full replay: see the exact twin's replay contract
         return spark.read.parquet(out_path).drop("simhash")
+    if _marker_exists(spark, out_path, _MARK_LANDED):
+        # crash-window replay: re-append fingerprints, never re-probe
+        landed = spark.read.parquet(out_path)
+        landed.select(
+            "simhash", F.col(id_col).alias("keep_id")
+        ).write.mode("append").parquet(store_path)
+        _write_marker(spark, out_path, _MARK_APPENDED)
+        return landed.drop("simhash")
     from pyspark.errors import AnalysisException
 
     # per-row column, not a self-join: the fingerprint is a pure
@@ -1220,8 +1264,10 @@ def incremental_simhash_dedup(
         )
         survivors = batch_unique.join(hits, id_col, "left_anti")
     survivors.write.mode("overwrite").parquet(out_path)
+    _write_marker(spark, out_path, _MARK_LANDED)
     landed = spark.read.parquet(out_path)
     landed.select(
         "simhash", F.col(id_col).alias("keep_id")
     ).write.mode("append").parquet(store_path)
+    _write_marker(spark, out_path, _MARK_APPENDED)
     return landed.drop("simhash")

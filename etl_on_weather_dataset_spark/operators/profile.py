@@ -75,8 +75,16 @@ def profile(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
             aggs.append(F.min(F.length(c)).alias(f"__min_{name}"))
             aggs.append(F.max(F.length(c)).alias(f"__max_{name}"))
         else:
-            aggs.append(F.min(c).alias(f"__min_{name}"))
-            aggs.append(F.max(c).alias(f"__max_{name}"))
+            # explicit cast: a DATE column must surface as timestamp
+            # even when NO other column forces the struct array to
+            # unify the slot (all-date tables would otherwise emit
+            # DATE here while the SQL twin casts to TIMESTAMP)
+            aggs.append(
+                F.min(c).cast("timestamp").alias(f"__min_{name}")
+            )
+            aggs.append(
+                F.max(c).cast("timestamp").alias(f"__max_{name}")
+            )
 
     one = df.agg(*aggs)
     rows = F.array(*[

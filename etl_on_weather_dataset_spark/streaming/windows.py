@@ -311,10 +311,11 @@ def stream_incremental_dedup(
     ``stream_dedup`` covers the bounded-state, same-stream case).
 
     Delivery contract: at-least-once from the checkpoint. A REPLAYED
-    batch hits the operator's _SUCCESS-marker guard: the batch's
-    previously landed survivors are returned untouched (NOT
-    re-probed against a store that already holds their fingerprints,
-    which would land an empty dir over the real data). Duplicate
+    batch hits the operator's two-marker guard: a fully completed
+    batch is returned untouched, and a batch that crashed between
+    landing and the store append self-heals by re-appending its
+    fingerprints -- never re-probing a store that already holds them
+    (which would land an empty dir over the real data). Duplicate
     content can never land twice, and a completed landing can never
     be destroyed by its own replay.
 

@@ -1684,12 +1684,19 @@ class TestDuplicatedSpans:
             duplicated_span_stats,
         )
 
-        out = {
-            r["id"]: r
-            for r in duplicated_span_stats(
-                self._docs(spark), window=6
-            ).collect()
-        }
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+
+        try:
+            out = {
+                r["id"]: r
+                for r in duplicated_span_stats(
+                    self._docs(spark), window=6
+                ).collect()
+            }
+        finally:
+            release_all()
         assert len(out) == 5
         # cross-doc dup: exactly the 6 shared tokens covered
         assert out[0]["covered_tokens"] == 6
@@ -1710,12 +1717,19 @@ class TestDuplicatedSpans:
             remove_duplicated_spans,
         )
 
-        out = {
-            r["id"]: r["clean_text"]
-            for r in remove_duplicated_spans(
-                self._docs(spark), window=6
-            ).collect()
-        }
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+
+        try:
+            out = {
+                r["id"]: r["clean_text"]
+                for r in remove_duplicated_spans(
+                    self._docs(spark), window=6
+                ).collect()
+            }
+        finally:
+            release_all()
         assert out[0] == "x y z"
         assert out[1] == "p q"
         assert out[2] == ""          # fully duplicated doc vanishes
@@ -1733,7 +1747,14 @@ class TestDuplicatedSpans:
             [(0, "a b c d e f g x"), (1, "y a b c d e f g")],
             ["doc_id", "text"],
         )
-        rows = duplicated_span_stats(df, window=6).collect()
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+
+        try:
+            rows = duplicated_span_stats(df, window=6).collect()
+        finally:
+            release_all()
         for r in rows:
             assert r["n_dup_windows"] == 2
             assert r["n_dup_spans"] == 1
@@ -2119,6 +2140,45 @@ class TestIncrementalReplayGuard:
             # and the store was not double-appended by the replay
             n_store = spark.read.parquet(str(tmp_path / store)).count()
             assert n_store == 2
+
+    def test_crash_between_land_and_append_self_heals(
+        self, spark, tmp_path
+    ):
+        """Crash AFTER the landing but BEFORE the store append: the
+        replay must re-append the landing's fingerprints (not skip
+        them -- later batches would re-admit the content) and must
+        not re-probe (the original data-loss bug)."""
+        import os
+
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            _MARK_APPENDED,
+            incremental_exact_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        store, out = str(tmp_path / "s"), str(tmp_path / "o")
+        incremental_exact_dedup(spark, df, store, out)
+        # simulate the crash window: store append never marked, and
+        # roll the store back to its pre-append (empty) state
+        os.remove(f"{out}/{_MARK_APPENDED}")
+        import shutil
+
+        shutil.rmtree(store)
+        replay = incremental_exact_dedup(spark, df, store, out)
+        assert replay.count() == 1           # landing intact
+        # self-heal: the fingerprints are back in the store, so a
+        # later batch with the same content is dropped
+        later = incremental_exact_dedup(
+            spark,
+            spark.createDataFrame(
+                [(9, "alpha beta")], "doc_id long, text string"
+            ),
+            store,
+            str(tmp_path / "o2"),
+        )
+        assert later.count() == 0
 
 
 class TestRRFFusion:
