@@ -896,3 +896,51 @@ register(QuerySpec(
     covers=("column-profiling", "data-quality-stats"),
     extended=True,
 ))
+
+
+# --- product analytics: ordered funnel + cohort retention --------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_counts
+
+    return funnel_counts(load_table(spark, sf_dir, "events"),
+                         _FUNNEL_STEPS)
+
+
+def _funnel_oracle() -> str:
+    from ..operators.funnel import funnel_counts_sql
+
+    return funnel_counts_sql("events", _FUNNEL_STEPS)
+
+
+register(QuerySpec(
+    name="funnel_view_click_purchase",
+    spark_fn=_funnel,
+    oracle=_funnel_oracle,
+    covers=("funnel-analysis", "ordered-sequence-match"),
+    extended=True,
+))
+
+
+def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def _retention_oracle() -> str:
+    from ..operators.funnel import cohort_retention_sql
+
+    return cohort_retention_sql("events")
+
+
+register(QuerySpec(
+    name="weekly_cohort_retention",
+    spark_fn=_retention,
+    oracle=_retention_oracle,
+    covers=("cohort-retention", "first-seen-cohorting"),
+    extended=True,
+))

@@ -2214,3 +2214,76 @@ class TestRRFFusion:
         b = spark.createDataFrame([], "id long, rk int")
         out = rrf_fuse(a, b, k=5).collect()
         assert [r["id"] for r in out] == [0, 1, 2, 3, 4]
+
+
+class TestFunnelAndRetention:
+    def test_order_matters(self, spark):
+        import datetime
+
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            funnel_counts,
+        )
+
+        t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        df = spark.createDataFrame(
+            [
+                # u1: A then B -> completes both
+                (1, t(1), "A"), (1, t(2), "B"),
+                # u2: B then A (no B after A) -> completes only A
+                (2, t(1), "B"), (2, t(2), "A"),
+                # u3: simultaneous A and B -> strict > blocks step 2
+                (3, t(5), "A"), (3, t(5), "B"),
+                # u4: B only -> completes nothing
+                (4, t(1), "B"),
+            ],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = {r["step"]: r["n_users"]
+               for r in funnel_counts(df, ["A", "B"]).collect()}
+        assert out[1] == 3        # u1, u2, u3 did A
+        assert out[2] == 1        # only u1 did B strictly after A
+
+    def test_chained_minimum_uses_earliest_valid_completion(self, spark):
+        import datetime
+
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            funnel_counts,
+        )
+
+        t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        # A@1, B@2, A@3, C@4: step B completes at 2 (after first A),
+        # step C at 4 -> full funnel completes even though another A
+        # occurs in between
+        df = spark.createDataFrame(
+            [(1, t(1), "A"), (1, t(2), "B"), (1, t(3), "A"),
+             (1, t(4), "C")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = {r["step"]: r["n_users"]
+               for r in funnel_counts(df, ["A", "B", "C"]).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_retention_offsets(self, spark):
+        import datetime
+
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            cohort_retention,
+        )
+
+        d = datetime.datetime
+        df = spark.createDataFrame(
+            [
+                (1, d(2024, 1, 1), "x"),    # Monday, cohort week 0
+                (1, d(2024, 1, 9), "x"),    # next week -> offset 1
+                (2, d(2024, 1, 2), "x"),    # same cohort week
+                (2, d(2024, 1, 16), "x"),   # offset 2
+            ],
+            "user_id long, ts timestamp, event_type string",
+        )
+        rows = {
+            (r["cohort"].day, r["period_offset"]): r["n_users"]
+            for r in cohort_retention(df).collect()
+        }
+        assert rows[(1, 0)] == 2
+        assert rows[(1, 1)] == 1
+        assert rows[(1, 2)] == 1
