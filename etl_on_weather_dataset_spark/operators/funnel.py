@@ -12,13 +12,15 @@ and cohort retention.
   count how many were active again k periods later.
 
 Scale shapes:
-- the funnel needs each user's events in time order. Rather than a
-  per-user sort + lag chain (a window per step), each user's
-  (ts, type) pairs are collected into one array (single shuffle on
-  user_id, map-side partial), sorted in-row, and folded ONCE with a
-  step-machine: the fold keeps the earliest timestamp at which each
-  prefix of the funnel is complete. Per-user state is one tiny array
-  however many events the user has; no second shuffle, no window.
+- ``funnel_counts`` collects each user's (ts, type) pairs into one
+  array (single shuffle on user_id, map-side partial), sorts in-row,
+  and folds ONCE with a step machine -- the fewest-jobs shape, but
+  the per-user array is O(that user's step events), so a whale user
+  (hundreds of millions of events) concentrates in one row.
+  ``funnel_counts_via_joins`` is the whale-safe twin: n chained
+  aggregate+join levels, never materializing a per-user array --
+  identical results by construction (both compute the chained
+  minima), pick by data shape.
 - retention is two aggregates and an equi-join on (user, cohort) --
   all map-side-combinable.
 
@@ -103,6 +105,54 @@ def funnel_counts(
         for i in range(n)
     ])
     return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def funnel_counts_via_joins(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Whale-safe funnel: the chained minima as n aggregate+join
+    levels (the oracle's shape) -- no per-user arrays, so a single
+    user with millions of events stays distributed. Output is
+    identical to funnel_counts."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    )
+    levels = [
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("s"))
+    ]
+    for step in steps[1:]:
+        prev = levels[-1].select("u", F.col("s").alias("prev_s"))
+        levels.append(
+            ev.filter(F.col("et") == step)
+            .join(prev, "u")
+            .filter(F.col("ts") > F.col("prev_s"))
+            .groupBy("u")
+            .agg(F.min("ts").alias("s"))
+        )
+    counts = [
+        lvl.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(steps[i]).alias("event_type"),
+            F.col("n").alias("n_users"),
+        )
+        for i, lvl in enumerate(levels)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
 
 
 def funnel_counts_sql(

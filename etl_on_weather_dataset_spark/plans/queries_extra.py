@@ -894,6 +894,7 @@ register(QuerySpec(
     spark_fn=_column_profile,
     oracle=_column_profile_oracle,
     covers=("column-profiling", "data-quality-stats"),
+    bench=True,
     extended=True,
 ))
 
@@ -921,6 +922,7 @@ register(QuerySpec(
     spark_fn=_funnel,
     oracle=_funnel_oracle,
     covers=("funnel-analysis", "ordered-sequence-match"),
+    bench=True,
     extended=True,
 ))
 
@@ -942,5 +944,6 @@ register(QuerySpec(
     spark_fn=_retention,
     oracle=_retention_oracle,
     covers=("cohort-retention", "first-seen-cohorting"),
+    bench=True,
     extended=True,
 ))

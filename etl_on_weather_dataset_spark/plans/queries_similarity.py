@@ -1005,5 +1005,6 @@ register(QuerySpec(
     spark_fn=_hybrid_rrf,
     oracle=_hybrid_rrf_oracle,
     covers=("hybrid-retrieval", "reciprocal-rank-fusion"),
+    bench=True,
     extended=True,
 ))

@@ -2287,3 +2287,19 @@ class TestFunnelAndRetention:
         assert rows[(1, 0)] == 2
         assert rows[(1, 1)] == 1
         assert rows[(1, 2)] == 1
+
+
+class TestFunnelJoinFormulation:
+    def test_matches_fold_formulation(self, spark):
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            funnel_counts,
+            funnel_counts_via_joins,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        steps = ["view", "click", "purchase"]
+        a = sorted(map(tuple, funnel_counts(ev, steps).collect()))
+        b = sorted(map(tuple,
+                       funnel_counts_via_joins(ev, steps).collect()))
+        assert a == b
