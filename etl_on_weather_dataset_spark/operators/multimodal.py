@@ -465,3 +465,71 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_sample, out_schema)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("clipping_frac", T.DoubleType()),
+])
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    clip_threshold: float = 0.99,
+) -> DataFrame:
+    """Signal-level audio features from 16-bit PCM WAV payloads:
+    RMS level, peak amplitude (both normalized to [0, 1]), and the
+    fraction of samples at/above ``clip_threshold`` of full scale
+    (the clipping gate an audio-corpus curation pipeline filters on,
+    the audio analogue of the text quality gates).
+
+    Same Arrow-batch ``mapInPandas`` plumbing as decode_audio; the
+    sample math is numpy over the frame buffer (vectorized per
+    payload, no per-sample Python). Non-WAV / non-16-bit payloads
+    yield nulls rather than failing the scan.
+    """
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + AUDIO_FEATURE_SCHEMA.fields
+    )
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def feats(b: bytes):
+            try:
+                with wave.open(io.BytesIO(bytes(b))) as w:
+                    if w.getsampwidth() != 2:
+                        return None, None, None
+                    raw = w.readframes(w.getnframes())
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                if x.size == 0:
+                    return None, None, None
+                x /= 32768.0
+                ax = np.abs(x)
+                return (
+                    float(np.sqrt(np.mean(x * x))),
+                    float(ax.max()),
+                    float((ax >= clip_threshold).mean()),
+                )
+            except Exception:  # noqa: BLE001 -- corrupt payload -> nulls
+                return None, None, None
+
+        for pdf in batches:
+            out = [feats(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rms": [o[0] for o in out],
+                    "peak": [o[1] for o in out],
+                    "clipping_frac": [o[2] for o in out],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_feats, out_schema)

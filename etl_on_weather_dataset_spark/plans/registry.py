@@ -85,13 +85,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     re-attest their round-4 implementation changes (fused
 #     audit-trail aggregates; batched convergence checks; self-loop
 #     label propagation). Everything else previously ROTATE_IN parks.
-# After r4, every registry query has >= 1 green driver row. The 21
-# slots that never rotate are the flagships and one query per operator
-# family (TPC-H headliners, the four dedup tiers, ANN, text,
-# multimodal, sessionization, MERGE, as-of) -- the queries a user runs
-# hourly. The window stays below DRIVER_CAP this round (pinned +
-# rotations = 50 of 50): breadth is already attested; every row in
-# the window is either a flagship or earning its first attestation.
+# After r4, every query registered BEFORE the round-4 window froze has
+# >= 1 green driver row. Ten queries added late in round 4 (after the
+# window hit DRIVER_CAP) are pytest-attested this round and are the
+# documented ROUND-5 rotation: column_profile_lineitem,
+# doc_bigram_logprob, doc_vocab_classifier, embedding_pipeline_stats,
+# funnel_view_click_purchase, hybrid_rrf_topk, large_volume_orders,
+# promo_revenue_share, small_quantity_revenue,
+# weekly_cohort_retention -- swap them into ROTATE_IN next round,
+# parking ten r4-attested names. The 21 slots that never rotate are
+# the flagships and one query per operator family (TPC-H headliners,
+# the four dedup tiers, ANN, text, multimodal, sessionization, MERGE,
+# as-of) -- the queries a user runs hourly. The window is exactly
+# DRIVER_CAP this round (pinned + rotations = 50 of 50).
 ROTATE_IN: frozenset[str] = frozenset({
     # added in round 3, first driver attestation (r2 verdict item #1)
     "benchmark_decontamination", "packed_bins", "doc_repetition_stats",

@@ -2303,3 +2303,48 @@ class TestFunnelJoinFormulation:
         b = sorted(map(tuple,
                        funnel_counts_via_joins(ev, steps).collect()))
         assert a == b
+
+
+class TestAudioFeatures:
+    def test_rms_peak_clipping_known_signal(self, spark):
+        import io
+        import math
+        import wave as wavemod
+
+        import numpy as np
+
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        def make_wav(samples):
+            buf = io.BytesIO()
+            with wavemod.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(
+                    np.asarray(samples, dtype="<i2").tobytes()
+                )
+            return bytearray(buf.getvalue())
+
+        full = 32767
+        sine = [
+            int(0.5 * 32768 * math.sin(2 * math.pi * i / 100))
+            for i in range(1600)
+        ]
+        df = spark.createDataFrame(
+            [
+                (1, make_wav([full] * 100)),          # clipped DC
+                (2, make_wav(sine)),                  # half-scale sine
+                (3, bytearray(b"not a wav")),         # corrupt
+            ],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in audio_features(df).collect()}
+        assert abs(out[1]["peak"] - full / 32768.0) < 1e-9
+        assert out[1]["clipping_frac"] == 1.0
+        # half-scale sine: rms ~ 0.5/sqrt(2), nothing clips
+        assert abs(out[2]["rms"] - 0.5 / math.sqrt(2)) < 0.01
+        assert out[2]["clipping_frac"] == 0.0
+        assert out[3]["rms"] is None

@@ -225,6 +225,30 @@ class TestPlanProperties:
         plan = self._plan(spark, "record_linkage_summary")
         assert "CartesianProduct" not in plan, plan[:2000]
 
+    def test_funnel_fold_has_no_window_exchange_chain(self, spark):
+        """The fold funnel is one shuffle on user + the final 1-row
+        aggregate -- never a per-step Window chain."""
+        plan = self._plan(spark, "funnel_view_click_purchase")
+        assert "Window" not in plan, plan[:1500]
+        assert "CartesianProduct" not in plan, plan[:1500]
+
+    def test_hybrid_rrf_is_heap_topk(self, spark):
+        """Both retriever legs and the fuse end in TakeOrdered heaps,
+        and nothing in the composition is an unblocked cartesian."""
+        plan = self._plan(spark, "hybrid_rrf_topk")
+        assert "TakeOrderedAndProject" in plan, plan[:1500]
+        assert "CartesianProduct" not in plan, plan[:1500]
+
+    def test_profile_is_single_aggregate_job(self, spark):
+        """11 profiled columns must compile to ONE aggregate over one
+        scan (Expand for the multi-distinct), not per-column jobs."""
+        plan = self._plan(spark, "column_profile_lineitem")
+        # one scan node (formatted plans repeat the label in the
+        # detail section; count the per-scan Location line instead)
+        assert plan.count("Location: InMemoryFileIndex") == 1, \
+            plan[:2000]
+        assert "Expand" in plan  # the exact multi-distinct shape
+
     def test_minhash_banding_is_equi_join_over_persisted_index(
         self, spark
     ):
