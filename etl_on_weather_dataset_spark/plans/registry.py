@@ -92,8 +92,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 # doc_bigram_logprob, doc_vocab_classifier, embedding_pipeline_stats,
 # funnel_view_click_purchase, hybrid_rrf_topk, large_volume_orders,
 # promo_revenue_share, small_quantity_revenue,
-# weekly_cohort_retention -- swap them into ROTATE_IN next round,
-# parking ten r4-attested names. The 21 slots that never rotate are
+# weekly_cohort_retention, plus the deep TPC-H batch
+# (volume_shipping, national_market_share, returned_item_customers,
+# customer_order_distribution, top_supplier_revenue,
+# disjunctive_brand_revenue) and any further late-r4 additions -- swap
+# them into ROTATE_IN next round, parking equally many r4-attested
+# names. The 21 slots that never rotate are
 # the flagships and one query per operator family (TPC-H headliners,
 # the four dedup tiers, ANN, text, multimodal, sessionization, MERGE,
 # as-of) -- the queries a user runs hourly. The window is exactly
@@ -164,6 +168,8 @@ def _load_all() -> None:
         queries_similarity,
         queries_extra,
         queries_pipeline,
+        queries_tpch_deep,  # extended-only: registered after the window
+        queries_graph,  # extended-only
     )
 
 
