@@ -174,3 +174,101 @@ def fill_gaps_sql(
                           ROWS BETWEEN CURRENT ROW
                           AND UNBOUNDED FOLLOWING)
     """
+
+
+# --- rolling z-score anomaly detection --------------------------------------
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Flag points that deviate > ``threshold`` sigma from their own
+    trailing window (previous ``window_rows`` rows per key, current row
+    EXCLUDED so the candidate can't mask itself).
+
+    Engine-exact: the window sums run over scaled BIGINTs (sum and
+    sum-of-squares are exact integers), and mean/variance/z are derived
+    from those integers with one fixed float expression -- identical
+    IEEE ops on identical inputs, so a SQL oracle agrees bit-for-bit,
+    including on borderline threshold flips. Rows with fewer than
+    ``window_rows`` predecessors get ``z = NULL, is_anomaly = false``
+    (no partial-window guesses); zero-variance windows likewise.
+
+    Scale: one shuffle on ``key_col`` + a per-key sort -- the same
+    shape as any per-entity window; no state beyond the frame, so AQE
+    handles skewed keys. For keys too hot for one task, pre-split by
+    time range first (the operator is trailing-window local).
+
+    Columns added: ``z`` (double), ``is_anomaly`` (boolean).
+    """
+    v_c = F.round(F.col(value_col) * value_scale).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    s1 = F.sum(v_c).over(w)
+    s2 = F.sum(v_c * v_c).over(w)
+    n = F.count(v_c).over(w)
+    mean = s1.cast("double") / window_rows
+    var = s2.cast("double") / window_rows - mean * mean
+    z = (v_c.cast("double") - mean) / F.sqrt(var)
+    full = n == window_rows
+    return df.withColumn(
+        "z", F.when(full & (var > 0), z)
+    ).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
+    )
+
+
+def rolling_zscore_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    value_scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`rolling_zscore` (same formula shape)."""
+    frame = (
+        f"PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col} "
+        f"ROWS BETWEEN {window_rows} PRECEDING AND 1 PRECEDING"
+    )
+    return f"""
+        SELECT *,
+               CASE WHEN n = {window_rows} AND var > 0
+                    THEN (CAST(v_c AS DOUBLE) - mean) / SQRT(var)
+               END AS z,
+               COALESCE(ABS((CAST(v_c AS DOUBLE) - mean) / SQRT(var))
+                        > {threshold}
+                        AND n = {window_rows} AND var > 0,
+                        FALSE) AS is_anomaly
+        FROM (
+            SELECT *,
+                   CAST(s1 AS DOUBLE) / {window_rows} AS mean,
+                   CAST(s2 AS DOUBLE) / {window_rows}
+                     - (CAST(s1 AS DOUBLE) / {window_rows})
+                       * (CAST(s1 AS DOUBLE) / {window_rows}) AS var
+            FROM (
+                SELECT *,
+                       CAST(ROUND({value_col} * {value_scale}) AS BIGINT)
+                           AS v_c,
+                       SUM(CAST(ROUND({value_col} * {value_scale})
+                                AS BIGINT)) OVER ({frame}) AS s1,
+                       SUM(CAST(ROUND({value_col} * {value_scale})
+                                AS BIGINT)
+                           * CAST(ROUND({value_col} * {value_scale})
+                                  AS BIGINT)) OVER ({frame}) AS s2,
+                       COUNT(*) OVER ({frame}) AS n
+                FROM {table}
+            ) sums
+        ) stats
+    """

@@ -947,3 +947,53 @@ register(QuerySpec(
     bench=True,
     extended=True,
 ))
+
+
+# --- rolling z-score anomaly detection (operators/timeseries.py) -------------
+
+_ZS_W, _ZS_T = 20, 3.0
+
+
+def _zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_zscore
+
+    flagged = rolling_zscore(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        value_col="value", window_rows=_ZS_W, threshold=_ZS_T,
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("z").alias("n_evaluated"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _zscore_anomalies_oracle() -> str:
+    from ..operators.timeseries import rolling_zscore_sql
+
+    inner = rolling_zscore_sql(
+        "events", key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        value_col="value", window_rows=_ZS_W, threshold=_ZS_T,
+    )
+    return f"""
+        SELECT event_type,
+               COUNT(*) AS n_points,
+               COUNT(z) AS n_evaluated,
+               SUM(CAST(is_anomaly AS BIGINT)) AS n_anomalies
+        FROM ({inner}) flagged
+        GROUP BY event_type ORDER BY event_type
+    """
+
+
+register(QuerySpec(
+    name="rolling_zscore_anomalies",
+    spark_fn=_zscore_anomalies,
+    oracle=_zscore_anomalies_oracle,
+    covers=("anomaly-detection", "trailing-window-stats"),
+    extended=True,
+))

@@ -2348,3 +2348,49 @@ class TestAudioFeatures:
         assert abs(out[2]["rms"] - 0.5 / math.sqrt(2)) < 0.01
         assert out[2]["clipping_frac"] == 0.0
         assert out[3]["rms"] is None
+
+
+class TestRollingZscore:
+    def _ts(self, i):
+        from datetime import datetime, timedelta
+
+        return datetime(2024, 1, 1) + timedelta(minutes=i)
+
+    def test_spike_flagged_steady_not(self, spark):
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            rolling_zscore,
+        )
+
+        # user A: noisy-but-steady series, then one 100x spike
+        rows = [
+            (i, self._ts(i), "A", 10.0 + (i % 3) * 0.5) for i in range(25)
+        ] + [(25, self._ts(25), "A", 1000.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id string, value double"
+        )
+        out = rolling_zscore(
+            df, "user_id", "ts", "event_id", "value",
+            window_rows=20, threshold=3.0,
+        ).collect()
+        by_id = {r.event_id: r for r in out}
+        assert by_id[25].is_anomaly
+        # warm-up rows (< 20 predecessors) are never judged
+        for i in range(20):
+            assert by_id[i].z is None and not by_id[i].is_anomaly
+        # steady rows inside the noise band are not flagged
+        for i in range(20, 25):
+            assert not by_id[i].is_anomaly
+
+    def test_zero_variance_window_is_safe(self, spark):
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            rolling_zscore,
+        )
+
+        rows = [(i, self._ts(i), "A", 5.0) for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id string, value double"
+        )
+        out = rolling_zscore(
+            df, "user_id", "ts", "event_id", "value", window_rows=20
+        ).collect()
+        assert all(r.z is None and not r.is_anomaly for r in out)
