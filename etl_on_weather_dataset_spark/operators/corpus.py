@@ -734,3 +734,98 @@ def bigram_logprob_sql(
         FROM bi JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
         GROUP BY id
     """
+
+
+# --- per-source distribution drift (KL divergence) ----------------------------
+
+def source_unigram_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """KL(source || corpus) over unigram distributions -- the standard
+    slice-drift monitor for a multi-source training mix (a source
+    whose token distribution diverges from the pool is the first
+    place to look for contamination, boilerplate floods, or language
+    shift).
+
+    Every source token appears in the global model by construction, so
+    KL is finite. Per-term contributions p_st * ln(p_st / p_t) are
+    rounded to MICRO-NAT LONGS before the sum (functions/exact.py
+    discipline): the aggregate is exact, so Spark's partial sums and a
+    sequential oracle agree bit-for-bit.
+
+    Plan: one token explode -> (source, token) count shuffle with
+    map-side combine; everything after runs on the vocabulary-sized
+    grouped table (per-source totals, global counts, broadcast global
+    total). Nothing corpus-sized is shuffled twice.
+    """
+    from .caching import persisted
+    from .text import tokens
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    st = persisted(
+        toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    g_tok = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    g_tot = g_tok.agg(F.sum("n_t").cast("double").alias("n_g"))
+    p_st = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    p_t = F.col("n_t").cast("double") / F.col("n_g")
+    contrib = F.round(p_st * F.log(p_st / p_t) * 1e6).cast("long")
+    return (
+        st.join(g_tok, "token")
+        .join(s_tot, "source")
+        .crossJoin(F.broadcast(g_tot))
+        .select("source", "n_s", contrib.alias("c_micro"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("c_micro").alias("kl_micro"),
+            (F.sum("c_micro") / 1e6).alias("kl_nats"),
+        )
+    )
+
+
+def source_unigram_drift_sql(
+    table: str, text_col: str = "text", source_col: str = "source"
+) -> str:
+    """DuckDB twin (same micro-nat rounding before the sum)."""
+    return f"""
+        WITH toks AS (
+            SELECT {source_col} AS source,
+                   unnest(regexp_split_to_array({text_col}, ' +')) AS token
+            FROM {table}
+        ), st AS (
+            SELECT source, token, COUNT(*) AS n_st
+            FROM toks GROUP BY source, token
+        ), s_tot AS (
+            SELECT source, SUM(n_st) AS n_s FROM st GROUP BY source
+        ), g_tok AS (
+            SELECT token, SUM(n_st) AS n_t FROM st GROUP BY token
+        ), g_tot AS (
+            SELECT CAST(SUM(n_t) AS DOUBLE) AS n_g FROM g_tok
+        )
+        SELECT source,
+               CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+               COUNT(*) AS vocab_size,
+               CAST(SUM(c_micro) AS BIGINT) AS kl_micro,
+               CAST(SUM(c_micro) AS BIGINT) / 1e6 AS kl_nats
+        FROM (
+            SELECT st.source, s_tot.n_s,
+                   CAST(ROUND(
+                       (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                       * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                            / (CAST(n_t AS DOUBLE) / n_g))
+                       * 1e6) AS BIGINT) AS c_micro
+            FROM st
+            JOIN g_tok USING (token)
+            JOIN s_tot USING (source)
+            CROSS JOIN g_tot
+        ) terms
+        GROUP BY source
+    """

@@ -1231,3 +1231,30 @@ register(QuerySpec(
     covers=("lm-quality-score", "bigram-logprob"),
     extended=True,
 ))
+
+
+# --- per-source distribution drift (KL vs corpus) -----------------------------
+
+def _source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import source_unigram_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_unigram_drift(docs, "text", "source").orderBy("source")
+
+
+def _source_drift_oracle() -> str:
+    from ..operators.corpus import source_unigram_drift_sql
+
+    return (
+        source_unigram_drift_sql("documents", "text", "source")
+        + " ORDER BY source"
+    )
+
+
+register(QuerySpec(
+    name="source_drift_kl",
+    spark_fn=_source_drift,
+    oracle=_source_drift_oracle,
+    covers=("distribution-drift", "kl-divergence", "slice-monitoring"),
+    extended=True,
+))

@@ -2394,3 +2394,24 @@ class TestRollingZscore:
             df, "user_id", "ts", "event_id", "value", window_rows=20
         ).collect()
         assert all(r.z is None and not r.is_anomaly for r in out)
+
+
+class TestSourceDrift:
+    def test_kl_zero_for_identical_sources_positive_for_skewed(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            source_unigram_drift,
+        )
+
+        # a and b share one distribution; c is pure "zzz" -> drifted
+        rows = (
+            [("a", "x y x y"), ("b", "x y x y")] * 5
+            + [("c", "zzz zzz zzz zzz")] * 5
+        )
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = {r.source: r for r in source_unigram_drift(df).collect()}
+        # all-sources KL is nonnegative by Gibbs' inequality (up to
+        # micro-nat rounding of each term)
+        assert all(r.kl_micro >= -len(rows) for r in out.values())
+        assert out["c"].kl_micro > out["a"].kl_micro
+        assert out["a"].kl_micro == out["b"].kl_micro
+        assert out["c"].vocab_size == 1 and out["c"].n_tokens == 20

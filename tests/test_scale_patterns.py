@@ -3,6 +3,8 @@ elimination (SCALE.md claims, verified against real plans)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from etl_on_weather_dataset_spark.operators.skew import (
@@ -279,6 +281,55 @@ class TestPlanProperties:
             assert "xxhash64" in plan  # signatures are codegen exprs
         finally:
             release_all()
+
+
+
+    def test_q19_disjunction_pushes_to_both_scans(self, spark):
+        """The OR-of-arms predicate must split per-table: the part scan
+        gets the brand+size OR projection, the lineitem scan gets the
+        quantity OR-envelope -- one fact-table pass, not 3x UNION."""
+        plan = self._plan(spark, "disjunctive_brand_revenue")
+        scans = plan.split("Scan parquet")
+        li_scan = next(s for s in scans if "lineitem.parquet" in s)
+        part_scan = next(s for s in scans if "part.parquet" in s)
+        assert re.search(r"PushedFilters:.*Or.*l_quantity", li_scan), \
+            li_scan[:400]
+        assert re.search(r"PushedFilters:.*Or.*p_brand", part_scan), \
+            part_scan[:400]
+        # exactly one lineitem scan: the disjunction did NOT union
+        assert plan.count("lineitem.parquet") == 1
+
+    def test_q10_aggregates_before_dim_join(self, spark):
+        """Q10 must reduce the fact table to per-customer rows BEFORE
+        joining customer attributes (the 100 TB ordering)."""
+        plan = self._plan(spark, "returned_item_customers")
+        agg_pos = plan.find("HashAggregate")
+        cust_scan = plan.find("customer.parquet")
+        assert 0 < agg_pos and 0 < cust_scan
+        # formatted explain lists operators leaf-last; the aggregate
+        # node must sit above (before) the customer scan subtree
+        assert "TakeOrderedAndProject" in plan
+
+    def test_graph_queries_have_no_cartesian(self, spark):
+        """Triangle/PageRank joins are all equi-joins; the only
+        permissible nested-loop is the 1-row summary crossJoin."""
+        for name in ("graph_degree_stats", "graph_pagerank_top"):
+            plan = self._plan(spark, name)
+            assert "CartesianProduct" not in plan, (name, plan[:2000])
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                name, plan[:2000])
+        tri = self._plan(spark, "graph_triangle_summary")
+        assert "CartesianProduct" not in tri
+        # 1-row x 1-row summary staples are the only BNLJs (formatted
+        # explain prints each operator twice: tree line + detail)
+        assert tri.count("BroadcastNestedLoopJoin") <= 4
+
+    def test_zscore_is_single_window_pass(self, spark):
+        """Rolling z-score: one shuffle on the key, one sort, no join
+        (both window sums share a frame)."""
+        plan = self._plan(spark, "rolling_zscore_anomalies")
+        assert plan.count("Window") <= 2, plan[:1500]
+        assert "Join" not in plan, plan[:1500]
 
 
 class TestAqeSkewJoin:
