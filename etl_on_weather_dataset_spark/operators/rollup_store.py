@@ -1,0 +1,144 @@
+"""Incrementally-maintained aggregate store (materialized rollup).
+
+The batch-cadence answer to "keep a daily dashboard over a stream of
+ingestion batches without re-scanning history": a persistent parquet
+store of per-key partial aggregates, merged with each new batch's
+partial aggregate. Only COMMUTATIVE, RE-AGGREGABLE measures are kept
+(counts and exact scaled-integer sums -- the repo's
+functions/exact.py discipline), so merging partials is exact and
+engine-invariant; avg/stddev derive from (n, sum, sum2) at read time.
+
+Storage layout -- versioned directories, atomic by marker:
+
+    store_path/
+      v1/agg.parquet        v1/batches.parquet      v1/_COMMITTED
+      v2/agg.parquet        ...
+
+A writer never mutates an existing version: it reads the highest
+COMMITTED version, merges, writes v{k+1} completely, then drops the
+_COMMITTED marker last. Readers (and the next writer) only ever see
+fully-written versions, so a crash mid-write leaves garbage that the
+next run overwrites -- never a half-merged store.
+
+Replay guard (at-least-once drivers): every applied batch_id is
+recorded in ``batches.parquet``; re-applying a recorded batch returns
+the current version untouched. This is exactly-once SEMANTICS on
+at-least-once DELIVERY, the foreachBatch contract.
+
+Scale: each merge shuffles only the BATCH at event grain; the store
+side is already one row per key. The merge is a full-outer equi-join
+on the rollup key -- at 100 TB of history the store stays
+|distinct keys|-sized, and can be bucketed by key to co-locate merges.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COMMITTED = "_COMMITTED"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _current_version(spark: SparkSession, store_path: str) -> int:
+    """Highest committed version number, or 0 if none."""
+    fs, jpath, jvm = _fs(spark, store_path)
+    if not fs.exists(jpath):
+        return 0
+    best = 0
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(status.getPath(), _COMMITTED)
+        ):
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def read_rollup(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame | None, DataFrame | None, int]:
+    """(agg, applied_batches, version) of the newest committed
+    version; (None, None, 0) for an empty store."""
+    v = _current_version(spark, store_path)
+    if v == 0:
+        return None, None, 0
+    base = f"{store_path}/v{v}"
+    return (
+        spark.read.parquet(f"{base}/agg.parquet"),
+        spark.read.parquet(f"{base}/batches.parquet"),
+        v,
+    )
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    batch_id: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Merge one ingestion batch into the persistent rollup store and
+    return the new (or unchanged, on replay) store contents:
+    ``key_cols..., n_rows, sum_c, sum2_c`` with exact scaled-integer
+    sums (``sum_c``/scale = sum, enough for avg and variance at read
+    time).
+    """
+    agg, batches, version = read_rollup(spark, store_path)
+    if batches is not None and batch_id in {
+        r.batch_id for r in batches.select("batch_id").collect()
+    }:
+        return agg  # replay: batch already folded in
+
+    v_c = F.round(F.col(value_col) * value_scale).cast("long")
+    keys = list(key_cols)
+    part = batch.select(*keys, v_c.alias("v_c")).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v_c").alias("sum_c"),
+        F.sum(F.col("v_c") * F.col("v_c")).alias("sum2_c"),
+    )
+    if agg is None:
+        merged = part
+        applied = spark.createDataFrame([(batch_id,)], "batch_id string")
+    else:
+        a = agg.select(
+            *keys,
+            F.col("n_rows").alias("a_n"),
+            F.col("sum_c").alias("a_s"),
+            F.col("sum2_c").alias("a_s2"),
+        )
+        merged = (
+            a.join(part, keys, "full_outer")
+            .select(
+                *keys,
+                (F.coalesce("a_n", F.lit(0))
+                 + F.coalesce("n_rows", F.lit(0))).alias("n_rows"),
+                (F.coalesce("a_s", F.lit(0))
+                 + F.coalesce("sum_c", F.lit(0))).alias("sum_c"),
+                (F.coalesce("a_s2", F.lit(0))
+                 + F.coalesce("sum2_c", F.lit(0))).alias("sum2_c"),
+            )
+        )
+        applied = batches.select("batch_id").unionAll(
+            spark.createDataFrame([(batch_id,)], "batch_id string")
+        )
+
+    new_v = version + 1
+    base = f"{store_path}/v{new_v}"
+    merged.write.mode("overwrite").parquet(f"{base}/agg.parquet")
+    applied.write.mode("overwrite").parquet(f"{base}/batches.parquet")
+    fs, _, jvm = _fs(spark, base)
+    fs.create(jvm.org.apache.hadoop.fs.Path(base + "/" + _COMMITTED),
+              True).close()
+    return spark.read.parquet(f"{base}/agg.parquet")

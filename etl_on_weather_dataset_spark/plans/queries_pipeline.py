@@ -1258,3 +1258,75 @@ register(QuerySpec(
     covers=("distribution-drift", "kl-divergence", "slice-monitoring"),
     extended=True,
 ))
+
+
+# --- incremental materialized rollup (operators/rollup_store.py) --------------
+#
+# Scenario contract (same style as dedup_incremental_exact): three
+# deterministic batches of `events` (event_id % 3), folded into a
+# per-invocation temp store in order b0, b1, b1-REPLAYED, b2. The
+# replay must be a no-op (exactly-once semantics on at-least-once
+# delivery), so the final store must equal the one-shot aggregate over
+# ALL events -- which is precisely what the DuckDB twin computes.
+# Store paths are driver-local tempdirs for the attestation harness
+# only; real callers pass shared-FS locations.
+
+def _incremental_rollup_scenario(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.rollup_store import incremental_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="spark_incr_rollup_")
+    try:
+        store = f"{tmp}/rollup"
+        for bid, b in [("b0", batches[0]), ("b1", batches[1]),
+                       ("b1", batches[1]),  # replay: must not double
+                       ("b2", batches[2])]:
+            final = incremental_rollup(
+                spark, b, store, bid,
+                key_cols=("event_type", "day"), value_col="value",
+            )
+        rows = final.collect()  # tempdir dies with this scope
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "event_type string, day date, n_rows long,"
+                  " sum_c long, sum2_c long"
+        )
+        .select(
+            "event_type", "day", "n_rows",
+            (F.col("sum_c") / 100.0).alias("sum_value"),
+            "sum2_c",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+register(QuerySpec(
+    name="rollup_incremental_daily",
+    spark_fn=_incremental_rollup_scenario,
+    oracle="""
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_rows,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                   AS sum_value,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum2_c
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+        ORDER BY event_type, day
+    """,
+    covers=("incremental-rollup", "materialized-view-maintenance",
+            "exactly-once-merge"),
+    extended=True,
+))

@@ -414,3 +414,46 @@ register(QuerySpec(
     covers=("tpch-q19", "disjunctive-pushdown"),
     extended=True,
 ))
+
+
+# --- GROUPING SETS + grouping_id (non-hierarchical multi-agg) ----------------
+
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent slices of the same aggregate in ONE pass
+    (rollup/cube can't express non-hierarchical sets): per-returnflag
+    and per-linestatus revenue. grouping_id disambiguates the NULLs
+    Spark injects for the inactive columns of each set; both engines
+    use the same (returnflag, linestatus) bit order."""
+    from ..functions.exact import exact_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            exact_sum("l_extendedprice").alias("sum_base"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+register(QuerySpec(
+    name="grouping_sets_revenue",
+    spark_fn=_grouping_sets,
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS sum_base,
+               COUNT(*) AS n_items,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    covers=("grouping-sets", "grouping-id"),
+    extended=True,
+))

@@ -1,0 +1,85 @@
+"""Z-order layout: key properties + measured pruning effectiveness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_on_weather_dataset_spark.operators.layout import (
+    file_span_stats,
+    morton_key,
+    write_zordered,
+)
+
+
+def _grid_df(spark, n=32):
+    # n x n integer grid -> every (x, y) cell occupied
+    rows = [(x, y, x * n + y) for x in range(n) for y in range(n)]
+    return spark.createDataFrame(rows, "x int, y int, payload long")
+
+
+def test_morton_key_orders_by_interleaved_bits(spark):
+    df = _grid_df(spark, 4)
+    out = df.withColumn("zkey", morton_key(df, ["x", "y"], bits=2)).collect()
+    by_xy = {(r.x, r.y): r.zkey for r in out}
+    # hand-computed Morton codes on a 4x4 grid (x bit i -> pos 2i,
+    # y bit i -> pos 2i+1)
+    assert by_xy[(0, 0)] == 0
+    assert by_xy[(1, 0)] == 1
+    assert by_xy[(0, 1)] == 2
+    assert by_xy[(1, 1)] == 3
+    assert by_xy[(2, 2)] == 12
+    assert by_xy[(3, 3)] == 15
+
+
+def test_morton_key_width_guard(spark):
+    df = _grid_df(spark, 2)
+    with pytest.raises(ValueError):
+        morton_key(df, ["x", "y"], bits=32)
+
+
+def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
+    """The measurable claim: after Z-order clustering, every file's
+    min/max span is a small fraction of the global range on BOTH
+    dimensions -- vs a 1-D sort, which leaves the other dimension's
+    span at ~1.0 (no pruning)."""
+    df = _grid_df(spark, 64)  # 4096 rows over a 64x64 grid
+
+    z_path = str(tmp_path / "zorder")
+    write_zordered(df, z_path, ["x", "y"], n_files=16, bits=6)
+    z_spans = file_span_stats(z_path, ["x", "y"])
+    assert len(z_spans) >= 8
+
+    lin_path = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(lin_path)
+    )
+    lin_spans = file_span_stats(lin_path, ["x", "y"])
+
+    def avg(spans, c):
+        return sum(s[c] for s in spans) / len(spans)
+
+    # 16 files tiling a square: Z-order gives ~1/4 x 1/4 tiles
+    assert avg(z_spans, "x") < 0.5
+    assert avg(z_spans, "y") < 0.5
+    # the 1-D sort can't prune y at all
+    assert avg(lin_spans, "y") > 0.9
+    # and Z-order's x-span is worse than a pure x-sort (the tradeoff)
+    assert avg(lin_spans, "x") < avg(z_spans, "x")
+
+    # round-trip: clustering must not change the data
+    back = spark.read.parquet(z_path)
+    assert back.count() == 4096
+    assert back.agg(F.sum("payload")).first()[0] == sum(range(4096))
+
+
+def test_zorder_handles_strings_and_constant_columns(spark, tmp_path):
+    rows = [(f"u{i % 7}", 5.0, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "user string, v double, id long")
+    # v is constant (degenerate range) and user is a string: both must
+    # still produce a valid layout
+    write_zordered(df, str(tmp_path / "s"), ["user", "v"], n_files=4)
+    back = spark.read.parquet(str(tmp_path / "s"))
+    assert back.count() == 100

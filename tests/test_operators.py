@@ -2415,3 +2415,49 @@ class TestSourceDrift:
         assert out["c"].kl_micro > out["a"].kl_micro
         assert out["a"].kl_micro == out["b"].kl_micro
         assert out["c"].vocab_size == 1 and out["c"].n_tokens == 20
+
+
+class TestIncrementalRollup:
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k string, day date, value double"
+        ).withColumnRenamed("k", "event_type")
+
+    def test_merge_replay_and_crash_recovery(self, spark, tmp_path):
+        from datetime import date
+
+        from etl_on_weather_dataset_spark.operators.rollup_store import (
+            incremental_rollup,
+            read_rollup,
+        )
+
+        store = str(tmp_path / "store")
+        d = date(2024, 1, 1)
+        b1 = self._batch(spark, [("a", d, 1.00), ("a", d, 2.00)])
+        b2 = self._batch(spark, [("a", d, 4.00), ("b", d, 8.00)])
+
+        incremental_rollup(spark, b1, store, "b1",
+                           ("event_type", "day"), "value")
+        out = incremental_rollup(spark, b2, store, "b2",
+                                 ("event_type", "day"), "value")
+        got = {(r.event_type): (r.n_rows, r.sum_c) for r in out.collect()}
+        assert got == {"a": (3, 700), "b": (1, 800)}
+
+        # replaying b2 changes nothing (no new version either)
+        _, _, v_before = read_rollup(spark, store)
+        replay = incremental_rollup(spark, b2, store, "b2",
+                                    ("event_type", "day"), "value")
+        assert {(r.event_type): (r.n_rows, r.sum_c)
+                for r in replay.collect()} == got
+        _, _, v_after = read_rollup(spark, store)
+        assert v_after == v_before
+
+        # crash window: a version dir without _COMMITTED is invisible
+        import pathlib
+
+        fake = pathlib.Path(store) / f"v{v_after + 5}"
+        fake.mkdir(parents=True)
+        agg, _, v = read_rollup(spark, store)
+        assert v == v_after
+        assert {(r.event_type): (r.n_rows, r.sum_c)
+                for r in agg.collect()} == got
