@@ -92,12 +92,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 # doc_bigram_logprob, doc_vocab_classifier, embedding_pipeline_stats,
 # funnel_view_click_purchase, hybrid_rrf_topk, large_volume_orders,
 # promo_revenue_share, small_quantity_revenue,
-# weekly_cohort_retention, plus the deep TPC-H batch
-# (volume_shipping, national_market_share, returned_item_customers,
-# customer_order_distribution, top_supplier_revenue,
-# disjunctive_brand_revenue) and any further late-r4 additions -- swap
-# them into ROTATE_IN next round, parking equally many r4-attested
-# names. The 21 slots that never rotate are
+# weekly_cohort_retention, plus the late-r4 batch: the deep TPC-H
+# shapes (volume_shipping, national_market_share,
+# returned_item_customers, customer_order_distribution,
+# top_supplier_revenue, disjunctive_brand_revenue,
+# grouping_sets_revenue), the graph tier (graph_degree_stats,
+# graph_triangle_summary, graph_pagerank_top), and
+# rolling_zscore_anomalies, source_drift_kl,
+# rollup_incremental_daily -- swap them into ROTATE_IN next round,
+# parking equally many r4-attested names. The 21 slots that never rotate are
 # the flagships and one query per operator family (TPC-H headliners,
 # the four dedup tiers, ANN, text, multimodal, sessionization, MERGE,
 # as-of) -- the queries a user runs hourly. The window is exactly
