@@ -136,3 +136,44 @@ def file_span_stats(
             spans[c] = (hi - lo) / (ghi - glo) if ghi > glo else 0.0
         out.append(spans)
     return out
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite a many-small-files parquet dataset into ~target_mb
+    files; returns the output file count.
+
+    The small-files problem is the quiet killer of 100 TB scans: a
+    1-row-group 1 MB file costs a task schedule + footer parse + seek,
+    so a million of them dominates wall-clock before a byte of real
+    IO. Compaction = one read + one write with the file count derived
+    from the ACTUAL byte size (filesystem listing, not a row-count
+    guess), optionally re-sorting to restore clustering (pass the
+    Z-order/cluster column).
+
+    Scale notes: repartition(n) is a full shuffle -- that's the point
+    (it rebalances skewed small files); with ``sort_col`` we use
+    repartitionByRange+sort so the rewrite also restores locality.
+    Run per-partition-directory at scale, not over the whole table.
+    """
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(fs_path).getLength()
+    n = max(1, int(total_bytes / (target_mb * 1024 * 1024)) or 1)
+    df = spark.read.parquet(src_path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(dst_path)
+    out = spark._jvm.org.apache.hadoop.fs.Path(dst_path)
+    return sum(
+        1
+        for s in fs.listStatus(out)
+        if s.getPath().getName().endswith(".parquet")
+    )

@@ -997,3 +997,140 @@ register(QuerySpec(
     covers=("anomaly-detection", "trailing-window-stats"),
     extended=True,
 ))
+
+
+# --- unpivot/melt (wide -> long reshape) --------------------------------------
+
+def _melt_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-order money columns -> long (measure, value) rows via
+    native unpivot (Spark's melt; DuckDB's UNPIVOT), then a per-measure
+    profile. The reshape is a zero-shuffle projection (each input row
+    yields |measures| output rows in place); only the final rollup
+    exchanges."""
+    from ..functions.exact import exact_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax",
+    )
+    long = li.melt(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("val").alias("total"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("measure")
+    )
+
+
+register(QuerySpec(
+    name="melt_measure_profile",
+    spark_fn=_melt_validation,
+    oracle="""
+        SELECT measure,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(val * 100) AS BIGINT)) / 100.0 AS total,
+               MIN(val) AS min_val,
+               MAX(val) AS max_val
+        FROM (
+            UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice,
+                            l_discount, l_tax FROM lineitem)
+            ON l_quantity, l_extendedprice, l_discount, l_tax
+            INTO NAME measure VALUE val
+        ) u
+        GROUP BY measure ORDER BY measure
+    """,
+    covers=("unpivot-melt", "wide-to-long"),
+    extended=True,
+))
+
+
+# --- chi-square test of independence ------------------------------------------
+
+def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for event_type x value-band independence,
+    from ONE contingency aggregate: cell counts shuffle once, then
+    margins derive from the cell table (two tiny re-aggregates joined
+    back). Per-cell terms (obs - exp)^2 / exp are rounded to
+    micro-units before the exact long sum (engine-invariant)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") < 10, "low")
+         .when(F.col("value") < 30, "mid")
+         .otherwise("high").alias("band"),
+    )
+    cells = ev.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    col_m = cells.groupBy("band").agg(F.sum("obs").alias("col_n"))
+    grand = cells.agg(F.sum("obs").cast("double").alias("grand_n"))
+    exp = (
+        F.col("row_n").cast("double") * F.col("col_n").cast("double")
+        / F.col("grand_n")
+    )
+    term = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double")
+                                               - exp) / exp * 1e6
+    ).cast("long")
+    return (
+        cells.join(row_m, "event_type")
+        .join(col_m, "band")
+        .crossJoin(F.broadcast(grand))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(term).alias("chi2_micro"),
+            (F.sum(term) / 1e6).alias("chi2"),
+        )
+    )
+
+
+register(QuerySpec(
+    name="chi_square_independence",
+    spark_fn=_chi_square,
+    oracle="""
+        WITH ev AS (
+            SELECT event_type,
+                   CASE WHEN value < 10 THEN 'low'
+                        WHEN value < 30 THEN 'mid'
+                        ELSE 'high' END AS band
+            FROM events
+        ), cells AS (
+            SELECT event_type, band, COUNT(*) AS obs
+            FROM ev GROUP BY event_type, band
+        ), row_m AS (
+            SELECT event_type, SUM(obs) AS row_n FROM cells
+            GROUP BY event_type
+        ), col_m AS (
+            SELECT band, SUM(obs) AS col_n FROM cells GROUP BY band
+        ), grand AS (
+            SELECT CAST(SUM(obs) AS DOUBLE) AS grand_n FROM cells
+        )
+        SELECT COUNT(*) AS n_cells,
+               CAST(SUM(t) AS BIGINT) AS chi2_micro,
+               CAST(SUM(t) AS BIGINT) / 1e6 AS chi2
+        FROM (
+            SELECT CAST(ROUND(
+                (CAST(obs AS DOUBLE)
+                 - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / grand_n)
+                * (CAST(obs AS DOUBLE)
+                   - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / grand_n)
+                / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / grand_n)
+                * 1e6) AS BIGINT) AS t
+            FROM cells
+            JOIN row_m USING (event_type)
+            JOIN col_m USING (band)
+            CROSS JOIN grand
+        ) terms
+    """,
+    covers=("chi-square", "contingency-stats"),
+    extended=True,
+))

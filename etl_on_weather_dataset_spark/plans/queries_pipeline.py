@@ -1256,6 +1256,7 @@ register(QuerySpec(
     spark_fn=_source_drift,
     oracle=_source_drift_oracle,
     covers=("distribution-drift", "kl-divergence", "slice-monitoring"),
+    bench=True,
     extended=True,
 ))
 

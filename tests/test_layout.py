@@ -83,3 +83,23 @@ def test_zorder_handles_strings_and_constant_columns(spark, tmp_path):
     write_zordered(df, str(tmp_path / "s"), ["user", "v"], n_files=4)
     back = spark.read.parquet(str(tmp_path / "s"))
     assert back.count() == 100
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    from etl_on_weather_dataset_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "small")
+    rows = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    rows.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+
+    dst = str(tmp_path / "compact")
+    n_out = compact_files(spark, src, dst, target_mb=128, sort_col="id")
+    assert n_out <= 4  # ~100 KB of data -> a handful of files
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))
