@@ -272,3 +272,158 @@ def rolling_zscore_sql(
             ) sums
         ) stats
     """
+
+
+# --- OHLC (open/high/low/close) bucket rollup ---------------------------------
+
+def ohlc(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    bucket_col: Column | str | None = None,
+) -> DataFrame:
+    """Candlestick rollup per (key, bucket): first/max/min/last value.
+
+    open/close use ``min_by``/``max_by`` over the (ts, tiebreak)
+    struct -- deterministic even with equal timestamps, no window sort
+    over the raw stream. One shuffle (the groupBy); high/low/open/
+    close all come from the same grouped pass.
+    """
+    bucket = (
+        F.to_date(ts_col) if bucket_col is None
+        else (F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col)
+    )
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .agg(
+            F.min_by(value_col, order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, order).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def ohlc_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin (daily buckets): first/last via row_number over the
+    same (ts, tiebreak) order."""
+    return f"""
+        SELECT key, bucket,
+               MAX(CASE WHEN rn_a = 1 THEN {value_col} END) AS open,
+               MAX({value_col}) AS high,
+               MIN({value_col}) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN {value_col} END) AS close,
+               COUNT(*) AS n_ticks
+        FROM (
+            SELECT {key_col} AS key, CAST({ts_col} AS DATE) AS bucket,
+                   {value_col}, 
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key_col}, CAST({ts_col} AS DATE)
+                       ORDER BY {ts_col}, {tiebreak_col}) AS rn_a,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key_col}, CAST({ts_col} AS DATE)
+                       ORDER BY {ts_col} DESC, {tiebreak_col} DESC) AS rn_d
+            FROM {table}
+        ) t
+        GROUP BY key, bucket
+    """
+
+
+# --- time-weighted average (TimescaleDB time_weight parity) -------------------
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """LOCF time-weighted mean per (key, day): each observation holds
+    its value until the next one (or day end), and contributes
+    value * held_seconds.
+
+    Exact: weights are integer epoch-second gaps, values scaled
+    bigints -- the weighted sum is an exact integer, so partial
+    aggregation order can't shift the result; the single final
+    division is deterministic.
+
+    Plan: one per-key window (lead) + one grouped sum -- the same
+    two-exchange shape as any sessionization; no scaffold join needed
+    because weighting happens at observation grain.
+    """
+    day = F.to_date(ts_col)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    day_end = F.unix_timestamp(F.date_add(day, 1).cast("timestamp"))
+    w = Window.partitionBy(key_col, day).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(epoch).over(w)
+    dt = F.coalesce(nxt, day_end) - epoch
+    v_c = F.round(F.col(value_col) * value_scale).cast("long")
+    return (
+        df.select(
+            F.col(key_col).alias("key"), day.alias("bucket"),
+            (v_c * dt).alias("wv"), dt.alias("dt"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            (
+                F.sum("wv").cast("double")
+                / F.sum("dt").cast("double") / value_scale
+            ).alias("twap"),
+            F.sum("dt").alias("held_seconds"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` (same integer gaps).
+
+    FLOOR(epoch(ts)), not epoch(ts)::BIGINT: DuckDB's double->bigint
+    cast ROUNDS while Spark's unix_timestamp TRUNCATES fractional
+    seconds -- without the floor the two engines disagree by 1s on
+    sub-second timestamps."""
+    return f"""
+        SELECT key, bucket,
+               CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)
+                   / {value_scale} AS twap,
+               CAST(SUM(dt) AS BIGINT) AS held_seconds,
+               COUNT(*) AS n_obs
+        FROM (
+            SELECT {key_col} AS key,
+                   CAST({ts_col} AS DATE) AS bucket,
+                   CAST(ROUND({value_col} * {value_scale}) AS BIGINT)
+                   * (COALESCE(
+                          LEAD(CAST(FLOOR(epoch({ts_col})) AS BIGINT)) OVER w,
+                          epoch((CAST({ts_col} AS DATE)
+                                 + INTERVAL 1 DAY)::TIMESTAMP)::BIGINT)
+                      - CAST(FLOOR(epoch({ts_col})) AS BIGINT)) AS wv,
+                   (COALESCE(
+                        LEAD(CAST(FLOOR(epoch({ts_col})) AS BIGINT)) OVER w,
+                        epoch((CAST({ts_col} AS DATE)
+                               + INTERVAL 1 DAY)::TIMESTAMP)::BIGINT)
+                    - CAST(FLOOR(epoch({ts_col})) AS BIGINT)) AS dt
+            FROM {table}
+            WINDOW w AS (
+                PARTITION BY {key_col}, CAST({ts_col} AS DATE)
+                ORDER BY {ts_col}, {tiebreak_col})
+        ) seg
+        GROUP BY key, bucket
+    """

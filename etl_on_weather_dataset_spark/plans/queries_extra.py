@@ -1134,3 +1134,60 @@ register(QuerySpec(
     covers=("chi-square", "contingency-stats"),
     extended=True,
 ))
+
+
+# --- OHLC candles + time-weighted average (operators/timeseries.py) ----------
+
+def _ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc(ev, "event_type", "ts", "event_id", "value").orderBy(
+        "key", "bucket"
+    )
+
+
+def _ohlc_oracle() -> str:
+    from ..operators.timeseries import ohlc_sql
+
+    return (
+        ohlc_sql("events", "event_type", "ts", "event_id", "value")
+        + " ORDER BY key, bucket"
+    )
+
+
+register(QuerySpec(
+    name="ohlc_daily_candles",
+    spark_fn=_ohlc_daily,
+    oracle=_ohlc_oracle,
+    covers=("ohlc-rollup", "min-by-max-by-determinism"),
+    extended=True,
+))
+
+
+def _twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, "event_type", "ts", "event_id", "value"
+    ).orderBy("key", "bucket")
+
+
+def _twap_oracle() -> str:
+    from ..operators.timeseries import time_weighted_avg_sql
+
+    return (
+        time_weighted_avg_sql("events", "event_type", "ts", "event_id",
+                              "value")
+        + " ORDER BY key, bucket"
+    )
+
+
+register(QuerySpec(
+    name="twap_daily",
+    spark_fn=_twap_daily,
+    oracle=_twap_oracle,
+    covers=("time-weighted-average", "locf-weighting"),
+    extended=True,
+))

@@ -2461,3 +2461,62 @@ class TestIncrementalRollup:
         assert v == v_after
         assert {(r.event_type): (r.n_rows, r.sum_c)
                 for r in agg.collect()} == got
+
+
+class TestOhlcTwap:
+    def _df(self, spark):
+        from datetime import datetime
+
+        rows = [
+            # key A, one day: open 10 @00:00, spike 30 @06:00,
+            # dip 5 @12:00, close 20 @18:00
+            (1, datetime(2024, 1, 1, 0), "A", 10.0),
+            (2, datetime(2024, 1, 1, 6), "A", 30.0),
+            (3, datetime(2024, 1, 1, 12), "A", 5.0),
+            (4, datetime(2024, 1, 1, 18), "A", 20.0),
+            # equal timestamps: tiebreak decides open/close
+            (5, datetime(2024, 1, 2, 0), "A", 7.0),
+            (6, datetime(2024, 1, 2, 0), "A", 9.0),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id string, value double"
+        )
+
+    def test_ohlc_known_values(self, spark):
+        from datetime import date
+
+        from etl_on_weather_dataset_spark.operators.timeseries import ohlc
+
+        out = {
+            (r.key, r.bucket): r
+            for r in ohlc(
+                self._df(spark), "user_id", "ts", "event_id", "value"
+            ).collect()
+        }
+        d1 = out[("A", date(2024, 1, 1))]
+        assert (d1.open, d1.high, d1.low, d1.close) == (10.0, 30.0, 5.0, 20.0)
+        d2 = out[("A", date(2024, 1, 2))]
+        # same ts: event_id tiebreak -> open is id 5, close is id 6
+        assert (d2.open, d2.close) == (7.0, 9.0)
+
+    def test_twap_known_values(self, spark):
+        from datetime import date
+
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        out = {
+            (r.key, r.bucket): r
+            for r in time_weighted_avg(
+                self._df(spark), "user_id", "ts", "event_id", "value"
+            ).collect()
+        }
+        d1 = out[("A", date(2024, 1, 1))]
+        # 6h each of 10, 30, 5, 20 -> mean of the four values
+        assert d1.held_seconds == 86400
+        assert d1.twap == (10.0 + 30.0 + 5.0 + 20.0) / 4
+        d2 = out[("A", date(2024, 1, 2))]
+        # value 7 held 0s (superseded at the same instant), 9 all day
+        assert d2.held_seconds == 86400
+        assert d2.twap == 9.0
