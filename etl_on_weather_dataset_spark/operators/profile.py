@@ -27,7 +27,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -169,3 +169,85 @@ def profile_sql(table: str, columns: list[tuple[str, str]]) -> str:
                    {ts[0]} AS min_ts, {ts[1]} AS max_ts
             FROM {table}""")
     return " UNION ALL ".join(parts)
+
+
+def corr_matrix(
+    df: DataFrame, cols: list[str], scale: int = 100
+) -> DataFrame:
+    """All pairwise Pearson correlations in ONE aggregate pass.
+
+    For k columns the pass computes k sums, k sums-of-squares and
+    k*(k-1)/2 cross-products as exact scaled-bigint aggregates (the
+    inputs are fixed-decimal), then derives every r from those
+    integers with one fixed float expression -- so the full matrix
+    costs a single scan + a 1-row reduce, and is bit-identical to a
+    sequential engine running the same formula. Compare
+    MLlib's Correlation.corr, which assembles vectors and gives no
+    engine-exactness guarantee.
+
+    Returns long-form rows (col_x, col_y, r) for x < y.
+    """
+    def c(name: str) -> Column:
+        return F.round(F.col(name) * scale).cast("long")
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    for a in cols:
+        aggs.append(F.sum(c(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(c(a) * c(a)).alias(f"ss_{a}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(c(a) * c(b)).alias(f"sp_{a}_{b}"))
+    one = df.agg(*aggs)
+
+    pairs = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n = F.col("n").cast("double")
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+            sp = F.col(f"sp_{a}_{b}").cast("double")
+            r = (n * sp - sa * sb) / F.sqrt(
+                (n * ssa - sa * sa) * (n * ssb - sb * sb)
+            )
+            row = one.select(
+                F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                r.alias("r"),
+            )
+            pairs = row if pairs is None else pairs.unionAll(row)
+    return pairs
+
+
+def corr_matrix_sql(
+    table: str, cols: list[str], scale: int = 100
+) -> str:
+    """DuckDB twin of :func:`corr_matrix` (same integer sums + float
+    formula shape)."""
+    def c(name: str) -> str:
+        return f"CAST(ROUND({name} * {scale}) AS BIGINT)"
+
+    sel = ["COUNT(*) AS n"]
+    for a in cols:
+        sel.append(f"SUM({c(a)}) AS s_{a}")
+        sel.append(f"SUM({c(a)} * {c(a)}) AS ss_{a}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sel.append(f"SUM({c(a)} * {c(b)}) AS sp_{a}_{b}")
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            expr = (
+                f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / SQRT((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            )
+            parts.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, {expr} AS r"
+                f" FROM one"
+            )
+    return (
+        f"WITH one AS (SELECT {', '.join(sel)} FROM {table}) "
+        + " UNION ALL ".join(parts)
+    )

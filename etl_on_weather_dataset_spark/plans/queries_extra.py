@@ -7,7 +7,7 @@ itself exercises (SURVEY.md par.2a coverage table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import exact_sum, exact_sum_sql
@@ -1189,5 +1189,86 @@ register(QuerySpec(
     spark_fn=_twap_daily,
     oracle=_twap_oracle,
     covers=("time-weighted-average", "locf-weighting"),
+    extended=True,
+))
+
+
+# --- one-pass correlation matrix (operators/profile.py) -----------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS).orderBy("col_x", "col_y")
+
+
+def _corr_matrix_oracle() -> str:
+    from ..operators.profile import corr_matrix_sql
+
+    return (
+        "SELECT * FROM (" + corr_matrix_sql("lineitem", _CORR_COLS)
+        + ") m ORDER BY col_x, col_y"
+    )
+
+
+register(QuerySpec(
+    name="corr_matrix_lineitem",
+    spark_fn=_corr_matrix,
+    oracle=_corr_matrix_oracle,
+    covers=("correlation-matrix", "single-pass-moments"),
+    extended=True,
+))
+
+
+# --- equal-frequency binning (quantile discretizer) ---------------------------
+
+_NTILE_BINS = 8
+
+
+def _quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bins PER SEGMENT: ntile over the (value,
+    event_id) order within each event_type. The tiebreak makes bin
+    membership deterministic, so min/max/count per bin are
+    engine-exact; partitioning by segment keeps the sort distributed
+    (an unpartitioned ntile is a single-task global sort -- the
+    anti-pattern tests/test_scale_patterns.py exists to catch; global
+    binning at scale uses approx boundaries + a projection,
+    value_percentiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value",
+            F.ntile(_NTILE_BINS).over(w).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+register(QuerySpec(
+    name="quantile_bins_events",
+    spark_fn=_quantile_bins,
+    oracle=f"""
+        SELECT event_type, bin, COUNT(*) AS n,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM (
+            SELECT event_type, value,
+                   NTILE({_NTILE_BINS}) OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id) AS bin
+            FROM events
+        ) t
+        GROUP BY event_type, bin ORDER BY event_type, bin
+    """,
+    covers=("quantile-discretizer", "ntile-binning"),
     extended=True,
 ))

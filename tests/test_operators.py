@@ -2520,3 +2520,20 @@ class TestOhlcTwap:
         # value 7 held 0s (superseded at the same instant), 9 all day
         assert d2.held_seconds == 86400
         assert d2.twap == 9.0
+
+
+class TestCorrMatrix:
+    def test_known_correlations(self, spark):
+        from etl_on_weather_dataset_spark.operators.profile import corr_matrix
+
+        # y = x exactly (r=1), z = -x exactly (r=-1), w uncorrelated-ish
+        rows = [(float(i), float(i), float(-i), float((i * 7) % 5))
+                for i in range(1, 101)]
+        df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+        out = {(r.col_x, r.col_y): r.r
+               for r in corr_matrix(df, ["x", "y", "z", "w"]).collect()}
+        assert abs(out[("x", "y")] - 1.0) < 1e-12
+        assert abs(out[("x", "z")] + 1.0) < 1e-12
+        assert abs(out[("y", "z")] + 1.0) < 1e-12
+        assert abs(out[("x", "w")]) < 0.1
+        assert len(out) == 6  # all pairs x<y, one pass
