@@ -20,7 +20,7 @@ and partial recomputation without double-sampling rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # fraction resolution: 1e-6
@@ -325,4 +325,121 @@ def weighted_sample_sql(
         WHERE ({weight_sql}) IS NOT NULL AND ({weight_sql}) > 0
         ORDER BY {es} DESC, {key_col} ASC
         LIMIT {n}
+    """
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic (anchor, positive, negative) triplets for
+    contrastive training: positive = next same-label item in md5
+    order (wrapping), negative = the rank-aligned item of the NEXT
+    label (cyclic). Every item of a label with >= 2 members anchors
+    exactly one triplet -- epoch-stable, engine/retry-invariant
+    (md5 order, no RNG), and re-runs identically on any cluster.
+
+    Plan: two label-partitioned windows + one equi-join on
+    (label, rank) against the broadcast-sized label-size table; no
+    shuffle wider than (id, label, rank).
+    """
+    w = Window.partitionBy(label_col).orderBy(F.md5(F.col(id_col).cast("string")))
+    ranked = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("label"),
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(
+            F.lead(id_col).over(w), F.first(id_col).over(
+                Window.partitionBy(label_col).orderBy(
+                    F.md5(F.col(id_col).cast("string"))
+                ).rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+            )
+        ).alias("positive_id"),
+    )
+    sizes = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # cyclic next-label map (works for arbitrary label values, not
+    # just dense ints): lead over the sorted label list, wrapping
+    lw = Window.orderBy("label").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    label_map = sizes.select(
+        "label", "n",
+        F.coalesce(
+            F.lead("label").over(Window.orderBy("label")),
+            F.first("label").over(lw),
+        ).alias("neg_label"),
+        F.coalesce(
+            F.lead("n").over(Window.orderBy("label")),
+            F.first("n").over(lw),
+        ).alias("neg_n"),
+    )
+    neg_side = ranked.select(
+        F.col("label").alias("neg_label"),
+        F.col("rn").alias("neg_rn"),
+        F.col("anchor_id").alias("negative_id"),
+    )
+    anchors = (
+        ranked.join(F.broadcast(label_map), "label")
+        .filter(F.col("n") >= 2)
+        .withColumn("neg_rn", (F.col("rn") - 1) % F.col("neg_n") + 1)
+    )
+    return anchors.join(neg_side, ["neg_label", "neg_rn"]).select(
+        "anchor_id", "label", "positive_id", "negative_id",
+        F.col("neg_label").alias("negative_label"),
+    )
+
+
+def contrastive_triplets_sql(
+    table: str,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`contrastive_triplets`."""
+    return f"""
+        WITH ranked AS (
+            SELECT {id_col} AS anchor_id, {label_col} AS label,
+                   ROW_NUMBER() OVER w AS rn,
+                   COALESCE(
+                       LEAD({id_col}) OVER w,
+                       FIRST_VALUE({id_col}) OVER (
+                           PARTITION BY {label_col}
+                           ORDER BY md5(CAST({id_col} AS VARCHAR))
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING)
+                   ) AS positive_id
+            FROM {table}
+            WINDOW w AS (PARTITION BY {label_col}
+                         ORDER BY md5(CAST({id_col} AS VARCHAR)))
+        ), sizes AS (
+            SELECT {label_col} AS label, COUNT(*) AS n FROM {table}
+            GROUP BY {label_col}
+        ), label_map AS (
+            SELECT label, n,
+                   COALESCE(LEAD(label) OVER (ORDER BY label),
+                            FIRST_VALUE(label) OVER (
+                                ORDER BY label ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND UNBOUNDED FOLLOWING))
+                       AS neg_label,
+                   COALESCE(LEAD(n) OVER (ORDER BY label),
+                            FIRST_VALUE(n) OVER (
+                                ORDER BY label ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND UNBOUNDED FOLLOWING))
+                       AS neg_n
+            FROM sizes
+        )
+        SELECT a.anchor_id, a.label, a.positive_id,
+               neg.anchor_id AS negative_id,
+               a.neg_label AS negative_label
+        FROM (
+            SELECT r.anchor_id, r.label, r.positive_id, m.neg_label,
+                   (r.rn - 1) % m.neg_n + 1 AS neg_rn
+            FROM ranked r
+            JOIN label_map m ON r.label = m.label AND m.n >= 2
+        ) a
+        JOIN ranked neg
+          ON neg.label = a.neg_label AND neg.rn = a.neg_rn
     """

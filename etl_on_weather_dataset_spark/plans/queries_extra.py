@@ -1272,3 +1272,67 @@ register(QuerySpec(
     covers=("quantile-discretizer", "ntile-binning"),
     extended=True,
 ))
+
+
+# --- referential-integrity audit ----------------------------------------------
+
+def _ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit across every FK edge of the star schema: child
+    rows whose key has no parent. Each edge is one anti-join reduced
+    to a count -- at 100 TB the dim side stays a broadcast (or a
+    shuffled semi-join above threshold via AQE) and nothing wider than
+    the key column ships. The reference validates ranges/nulls only
+    (ETL.py:166-204); FK consistency is the other half of data QA."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = [
+        ("lineitem.l_orderkey->orders", li.select(F.col("l_orderkey").alias("k")),
+         orders.select(F.col("o_orderkey").alias("k"))),
+        ("lineitem.l_partkey->part", li.select(F.col("l_partkey").alias("k")),
+         load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))),
+        ("lineitem.l_suppkey->supplier", li.select(F.col("l_suppkey").alias("k")),
+         load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))),
+        ("orders.o_custkey->customer", orders.select(F.col("o_custkey").alias("k")),
+         load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))),
+    ]
+    out = None
+    for name, child, parent in edges:
+        row = (
+            child.join(parent, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(child.agg(F.count(F.lit(1)).alias("n_child")))
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fk_edge")
+
+
+register(QuerySpec(
+    name="referential_integrity_audit",
+    spark_fn=_ref_integrity,
+    oracle="""
+        SELECT * FROM (
+            SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                   (SELECT COUNT(*) FROM lineitem) AS n_child,
+                   (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+                        (SELECT o_orderkey FROM orders)) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+                        (SELECT p_partkey FROM part))
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+                        (SELECT s_suppkey FROM supplier))
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+                        (SELECT c_custkey FROM customer))
+        ) a ORDER BY fk_edge
+    """,
+    covers=("referential-integrity", "fk-orphan-audit"),
+    extended=True,
+))

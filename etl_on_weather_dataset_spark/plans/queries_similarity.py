@@ -1008,3 +1008,31 @@ register(QuerySpec(
     bench=True,
     extended=True,
 ))
+
+
+# --- contrastive triplet generation (operators/sample.py) ---------------------
+
+def _triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import contrastive_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_triplets(emb, "vec_id", "label").orderBy("anchor_id")
+
+
+def _triplets_oracle() -> str:
+    from ..operators.sample import contrastive_triplets_sql
+
+    return (
+        "SELECT * FROM ("
+        + contrastive_triplets_sql("embeddings", "vec_id", "label")
+        + ") t ORDER BY anchor_id"
+    )
+
+
+register(QuerySpec(
+    name="contrastive_triplets_emb",
+    spark_fn=_triplets,
+    oracle=_triplets_oracle,
+    covers=("contrastive-triplets", "deterministic-pairing"),
+    extended=True,
+))

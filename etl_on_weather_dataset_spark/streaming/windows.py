@@ -346,3 +346,90 @@ def stream_incremental_dedup(
     )
     q.awaitTermination()
     return seen
+
+
+ZSCORE_SCHEMA = (
+    "event_id LONG, user_id LONG, v_c LONG, z DOUBLE, is_anomaly BOOLEAN"
+)
+ZSCORE_STATE_SCHEMA = "vals ARRAY<LONG>"
+
+
+def stream_zscore(
+    df: DataFrame,
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Streaming twin of the batch ``rolling_zscore`` operator
+    (operators/timeseries.py): per-key trailing-window anomaly flags
+    where the window STATE crosses micro-batch boundaries -- the first
+    rows of batch N are judged against the tail of batch N-1, which no
+    stateless per-batch transform can do.
+
+    State per key is the last ``window_rows`` scaled values (an array
+    of bigints, bounded memory). Values are integers and the
+    mean/var/z float formula is the same shape as the batch operator,
+    so for a stream that arrives in (ts, id) order the emitted flags
+    are BIT-IDENTICAL to running the batch operator over the fully
+    materialized history (pinned by test). Out-of-order arrival
+    within a batch is sorted here; across batches it would need
+    watermark buffering -- callers with late data should bucket
+    through a watermarked sort first.
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_schema = _parse_datatype_string(ZSCORE_SCHEMA)
+    state_schema = _parse_datatype_string(ZSCORE_STATE_SCHEMA)
+    W = window_rows
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values([ts_col, id_col])
+        window: list[int] = list(state.get[0]) if state.exists else []
+        out: dict[str, list] = {
+            "event_id": [], "user_id": [], "v_c": [], "z": [],
+            "is_anomaly": [],
+        }
+        for eid, val in zip(rows[id_col], rows[value_col]):
+            v_c = int(round(float(val) * value_scale))
+            z = None
+            flag = False
+            if len(window) >= W:
+                tail = window[-W:]
+                s1 = sum(tail)
+                s2 = sum(x * x for x in tail)
+                # same float formula shape as the batch operator --
+                # IEEE ops on identical integers, bit-equal results
+                mean = s1 / W
+                var = s2 / W - mean * mean
+                if var > 0:
+                    z = (v_c - mean) / math.sqrt(var)
+                    flag = abs(z) > threshold
+            out["event_id"].append(eid)
+            out["user_id"].append(user)
+            out["v_c"].append(v_c)
+            out["z"].append(z)
+            out["is_anomaly"].append(flag)
+            window = (window + [v_c])[-W:]
+        state.update((window,))
+        yield pd.DataFrame(out)
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -2537,3 +2537,28 @@ class TestCorrMatrix:
         assert abs(out[("y", "z")] + 1.0) < 1e-12
         assert abs(out[("x", "w")]) < 0.1
         assert len(out) == 6  # all pairs x<y, one pass
+
+
+class TestContrastiveTriplets:
+    def test_triplet_invariants(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            contrastive_triplets,
+        )
+
+        # labels: 'a' x4, 'c' x3, 'z' x1 (singleton -> never anchors)
+        rows = [(i, "a") for i in range(4)] + \
+               [(10 + i, "c") for i in range(3)] + [(99, "z")]
+        df = spark.createDataFrame(rows, "vec_id long, label string")
+        out = contrastive_triplets(df, "vec_id", "label").collect()
+        # every member of a,c anchors exactly once; z never
+        assert sorted(r.anchor_id for r in out) == [0, 1, 2, 3, 10, 11, 12]
+        by_anchor = {r.anchor_id: r for r in out}
+        labels = {i: lbl for i, lbl in rows}
+        for r in out:
+            assert r.anchor_id != r.positive_id
+            assert labels[r.positive_id] == r.label
+            assert r.negative_label != r.label
+            assert labels[r.negative_id] == r.negative_label
+        # determinism: second run identical
+        out2 = contrastive_triplets(df, "vec_id", "label").collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -385,3 +385,72 @@ def test_stream_incremental_dedup_across_microbatches(spark, tmp_path):
     assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
     store = spark.read.parquet(str(tmp_path / "store"))
     assert store.count() == 3
+
+
+def test_stream_zscore_equals_batch_across_microbatches(spark, tmp_path):
+    """Stateful streaming z-score: the trailing window crosses
+    micro-batch boundaries, so the streamed flags/z must be
+    BIT-identical to the batch rolling_zscore over the concatenated
+    history. Three time-ordered waves, one file per trigger."""
+    import datetime as dt
+
+    from etl_on_weather_dataset_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import stream_zscore
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def rows(lo, hi):
+        out = []
+        for i in range(lo, hi):
+            for u in (1, 2):
+                # noisy series with a planted spike at i == 30
+                v = 1000.0 if (i == 30 and u == 1) else 10.0 + (i % 5) * u
+                out.append(
+                    (i * 10 + u, base + dt.timedelta(minutes=i), u, v)
+                )
+        return out
+
+    land = tmp_path / "land"
+    land.mkdir()
+    for w, (lo, hi) in enumerate([(0, 15), (15, 28), (28, 40)]):
+        spark.createDataFrame(rows(lo, hi), schema).coalesce(
+            1
+        ).write.parquet(str(land / f"wave{w}"))
+
+    all_rows = spark.createDataFrame(rows(0, 40), schema)
+    batch = {
+        r.event_id: (r.z, r.is_anomaly)
+        for r in rolling_zscore(
+            all_rows, "user_id", "ts", "event_id", "value",
+            window_rows=20, threshold=3.0,
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(land) + "/*")
+    )
+    out = stream_zscore(stream, window_rows=20, threshold=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_zscore")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.event_id: (r.z, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM t_zscore").collect()
+    }
+    assert len(streamed) == len(batch) == 80
+    assert streamed == batch  # bit-identical z incl. None warm-ups
+    # the planted spike is flagged, and judged rows exist in wave 3
+    assert streamed[301] == batch[301]
+    assert batch[301][1] is True
