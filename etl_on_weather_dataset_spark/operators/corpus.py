@@ -829,3 +829,111 @@ def source_unigram_drift_sql(
         ) terms
         GROUP BY source
     """
+
+
+# --- BPE merge-rule learning (distributed tokenizer training) -----------------
+
+def _merge_pair_expr(seq: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a+b inside a
+    token array, as one JVM-side fold (F.aggregate): the accumulator
+    is the rebuilt array; a freshly-merged token can't re-merge with
+    the next element (exactly BPE's leftmost-nonoverlapping rule --
+    [a,a,a] with pair (a,a) becomes [aa,a], not [aa,aa])."""
+    ab = a + b
+    return F.aggregate(
+        seq,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (t == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn BPE merge rules over a distributed corpus: repeatedly
+    count adjacent token pairs and merge the most frequent one --
+    HuggingFace-tokenizers' training loop with the pair counting
+    distributed (shuffle on pair, map-side combine) instead of
+    single-machine.
+
+    Word-level variant (seeds are whitespace tokens, merges build
+    multi-word units); the same operator trains character-level BPE
+    if the caller pre-splits to chars. Deterministic: ties break on
+    (count DESC, pair ASC), no RNG -- the learned rules are
+    engine/partitioning-invariant because pair counts are exact
+    integer aggregates.
+
+    Coordination budget: ONE (pair, count) row collected per round --
+    the same O(iters) driver-scalar discipline as k-means and the
+    components loop. Each round rewrites sequences with a single
+    array fold (JVM codegen, no UDF) and persists the result so round
+    N+1 counts the post-merge corpus without replaying rounds 1..N.
+
+    Returns (merges, final_sequences) where final_sequences has one
+    ``seq ARRAY<STRING>`` column; callers apply the rules to new text
+    with :func:`apply_bpe_merges`.
+    """
+    from .caching import persisted, untrack
+
+    seqs = persisted(
+        df.select(
+            F.filter(
+                F.split(F.col(text_col), " +"), lambda t: t != ""
+            ).alias("seq")
+        )
+    )
+    merges: list[tuple[str, str]] = []
+    prev = seqs
+    for _ in range(n_merges):
+        pairs = prev.filter(F.size("seq") >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("seq"), 1, F.size("seq") - 1),
+                    F.slice(F.col("seq"), 2, F.size("seq") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        nxt = persisted(
+            prev.select(_merge_pair_expr(F.col("seq"), a, b).alias("seq"))
+        )
+        nxt.count()  # materialize before dropping the parent
+        prev.unpersist()
+        untrack(prev)
+        prev = nxt
+    return merges, prev
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned merge rules (in training order) to new text; adds
+    ``bpe_tokens ARRAY<STRING>``. Pure chained array folds -- plan
+    size is O(len(merges)), no shuffle at all."""
+    seq = F.filter(F.split(F.col(text_col), " +"), lambda t: t != "")
+    for a, b in merges:
+        seq = _merge_pair_expr(seq, a, b)
+    return df.withColumn("bpe_tokens", seq)

@@ -1331,3 +1331,78 @@ register(QuerySpec(
             "exactly-once-merge"),
     extended=True,
 ))
+
+
+# --- BPE merge-rule learning (operators/corpus.py) ----------------------------
+#
+# The oracle unrolls the training loop: each round counts adjacent
+# pairs (lateral range unnest) and rewrites the corpus by replacing
+# the winning pair. The rewrite wraps every token as |tok| and
+# replaces ' |a| |b| ' with ' |ab| ': non-overlapping left-to-right
+# string replacement on delimiter-wrapped tokens reproduces exactly
+# the greedy leftmost-nonoverlapping fold the Spark operator runs
+# ([a,a,a] -> [aa,a]), because consecutive matches never share
+# delimiter characters.
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _seqs = learn_bpe_merges(docs, "text", n_merges=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step int, a string, b string",
+    ).orderBy("step")
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    prev = "s0"
+    sel_parts = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+        p{r} AS (
+            SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS n
+            FROM {prev}, unnest(range(1, len(t))) AS u(i)
+            GROUP BY t[i], t[i + 1]
+        ),
+        m{r} AS (
+            SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+        )""")
+        if r < _BPE_ROUNDS:
+            rounds.append(f"""
+        s{r} AS (
+            SELECT list_transform(
+                regexp_split_to_array(trim(replace(
+                    ' ' || array_to_string(
+                        list_transform(t, x -> '|' || x || '|'), ' ')
+                        || ' ',
+                    (SELECT ' |' || a || '| |' || b || '| ' FROM m{r}),
+                    (SELECT ' |' || a || b || '| ' FROM m{r}))),
+                    ' +'),
+                x -> trim(x, '|')) AS t
+            FROM {prev}
+        )""")
+            prev = f"s{r}"
+        sel_parts.append(
+            f"SELECT {r} AS step, a, b FROM m{r}"
+        )
+    return f"""
+        WITH s0 AS (
+            SELECT regexp_split_to_array(text, ' +') AS t FROM documents
+        ),{",".join(rounds)}
+        SELECT * FROM ({" UNION ALL ".join(sel_parts)}) m
+        ORDER BY step
+    """
+
+
+register(QuerySpec(
+    name="bpe_learned_merges",
+    spark_fn=_bpe_merges,
+    oracle=_bpe_oracle,
+    covers=("bpe-training", "iterative-argmax"),
+    extended=True,
+))

@@ -2562,3 +2562,65 @@ class TestContrastiveTriplets:
         # determinism: second run identical
         out2 = contrastive_triplets(df, "vec_id", "label").collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+class TestBpeMerges:
+    def test_learn_and_apply_known_corpus(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            apply_bpe_merges,
+            learn_bpe_merges,
+        )
+
+        # "new york" dominates (5x), then "san francisco" (4x --
+        # split across two continuations so no pair ties with it)
+        rows = (
+            [("new york city",)] * 3
+            + [("in new york",)] * 2
+            + [("san francisco fog",)] * 2
+            + [("san francisco bay",)] * 2
+            + [("lone",)]
+        )
+        df = spark.createDataFrame(rows, "text string")
+        merges, seqs = learn_bpe_merges(df, "text", n_merges=2)
+        assert merges[0] == ("new", "york")
+        assert merges[1] == ("san", "francisco")
+        # the trained corpus has the merged units
+        texts = [r.seq for r in seqs.collect()]
+        assert ["newyork", "city"] in texts
+        assert ["sanfrancisco", "fog"] in texts
+        from etl_on_weather_dataset_spark.operators.caching import release_all
+
+        release_all()
+
+        # applying the rules to NEW text reproduces the merges
+        out = apply_bpe_merges(
+            spark.createDataFrame([("new york san francisco",)],
+                                  "text string"),
+            merges,
+        ).collect()[0]
+        assert out.bpe_tokens == ["newyork", "sanfrancisco"]
+
+    def test_greedy_nonoverlapping_rule(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            apply_bpe_merges,
+        )
+
+        out = apply_bpe_merges(
+            spark.createDataFrame([("a a a",)], "text string"),
+            [("a", "a")],
+        ).collect()[0]
+        # leftmost-nonoverlapping: [a,a,a] -> [aa, a], never [aa, aa]
+        assert out.bpe_tokens == ["aa", "a"]
+
+    def test_min_count_stops_early(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            learn_bpe_merges,
+        )
+        from etl_on_weather_dataset_spark.operators.caching import release_all
+
+        df = spark.createDataFrame(
+            [("x y",), ("p q",), ("solo",)], "text string"
+        )
+        merges, _ = learn_bpe_merges(df, "text", n_merges=5, min_count=2)
+        release_all()
+        assert merges == []  # every pair occurs once < min_count
