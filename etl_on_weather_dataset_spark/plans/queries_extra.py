@@ -1336,3 +1336,75 @@ register(QuerySpec(
     covers=("referential-integrity", "fk-orphan-audit"),
     extended=True,
 ))
+
+
+# --- robust outliers: grouped median + MAD ------------------------------------
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier gate per event_type -- the robust twin of
+    the rolling z-score (a single 1000x spike shifts a mean/stddev
+    gate but not a median/MAD one). Two grouped exact-percentile
+    passes (value, then |value - median|) + one broadcast join back;
+    the 'robust z' threshold uses the standard 1.4826 MAD-to-sigma
+    factor. Exact percentile keeps the oracle bit-faithful; at
+    petabyte grain swap percentile_approx in (documented dial, same
+    plan shape)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("value") - F.col("med"))
+            > 3.0 * 1.4826 * F.col("mad")
+        ).alias("is_outlier"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "n", "n_outliers", "med", "mad")
+        .orderBy("event_type")
+    )
+
+
+register(QuerySpec(
+    name="mad_outliers_by_type",
+    spark_fn=_mad_outliers,
+    oracle="""
+        WITH med AS (
+            SELECT event_type, MEDIAN(value) AS med FROM events
+            GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   ABS(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, MEDIAN(adev) AS mad FROM dev
+            GROUP BY event_type
+        )
+        SELECT d.event_type,
+               COUNT(*) AS n,
+               SUM(CAST(ABS(d.value - d.med) > 3.0 * 1.4826 * a.mad
+                        AS BIGINT)) AS n_outliers,
+               MIN(d.med) AS med,
+               MIN(a.mad) AS mad
+        FROM dev d JOIN mad a USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    covers=("robust-outliers", "grouped-median-mad"),
+    extended=True,
+))

@@ -99,8 +99,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # grouping_sets_revenue), the graph tier (graph_degree_stats,
 # graph_triangle_summary, graph_pagerank_top), and
 # rolling_zscore_anomalies, source_drift_kl,
-# rollup_incremental_daily -- swap them into ROTATE_IN next round,
-# parking equally many r4-attested names. The 21 slots that never rotate are
+# rollup_incremental_daily, melt_measure_profile,
+# chi_square_independence, ohlc_daily_candles, twap_daily,
+# corr_matrix_lineitem, quantile_bins_events, mad_outliers_by_type,
+# referential_integrity_audit, contrastive_triplets_emb,
+# bpe_learned_merges -- swap them into ROTATE_IN next round (two
+# rounds of rotation if the count exceeds the free slots), parking
+# equally many r4-attested names. The 21 slots that never rotate are
 # the flagships and one query per operator family (TPC-H headliners,
 # the four dedup tiers, ANN, text, multimodal, sessionization, MERGE,
 # as-of) -- the queries a user runs hourly. The window is exactly
