@@ -215,3 +215,136 @@ def test_classifier_logit_matches_integer_sum(spark, docs):
         assert r["label"] == int(r["logit_milli"] > 0)
         # per-token weights are bounded by 1000 milli
         assert abs(r["logit_milli"]) <= 1000 * r["n_tokens"]
+
+
+# --- graph tier ----------------------------------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=30,
+).map(lambda ps: sorted({(min(a, b), max(a, b)) for a, b in ps}))
+
+
+@given(pairs=edges_strategy)
+@SETTINGS
+def test_pagerank_mass_and_positivity(spark, pairs):
+    from etl_on_weather_dataset_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+    from etl_on_weather_dataset_spark.operators.caching import release_all
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    try:
+        rows = pagerank_fixed_point(edges, iters=2).collect()
+    finally:
+        release_all()
+    nodes = {n for p in pairs for n in p}
+    assert {r.node for r in rows} == nodes
+    assert all(r.rank_q > 0 for r in rows)
+    # floor losses only ever REMOVE mass, bounded per node per round
+    total = sum(r.rank_q for r in rows)
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE - 4 * 2 * len(nodes) - len(nodes)
+
+
+@given(pairs=edges_strategy)
+@SETTINGS
+def test_triangle_count_matches_bruteforce(spark, pairs):
+    from itertools import combinations
+
+    from etl_on_weather_dataset_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = triangle_count(edges).collect()[0].n_triangles
+    eset = set(pairs)
+    nodes = sorted({n for p in pairs for n in p})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    )
+    assert got == want
+
+
+# --- rolling z-score ----------------------------------------------------------
+
+series_strategy = st.lists(
+    st.floats(min_value=-50, max_value=50, allow_nan=False,
+              allow_infinity=False),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(vals=series_strategy)
+@SETTINGS
+def test_rolling_zscore_matches_naive(spark, vals):
+    import datetime as dt
+    import math
+
+    from etl_on_weather_dataset_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    W = 5
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), "u", float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, value double"
+    )
+    got = {
+        r.event_id: (r.z, r.is_anomaly)
+        for r in rolling_zscore(
+            df, "user_id", "ts", "event_id", "value", window_rows=W
+        ).collect()
+    }
+    cents = [round(v * 100) for v in vals]
+    for i in range(len(vals)):
+        if i < W:
+            assert got[i] == (None, False)
+            continue
+        tail = cents[i - W:i]
+        s1, s2 = sum(tail), sum(x * x for x in tail)
+        mean = s1 / W
+        var = s2 / W - mean * mean
+        if var <= 0:
+            assert got[i] == (None, False)
+        else:
+            z = (cents[i] - mean) / math.sqrt(var)
+            assert got[i][0] == z  # bit-identical, not approx
+            assert got[i][1] == (abs(z) > 3.0)
+
+
+# --- Morton key ----------------------------------------------------------------
+
+@given(
+    pts=st.lists(st.tuples(st.integers(0, 63), st.integers(0, 63)),
+                 min_size=2, max_size=30, unique=True)
+)
+@SETTINGS
+def test_morton_key_bijective_on_grid(spark, pts):
+    from etl_on_weather_dataset_spark.operators.layout import morton_key
+
+    df = spark.createDataFrame(pts, "x int, y int")
+    # fix the grid so hypothesis' point set doesn't rescale it
+    df = df.unionByName(
+        spark.createDataFrame([(0, 0), (63, 63)], "x int, y int")
+    ).distinct()
+    out = df.withColumn("z", morton_key(df, ["x", "y"], bits=6)).collect()
+    zs = {}
+    for r in out:
+        # interleave manually: x bit i -> 2i, y bit i -> 2i+1
+        want = 0
+        for i in range(6):
+            want |= ((r.x >> i) & 1) << (2 * i)
+            want |= ((r.y >> i) & 1) << (2 * i + 1)
+        assert r.z == want
+        zs[(r.x, r.y)] = r.z
+    assert len(set(zs.values())) == len(zs)  # injective on the grid
