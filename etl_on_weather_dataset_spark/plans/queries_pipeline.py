@@ -1406,3 +1406,82 @@ register(QuerySpec(
     covers=("bpe-training", "iterative-argmax"),
     extended=True,
 ))
+
+
+# --- BPE end-to-end compression stats -----------------------------------------
+
+def _bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn merges, re-apply them to the corpus, report the token
+    compression: total tokens before/after and exact micro-ratio.
+    (The re-application is how serving uses the rules; the stats pin
+    the whole train->apply loop end-to-end, not just the rule list.)"""
+    from ..operators.corpus import apply_bpe_merges, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = learn_bpe_merges(docs, "text", n_merges=_BPE_ROUNDS)
+    applied = apply_bpe_merges(docs, merges, "text")
+    before = F.size(F.filter(F.split(F.col("text"), " +"),
+                             lambda t: t != ""))
+    return applied.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(before).alias("tokens_before"),
+        F.sum(F.size("bpe_tokens")).alias("tokens_after"),
+        F.expr(
+            "CAST(sum(size(bpe_tokens)) * 1000000"
+            " div sum(size(filter(split(text, ' +'), t -> t != '')))"
+            " AS BIGINT)"
+        ).alias("ratio_micro"),
+    )
+
+
+def _bpe_compression_oracle() -> str:
+    # same CTE chain as the learning oracle, but every round gets a
+    # rewrite (the learning twin skips the last one) and the tail
+    # aggregates the fully-merged corpus instead of listing rules
+    rounds = []
+    prev = "s0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+        p{r} AS (
+            SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS n
+            FROM {prev}, unnest(range(1, len(t))) AS u(i)
+            GROUP BY t[i], t[i + 1]
+        ),
+        m{r} AS (
+            SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+        ),
+        s{r} AS (
+            SELECT list_transform(
+                regexp_split_to_array(trim(replace(
+                    ' ' || array_to_string(
+                        list_transform(t, x -> '|' || x || '|'), ' ')
+                        || ' ',
+                    (SELECT ' |' || a || '| |' || b || '| ' FROM m{r}),
+                    (SELECT ' |' || a || b || '| ' FROM m{r}))),
+                    ' +'),
+                x -> trim(x, '|')) AS t
+            FROM {prev}
+        )""")
+        prev = f"s{r}"
+    return f"""
+        WITH s0 AS (
+            SELECT regexp_split_to_array(text, ' +') AS t FROM documents
+        ),{",".join(rounds)}
+        SELECT (SELECT COUNT(*) FROM s0) AS n_docs,
+               (SELECT CAST(SUM(len(t)) AS BIGINT) FROM s0)
+                   AS tokens_before,
+               (SELECT CAST(SUM(len(t)) AS BIGINT) FROM {prev})
+                   AS tokens_after,
+               CAST((SELECT SUM(len(t)) FROM {prev}) * 1000000
+                    // (SELECT SUM(len(t)) FROM s0) AS BIGINT)
+                   AS ratio_micro
+    """
+
+
+register(QuerySpec(
+    name="bpe_compression_stats",
+    spark_fn=_bpe_compression,
+    oracle=_bpe_compression_oracle,
+    covers=("bpe-apply", "tokenizer-compression"),
+    extended=True,
+))

@@ -417,3 +417,45 @@ class TestBucketedJoin:
             )
             spark.sql("DROP TABLE IF EXISTS bk_a")
             spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_injects_bloom_probe(self, spark):
+        """Runtime bloom-filter join (Spark 3.3+): a selective filter
+        on the dim side of a SHUFFLE join injects might_contain on the
+        fact side, so fact rows that can't join are dropped pre-
+        exchange -- the engine-native form of the semi-join pushdown
+        the dedup tiers hand-build. Pinned here so a config regression
+        (it needs runtime.bloomFilter.enabled) can't silently remove
+        the capability at cluster scale (broadcast joins don't need
+        it, hence the forced thresholds)."""
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = spark.read.parquet(
+                "/root/testdata/sf0.001/lineitem.parquet"
+            )
+            part = spark.read.parquet(
+                "/root/testdata/sf0.001/part.parquet"
+            ).filter(F.col("p_size") < 5)
+            j = li.join(part, li.l_partkey == part.p_partkey).agg(
+                F.sum("l_quantity")
+            )
+            ex = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in ex, ex[:2000]
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
