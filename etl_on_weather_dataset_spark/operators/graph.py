@@ -24,8 +24,9 @@ Scale notes:
   node-iterator bound): every wedge is generated at its LOWEST-degree
   vertex, bounding per-vertex expansion by O(sqrt(m)) even with hubs;
 - PageRank shuffles (src -> dst) contributions with map-side partial
-  sums; each iteration persists its rank frame and unpersists the
-  previous one so the lineage (and plan size) stays O(1) per round.
+  sums over a persisted directed edge list; the rank lineage is a
+  linear chain checkpointed every ``persist_every`` rounds, so plan
+  depth is bounded for any iteration count.
 """
 
 from __future__ import annotations
@@ -156,6 +157,12 @@ def pagerank_fixed_point(
     outdeg = persisted(outdeg)
     # one scalar; materializes both persists (outdeg scans directed)
     n_nodes = outdeg.count()
+    if n_nodes == 0:
+        return outdeg.select(
+            F.col("src").alias("node"),
+            F.lit(0).cast("long").alias("rank_q"),
+            F.lit(0.0).alias("rank"),
+        )
 
     ranks = outdeg.select(
         "src", F.lit(PR_SCALE // n_nodes).cast("long").alias("rank_q")
@@ -200,10 +207,13 @@ def pagerank_fixed_point(
 
 def pagerank_oracle_sql(
     edges_sql: str, iters: int = 3, damping_pct: int = 85
-) -> str:
+) -> tuple[str, str]:
     """DuckDB twin of :func:`pagerank_fixed_point`: the same integer
     recurrence unrolled as ``iters`` chained CTEs over ``edges_sql``
-    (a query producing undirected (src, dst) with src < dst)."""
+    (a query producing undirected (src, dst) with src < dst).
+
+    Returns ``(cte_prefix, last_cte_name)`` -- the caller appends its
+    own final SELECT over the last CTE (see queries_graph.py)."""
     pre = f"""
         WITH edges AS ({edges_sql}),
         directed AS (

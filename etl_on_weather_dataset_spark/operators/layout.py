@@ -28,17 +28,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _to_grid(df: DataFrame, col: str, bits: int) -> Column:
-    """Map a column onto [0, 2^bits) preserving order (numeric) or
-    via hash bucketing (string/other)."""
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double",
+            "date", "timestamp", "timestamp_ntz")
+
+
+def _ordered_col(df: DataFrame, col: str) -> Column | None:
+    """Order-preserving numeric view of a column, or None if the
+    column can only be hash-bucketed."""
     dtype = dict(df.dtypes)[col]
+    if dtype not in _NUMERIC:
+        return None
+    c = F.col(col)
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        c = F.unix_timestamp(c)
+    return c
+
+
+def _to_grid(
+    c: Column | None, col: str, bits: int,
+    bounds: tuple[float, float] | None,
+) -> Column:
+    """Map a column onto [0, 2^bits) preserving order (numeric, with
+    precomputed bounds) or via hash bucketing (string/other)."""
     cells = (1 << bits) - 1
-    if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double",
-                 "date", "timestamp", "timestamp_ntz"):
-        c = F.col(col)
-        if dtype in ("date", "timestamp", "timestamp_ntz"):
-            c = F.unix_timestamp(c)
-        lo, hi = df.agg(F.min(c), F.max(c)).first()
+    if c is not None:
+        lo, hi = bounds
         if lo is None or hi is None or float(hi) == float(lo):
             return F.lit(0).cast("long")
         lo_f, hi_f = float(lo), float(hi)
@@ -60,7 +74,22 @@ def morton_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
     dims = len(cols)
     if bits * dims > 63:
         raise ValueError(f"{bits} bits x {dims} dims exceeds a long")
-    grids = [_to_grid(df, c, bits) for c in cols]
+    # ONE combined min/max aggregate for every numeric dimension --
+    # not one scan per column
+    ordered = {c: _ordered_col(df, c) for c in cols}
+    numeric = [c for c in cols if ordered[c] is not None]
+    bounds: dict[str, tuple[float, float]] = {}
+    if numeric:
+        aggs = []
+        for c in numeric:
+            aggs.append(F.min(ordered[c]).alias(f"lo_{c}"))
+            aggs.append(F.max(ordered[c]).alias(f"hi_{c}"))
+        row = df.agg(*aggs).first()
+        for c in numeric:
+            bounds[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+    grids = [
+        _to_grid(ordered[c], c, bits, bounds.get(c)) for c in cols
+    ]
     terms = [
         F.shiftleft(F.shiftright(g, i).bitwiseAND(F.lit(1)), i * dims + d)
         for d, g in enumerate(grids)
@@ -164,7 +193,8 @@ def compact_files(
     fs_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
     fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total_bytes = fs.getContentSummary(fs_path).getLength()
-    n = max(1, int(total_bytes / (target_mb * 1024 * 1024)) or 1)
+    # nearest int, not floor: 255 MB at target 128 must give 2 files
+    n = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(src_path)
     if sort_col is not None:
         df = df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)

@@ -1338,11 +1338,12 @@ register(QuerySpec(
 # The oracle unrolls the training loop: each round counts adjacent
 # pairs (lateral range unnest) and rewrites the corpus by replacing
 # the winning pair. The rewrite wraps every token as |tok| and
-# replaces ' |a| |b| ' with ' |ab| ': non-overlapping left-to-right
-# string replacement on delimiter-wrapped tokens reproduces exactly
-# the greedy leftmost-nonoverlapping fold the Spark operator runs
-# ([a,a,a] -> [aa,a]), because consecutive matches never share
-# delimiter characters.
+# replaces ' |a|  |b| ' with ' |ab| ': tokens are joined with TWO
+# spaces and each pattern consumes one boundary space on each side, so
+# back-to-back occurrences ([x,y,x,y]) each keep a separator of their
+# own and both merge -- exactly the greedy leftmost-nonoverlapping
+# fold the Spark operator runs ([a,a,a] -> [aa,a], [x,y,x,y] ->
+# [xy,xy]).
 
 _BPE_ROUNDS = 3
 
@@ -1378,9 +1379,9 @@ def _bpe_oracle() -> str:
             SELECT list_transform(
                 regexp_split_to_array(trim(replace(
                     ' ' || array_to_string(
-                        list_transform(t, x -> '|' || x || '|'), ' ')
+                        list_transform(t, x -> '|' || x || '|'), '  ')
                         || ' ',
-                    (SELECT ' |' || a || '| |' || b || '| ' FROM m{r}),
+                    (SELECT ' |' || a || '|  |' || b || '| ' FROM m{r}),
                     (SELECT ' |' || a || b || '| ' FROM m{r}))),
                     ' +'),
                 x -> trim(x, '|')) AS t
@@ -1454,9 +1455,9 @@ def _bpe_compression_oracle() -> str:
             SELECT list_transform(
                 regexp_split_to_array(trim(replace(
                     ' ' || array_to_string(
-                        list_transform(t, x -> '|' || x || '|'), ' ')
+                        list_transform(t, x -> '|' || x || '|'), '  ')
                         || ' ',
-                    (SELECT ' |' || a || '| |' || b || '| ' FROM m{r}),
+                    (SELECT ' |' || a || '|  |' || b || '| ' FROM m{r}),
                     (SELECT ' |' || a || b || '| ' FROM m{r}))),
                     ' +'),
                 x -> trim(x, '|')) AS t

@@ -348,6 +348,8 @@ def stream_incremental_dedup(
     return seen
 
 
+# default output shape (actual schema follows the caller's id/key
+# column names and types; see stream_zscore)
 ZSCORE_SCHEMA = (
     "event_id LONG, user_id LONG, v_c LONG, z DOUBLE, is_anomaly BOOLEAN"
 )
@@ -380,15 +382,30 @@ def stream_zscore(
     watermark buffering -- callers with late data should bucket
     through a watermarked sort first.
     """
+    import decimal
     import math
 
     import pandas as pd
 
     from pyspark.sql.types import _parse_datatype_string
 
-    out_schema = _parse_datatype_string(ZSCORE_SCHEMA)
+    # output schema follows the caller's column names/types (the
+    # id/key columns need not be bigints named event_id/user_id)
+    id_t = df.schema[id_col].dataType.simpleString()
+    key_t = df.schema[key_col].dataType.simpleString()
+    out_schema = _parse_datatype_string(
+        f"{id_col} {id_t}, {key_col} {key_t}, v_c LONG, z DOUBLE,"
+        " is_anomaly BOOLEAN"
+    )
     state_schema = _parse_datatype_string(ZSCORE_STATE_SCHEMA)
     W = window_rows
+
+    def _half_up(x: float) -> int:
+        # Spark's F.round = BigDecimal HALF_UP on the exact double;
+        # Python's round() is half-to-even and would diverge on .5
+        return int(
+            decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
 
     def fn(key, pdfs, state: GroupState):
         (user,) = key
@@ -396,11 +413,11 @@ def stream_zscore(
         rows = rows.sort_values([ts_col, id_col])
         window: list[int] = list(state.get[0]) if state.exists else []
         out: dict[str, list] = {
-            "event_id": [], "user_id": [], "v_c": [], "z": [],
+            id_col: [], key_col: [], "v_c": [], "z": [],
             "is_anomaly": [],
         }
         for eid, val in zip(rows[id_col], rows[value_col]):
-            v_c = int(round(float(val) * value_scale))
+            v_c = _half_up(float(val) * value_scale)
             z = None
             flag = False
             if len(window) >= W:
@@ -414,8 +431,8 @@ def stream_zscore(
                 if var > 0:
                     z = (v_c - mean) / math.sqrt(var)
                     flag = abs(z) > threshold
-            out["event_id"].append(eid)
-            out["user_id"].append(user)
+            out[id_col].append(eid)
+            out[key_col].append(user)
             out["v_c"].append(v_c)
             out["z"].append(z)
             out["is_anomaly"].append(flag)

@@ -77,3 +77,10 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = {r.node: r.rank_q for r in pagerank_fixed_point(e1).collect()}
     r16 = {r.node: r.rank_q for r in pagerank_fixed_point(e16).collect()}
     assert r1 == r16
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_fixed_point(edges, iters=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank_q", "rank"]

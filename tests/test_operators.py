@@ -2624,3 +2624,43 @@ class TestBpeMerges:
         merges, _ = learn_bpe_merges(df, "text", n_merges=5, min_count=2)
         release_all()
         assert merges == []  # every pair occurs once < min_count
+
+
+def test_bpe_oracle_handles_back_to_back_pairs(spark):
+    """Adversarial case from review: a doc repeating the winning pair
+    back-to-back ([x,y,x,y]) must merge BOTH occurrences in the
+    DuckDB twin, exactly like the Spark fold."""
+    import duckdb
+
+    from etl_on_weather_dataset_spark.operators.caching import release_all
+    from etl_on_weather_dataset_spark.operators.corpus import (
+        learn_bpe_merges,
+    )
+    from etl_on_weather_dataset_spark.plans.queries_pipeline import (
+        _bpe_compression_oracle,
+    )
+
+    rows = [("x y x y",)] * 4 + [("x y pad",)] * 2 + [("filler words",)]
+    df = spark.createDataFrame(rows, "text string")
+    merges, seqs = learn_bpe_merges(df, "text", n_merges=1)
+    assert merges == [("x", "y")]
+    texts = [r.seq for r in seqs.collect()]
+    release_all()
+    assert texts.count(["xy", "xy"]) == 4  # both occurrences merged
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)",
+                    [(t,) for (t,) in rows])
+    n_docs, before, after, _ratio = con.sql(
+        _bpe_compression_oracle()
+    ).fetchall()[0]
+    assert (n_docs, before) == (7, 4 * 4 + 3 * 2 + 2)
+    # spark side totals
+    spark_after = sum(len(t) for t in texts)
+    # oracle applies 3 rounds vs spark's 1 here; re-learn with 3 to
+    # compare apples to apples
+    merges3, seqs3 = learn_bpe_merges(df, "text", n_merges=3)
+    spark_after3 = sum(len(r.seq) for r in seqs3.collect())
+    release_all()
+    assert after == spark_after3

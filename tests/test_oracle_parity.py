@@ -56,3 +56,16 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_readme_query_count_matches_registry():
+    """The README's stated query count must track the registry (the
+    count went stale twice in round 4 -- pin it)."""
+    import re
+
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) named queries", readme)
+    assert m, "README no longer states a query count"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} but registry has {len(QUERIES)}"
+    )

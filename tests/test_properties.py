@@ -305,7 +305,13 @@ def test_rolling_zscore_matches_naive(spark, vals):
             df, "user_id", "ts", "event_id", "value", window_rows=W
         ).collect()
     }
-    cents = [round(v * 100) for v in vals]
+    import decimal
+
+    cents = [
+        int(decimal.Decimal(v * 100).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+        for v in vals
+    ]  # Spark F.round is HALF_UP on the exact double, not banker's
     for i in range(len(vals)):
         if i < W:
             assert got[i] == (None, False)

@@ -306,8 +306,11 @@ class TestPlanProperties:
         agg_pos = plan.find("HashAggregate")
         cust_scan = plan.find("customer.parquet")
         assert 0 < agg_pos and 0 < cust_scan
-        # formatted explain lists operators leaf-last; the aggregate
-        # node must sit above (before) the customer scan subtree
+        # the tree prints the join's probe child (the per-customer
+        # aggregate subtree) before the build child (customer scan):
+        # if the aggregate regressed to run after the dim join, the
+        # first HashAggregate would appear after the customer scan
+        assert agg_pos < cust_scan, plan[:2000]
         assert "TakeOrderedAndProject" in plan
 
     def test_graph_queries_have_no_cartesian(self, spark):
