@@ -69,3 +69,36 @@ def test_readme_query_count_matches_registry():
     assert int(m.group(1)) == len(QUERIES), (
         f"README says {m.group(1)} but registry has {len(QUERIES)}"
     )
+
+
+def test_compare_harness_detects_divergence(spark):
+    """Meta-test: the parity harness itself must FAIL loudly when the
+    oracle and the query genuinely differ -- a vacuous comparator
+    would green-light everything. Perturb values, row count, and a
+    column name; each must raise."""
+    import pytest
+
+    from .oracle_harness import compare
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    base = "SELECT * FROM (VALUES (1, 10.0), (2, 20.0)) t(k, v)"
+    compare(df, base, SF_ORACLE, name="meta_ok")  # sanity: identical passes
+
+    with pytest.raises(AssertionError):
+        compare(
+            df,
+            "SELECT * FROM (VALUES (1, 10.0), (2, 20.5)) t(k, v)",
+            SF_ORACLE, name="meta_value",
+        )
+    with pytest.raises(AssertionError):
+        compare(
+            df,
+            "SELECT * FROM (VALUES (1, 10.0)) t(k, v)",
+            SF_ORACLE, name="meta_rows",
+        )
+    with pytest.raises(AssertionError):
+        compare(
+            df,
+            "SELECT * FROM (VALUES (1, 10.0), (2, 20.0)) t(k, other)",
+            SF_ORACLE, name="meta_schema",
+        )
