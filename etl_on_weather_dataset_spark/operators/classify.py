@@ -218,3 +218,156 @@ def vocab_linear_score_sql(
             FROM {table}
         )
     """
+
+
+# --- in-engine training: full-batch logistic regression -----------------------
+
+GRAD_SCALE = 10**6
+
+
+def train_hashed_logreg(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    iters: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 2,
+) -> tuple[list[int], DataFrame]:
+    """Train the hashing-trick linear model INSIDE the engine:
+    full-batch gradient descent on logistic loss over hashed
+    bag-of-token counts.
+
+    Fixed-point discipline (the k-means/BPE coordination pattern):
+    - features are exact integer counts per (doc, bucket), built once
+      and persisted (one shuffle for the whole training run);
+    - the margin is an exact BIGINT dot product (micro-unit weights x
+      integer counts);
+    - each row's gradient contribution (p_i - y_i) * x_id is rounded
+      to micro-units BEFORE the sum, so the parallel gradient
+      aggregate is exact and partitioning-invariant (the sigmoid's
+      last-ulp libm wiggle is absorbed by the rounding, same as
+      BM25's idf snap);
+    - the weight update w -= lr * grad / n runs in integer floor
+      division on the driver over D collected scalars per round --
+      O(dim * iters) driver coordination, like MLlib's collectAsMap.
+
+    Returns (final_weights_micro, scored) where ``scored`` is the
+    final per-doc (id, y, margin_micro, pred) frame.
+    """
+    from .caching import persisted
+
+    feats = persisted(
+        df.select(
+            F.col(id_col).alias("id"),
+            label.cast("int").alias("y"),
+            F.explode(tokens(text_col)).alias("t"),
+        )
+        .select("id", "y", _bucket(F.col("t"), dim).alias("b"))
+        .groupBy("id", "y", "b")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    n_docs = feats.select("id").distinct().count()
+    w = [0] * dim
+
+    def margins(weights: list[int]) -> DataFrame:
+        w_arr = F.array(*[F.lit(int(v)).cast("long") for v in weights])
+        return (
+            feats.select(
+                "id", "y",
+                (F.element_at(w_arr, F.col("b").cast("int") + 1)
+                 * F.col("x")).alias("wx"),
+            )
+            .groupBy("id", "y")
+            .agg(F.sum("wx").alias("m_micro"))
+        )
+
+    for _ in range(iters):
+        m = margins(w)
+        p = 1.0 / (1.0 + F.exp(-(F.col("m_micro").cast("double") / 1e6)))
+        contrib = (
+            feats.join(m.select("id", "m_micro"), "id")
+            .select(
+                "b",
+                F.round(
+                    (p - F.col("y").cast("double"))
+                    * F.col("x").cast("double") * GRAD_SCALE
+                ).cast("long").alias("g"),
+            )
+            .groupBy("b")
+            .agg(F.sum("g").alias("grad"))
+        )
+        grads = {r["b"]: r["grad"] for r in contrib.collect()}
+        for d in range(dim):
+            g = int(grads.get(d, 0))
+            # exact integer update: micro-weights, floor division
+            w[d] = w[d] - (lr_num * g) // (lr_den * n_docs)
+
+    scored = margins(w).select(
+        "id", "y", "m_micro",
+        (F.col("m_micro") > 0).cast("int").alias("pred"),
+    )
+    return w, scored
+
+
+def train_hashed_logreg_sql(
+    table: str,
+    label_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    iters: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 2,
+) -> str:
+    """DuckDB twin: the same training loop unrolled as CTEs. Returns
+    SQL producing the final (dim, w_micro) weight table."""
+    tok_val = "(ascii(t[1]) * 256 + length(t))"
+    bucket = f"(({tok_val} * {_MULT} + {_INC}) % {dim})"
+    pre = f"""
+        WITH feats AS (
+            SELECT id, y, b, CAST(COUNT(*) AS BIGINT) AS x
+            FROM (
+                SELECT id, y, {bucket} AS b
+                FROM (
+                    SELECT {id_col} AS id, CAST({label_sql} AS INT) AS y,
+                           unnest(regexp_split_to_array({text_col},
+                                                        ' +')) AS t
+                    FROM {table}
+                ) raw
+            ) bt GROUP BY id, y, b
+        ),
+        n AS (SELECT COUNT(DISTINCT id) AS n_docs FROM feats),
+        dims AS (SELECT unnest(range(0, {dim})) AS b),
+        w0 AS (SELECT b, CAST(0 AS BIGINT) AS w FROM dims)"""
+    prev = "w0"
+    for r in range(1, iters + 1):
+        pre += f""",
+        m{r} AS (
+            SELECT id, y, SUM(w * x) AS m_micro
+            FROM feats JOIN {prev} USING (b)
+            GROUP BY id, y
+        ),
+        g{r} AS (
+            SELECT b, SUM(CAST(ROUND(
+                (1.0 / (1.0 + exp(-(CAST(m_micro AS DOUBLE) / 1e6)))
+                 - CAST(y AS DOUBLE)) * CAST(x AS DOUBLE)
+                * {GRAD_SCALE}) AS BIGINT)) AS grad
+            FROM feats JOIN (SELECT id, m_micro FROM m{r}) mm
+                 USING (id)
+            GROUP BY b
+        ),
+        w{r} AS (
+            SELECT d.b,
+                   CAST(p.w - ({lr_num} * COALESCE(g.grad, 0))
+                        // ({lr_den} * (SELECT n_docs FROM n))
+                        AS BIGINT) AS w
+            FROM dims d
+            JOIN {prev} p USING (b)
+            LEFT JOIN g{r} g USING (b)
+        )"""
+        prev = f"w{r}"
+    return pre + f"""
+        SELECT b AS dim, w AS w_micro FROM {prev} ORDER BY b
+    """

@@ -1486,3 +1486,47 @@ register(QuerySpec(
     covers=("bpe-apply", "tokenizer-compression"),
     extended=True,
 ))
+
+
+# --- in-engine classifier training (operators/classify.py) --------------------
+
+_LOGREG_DIM, _LOGREG_ITERS = 16, 3
+
+
+def _logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train logistic regression on hashed bag-of-tokens with the
+    weak label 'document mentions the token data'; output the final
+    per-bucket micro-weights -- which pin every margin, sigmoid,
+    gradient and update of the whole training run bit-for-bit."""
+    from ..operators.classify import train_hashed_logreg
+    from ..operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.array_contains(_tokens("text"), "data")
+    w, _scored = train_hashed_logreg(
+        docs, label, "text", "doc_id",
+        dim=_LOGREG_DIM, iters=_LOGREG_ITERS,
+    )
+    return spark.createDataFrame(
+        [(d, int(v)) for d, v in enumerate(w)], "dim int, w_micro long"
+    ).orderBy("dim")
+
+
+def _logreg_oracle() -> str:
+    from ..operators.classify import train_hashed_logreg_sql
+
+    return train_hashed_logreg_sql(
+        "documents",
+        "list_contains(regexp_split_to_array(text, ' +'), 'data')",
+        "text", "doc_id", dim=_LOGREG_DIM, iters=_LOGREG_ITERS,
+    )
+
+
+register(QuerySpec(
+    name="logreg_trained_weights",
+    spark_fn=_logreg_weights,
+    oracle=_logreg_oracle,
+    covers=("in-engine-training", "logistic-regression",
+            "fixed-point-gradients"),
+    extended=True,
+))

@@ -457,3 +457,60 @@ register(QuerySpec(
     covers=("grouping-sets", "grouping-id"),
     extended=True,
 ))
+
+
+# --- Q22 (adapted): rich-but-inactive customers ------------------------------
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and NO orders,
+    grouped by nation: the classic scalar-subquery + anti-join combo.
+    The average is a 1-row aggregate broadcast into the filter (no
+    second scan of customer at the filter site thanks to plan reuse),
+    and the anti-join ships only custkeys. (True Q22 derives country
+    codes from phone prefixes; the schema has no phone column, so the
+    nation key plays that role.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        # exact cents avg: sum(cents)/n, one deterministic division
+        (F.sum(_cents("c_acctbal")).cast("double")
+         / F.count(F.lit(1))).alias("avg_c")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(_cents("c_acctbal").cast("double") > F.col("avg_c"))
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(_cents("c_acctbal")) / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+register(QuerySpec(
+    name="rich_inactive_customers",
+    spark_fn=_q22,
+    oracle="""
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) AS avg_c
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) / 100.0
+                   AS totacctbal
+        FROM customer, avg_bal
+        WHERE CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS DOUBLE)
+                  > avg_c
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    covers=("tpch-q22", "scalar-subquery-anti-join"),
+    extended=True,
+))

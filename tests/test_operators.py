@@ -2664,3 +2664,53 @@ def test_bpe_oracle_handles_back_to_back_pairs(spark):
     spark_after3 = sum(len(r.seq) for r in seqs3.collect())
     release_all()
     assert after == spark_after3
+
+
+class TestLogregTraining:
+    def test_learns_separable_concept(self, spark):
+        from pyspark.sql import functions as Fx
+
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.classify import (
+            train_hashed_logreg,
+        )
+        from etl_on_weather_dataset_spark.operators.text import tokens
+
+        # positives contain 'spam', negatives don't; filler shared
+        rows = [(i, "spam alpha beta") for i in range(30)] + \
+               [(i + 100, "alpha beta gamma") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        label = Fx.array_contains(tokens("text"), "spam")
+        try:
+            w, scored = train_hashed_logreg(
+                df, label, dim=16, iters=8, lr_num=4, lr_den=1
+            )
+            out = scored.collect()
+        finally:
+            release_all()
+        acc = sum(1 for r in out if r.pred == r.y) / len(out)
+        assert acc >= 0.9  # separable concept is learned
+        assert any(v != 0 for v in w)  # training moved the weights
+
+    def test_zero_iters_returns_zero_weights(self, spark):
+        from pyspark.sql import functions as Fx
+
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.classify import (
+            train_hashed_logreg,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        try:
+            w, scored = train_hashed_logreg(
+                df, Fx.lit(True), dim=4, iters=0
+            )
+            rows = scored.collect()
+        finally:
+            release_all()
+        assert w == [0, 0, 0, 0]
+        assert rows[0].m_micro == 0 and rows[0].pred == 0
