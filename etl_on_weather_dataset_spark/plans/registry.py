@@ -103,7 +103,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # chi_square_independence, ohlc_daily_candles, twap_daily,
 # corr_matrix_lineitem, quantile_bins_events, mad_outliers_by_type,
 # referential_integrity_audit, contrastive_triplets_emb,
-# bpe_learned_merges -- swap them into ROTATE_IN next round (two
+# bpe_learned_merges, bpe_compression_stats,
+# rich_inactive_customers, logreg_trained_weights -- swap them
+# into ROTATE_IN next round (two
 # rounds of rotation if the count exceeds the free slots), parking
 # equally many r4-attested names. The 21 slots that never rotate are
 # the flagships and one query per operator family (TPC-H headliners,

@@ -450,3 +450,49 @@ def stream_zscore(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_incremental_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    store_path: str,
+    checkpoint: str,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    max_files_per_trigger: int = 1,
+) -> list[int]:
+    """Continuous ingestion into the versioned rollup store: a file
+    stream drives ``incremental_rollup`` through foreachBatch with the
+    Structured Streaming batch id as the replay ledger key. Because
+    foreachBatch is at-least-once, a restarted query MAY re-deliver
+    the last batch -- the store's applied-batch ledger makes the
+    replay a no-op, upgrading the pipeline to exactly-once rollup
+    maintenance end-to-end (the streaming twin of
+    tests' 4-step batch scenario).
+
+    Returns the processed batch ids (AvailableNow run).
+    """
+    from ..operators.rollup_store import incremental_rollup
+
+    seen: list[int] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        incremental_rollup(
+            spark, batch_df, store_path, f"sb{batch_id}",
+            key_cols=key_cols, value_col=value_col,
+        )
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    ).option("pathGlobFilter", "*.parquet")
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

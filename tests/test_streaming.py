@@ -454,3 +454,52 @@ def test_stream_zscore_equals_batch_across_microbatches(spark, tmp_path):
     # the planted spike is flagged, and judged rows exist in wave 3
     assert streamed[301] == batch[301]
     assert batch[301][1] is True
+
+
+def test_stream_incremental_rollup_equals_batch(spark, tmp_path):
+    """File-stream ingestion through the versioned rollup store: the
+    final store contents must equal a one-shot aggregate over all
+    waves, and re-running the drained stream (same checkpoint, no new
+    files) must change nothing."""
+    import datetime as dt
+
+    from etl_on_weather_dataset_spark.operators.rollup_store import (
+        read_rollup,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_incremental_rollup,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_type string, day date, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+    waves = [
+        [("a", base.date(), 1.00), ("b", base.date(), 2.00)],
+        [("a", base.date(), 4.00)],
+        [("b", base.date(), 8.00), ("a", base.date(), 16.00)],
+    ]
+    for i, rows in enumerate(waves):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"wave{i}")
+        )
+
+    store = str(tmp_path / "store")
+    seen = stream_incremental_rollup(
+        spark, f"{src}/*", spark.createDataFrame([], schema).schema,
+        store, str(tmp_path / "ckpt"), ("event_type", "day"), "value",
+    )
+    assert len(seen) >= 3
+    agg, _, v1 = read_rollup(spark, store)
+    got = {r.event_type: (r.n_rows, r.sum_c) for r in agg.collect()}
+    assert got == {"a": (3, 2100), "b": (2, 1000)}
+
+    # drained re-run: no new files -> no new store version
+    stream_incremental_rollup(
+        spark, f"{src}/*", spark.createDataFrame([], schema).schema,
+        store, str(tmp_path / "ckpt"), ("event_type", "day"), "value",
+    )
+    agg2, _, v2 = read_rollup(spark, store)
+    assert v2 == v1
+    assert {r.event_type: (r.n_rows, r.sum_c)
+            for r in agg2.collect()} == got
