@@ -443,3 +443,45 @@ def contrastive_triplets_sql(
         JOIN ranked neg
           ON neg.label = a.neg_label AND neg.rn = a.neg_rn
     """
+
+
+def group_safe_split(
+    df: DataFrame,
+    id_col: str,
+    groups: DataFrame,
+    test_fraction: float = 0.2,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test split that can never leak near-duplicate content
+    across the boundary: every row is assigned by the hash of its
+    GROUP representative (``groups`` = (id, component) from
+    dedup_components, or any id->group frame), so all members of a
+    duplicate cluster land in the same split. Rows absent from
+    ``groups`` are their own singleton group.
+
+    This closes the classic eval-contamination hole: a per-id split
+    puts a document in train and its near-clone in test, and the
+    model is graded on memorization. Adds ``group`` and ``split``.
+
+    Scale: one left equi-join on id (the groups frame is
+    |clustered ids|-sized, usually a small fraction of the corpus)
+    plus a pure projection -- no extra shuffle beyond the join.
+    """
+    g = groups.select(
+        F.col(groups.columns[0]).alias("__gid"),
+        F.col(groups.columns[1]).alias("__grp"),
+    )
+    cutoff = int(round(test_fraction * HASH_BUCKETS))
+    return (
+        df.join(g, df[id_col] == g["__gid"], "left")
+        .drop("__gid")
+        .withColumn("group", F.coalesce(F.col("__grp"), F.col(id_col)))
+        .drop("__grp")
+        .withColumn(
+            "split",
+            F.when(
+                hash_bucket(F.col("group"), salt=salt) < cutoff,
+                F.lit("test"),
+            ).otherwise(F.lit("train")),
+        )
+    )

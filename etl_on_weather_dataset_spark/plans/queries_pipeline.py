@@ -1530,3 +1530,107 @@ register(QuerySpec(
             "fixed-point-gradients"),
     extended=True,
 ))
+
+
+# --- leakage-safe train/test split (group_safe_split) -------------------------
+
+_LS_FRACTION = 0.2
+
+
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the corpus train/test by NEAR-DUP GROUP so no duplicate
+    cluster straddles the eval boundary, and audit it against the
+    naive per-id split: the naive straddle count is the number of
+    clusters the per-id split would leak; the safe count must be 0 by
+    construction."""
+    from ..operators.sample import group_safe_split, hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=_CC_N, threshold=_CC_T)
+    comp = dedup_components(pairs)
+    labeled = group_safe_split(
+        docs.select("doc_id"), "doc_id", comp, _LS_FRACTION
+    ).withColumn(
+        "split_naive",
+        F.when(
+            hash_bucket(F.col("doc_id"), salt="split")
+            < int(round(_LS_FRACTION * 1_000_000)),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+    per_group = labeled.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("split").alias("d_safe"),
+        F.countDistinct("split_naive").alias("d_naive"),
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test_safe"),
+        F.sum((F.col("split_naive") == "test").cast("long")).alias(
+            "n_test_naive"
+        ),
+    ).crossJoin(
+        per_group.agg(
+            F.sum((F.col("n") >= 2).cast("long")).alias("n_multi_groups"),
+            F.sum(((F.col("n") >= 2) & (F.col("d_naive") > 1)).cast(
+                "long")).alias("n_straddling_naive"),
+            F.sum(((F.col("n") >= 2) & (F.col("d_safe") > 1)).cast(
+                "long")).alias("n_straddling_safe"),
+        )
+    )
+
+
+def _leakage_safe_oracle() -> str:
+    from ..operators.dedup import dedup_components_ctes
+    from ..operators.sample import hash_bucket_sql
+
+    cutoff = int(round(_LS_FRACTION * 1_000_000))
+    pairs_sql = ngram_jaccard_pairs_sql("documents", "text", "doc_id",
+                                        _CC_N, _CC_T)
+    return f"""
+        WITH RECURSIVE {dedup_components_ctes(pairs_sql)},
+        labeled AS (
+            SELECT doc_id,
+                   COALESCE(c.component, doc_id) AS g,
+                   CASE WHEN {hash_bucket_sql(
+                       "COALESCE(c.component, doc_id)", salt="split")}
+                            < {cutoff}
+                        THEN 'test' ELSE 'train' END AS s_safe,
+                   CASE WHEN {hash_bucket_sql("doc_id", salt="split")}
+                            < {cutoff}
+                        THEN 'test' ELSE 'train' END AS s_naive
+            FROM documents LEFT JOIN components c ON doc_id = c.id
+        ),
+        gstats AS (
+            SELECT g, COUNT(*) AS n,
+                   COUNT(DISTINCT s_safe) AS d_safe,
+                   COUNT(DISTINCT s_naive) AS d_naive
+            FROM labeled GROUP BY g
+        )
+        SELECT (SELECT COUNT(*) FROM labeled) AS n_docs,
+               (SELECT CAST(SUM(CASE WHEN s_safe = 'test' THEN 1
+                                     ELSE 0 END) AS BIGINT)
+                FROM labeled) AS n_test_safe,
+               (SELECT CAST(SUM(CASE WHEN s_naive = 'test' THEN 1
+                                     ELSE 0 END) AS BIGINT)
+                FROM labeled) AS n_test_naive,
+               CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multi_groups,
+               CAST(SUM(CASE WHEN n >= 2 AND d_naive > 1 THEN 1
+                             ELSE 0 END) AS BIGINT)
+                   AS n_straddling_naive,
+               CAST(SUM(CASE WHEN n >= 2 AND d_safe > 1 THEN 1
+                             ELSE 0 END) AS BIGINT)
+                   AS n_straddling_safe
+        FROM gstats
+    """
+
+
+register(QuerySpec(
+    name="leakage_safe_split",
+    spark_fn=_leakage_safe_split,
+    oracle=_leakage_safe_oracle,
+    covers=("leakage-safe-split", "group-aware-eval-boundary"),
+    extended=True,
+))

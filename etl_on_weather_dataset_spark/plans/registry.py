@@ -104,7 +104,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # corr_matrix_lineitem, quantile_bins_events, mad_outliers_by_type,
 # referential_integrity_audit, contrastive_triplets_emb,
 # bpe_learned_merges, bpe_compression_stats,
-# rich_inactive_customers, logreg_trained_weights -- swap them
+# rich_inactive_customers, logreg_trained_weights,
+# leakage_safe_split -- swap them
 # into ROTATE_IN next round (two
 # rounds of rotation if the count exceeds the free slots), parking
 # equally many r4-attested names. The 21 slots that never rotate are
