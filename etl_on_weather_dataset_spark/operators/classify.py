@@ -270,6 +270,14 @@ def train_hashed_logreg(
     )
     n_docs = feats.select("id").distinct().count()
     w = [0] * dim
+    if n_docs == 0:
+        # nothing to fit: zero weights, empty scored frame (instead of
+        # a ZeroDivisionError in the update divisor)
+        return w, feats.select(
+            "id", "y",
+            F.lit(0).cast("long").alias("m_micro"),
+            F.lit(0).cast("int").alias("pred"),
+        )
 
     def margins(weights: list[int]) -> DataFrame:
         w_arr = F.array(*[F.lit(int(v)).cast("long") for v in weights])
@@ -301,8 +309,15 @@ def train_hashed_logreg(
         grads = {r["b"]: r["grad"] for r in contrib.collect()}
         for d in range(dim):
             g = int(grads.get(d, 0))
-            # exact integer update: micro-weights, floor division
-            w[d] = w[d] - (lr_num * g) // (lr_den * n_docs)
+            # exact integer update in micro-weights. Division must
+            # TRUNCATE TOWARD ZERO, not floor: DuckDB's `//` truncates
+            # (-7 // 2 = -3) while Python's floors (-4) -- a floored
+            # update would diverge from the oracle by 1 micro on every
+            # negative gradient that doesn't divide evenly, and the
+            # gap compounds through later sigmoids.
+            num, den = lr_num * g, lr_den * n_docs
+            delta = abs(num) // den
+            w[d] = w[d] - (delta if num >= 0 else -delta)
 
     scored = margins(w).select(
         "id", "y", "m_micro",

@@ -471,17 +471,10 @@ def group_safe_split(
         F.col(groups.columns[0]).alias("__gid"),
         F.col(groups.columns[1]).alias("__grp"),
     )
-    cutoff = int(round(test_fraction * HASH_BUCKETS))
-    return (
+    grouped = (
         df.join(g, df[id_col] == g["__gid"], "left")
         .drop("__gid")
         .withColumn("group", F.coalesce(F.col("__grp"), F.col(id_col)))
         .drop("__grp")
-        .withColumn(
-            "split",
-            F.when(
-                hash_bucket(F.col("group"), salt=salt) < cutoff,
-                F.lit("test"),
-            ).otherwise(F.lit("train")),
-        )
     )
+    return train_test_split(grouped, "group", test_fraction, salt=salt)

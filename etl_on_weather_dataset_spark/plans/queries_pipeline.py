@@ -1543,21 +1543,17 @@ def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive per-id split: the naive straddle count is the number of
     clusters the per-id split would leak; the safe count must be 0 by
     construction."""
-    from ..operators.sample import group_safe_split, hash_bucket
+    from ..operators.sample import group_safe_split, train_test_split
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
                                 n=_CC_N, threshold=_CC_T)
     comp = dedup_components(pairs)
-    labeled = group_safe_split(
-        docs.select("doc_id"), "doc_id", comp, _LS_FRACTION
-    ).withColumn(
-        "split_naive",
-        F.when(
-            hash_bucket(F.col("doc_id"), salt="split")
-            < int(round(_LS_FRACTION * 1_000_000)),
-            F.lit("test"),
-        ).otherwise(F.lit("train")),
+    labeled = train_test_split(
+        group_safe_split(
+            docs.select("doc_id"), "doc_id", comp, _LS_FRACTION
+        ),
+        "doc_id", _LS_FRACTION, split_col="split_naive",
     )
     per_group = labeled.groupBy("group").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1585,7 +1581,9 @@ def _leakage_safe_oracle() -> str:
     from ..operators.dedup import dedup_components_ctes
     from ..operators.sample import hash_bucket_sql
 
-    cutoff = int(round(_LS_FRACTION * 1_000_000))
+    from ..operators.sample import HASH_BUCKETS
+
+    cutoff = int(round(_LS_FRACTION * HASH_BUCKETS))
     pairs_sql = ngram_jaccard_pairs_sql("documents", "text", "doc_id",
                                         _CC_N, _CC_T)
     return f"""

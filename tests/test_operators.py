@@ -2714,3 +2714,43 @@ class TestLogregTraining:
             release_all()
         assert w == [0, 0, 0, 0]
         assert rows[0].m_micro == 0 and rows[0].pred == 0
+
+
+def test_logreg_negative_gradients_match_duckdb(spark):
+    """Adversarial division-semantics case: positive-dominated buckets
+    produce NEGATIVE gradient sums that don't divide evenly, where a
+    floored (Python) vs truncated (DuckDB //) update would diverge by
+    1 micro and compound. Train on such a corpus and demand the
+    DuckDB twin's weights bit-for-bit."""
+    import duckdb
+    from pyspark.sql import functions as Fx
+
+    from etl_on_weather_dataset_spark.operators.caching import release_all
+    from etl_on_weather_dataset_spark.operators.classify import (
+        train_hashed_logreg,
+        train_hashed_logreg_sql,
+    )
+    from etl_on_weather_dataset_spark.operators.text import tokens
+
+    # n_docs = 7 (odd, not a divisor of typical grads); label by 'spam'
+    rows = [(i, "spam alpha beta") for i in range(4)] + \
+           [(100 + i, "alpha beta gamma") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        w, _ = train_hashed_logreg(
+            df, Fx.array_contains(tokens("text"), "spam"),
+            dim=8, iters=3, lr_num=4, lr_den=1,
+        )
+    finally:
+        release_all()
+    assert any(v < 0 for v in w) or any(v > 0 for v in w)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = con.sql(train_hashed_logreg_sql(
+        "documents",
+        "list_contains(regexp_split_to_array(text, ' +'), 'spam')",
+        dim=8, iters=3, lr_num=4, lr_den=1,
+    )).fetchall()
+    assert [v for _, v in got] == w
