@@ -478,3 +478,32 @@ def group_safe_split(
         .drop("__grp")
     )
     return train_test_split(grouped, "group", test_fraction, salt=salt)
+
+
+def group_kfold(
+    df: DataFrame,
+    id_col: str,
+    groups: DataFrame,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """K-fold assignment that keeps duplicate clusters intact: fold =
+    md5-bucket of the GROUP representative mod k (the cross-validation
+    face of :func:`group_safe_split` -- every member of a near-dup
+    cluster shares a fold, so no fold's holdout ever contains a clone
+    of another fold's training data). Adds ``group`` and ``fold``.
+    """
+    g = groups.select(
+        F.col(groups.columns[0]).alias("__gid"),
+        F.col(groups.columns[1]).alias("__grp"),
+    )
+    return (
+        df.join(g, df[id_col] == g["__gid"], "left")
+        .drop("__gid")
+        .withColumn("group", F.coalesce(F.col("__grp"), F.col(id_col)))
+        .drop("__grp")
+        .withColumn(
+            "fold",
+            (hash_bucket(F.col("group"), salt=salt) % k).cast("int"),
+        )
+    )

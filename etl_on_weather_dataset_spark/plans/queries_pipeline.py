@@ -1632,3 +1632,69 @@ register(QuerySpec(
     covers=("leakage-safe-split", "group-aware-eval-boundary"),
     extended=True,
 ))
+
+
+# --- group-aware k-fold (cross-validation face of the safe split) -------------
+
+_KF_K = 5
+
+
+def _group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import group_kfold
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=_CC_N, threshold=_CC_T)
+    comp = dedup_components(pairs)
+    labeled = group_kfold(docs.select("doc_id"), "doc_id", comp, k=_KF_K)
+    per_group = labeled.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fold").alias("d_folds"),
+    )
+    folds = (
+        labeled.groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    audit = per_group.agg(
+        F.sum(((F.col("n") >= 2) & (F.col("d_folds") > 1)).cast("long"))
+        .alias("n_straddling")
+    )
+    return folds.crossJoin(audit).orderBy("fold")
+
+
+def _group_kfold_oracle() -> str:
+    from ..operators.dedup import dedup_components_ctes
+    from ..operators.sample import hash_bucket_sql
+
+    pairs_sql = ngram_jaccard_pairs_sql("documents", "text", "doc_id",
+                                        _CC_N, _CC_T)
+    return f"""
+        WITH RECURSIVE {dedup_components_ctes(pairs_sql)},
+        labeled AS (
+            SELECT doc_id, COALESCE(c.component, doc_id) AS g,
+                   CAST({hash_bucket_sql(
+                       "COALESCE(c.component, doc_id)", salt="fold")}
+                        % {_KF_K} AS INTEGER) AS fold
+            FROM documents LEFT JOIN components c ON doc_id = c.id
+        ),
+        audit AS (
+            SELECT CAST(SUM(CASE WHEN n >= 2 AND d > 1 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_straddling
+            FROM (
+                SELECT g, COUNT(*) AS n, COUNT(DISTINCT fold) AS d
+                FROM labeled GROUP BY g
+            ) s
+        )
+        SELECT fold, COUNT(*) AS n_docs,
+               (SELECT n_straddling FROM audit) AS n_straddling
+        FROM labeled GROUP BY fold ORDER BY fold
+    """
+
+
+register(QuerySpec(
+    name="group_kfold_assignment",
+    spark_fn=_group_kfold,
+    oracle=_group_kfold_oracle,
+    covers=("group-kfold", "leakage-safe-cv"),
+    extended=True,
+))

@@ -105,7 +105,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # referential_integrity_audit, contrastive_triplets_emb,
 # bpe_learned_merges, bpe_compression_stats,
 # rich_inactive_customers, logreg_trained_weights,
-# leakage_safe_split -- swap them
+# leakage_safe_split, group_kfold_assignment -- swap them
 # into ROTATE_IN next round (two
 # rounds of rotation if the count exceeds the free slots), parking
 # equally many r4-attested names. The 21 slots that never rotate are
