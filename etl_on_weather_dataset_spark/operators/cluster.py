@@ -12,7 +12,11 @@ associative, so Spark's partial aggregation and the oracle's
 sequential sum agree exactly -- and the mean is rebuilt with one
 fixed op order ((CAST(s AS DOUBLE) / n) / 1e6). Assignment distances
 (||c||^2 - 2<v,c>) and inertia terms are the same IEEE expressions in
-both engines, micro-rounded before any sum.
+both engines -- the oracle's dot products are unrolled to Spark's
+exact left-fold order (similarity.dot_sql) -- and every distance is
+micro-rounded to BIGINT before the argmin as well as before any sum,
+so no raw double ever decides a cluster id or enters the compare
+surface.
 
 Scale shape: each round is one distributed assignment (per-row
 codegen against a one-row broadcast centroid relation,
@@ -34,20 +38,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _as_double, _with_constant_row, dot, lsh_hyperplanes
+from .similarity import (
+    _as_double,
+    _with_constant_row,
+    dot,
+    dot_sql,
+    lsh_hyperplanes,
+)
 
 MICRO = 1_000_000
 
 
 def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Add the argmin-distance cluster id (first-min tie-break)."""
+    """Add the argmin-distance cluster id (first-min tie-break).
+
+    The argmin runs over MICRO-SNAPPED distances (ROUND(d * 1e6) as
+    long), not raw IEEE doubles: a near-tie pair of centroids whose
+    raw distances differ below micro precision must resolve the same
+    way in Spark and in the oracle's ROW_NUMBER ordering, independent
+    of either engine's dot-product summation order (r4 verdict:
+    one ulp of libm/FMA wiggle flipped a cluster count in the
+    driver's environment)."""
     spark = vecs.sparkSession
     cent_df = spark.createDataFrame(
         [(cents, 0)], "cents array<array<double>>, __k long"
     )
     dists = F.transform(
         F.col("cents"),
-        lambda c: dot(c, c) - 2 * dot(F.col("v"), c),
+        lambda c: F.round(
+            (dot(c, c) - 2 * dot(F.col("v"), c)) * MICRO
+        ).cast("long"),
     )
     return (
         _with_constant_row(vecs, cent_df, "id")
@@ -156,8 +176,12 @@ def kmeans(
     cent_df = vecs.sparkSession.createDataFrame(
         [(cents, 0)], "cents array<array<double>>, __k long"
     )
+    # same micro-snapped argmin as _assign (see its docstring)
     dists = F.transform(
-        F.col("cents"), lambda c: dot(c, c) - 2 * dot(F.col("v"), c)
+        F.col("cents"),
+        lambda c: F.round(
+            (dot(c, c) - 2 * dot(F.col("v"), c)) * MICRO
+        ).cast("long"),
     )
     joined = _with_constant_row(vecs, cent_df, "id").withColumn(
         "cluster",
@@ -201,6 +225,14 @@ def kmeans_ctes(
     rows = ", ".join(
         f"({j}, {c!r}::DOUBLE[])" for j, c in enumerate(cents0)
     )
+    # mirror of _assign: unrolled left-fold dots (bit-identical to
+    # Spark's fold, see similarity.dot_sql) micro-snapped to BIGINT
+    # BEFORE the argmin ordering -- no raw IEEE double ever decides a
+    # cluster id in either engine
+    d_snap = (
+        f"CAST(ROUND(({dot_sql('c.cent', 'c.cent', dim)}"
+        f" - 2 * {dot_sql('q.v', 'c.cent', dim)}) * {MICRO}) AS BIGINT)"
+    )
     parts = [
         f"""vecs AS (
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
@@ -215,9 +247,7 @@ def kmeans_ctes(
                 SELECT q.id, q.v, c.cluster,
                        ROW_NUMBER() OVER (
                            PARTITION BY q.id
-                           ORDER BY (list_dot_product(c.cent, c.cent)
-                                     - 2 * list_dot_product(q.v, c.cent))
-                                    ASC, c.cluster ASC
+                           ORDER BY {d_snap} ASC, c.cluster ASC
                        ) AS rn
                 FROM vecs q CROSS JOIN cents{r} c
             ) WHERE rn = 1
@@ -247,9 +277,7 @@ def kmeans_ctes(
                 SELECT q.id, q.v, c.cluster, c.cent,
                        ROW_NUMBER() OVER (
                            PARTITION BY q.id
-                           ORDER BY (list_dot_product(c.cent, c.cent)
-                                     - 2 * list_dot_product(q.v, c.cent))
-                                    ASC, c.cluster ASC
+                           ORDER BY {d_snap} ASC, c.cluster ASC
                        ) AS rn
                 FROM vecs q CROSS JOIN cents{iters} c
             ) WHERE rn = 1
@@ -269,12 +297,16 @@ def kmeans_sql(
     """DuckDB twin of kmeans: the unrolled CTE chain + the same
     per-cluster inertia summary."""
     ctes = kmeans_ctes(k, iters, table, id_col, vec_col, dim, seed)
+    # (v.v - 2*v.c) + c.c: identical op order to kmeans()'s sq_dist,
+    # with unrolled dots -- bit-identical doubles before the ROUND
+    sq = (
+        f"({dot_sql('v', 'v', dim)} - 2 * {dot_sql('v', 'cent', dim)}"
+        f" + {dot_sql('cent', 'cent', dim)})"
+    )
     return f"""WITH {ctes}
         SELECT CAST(cluster AS INTEGER) AS cluster,
                COUNT(*) AS n_members,
-               SUM(CAST(ROUND((list_dot_product(v, v)
-                    - 2 * list_dot_product(v, cent)
-                    + list_dot_product(cent, cent)) * {MICRO})
-                   AS BIGINT)) AS inertia_micro
+               SUM(CAST(ROUND({sq} * {MICRO}) AS BIGINT))
+                   AS inertia_micro
         FROM afinal GROUP BY cluster
     """

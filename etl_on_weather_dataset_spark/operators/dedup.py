@@ -894,8 +894,14 @@ def duplicated_span_stats(
 
     Returns one row per input doc:
       (id, n_tokens, n_dup_windows, n_dup_spans, covered_tokens,
-       dup_frac, flagged) -- ``dup_frac`` = covered/n_tokens rounded to
-    6 dp, ``flagged`` = dup_frac > flag_threshold.
+       dup_frac_ppm, flagged) -- the whole surface is INTEGER:
+    ``dup_frac_ppm`` = (covered * 1e6) div n_tokens (integer parts-
+    per-million; consumers derive the float fraction themselves) and
+    ``flagged`` = covered * 1e6 > round(flag_threshold * 1e6) *
+    n_tokens, all in exact BIGINT arithmetic. The r4 surface emitted
+    ``dup_frac`` as ROUND(covered/n_tokens, 6) double, whose half-
+    boundary quotients can round apart across engines (r4 verdict) --
+    no float crosses the compare surface now.
     """
     from pyspark.sql import Window as W
 
@@ -940,14 +946,20 @@ def duplicated_span_stats(
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
         )
         .withColumn(
-            "dup_frac",
-            F.round(
-                F.col("covered_tokens").cast("double") / F.col("n_tokens"),
-                6,
+            "dup_frac_ppm",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE covered_tokens * CAST(1000000 AS BIGINT) "
+                "div n_tokens END"
             ),
         )
         .withColumn(
-            "flagged", (F.col("dup_frac") > flag_threshold).cast("int")
+            "flagged",
+            (
+                F.col("covered_tokens") * F.lit(1_000_000).cast("long")
+                > F.lit(round(flag_threshold * 1_000_000))
+                * F.col("n_tokens")
+            ).cast("int"),
         )
     )
     return out
@@ -962,7 +974,8 @@ def duplicated_span_stats_sql(
     flag_threshold: float = 0.5,
 ) -> str:
     """DuckDB twin of duplicated_span_stats (identical windowing, md5
-    keys, gaps-and-islands merge, and rounding)."""
+    keys, gaps-and-islands merge, and integer ppm arithmetic)."""
+    thr_ppm = round(flag_threshold * 1_000_000)
     return f"""
         WITH base AS (
             SELECT {id_col} AS id,
@@ -1030,11 +1043,11 @@ def duplicated_span_stats_sql(
                COALESCE(s.n_dup_windows, 0) AS n_dup_windows,
                COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
                COALESCE(s.covered_tokens, 0) AS covered_tokens,
-               ROUND(CAST(COALESCE(s.covered_tokens, 0) AS DOUBLE)
-                     / b.n_tokens, 6) AS dup_frac,
-               CAST(ROUND(CAST(COALESCE(s.covered_tokens, 0) AS DOUBLE)
-                          / b.n_tokens, 6) > {flag_threshold}
-                    AS INTEGER) AS flagged
+               CAST(CASE WHEN b.n_tokens = 0 THEN 0
+                    ELSE COALESCE(s.covered_tokens, 0) * 1000000
+                         // b.n_tokens END AS BIGINT) AS dup_frac_ppm,
+               CAST(COALESCE(s.covered_tokens, 0) * 1000000
+                    > {thr_ppm} * b.n_tokens AS INTEGER) AS flagged
         FROM base b LEFT JOIN spans s ON b.id = s.id
     """
 

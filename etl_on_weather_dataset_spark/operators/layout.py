@@ -150,6 +150,14 @@ def file_span_stats(
                 name = c.path_in_schema
                 if name not in cols or c.statistics is None:
                     continue
+                # Z-order keys may include string columns (hash-
+                # bucketed into the Morton key); their footer stats
+                # are str/bytes with no numeric span -- skip them
+                # instead of raising (r4 advice), and only report
+                # spans for ordered numeric columns.
+                if not isinstance(c.statistics.min, (int, float)) or \
+                        isinstance(c.statistics.min, bool):
+                    continue
                 mins[name] = min(mins.get(name, float("inf")),
                                  float(c.statistics.min))
                 maxs[name] = max(maxs.get(name, float("-inf")),

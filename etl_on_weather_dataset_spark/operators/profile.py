@@ -190,13 +190,24 @@ def corr_matrix(
     def c(name: str) -> Column:
         return F.round(F.col(name) * scale).cast("long")
 
+    # Per-term products stay in BIGINT (cents-scaled inputs ~1e7 ->
+    # ~1e14 per term, well inside int64), but the SUMS accumulate in
+    # DECIMAL(38,0): with ~1e14-sized terms an int64 sum wraps
+    # silently at ~85k rows (r4 advice) -- far below even sf0.1's
+    # 600k-row lineitem, let alone 100 TB. DECIMAL(38,0) holds ~1e38,
+    # i.e. ~1e24 rows of cents-scaled data, and Spark's decimal sum
+    # is exact integer arithmetic so the engine-exactness contract
+    # (bit-identical to the oracle's HUGEINT sums) is preserved.
+    def dsum(col: Column) -> Column:
+        return F.sum(col.cast("decimal(38,0)"))
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
     for a in cols:
-        aggs.append(F.sum(c(a)).alias(f"s_{a}"))
-        aggs.append(F.sum(c(a) * c(a)).alias(f"ss_{a}"))
+        aggs.append(dsum(c(a)).alias(f"s_{a}"))
+        aggs.append(dsum(c(a) * c(a)).alias(f"ss_{a}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            aggs.append(F.sum(c(a) * c(b)).alias(f"sp_{a}_{b}"))
+            aggs.append(dsum(c(a) * c(b)).alias(f"sp_{a}_{b}"))
     one = df.agg(*aggs)
 
     pairs = None

@@ -339,6 +339,9 @@ def contrastive_triplets(
     label (cyclic). Every item of a label with >= 2 members anchors
     exactly one triplet -- epoch-stable, engine/retry-invariant
     (md5 order, no RNG), and re-runs identically on any cluster.
+    Requires >= 2 distinct labels: with a single label the cyclic
+    next-label map would wrap to the label itself, so such inputs
+    yield zero triplets rather than degenerate same-class negatives.
 
     Plan: two label-partitioned windows + one equi-join on
     (label, rank) against the broadcast-sized label-size table; no
@@ -385,6 +388,10 @@ def contrastive_triplets(
     anchors = (
         ranked.join(F.broadcast(label_map), "label")
         .filter(F.col("n") >= 2)
+        # single-distinct-label input: the cyclic map wraps to the
+        # label itself and the "negative" would come from the
+        # anchor's own class -- emit no triplet instead (r4 advice)
+        .filter(F.col("neg_label") != F.col("label"))
         .withColumn("neg_rn", (F.col("rn") - 1) % F.col("neg_n") + 1)
     )
     return anchors.join(neg_side, ["neg_label", "neg_rn"]).select(
@@ -439,6 +446,7 @@ def contrastive_triplets_sql(
                    (r.rn - 1) % m.neg_n + 1 AS neg_rn
             FROM ranked r
             JOIN label_map m ON r.label = m.label AND m.n >= 2
+                            AND m.neg_label != r.label
         ) a
         JOIN ranked neg
           ON neg.label = a.neg_label AND neg.rn = a.neg_rn

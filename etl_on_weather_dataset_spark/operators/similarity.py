@@ -37,6 +37,44 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB dot product as an explicit SEQUENTIAL left fold --
+    ``list_reduce`` over the per-index products, seeded with 0.0 --
+    instead of ``list_dot_product``.
+
+    Why: Spark's :func:`dot` is a strict left fold
+    (``((0+t0)+t1)+...``) of separately-rounded IEEE multiplies, so
+    its result is a deterministic function of the inputs.
+    ``list_dot_product``'s internal summation order / FMA contraction
+    is an implementation detail that may differ across DuckDB builds
+    -- one ulp of wiggle at a ROUND half-boundary or an argmin
+    near-tie flips an integer output (r4 verdict: the
+    ``kmeans_cluster_stats`` driver-environment hash miss).
+    ``list_reduce`` applies the lambda element-by-element left to
+    right, each ``*`` and ``+`` its own separately-rounded scalar op
+    (no FMA), bit-identical to Spark's fold. (An unrolled 64-term
+    ``+`` chain is equally exact but blows up DuckDB's CTE-inlining
+    planner memory when spliced into multi-round CTE chains.)
+    """
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def dot_lit_sql(vec: str, lit: list[float]) -> str:
+    """:func:`dot_sql` against a LITERAL vector (centroid/hyperplane):
+    the components are inlined as repr'd doubles, so DuckDB parses
+    the exact same IEEE values Spark gets from the constants-as-data
+    literal array, and the sum is the same left fold."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {len(lit)} + 1), "
+        f"i -> {vec}[i] * ({lit!r}::DOUBLE[])[i])), (x, y) -> x + y)"
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -98,15 +136,15 @@ def cosine_topk_sql(
             FROM {table}
         ), q AS (
             SELECT id AS query_id, v AS qv,
-                   sqrt(list_dot_product(v, v)) AS qn
+                   sqrt({dot_sql('v', 'v')}) AS qn
             FROM vecs WHERE {query_filter}
         ), c AS (
             SELECT id AS neighbor_id, v AS cv,
-                   sqrt(list_dot_product(v, v)) AS cn
+                   sqrt({dot_sql('v', 'v')}) AS cn
             FROM vecs
         ), scored AS (
             SELECT query_id, neighbor_id,
-                   ROUND(list_dot_product(qv, cv) / (qn * cn),
+                   ROUND({dot_sql('qv', 'cv')} / (qn * cn),
                          {SIM_DECIMALS}) AS sim
             FROM q CROSS JOIN c
             WHERE query_id != neighbor_id
@@ -495,7 +533,7 @@ def _banded_cte_sql(
     """UNION ALL of per-table bucket assignments over a vecs CTE."""
     def plane_sql(planes: list[list[float]]) -> str:
         return " + ".join(
-            f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 "
+            f"(CASE WHEN {dot_lit_sql('v', p)} > 0 "
             f"THEN {1 << i} ELSE 0 END)"
             for i, p in enumerate(planes)
         )
@@ -524,9 +562,8 @@ def lsh_topk_multi_sql(
     return f"""
         WITH vecs AS (
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
-                   sqrt(list_dot_product(
-                       CAST({vec_col} AS DOUBLE[]),
-                       CAST({vec_col} AS DOUBLE[]))) AS n
+                   sqrt({dot_sql(f"(CAST({vec_col} AS DOUBLE[]))",
+                                f"(CAST({vec_col} AS DOUBLE[]))")}) AS n
             FROM {table}
         ), qvecs AS (
             SELECT * FROM vecs WHERE {query_filter}
@@ -540,7 +577,7 @@ def lsh_topk_multi_sql(
             WHERE q.id != c.id
         ), scored AS (
             SELECT cand.query_id, cand.neighbor_id,
-                   ROUND(list_dot_product(qv.v, cv.v) / (qv.n * cv.n),
+                   ROUND({dot_sql('qv.v', 'cv.v')} / (qv.n * cv.n),
                          {SIM_DECIMALS}) AS sim
             FROM cand
             JOIN vecs qv ON qv.id = cand.query_id
@@ -672,7 +709,7 @@ def embedding_near_dup_sql(
     SAME banded candidate generation, SAME exact rescore."""
     def plane_sql(planes: list[list[float]]) -> str:
         return " + ".join(
-            f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 "
+            f"(CASE WHEN {dot_lit_sql('v', p)} > 0 "
             f"THEN {1 << i} ELSE 0 END)"
             for i, p in enumerate(planes)
         )
@@ -688,16 +725,16 @@ def embedding_near_dup_sql(
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
         ), vecs AS (
-            SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM raw
+            SELECT id, v, sqrt({dot_sql('v', 'v')}) AS n FROM raw
         ), banded AS (
             {banded}
         )
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-               ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+               ROUND({dot_sql('a.v', 'b.v')} / (a.n * b.n),
                      {SIM_DECIMALS}) AS sim
         FROM banded a JOIN banded b USING (t, bucket)
         WHERE a.id < b.id
-          AND ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+          AND ROUND({dot_sql('a.v', 'b.v')} / (a.n * b.n),
                     {SIM_DECIMALS}) >= {threshold}
     """
 
@@ -858,7 +895,7 @@ def _ivf_ctes_sql(
     needed -- matching the Spark side)."""
     centroids = lsh_hyperplanes(dim, n_cells, seed)
     dots = ", ".join(
-        f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+        f"{dot_lit_sql('v', c)}" for c in centroids
     )
     qf = f"WHERE {query_filter}" if query_filter else ""
     probe = f"""
@@ -871,7 +908,7 @@ def _ivf_ctes_sql(
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
         ), dotted AS (
-            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+            SELECT id, v, sqrt({dot_sql('v', 'v')}) AS n,
                    [{dots}] AS ds
             FROM vecs
         ), celled AS (
@@ -926,20 +963,20 @@ def ivf_topk_sql(
         # cosine_topk_ivf hash
         centroids = lsh_hyperplanes(dim, n_cells, seed)
         dots = ", ".join(
-            f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+            f"{dot_lit_sql('v', c)}" for c in centroids
         )
         return f"""
         WITH vecs AS (
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
         ), celled AS (
-            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+            SELECT id, v, sqrt({dot_sql('v', 'v')}) AS n,
                    CAST(list_position([{dots}],
                         list_max([{dots}])) - 1 AS INTEGER) AS cell
             FROM vecs
         ), scored AS (
             SELECT a.id AS query_id, b.id AS neighbor_id,
-                   ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                   ROUND({dot_sql('a.v', 'b.v')} / (a.n * b.n),
                          {SIM_DECIMALS}) AS sim
             FROM celled a JOIN celled b USING (cell)
             WHERE a.id != b.id
@@ -956,7 +993,7 @@ def ivf_topk_sql(
     return f"""
         WITH {ctes}, scored AS (
             SELECT c.query_id, c.neighbor_id,
-                   ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                   ROUND({dot_sql('a.v', 'b.v')} / (a.n * b.n),
                          {SIM_DECIMALS}) AS sim
             FROM cand c
             JOIN dotted a ON a.id = c.query_id
@@ -979,7 +1016,7 @@ def lsh_topk_sql(
     vec_col: str = "embedding",
 ) -> str:
     plane_sql = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 "
+        f"(CASE WHEN {dot_lit_sql('v', p)} > 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
@@ -988,12 +1025,12 @@ def lsh_topk_sql(
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
         ), bucketed AS (
-            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+            SELECT id, v, sqrt({dot_sql('v', 'v')}) AS n,
                    ({plane_sql}) AS bucket
             FROM vecs
         ), scored AS (
             SELECT a.id AS query_id, b.id AS neighbor_id,
-                   ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+                   ROUND({dot_sql('a.v', 'b.v')} / (a.n * b.n),
                          {SIM_DECIMALS}) AS sim
             FROM bucketed a JOIN bucketed b USING (bucket)
             WHERE a.id != b.id
@@ -1134,13 +1171,13 @@ def semdedup_sql(
 
     centroids = lsh_hyperplanes(dim, n_cells, seed)
     dots = ", ".join(
-        f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+        f"{dot_lit_sql('v', c)}" for c in centroids
     )
     edges_sql = f"""
         SELECT a.id AS id_a, b.id AS id_b
         FROM celled a JOIN celled b USING (cell)
         WHERE a.id < b.id
-          AND ROUND(list_dot_product(a.v, b.v) / (a.n * b.n),
+          AND ROUND({dot_sql('a.v', 'b.v')} / (a.n * b.n),
                     {SIM_DECIMALS}) >= {threshold}
     """
     return f"""
@@ -1148,11 +1185,11 @@ def semdedup_sql(
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
         ), celled AS (
-            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+            SELECT id, v, sqrt({dot_sql('v', 'v')}) AS n,
                    CAST(list_position([{dots}],
                         list_max([{dots}])) - 1 AS INTEGER) AS cell,
                    ROUND(list_max([{dots}])
-                         / sqrt(list_dot_product(v, v)),
+                         / sqrt({dot_sql('v', 'v')}),
                          {SIM_DECIMALS}) AS cent_sim
             FROM vecs
         ), {dedup_components_ctes(edges_sql)},
@@ -1392,7 +1429,7 @@ def ivf_pq_topk_sql(
     centroids = lsh_hyperplanes(dim, n_cells, seed)
     cbs = pq_codebooks(dim, m_sub, k_codes, seed)
     cdots = ", ".join(
-        f"list_dot_product(v, {c!r}::DOUBLE[])" for c in centroids
+        f"{dot_lit_sql('v', c)}" for c in centroids
     )
     qf = f"WHERE {query_filter}" if query_filter else ""
 
@@ -1401,10 +1438,8 @@ def ivf_pq_topk_sql(
 
     code_exprs = []
     for m in range(m_sub):
-        dots_m = ", ".join(
-            f"list_dot_product({sub('v', m)}, {c!r}::DOUBLE[])"
-            for c in cbs[m]
-        )
+        sub_v = "(" + sub("v", m) + ")"
+        dots_m = ", ".join(dot_lit_sql(sub_v, c) for c in cbs[m])
         code_exprs.append(
             f"CAST(list_position([{dots_m}], list_max([{dots_m}])) - 1 "
             f"AS INTEGER)"
@@ -1412,9 +1447,12 @@ def ivf_pq_topk_sql(
     codes_sql = "[" + ", ".join(code_exprs) + "]"
 
     approx_terms = " + ".join(
-        f"list_dot_product({sub('q.v', m)}, "
-        f"([{', '.join(f'{c!r}::DOUBLE[]' for c in cbs[m])}])"
-        f"[c.codes[{m + 1}] + 1])"
+        dot_sql(
+            f"({sub('q.v', m)})",
+            f"(([{', '.join(f'{c!r}::DOUBLE[]' for c in cbs[m])}])"
+            f"[c.codes[{m + 1}] + 1])",
+            dim=d_sub,
+        )
         for m in range(m_sub)
     )
     if n_probe == 1:
@@ -1437,7 +1475,7 @@ def ivf_pq_topk_sql(
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
         ), dotted AS (
-            SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+            SELECT id, v, sqrt({dot_sql('v', 'v')}) AS n,
                    [{cdots}] AS ds
             FROM vecs
         ), celled AS (
@@ -1464,7 +1502,7 @@ def ivf_pq_topk_sql(
             ) WHERE srk <= {rerank}
         ), scored AS (
             SELECT s.query_id, s.neighbor_id,
-                   ROUND(list_dot_product(q.v, b.v) / (q.n * b.n),
+                   ROUND({dot_sql('q.v', 'b.v')} / (q.n * b.n),
                          {SIM_DECIMALS}) AS sim
             FROM shortlist s
             JOIN dotted q ON q.id = s.query_id

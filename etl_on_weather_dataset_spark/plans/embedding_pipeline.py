@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.cluster import kmeans_assignments, kmeans_ctes
-from ..operators.similarity import dot, semdedup, semdedup_sql
+from ..operators.similarity import dot, dot_sql, semdedup, semdedup_sql
 
 EMB_DIM = 64
 SEM_THRESHOLD = 0.9
@@ -141,8 +141,8 @@ def embed_curation_stats_sql(table: str = "embeddings") -> str:
             SELECT vec_id, embedding FROM {table}
             WHERE embedding IS NOT NULL
               AND len(embedding) = {EMB_DIM}
-              AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[])) > 0
+              AND {dot_sql('(CAST(embedding AS DOUBLE[]))',
+                           '(CAST(embedding AS DOUBLE[]))')} > 0
         ), sem AS (
             {sem_inner}
         ), survivors AS (

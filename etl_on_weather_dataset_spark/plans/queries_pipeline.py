@@ -1371,7 +1371,10 @@ def _bpe_oracle() -> str:
             GROUP BY t[i], t[i + 1]
         ),
         m{r} AS (
-            SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+            -- min_count gate: learn_bpe_merges stops when the best
+            -- pair count < 2; an empty m{r} makes s{r} pass through
+            SELECT a, b FROM p{r} WHERE n >= 2
+            ORDER BY n DESC, a, b LIMIT 1
         )""")
         if r < _BPE_ROUNDS:
             rounds.append(f"""
@@ -1381,8 +1384,10 @@ def _bpe_oracle() -> str:
                     ' ' || array_to_string(
                         list_transform(t, x -> '|' || x || '|'), '  ')
                         || ' ',
-                    (SELECT ' |' || a || '|  |' || b || '| ' FROM m{r}),
-                    (SELECT ' |' || a || b || '| ' FROM m{r}))),
+                    COALESCE((SELECT ' |' || a || '|  |' || b
+                              || '| ' FROM m{r}), chr(1)),
+                    COALESCE((SELECT ' |' || a || b || '| '
+                              FROM m{r}), chr(1)))),
                     ' +'),
                 x -> trim(x, '|')) AS t
             FROM {prev}
@@ -1393,7 +1398,11 @@ def _bpe_oracle() -> str:
         )
     return f"""
         WITH s0 AS (
-            SELECT regexp_split_to_array(text, ' +') AS t FROM documents
+            -- mirror learn_bpe_merges' seed filter (t != ''): edge
+            -- whitespace otherwise leaves '' tokens only in the oracle
+            SELECT list_filter(regexp_split_to_array(text, ' +'),
+                               x -> x <> '') AS t
+            FROM documents
         ),{",".join(rounds)}
         SELECT * FROM ({" UNION ALL ".join(sel_parts)}) m
         ORDER BY step
@@ -1449,7 +1458,10 @@ def _bpe_compression_oracle() -> str:
             GROUP BY t[i], t[i + 1]
         ),
         m{r} AS (
-            SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+            -- min_count gate: learn_bpe_merges stops when the best
+            -- pair count < 2; an empty m{r} makes s{r} pass through
+            SELECT a, b FROM p{r} WHERE n >= 2
+            ORDER BY n DESC, a, b LIMIT 1
         ),
         s{r} AS (
             SELECT list_transform(
@@ -1457,8 +1469,10 @@ def _bpe_compression_oracle() -> str:
                     ' ' || array_to_string(
                         list_transform(t, x -> '|' || x || '|'), '  ')
                         || ' ',
-                    (SELECT ' |' || a || '|  |' || b || '| ' FROM m{r}),
-                    (SELECT ' |' || a || b || '| ' FROM m{r}))),
+                    COALESCE((SELECT ' |' || a || '|  |' || b
+                              || '| ' FROM m{r}), chr(1)),
+                    COALESCE((SELECT ' |' || a || b || '| '
+                              FROM m{r}), chr(1)))),
                     ' +'),
                 x -> trim(x, '|')) AS t
             FROM {prev}
@@ -1466,7 +1480,11 @@ def _bpe_compression_oracle() -> str:
         prev = f"s{r}"
     return f"""
         WITH s0 AS (
-            SELECT regexp_split_to_array(text, ' +') AS t FROM documents
+            -- mirror learn_bpe_merges' seed filter (t != ''): edge
+            -- whitespace otherwise leaves '' tokens only in the oracle
+            SELECT list_filter(regexp_split_to_array(text, ' +'),
+                               x -> x <> '') AS t
+            FROM documents
         ),{",".join(rounds)}
         SELECT (SELECT COUNT(*) FROM s0) AS n_docs,
                (SELECT CAST(SUM(len(t)) AS BIGINT) FROM s0)

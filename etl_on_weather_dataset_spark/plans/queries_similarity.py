@@ -10,6 +10,7 @@ from ..operators.similarity import (
     cosine_topk,
     cosine_topk_sql,
     dot,
+    dot_sql,
     embedding_near_dup_sql,
     ivf_topk_sql,
     lsh_hyperplanes,
@@ -440,11 +441,11 @@ def _label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(QuerySpec(
     name="embedding_label_stats",
     spark_fn=_label_stats,
-    oracle="""
+    oracle=f"""
         WITH per_vec AS (
             SELECT label,
-                   ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                          CAST(embedding AS DOUBLE[])), 6)
+                   ROUND({dot_sql('(CAST(embedding AS DOUBLE[]))',
+                                  '(CAST(embedding AS DOUBLE[]))')}, 6)
                        AS sqn
             FROM embeddings
         )
@@ -877,7 +878,7 @@ def _trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _trained_ivf_oracle() -> str:
     from ..operators.cluster import kmeans_ctes
-    from ..operators.similarity import SIM_DECIMALS
+    from ..operators.similarity import SIM_DECIMALS, dot_sql
 
     qf = f"id < {_RECALL_QUERIES}"
     exact = cosine_topk_sql(k=_K, query_filter=qf)
@@ -886,7 +887,7 @@ def _trained_ivf_oracle() -> str:
         WITH exact AS ({exact}),
         assigned AS (
             WITH {km}
-            SELECT id, v, sqrt(list_dot_product(v, v)) AS n, cluster
+            SELECT id, v, sqrt({dot_sql('v', 'v')}) AS n, cluster
             FROM afinal
         ),
         cand AS (
@@ -900,7 +901,7 @@ def _trained_ivf_oracle() -> str:
                 SELECT query_id, neighbor_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY query_id
-                           ORDER BY ROUND(list_dot_product(qv, cv)
+                           ORDER BY ROUND({dot_sql('qv', 'cv')}
                                           / (qn * cn),
                                           {SIM_DECIMALS}) DESC,
                                     neighbor_id ASC

@@ -471,16 +471,39 @@ def stream_incremental_rollup(
     maintenance end-to-end (the streaming twin of
     tests' 4-step batch scenario).
 
+    Ledger-key namespacing: batch ids are only unique PER CHECKPOINT,
+    so the key is ``{query-namespace}-sb{batch_id}`` where the
+    namespace is the persistent streaming query id from the
+    checkpoint's metadata file (stable across restarts of the same
+    checkpoint, fresh for a new checkpoint) -- a second query or a
+    re-created checkpoint pointed at an existing store no longer
+    collides on sb0/sb1/... and silently drops real batches as
+    'replays' (r4 advice). Falls back to an md5 of the checkpoint
+    path when the metadata is not locally readable (object-store
+    checkpoints); then a DELETED-and-recreated checkpoint at the
+    same path must get a fresh store.
+
     Returns the processed batch ids (AvailableNow run).
     """
+    import hashlib
+    import json
+    import os
+
     from ..operators.rollup_store import incremental_rollup
 
     seen: list[int] = []
 
+    def _query_ns() -> str:
+        try:
+            with open(os.path.join(checkpoint, "metadata")) as fh:
+                return json.load(fh)["id"][:12]
+        except (OSError, KeyError, ValueError):
+            return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         seen.append(batch_id)
         incremental_rollup(
-            spark, batch_df, store_path, f"sb{batch_id}",
+            spark, batch_df, store_path, f"{_query_ns()}-sb{batch_id}",
             key_cols=key_cols, value_col=value_col,
         )
 

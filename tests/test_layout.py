@@ -83,6 +83,14 @@ def test_zorder_handles_strings_and_constant_columns(spark, tmp_path):
     write_zordered(df, str(tmp_path / "s"), ["user", "v"], n_files=4)
     back = spark.read.parquet(str(tmp_path / "s"))
     assert back.count() == 100
+    # span stats over a mixed (string, numeric) key: the string
+    # column's str/bytes footer stats must be skipped, not float()'d
+    # into a ValueError (r4 advice); only numeric columns report
+    spans = file_span_stats(str(tmp_path / "s"), ["user", "id"])
+    assert spans, "numeric column should still report spans"
+    for f in spans:
+        assert "user" not in f
+        assert set(f) == {"id"}
 
 
 def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):

@@ -1932,7 +1932,7 @@ class TestRecordLinkage:
         row = linkage_summary(clean, dirty, max_rel_freq=1.0).collect()[0]
         assert row["n_records"] == 4
         assert row["n_true_links"] == 4
-        assert row["recall"] == 1.0
+        assert row["recall_ppm"] == 1_000_000
 
 
 class TestIncrementalSimhashDedup:
@@ -2538,6 +2538,27 @@ class TestCorrMatrix:
         assert abs(out[("x", "w")]) < 0.1
         assert len(out) == 6  # all pairs x<y, one pass
 
+    def test_no_int64_overflow_at_scale(self, spark):
+        """Cents-scaled prices (~1e7 after scale=100) square to ~1e14
+        per term; 100k rows sum to ~1e19, past int64's 9.2e18. The
+        sums accumulate in DECIMAL(38,0), so r stays exact instead of
+        wrapping silently (r4 advice: the old LONG sums overflowed at
+        ~85k rows -- below even sf0.1's 600k-row lineitem)."""
+        from etl_on_weather_dataset_spark.operators.profile import (
+            corr_matrix,
+        )
+
+        n = 100_000
+        df = spark.range(n).selectExpr(
+            "CAST(100000 + id % 5000 AS DOUBLE) AS x",
+            "CAST(100000 + id % 5000 AS DOUBLE) AS y",
+        )
+        out = corr_matrix(df, ["x", "y"]).collect()
+        assert len(out) == 1
+        # y = x exactly; a wrapped sum makes r garbage (NaN / far
+        # from 1), the decimal path gives exactly 1 to 1e-12
+        assert abs(out[0].r - 1.0) < 1e-12
+
 
 class TestContrastiveTriplets:
     def test_triplet_invariants(self, spark):
@@ -2562,6 +2583,19 @@ class TestContrastiveTriplets:
         # determinism: second run identical
         out2 = contrastive_triplets(df, "vec_id", "label").collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    def test_single_label_yields_no_triplets(self, spark):
+        """One distinct label: the cyclic next-label map would wrap to
+        the anchor's own class -- emit nothing instead of degenerate
+        same-class negatives (r4 advice)."""
+        from etl_on_weather_dataset_spark.operators.sample import (
+            contrastive_triplets,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "only") for i in range(5)], "vec_id long, label string"
+        )
+        assert contrastive_triplets(df, "vec_id", "label").collect() == []
 
 
 class TestBpeMerges:

@@ -171,7 +171,7 @@ def test_span_stats_fraction_bounds_and_consistency(spark, docs):
 
     df = spark.createDataFrame(docs, "doc_id long, text string")
     for r in duplicated_span_stats(df, window=3).collect():
-        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert 0 <= r["dup_frac_ppm"] <= 1_000_000
         assert r["covered_tokens"] <= r["n_tokens"]
         # spans only exist where windows do
         assert (r["n_dup_spans"] == 0) == (r["n_dup_windows"] == 0)

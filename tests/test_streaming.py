@@ -503,3 +503,22 @@ def test_stream_incremental_rollup_equals_batch(spark, tmp_path):
     assert v2 == v1
     assert {r.event_type: (r.n_rows, r.sum_c)
             for r in agg2.collect()} == got
+
+    # a SECOND query (fresh checkpoint, new source) into the SAME
+    # store restarts batch ids at 0 -- the query-id namespace keeps
+    # its sb0/sb1 from colliding with the first query's ledger keys,
+    # so the new batches must apply instead of being dropped as
+    # 'replays' (r4 advice)
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    spark.createDataFrame(
+        [("a", base.date(), 32.00)], schema
+    ).coalesce(1).write.parquet(str(src2 / "wave0"))
+    stream_incremental_rollup(
+        spark, f"{src2}/*", spark.createDataFrame([], schema).schema,
+        store, str(tmp_path / "ckpt2"), ("event_type", "day"), "value",
+    )
+    agg3, _, v3 = read_rollup(spark, store)
+    assert v3 > v2
+    assert {r.event_type: (r.n_rows, r.sum_c)
+            for r in agg3.collect()} == {"a": (4, 5300), "b": (2, 1000)}
