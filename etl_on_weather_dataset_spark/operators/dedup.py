@@ -180,6 +180,42 @@ def incremental_exact_dedup(
     return landed.drop("fp")
 
 
+def compact_fingerprint_store(
+    spark,
+    src_store: str,
+    dst_store: str,
+    dedup_cols: tuple[str, ...] = ("fp",),
+) -> int:
+    """Blue/green compaction for the append-only fingerprint stores
+    (incremental exact dedup's (fp, keep_id), incremental simhash's
+    simhash rows): rewrite the store with duplicate rows collapsed
+    (min row per ``dedup_cols``, matching the probe's semi/anti-join
+    semantics where duplicates only cost space) into ``dst_store``,
+    then drop a ``_STORE_APPENDED`` marker so the caller's next batch
+    can point at it with the usual replay contract. Returns the
+    compacted row count.
+
+    Why a NEW path instead of in-place: parquet directories have no
+    atomic replace on object stores -- an in-place rewrite would have
+    a crash window where the store is lost, which for a dedup store
+    means silently re-admitting every historical duplicate. Blue/
+    green keeps ``src_store`` intact until the caller has switched;
+    a crash mid-compaction leaves an incomplete ``dst_store`` WITHOUT
+    the marker, which the caller must treat as garbage (check
+    ``_marker_exists(spark, dst_store, "_STORE_APPENDED")`` before
+    switching). Run it between batches (one writer at a time, the
+    same single-writer contract as the appends themselves).
+    """
+    store = spark.read.parquet(src_store)
+    other = [c for c in store.columns if c not in dedup_cols]
+    compacted = store.groupBy(*dedup_cols).agg(
+        *[F.min(c).alias(c) for c in other]
+    ) if other else store.select(*dedup_cols).distinct()
+    compacted.write.mode("overwrite").parquet(dst_store)
+    _write_marker(spark, dst_store, _MARK_APPENDED)
+    return spark.read.parquet(dst_store).count()
+
+
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
     """Distinct n-word shingles of a document as an array column.
 

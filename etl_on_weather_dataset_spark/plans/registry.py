@@ -63,74 +63,63 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# --- round-4 rotation of the driver CORRECTNESS window -----------------------
+# --- round-5 rotation of the driver CORRECTNESS window -----------------------
 #
 # The driver attests at most DRIVER_CAP queries per round. Round-robin
 # policy (round-2 verdict, "Next round" #1): every query must earn a
 # green driver row in SOME round. History:
 #   - rounds 1-2 attested the 50 default-visible entries;
 #   - round 3 swapped in the 29 then-never-attested ``extended``
-#     queries (green in CORRECTNESS_r03), parking 29 twice-attested
-#     entries in the pytest parity suite (which still oracle-checks
-#     every registered query on every run);
-#   - round 4 (now) completes the cycle: the 5 queries ADDED in round
-#     3 rotate in for their first attestation, the 14 queries added
-#     THIS round join them (multi-table ANN + its recall curve,
-#     incremental dedup, boilerplate removal, per-source cap, DSIR,
-#     SemDeDup, IVF n_probe curve, corpus mixing, IVF-PQ + its
-#     rerank curve, k-means, trained-cell IVF, count-min sketch,
-#     exact-substring span dedup stats + removal, BM25 retrieval,
-#     hashed linear quality classifier, q-gram record linkage), and
-#     curation_pipeline_stats + dedup_connected_groups stay in to
-#     re-attest their round-4 implementation changes (fused
-#     audit-trail aggregates; batched convergence checks; self-loop
-#     label propagation). Everything else previously ROTATE_IN parks.
-# After r4, every query registered BEFORE the round-4 window froze has
-# >= 1 green driver row. Ten queries added late in round 4 (after the
-# window hit DRIVER_CAP) are pytest-attested this round and are the
-# documented ROUND-5 rotation: column_profile_lineitem,
-# doc_bigram_logprob, doc_vocab_classifier, embedding_pipeline_stats,
-# funnel_view_click_purchase, hybrid_rrf_topk, large_volume_orders,
-# promo_revenue_share, small_quantity_revenue,
-# weekly_cohort_retention, plus the late-r4 batch: the deep TPC-H
-# shapes (volume_shipping, national_market_share,
-# returned_item_customers, customer_order_distribution,
-# top_supplier_revenue, disjunctive_brand_revenue,
-# grouping_sets_revenue), the graph tier (graph_degree_stats,
-# graph_triangle_summary, graph_pagerank_top), and
-# rolling_zscore_anomalies, source_drift_kl,
-# rollup_incremental_daily, melt_measure_profile,
-# chi_square_independence, ohlc_daily_candles, twap_daily,
-# corr_matrix_lineitem, quantile_bins_events, mad_outliers_by_type,
-# referential_integrity_audit, contrastive_triplets_emb,
-# bpe_learned_merges, bpe_compression_stats,
-# rich_inactive_customers, logreg_trained_weights,
-# leakage_safe_split, group_kfold_assignment -- swap them
-# into ROTATE_IN next round (two
-# rounds of rotation if the count exceeds the free slots), parking
-# equally many r4-attested names. The 21 slots that never rotate are
-# the flagships and one query per operator family (TPC-H headliners,
-# the four dedup tiers, ANN, text, multimodal, sessionization, MERGE,
-# as-of) -- the queries a user runs hourly. The window is exactly
-# DRIVER_CAP this round (pinned + rotations = 50 of 50).
+#     queries, parking 29 twice-attested entries in the pytest parity
+#     suite (which still oracle-checks every registered query on
+#     every run);
+#   - round 4 attested the r3/r4-added tier (ANN curves, incremental
+#     dedup, SemDeDup, IVF-PQ, k-means, BM25, linkage, span dedup,
+#     DSIR, corpus mixing, CMS, ...) -- 47 green + 3 hash-red rows
+#     (kmeans_cluster_stats, record_linkage_summary, dup_span_stats),
+#     all three traced to floats compared at the last ulp;
+#   - round 5 (now): the 3 red rows stay in to re-attest their
+#     integer-only compare surfaces, trained_ivf_recall stays in
+#     because the kmeans micro-snapped argmin changed its Spark-side
+#     assignments, and 25 of the 38 never-attested late-r4 queries
+#     rotate in (verdict r4 priority order: the composed embedding
+#     flagship, the graph tier, trained logreg, the column profiler,
+#     funnel/cohort, hybrid RRF, the deep TPC-H shapes, the rollup
+#     store, OHLC/TWAP/z-score, and corr_matrix_lineitem whose sum
+#     accumulation moved to DECIMAL(38,0) this round).
+# ROUND-6 rotation (the 13 never-attested queries that did not fit,
+# all pytest-oracle-green every run): bpe_compression_stats,
+# bpe_learned_merges, chi_square_independence,
+# contrastive_triplets_emb, doc_bigram_logprob, doc_vocab_classifier,
+# group_kfold_assignment, leakage_safe_split, mad_outliers_by_type,
+# melt_measure_profile, quantile_bins_events,
+# referential_integrity_audit, source_drift_kl -- swap them into
+# ROTATE_IN next round, parking equally many r5-attested names. The
+# 21 slots that never rotate are the flagships and one query per
+# operator family (TPC-H headliners, the four dedup tiers, ANN, text,
+# multimodal, sessionization, MERGE, as-of) -- the queries a user
+# runs hourly. The window is exactly DRIVER_CAP this round
+# (21 pinned + 29 rotations = 50 of 50).
 ROTATE_IN: frozenset[str] = frozenset({
-    # added in round 3, first driver attestation (r2 verdict item #1)
-    "benchmark_decontamination", "packed_bins", "doc_repetition_stats",
-    "doc_logprob_score", "ann_recall_at_k",
-    # added in round 4, first driver attestation
-    "cosine_topk_lsh_multi", "ann_recall_multi_table",
-    "dedup_incremental_exact",
-    "boilerplate_line_removal", "per_source_document_cap",
-    "importance_resample_dsir", "semdedup_embeddings",
-    "ivf_recall_probes", "corpus_mixture_sample",
-    "cosine_topk_ivf_pq", "ivf_pq_recall", "kmeans_cluster_stats",
-    "trained_ivf_recall", "cms_token_frequencies",
-    "weighted_sample_docs", "dsir_weighted_selection",
-    "dup_span_stats", "dup_span_removal",
-    "bm25_topk_docs", "doc_quality_classifier", "record_linkage_summary",
-    "dedup_incremental_simhash",
-    # re-attest after round-4 implementation changes
-    "curation_pipeline_stats", "dedup_connected_groups",
+    # re-attest: r4 red rows, compare surfaces now integer-only
+    "kmeans_cluster_stats", "record_linkage_summary", "dup_span_stats",
+    # re-attest: Spark-side assignments changed by the snapped argmin
+    "trained_ivf_recall",
+    # first attestation: verdict-r4 priority backlog
+    "embedding_pipeline_stats",
+    "graph_degree_stats", "graph_triangle_summary", "graph_pagerank_top",
+    "logreg_trained_weights", "column_profile_lineitem",
+    "funnel_view_click_purchase", "hybrid_rrf_topk",
+    "weekly_cohort_retention",
+    "volume_shipping", "national_market_share",
+    "returned_item_customers", "customer_order_distribution",
+    "top_supplier_revenue", "disjunctive_brand_revenue",
+    "grouping_sets_revenue", "large_volume_orders",
+    "promo_revenue_share", "small_quantity_revenue",
+    "rich_inactive_customers",
+    "rollup_incremental_daily",
+    "ohlc_daily_candles", "twap_daily", "rolling_zscore_anomalies",
+    "corr_matrix_lineitem",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green rows in r1+r2
@@ -159,6 +148,22 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "math_functions",
     "monthly_mode_event_type", "date_part_histogram",
     "event_time_tumbling_window",
+    # parked after green rows in r4 (oracle-arithmetic-only changes
+    # this round -- list_reduce dot folds -- stay pytest-checked)
+    "benchmark_decontamination", "packed_bins", "doc_repetition_stats",
+    "doc_logprob_score", "ann_recall_at_k",
+    "cosine_topk_lsh_multi", "ann_recall_multi_table",
+    "dedup_incremental_exact",
+    "boilerplate_line_removal", "per_source_document_cap",
+    "importance_resample_dsir", "semdedup_embeddings",
+    "ivf_recall_probes", "corpus_mixture_sample",
+    "cosine_topk_ivf_pq", "ivf_pq_recall",
+    "cms_token_frequencies",
+    "weighted_sample_docs", "dsir_weighted_selection",
+    "dup_span_removal",
+    "bm25_topk_docs", "doc_quality_classifier",
+    "dedup_incremental_simhash",
+    "curation_pipeline_stats", "dedup_connected_groups",
 })
 
 
