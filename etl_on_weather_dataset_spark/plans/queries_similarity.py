@@ -1037,3 +1037,176 @@ register(QuerySpec(
     covers=("contrastive-triplets", "deterministic-pairing"),
     extended=True,
 ))
+
+
+# --- attested HIGH-RECALL ANN operating point (the serving preset) -----------
+#
+# The honest recall curves above bottom out low on the i.i.d.
+# word-soup corpus (recall@5 0.019..0.458) because a random query's
+# true top-k ARE random vectors -- no index can find them without
+# scanning. The regime a production ANN index actually serves is the
+# opposite: queries whose true neighbors are GENUINELY similar
+# (near-dups, paraphrases, semantic clusters). This query attests a
+# NAMED configuration at that operating point (r4 verdict item 4):
+#
+#   ANN_HIGH_RECALL_PRESET: lsh_topk_multi with 8 tables x 8
+#   hyperplanes, k=5 -- the OR-amplified multi-table index.
+#
+# Evaluation corpus: the 500 base embeddings plus 40 planted cliques
+# (source vec_id < 40, 5 deterministic perturbed copies each, ids
+# 100000 + 8*source + copy). Perturbation = v + 0.3 * d_c with d_c
+# five fixed unit directions (lsh_hyperplanes seed 4242, literal in
+# BOTH engines) -- sibling cosines ~0.92-0.96, far above the ~0.35
+# word-soup ceiling, so each planted query's exact top-5 is exactly
+# its 5 clique siblings and recall measures the index, not noise.
+# Both engines build the corpus with the same x + delta*y arithmetic,
+# so the row (preset literals, n_exact, n_hits, n_scored_pairs,
+# recall_ppm -- integer compare surface) is hash-pinned with the
+# candidate cost right next to the curve queries. Expected operating
+# point: recall@5 >= 0.8 (per-sibling collision ~1-(1-0.43)^8 ~ 0.99)
+# at a candidate cost far below the brute-force |Q| x |C|.
+
+_PRESET_TABLES = 8
+_PRESET_PLANES = 8
+_PRESET_SOURCES = 40
+_PRESET_COPIES = 5
+_PRESET_DELTA = 0.3
+_PRESET_BASE_ID = 100_000
+_PRESET_DIR_SEED = 4242
+
+
+def _preset_directions() -> list[list[float]]:
+    return lsh_hyperplanes(64, _PRESET_COPIES, seed=_PRESET_DIR_SEED)
+
+
+def _planted_corpus(emb: DataFrame) -> DataFrame:
+    """Base embeddings + the deterministic planted cliques, as
+    (vec_id, embedding DOUBLE[])."""
+    from ..operators.similarity import _as_double
+
+    base = emb.select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    )
+    parts = [base]
+    for c, d in enumerate(_preset_directions(), start=1):
+        lit = F.array(*[F.lit(float(x)) for x in d])
+        parts.append(
+            base.filter(F.col("vec_id") < _PRESET_SOURCES).select(
+                (
+                    F.lit(_PRESET_BASE_ID)
+                    + F.col("vec_id") * 8
+                    + F.lit(c)
+                ).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding"), lit,
+                    lambda x, y: x + F.lit(_PRESET_DELTA) * y,
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _planted_corpus_sql() -> str:
+    dirs = _preset_directions()
+    planted = "\n            UNION ALL\n            ".join(
+        f"SELECT {_PRESET_BASE_ID} + vec_id * 8 + {c} AS vec_id, "
+        f"list_transform(range(1, 65), "
+        f"j -> CAST(embedding AS DOUBLE[])[j] "
+        f"+ {_PRESET_DELTA!r} * ({d!r}::DOUBLE[])[j]) AS embedding "
+        f"FROM embeddings WHERE vec_id < {_PRESET_SOURCES}"
+        for c, d in enumerate(dirs, start=1)
+    )
+    return f"""
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+            UNION ALL
+            {planted}
+    """
+
+
+def _ann_preset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import persisted
+    from ..operators.similarity import lsh_multi_candidates, lsh_topk_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    aug = persisted(_planted_corpus(emb))
+    queries = aug.filter(F.col("vec_id") >= _PRESET_BASE_ID)
+    exact = cosine_topk(queries, aug, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    ann = lsh_topk_multi(
+        queries, aug, k=_K, n_tables=_PRESET_TABLES,
+        n_planes=_PRESET_PLANES, broadcast_queries=True,
+    ).select("query_id", "neighbor_id")
+    cand = lsh_multi_candidates(
+        queries, aug, n_tables=_PRESET_TABLES,
+        n_planes=_PRESET_PLANES, broadcast_queries=True,
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_scored_pairs")))
+        .select(
+            F.lit(_PRESET_TABLES).alias("n_tables"),
+            F.lit(_PRESET_PLANES).alias("n_planes"),
+            F.lit(_K).alias("k"),
+            "n_exact",
+            "n_hits",
+            "n_scored_pairs",
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE n_hits * CAST(1000000 AS BIGINT) div n_exact END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _ann_preset_oracle() -> str:
+    from ..operators.similarity import (
+        lsh_multi_candidates_sql,
+        lsh_topk_multi_sql,
+    )
+
+    qf = f"id >= {_PRESET_BASE_ID}"
+    exact = cosine_topk_sql(k=_K, table="aug", query_filter=qf)
+    ann = lsh_topk_multi_sql(
+        k=_K, table="aug", query_filter=qf,
+        n_tables=_PRESET_TABLES, n_planes=_PRESET_PLANES,
+    )
+    cand = lsh_multi_candidates_sql(
+        table="aug", query_filter=qf,
+        n_tables=_PRESET_TABLES, n_planes=_PRESET_PLANES,
+    )
+    hits = (
+        "SELECT COUNT(*) FROM exact e JOIN ann a "
+        "ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"
+    )
+    return f"""
+        WITH aug AS ({_planted_corpus_sql()}),
+        exact AS ({exact}),
+        ann AS ({ann}),
+        cand AS ({cand})
+        SELECT {_PRESET_TABLES} AS n_tables,
+               {_PRESET_PLANES} AS n_planes,
+               {_K} AS k,
+               (SELECT COUNT(*) FROM exact) AS n_exact,
+               ({hits}) AS n_hits,
+               (SELECT COUNT(*) FROM cand) AS n_scored_pairs,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 0
+                    ELSE ({hits}) * 1000000
+                         // (SELECT COUNT(*) FROM exact)
+                    END AS BIGINT) AS recall_ppm
+    """
+
+
+register(QuerySpec(
+    name="ann_high_recall_preset",
+    spark_fn=_ann_preset,
+    oracle=_ann_preset_oracle,
+    covers=("ann-high-recall-preset", "serving-config"),
+    extended=True,  # rotated into the round-5 driver window
+))

@@ -87,13 +87,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     funnel/cohort, hybrid RRF, the deep TPC-H shapes, the rollup
 #     store, OHLC/TWAP/z-score, and corr_matrix_lineitem whose sum
 #     accumulation moved to DECIMAL(38,0) this round).
-# ROUND-6 rotation (the 13 never-attested queries that did not fit,
+# ROUND-6 rotation (the 14 never-attested queries that did not fit,
 # all pytest-oracle-green every run): bpe_compression_stats,
 # bpe_learned_merges, chi_square_independence,
 # contrastive_triplets_emb, doc_bigram_logprob, doc_vocab_classifier,
 # group_kfold_assignment, leakage_safe_split, mad_outliers_by_type,
 # melt_measure_profile, quantile_bins_events,
-# referential_integrity_audit, source_drift_kl -- swap them into
+# referential_integrity_audit, rolling_zscore_anomalies,
+# source_drift_kl -- swap them into
 # ROTATE_IN next round, parking equally many r5-attested names. The
 # 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
@@ -118,8 +119,10 @@ ROTATE_IN: frozenset[str] = frozenset({
     "promo_revenue_share", "small_quantity_revenue",
     "rich_inactive_customers",
     "rollup_incremental_daily",
-    "ohlc_daily_candles", "twap_daily", "rolling_zscore_anomalies",
+    "ohlc_daily_candles", "twap_daily",
     "corr_matrix_lineitem",
+    # first attestation: the round-5 serving preset (verdict item 4)
+    "ann_high_recall_preset",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green rows in r1+r2
