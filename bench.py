@@ -65,7 +65,7 @@ def main() -> None:
         release_all()
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -73,7 +73,33 @@ def main() -> None:
         "sf": sf,
         "n": N_RUNS,
         "protocol": "best",
-    }))
+    }
+    # Like-for-like trend line (r4 verdict item 7): the subtotal over
+    # queries ALSO benched last round, so the headline growing with
+    # the query set never obscures a regression. Read from the
+    # previous round's artifact when present.
+    prev = sorted(Path(_REPO).glob("BENCH_r*.json"))
+    if prev:
+        try:
+            prev_doc = json.loads(prev[-1].read_text())
+            # driver artifacts wrap the bench's own JSON line in "parsed"
+            prev_doc = prev_doc.get("parsed", prev_doc)
+            common = sorted(set(prev_doc.get("queries", {})) & set(timings))
+            # only an equal-scale comparison is a trend line
+            if common and prev_doc.get("sf") == sf:
+                out["common_with_prev"] = {
+                    "prev_artifact": prev[-1].name,
+                    "n_queries": len(common),
+                    "subtotal_sec": round(
+                        sum(timings[q] for q in common), 4
+                    ),
+                    "prev_subtotal_sec": round(
+                        sum(prev_doc["queries"][q] for q in common), 4
+                    ),
+                }
+        except (ValueError, OSError):
+            pass  # a malformed prior artifact never breaks the bench
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -316,14 +316,34 @@ register(QuerySpec(
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentiles + second moments in ONE grouped pass (shared shuffle),
     # so the driver attests both families in a single registry slot.
+    # stddev/var derive from exact scaled-integer sums with one fixed
+    # float formula (see _value_moments) rather than the engine-native
+    # aggregates, whose summation order is engine-specific.
     ev = load_table(spark, sf_dir, "events")
+    cv = F.round(F.col("value") * 100).cast("long")
+    d = "decimal(38,0)"
+
     def p(q):
         return F.round(F.percentile("value", F.lit(q)), 6)
-    return ev.groupBy("event_type").agg(
+
+    agg = ev.select("event_type", "value", cv.alias("cv")).groupBy(
+        "event_type"
+    ).agg(
         p(0.25).alias("p25"), p(0.5).alias("p50"), p(0.75).alias("p75"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
-        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
-        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum(F.col("cv").cast(d)).alias("sv"),
+        F.sum((F.col("cv") * F.col("cv")).cast(d)).alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+        .cast("double") / nd / (nd - 1) / 10000.0
+    )
+    return agg.select(
+        "event_type", "p25", "p50", "p75", "p99",
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+        F.round(var, 6).alias("var_value"),
     )
 
 
@@ -331,49 +351,123 @@ register(QuerySpec(
     name="value_percentiles",
     spark_fn=_value_percentiles,
     oracle="""
-        SELECT event_type,
-               ROUND(quantile_cont(value, 0.25), 6) AS p25,
-               ROUND(quantile_cont(value, 0.5), 6) AS p50,
-               ROUND(quantile_cont(value, 0.75), 6) AS p75,
-               ROUND(quantile_cont(value, 0.99), 6) AS p99,
-               ROUND(stddev_samp(value), 6) AS stddev_value,
-               ROUND(var_samp(value), 6) AS var_value
-        FROM events
-        GROUP BY event_type
+        WITH s AS (
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS p75,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)
+                       * CAST(ROUND(value * 100) AS BIGINT)) AS svv
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_type, p25, p50, p75, p99,
+               ROUND(sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                          / CAST(n AS DOUBLE)
+                          / (CAST(n AS DOUBLE) - 1) / 10000.0), 6)
+                   AS stddev_value,
+               ROUND(CAST(n * svv - sv * sv AS DOUBLE)
+                     / CAST(n AS DOUBLE)
+                     / (CAST(n AS DOUBLE) - 1) / 10000.0, 6)
+                   AS var_value
+        FROM s
     """,
     covers=("percentiles", "exact-quantile", "moments"),
 ))
 
 
 def _value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample moments DERIVED FROM EXACT SCALED-INTEGER SUMS rather
+    than engine-native stddev_samp/corr/covar: the native aggregates'
+    summation order differs between Spark's partial aggregation and
+    the oracle's sequential pass, so their doubles can disagree below
+    the 6-dp rounding (r4 verdict item 5 -- the last-ulp trap class).
+    Here both engines aggregate n / sum(c) / sum(c^2) / sum(cv*ck) as
+    exact integers (DECIMAL(38,0): n*S2 overflows int64 past ~sf0.1)
+    and apply the same fixed-order float formula, so the doubles are
+    bit-identical before ROUND."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("double")
-    return (
-        ev.select("event_type", "value", k.alias("k"))
+    cv = F.round(F.col("value") * 100).cast("long")
+    ck = F.round(
+        F.get_json_object("props", "$.k").cast("double") * 100
+    ).cast("long")
+    d = "decimal(38,0)"
+    agg = (
+        ev.select("event_type", cv.alias("cv"), ck.alias("ck"))
         .groupBy("event_type")
         .agg(
-            F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
-            F.round(F.var_samp("value"), 6).alias("var_value"),
-            F.round(F.corr("value", "k"), 6).alias("corr_value_k"),
-            F.round(F.covar_samp("value", "k"), 6).alias("covar_value_k"),
+            F.count(F.lit(1)).cast(d).alias("n"),
+            F.sum(F.col("cv").cast(d)).alias("sv"),
+            F.sum((F.col("cv") * F.col("cv")).cast(d)).alias("svv"),
+            F.sum(F.col("ck").cast(d)).alias("sk"),
+            F.sum((F.col("ck") * F.col("ck")).cast(d)).alias("skk"),
+            F.sum((F.col("cv") * F.col("ck")).cast(d)).alias("svk"),
         )
+    )
+    numv = (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast(
+        "double"
+    )
+    numk = (F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")).cast(
+        "double"
+    )
+    numvk = (F.col("n") * F.col("svk") - F.col("sv") * F.col("sk")).cast(
+        "double"
+    )
+    nd = F.col("n").cast("double")
+    var = numv / nd / (nd - 1) / 10000.0
+    covar = numvk / nd / (nd - 1) / 10000.0
+    return agg.select(
+        "event_type",
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(numvk / F.sqrt(numv * numk), 6).alias("corr_value_k"),
+        F.round(covar, 6).alias("covar_value_k"),
     )
 
 
 register(QuerySpec(
     name="value_moments",
     spark_fn=_value_moments,
+    # identical integer sums + identical fixed-order float formula
+    # (see _value_moments docstring)
     oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(cv) AS sv, SUM(cv * cv) AS svv,
+                   SUM(ck) AS sk, SUM(ck * ck) AS skk,
+                   SUM(cv * ck) AS svk
+            FROM (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cv,
+                       CAST(ROUND(CAST(json_extract(props, '$.k')
+                                       AS DOUBLE) * 100) AS BIGINT)
+                           AS ck
+                FROM events
+            )
+            GROUP BY event_type
+        )
         SELECT event_type,
-               ROUND(stddev_samp(value), 6) AS stddev_value,
-               ROUND(var_samp(value), 6) AS var_value,
-               ROUND(corr(value, CAST(json_extract(props, '$.k')
-                                      AS DOUBLE)), 6) AS corr_value_k,
-               ROUND(covar_samp(value, CAST(json_extract(props, '$.k')
-                                            AS DOUBLE)), 6)
+               ROUND(sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                          / CAST(n AS DOUBLE)
+                          / (CAST(n AS DOUBLE) - 1) / 10000.0), 6)
+                   AS stddev_value,
+               ROUND(CAST(n * svv - sv * sv AS DOUBLE)
+                     / CAST(n AS DOUBLE)
+                     / (CAST(n AS DOUBLE) - 1) / 10000.0, 6)
+                   AS var_value,
+               ROUND(CAST(n * svk - sv * sk AS DOUBLE)
+                     / sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                            * CAST(n * skk - sk * sk AS DOUBLE)), 6)
+                   AS corr_value_k,
+               ROUND(CAST(n * svk - sv * sk AS DOUBLE)
+                     / CAST(n AS DOUBLE)
+                     / (CAST(n AS DOUBLE) - 1) / 10000.0, 6)
                    AS covar_value_k
-        FROM events
-        GROUP BY event_type
+        FROM s
     """,
     covers=("moments", "stddev-var-corr"),
     extended=True,  # stddev/var driver-attested in value_percentiles;

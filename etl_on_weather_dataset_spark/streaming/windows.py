@@ -461,10 +461,14 @@ def stream_incremental_rollup(
     key_cols: tuple[str, ...],
     value_col: str,
     max_files_per_trigger: int = 1,
+    keep_versions: int | None = None,
 ) -> list[int]:
     """Continuous ingestion into the versioned rollup store: a file
     stream drives ``incremental_rollup`` through foreachBatch with the
-    Structured Streaming batch id as the replay ledger key. Because
+    Structured Streaming batch id as the replay ledger key.
+    ``keep_versions`` forwards to the store's post-commit keep-last-N
+    vacuum -- a continuously-ingesting stream is exactly the writer
+    whose version count otherwise grows without bound. Because
     foreachBatch is at-least-once, a restarted query MAY re-deliver
     the last batch -- the store's applied-batch ledger makes the
     replay a no-op, upgrading the pipeline to exactly-once rollup
@@ -505,6 +509,7 @@ def stream_incremental_rollup(
         incremental_rollup(
             spark, batch_df, store_path, f"{_query_ns()}-sb{batch_id}",
             key_cols=key_cols, value_col=value_col,
+            keep_versions=keep_versions,
         )
 
     reader = spark.readStream.schema(schema).option(

@@ -28,6 +28,48 @@ def test_driver_registry_within_cap():
     assert len(registry.queries()) <= registry.DRIVER_CAP
 
 
+def test_rotation_leaves_no_query_unattested_and_unplanned():
+    """Attestation-completeness guard for the rotation policy: every
+    registered query must be (a) green in a past driver CORRECTNESS
+    artifact, (b) in the current driver window, or (c) named in the
+    registry's documented next-round rotation comment. A query
+    missing from all three would silently never earn a driver row --
+    exactly the structural gap the round-robin policy exists to
+    close."""
+    import inspect
+    import json
+    import pathlib
+    import re
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    artifacts = sorted(repo.glob("CORRECTNESS_r*.json"))
+    if not artifacts:
+        pytest.skip("no driver CORRECTNESS artifacts present")
+    attested: set[str] = set()
+    for p in artifacts:
+        doc = json.loads(p.read_text())
+        attested |= {
+            n for n, row in doc.items()
+            if row.get("rows_match") and row.get("hash_match", True)
+        }
+    window = set(registry.queries())
+    comment = inspect.getsource(
+        __import__(
+            "etl_on_weather_dataset_spark.plans.registry",
+            fromlist=["registry"],
+        )
+    )
+    planned = set(re.findall(r"[a-z0-9_]+", comment))
+    orphans = {
+        n for n in registry.all_queries()
+        if n not in attested and n not in window and n not in planned
+    }
+    assert not orphans, (
+        f"queries with no driver row, not in the current window, and "
+        f"not in the documented next-round rotation: {sorted(orphans)}"
+    )
+
+
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, name):
     from etl_on_weather_dataset_spark.operators.caching import release_all
