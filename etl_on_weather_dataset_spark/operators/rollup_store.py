@@ -35,35 +35,15 @@ on the rollup key -- at 100 TB of history the store stays
 
 from __future__ import annotations
 
-import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_COMMITTED = "_COMMITTED"
-
-
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
-
-
-def _current_version(spark: SparkSession, store_path: str) -> int:
-    """Highest committed version number, or 0 if none."""
-    fs, jpath, jvm = _fs(spark, store_path)
-    if not fs.exists(jpath):
-        return 0
-    best = 0
-    for status in fs.listStatus(jpath):
-        name = status.getPath().getName()
-        m = re.fullmatch(r"v(\d+)", name)
-        if m and fs.exists(
-            jvm.org.apache.hadoop.fs.Path(status.getPath(), _COMMITTED)
-        ):
-            best = max(best, int(m.group(1)))
-    return best
+from .versioned import COMMITTED as _COMMITTED
+from .versioned import commit as _commit
+from .versioned import current_version as _current_version
+from .versioned import vacuum as _vacuum
 
 
 def read_rollup(
@@ -105,26 +85,11 @@ def vacuum_rollup_store(
     - uncommitted directories below the cutoff are crash garbage
       (writers only ever write ``current + 1``, which is above any
       cutoff) and are removed too.
+
+    (Mechanics shared with every versioned store: operators/
+    versioned.py.)
     """
-    fs, jpath, jvm = _fs(spark, store_path)
-    if not fs.exists(jpath):
-        return []
-    current = _current_version(spark, store_path)
-    cutoff = current - keep_last + 1
-    deleted: list[int] = []
-    for status in fs.listStatus(jpath):
-        name = status.getPath().getName()
-        m = re.fullmatch(r"v(\d+)", name)
-        if not m or int(m.group(1)) >= cutoff:
-            continue
-        marker = jvm.org.apache.hadoop.fs.Path(
-            status.getPath(), _COMMITTED
-        )
-        if fs.exists(marker):
-            fs.delete(marker, False)  # de-list before removing files
-        fs.delete(status.getPath(), True)
-        deleted.append(int(m.group(1)))
-    return sorted(deleted)
+    return _vacuum(spark, store_path, keep_last)
 
 
 def incremental_rollup(
@@ -191,9 +156,7 @@ def incremental_rollup(
     base = f"{store_path}/v{new_v}"
     merged.write.mode("overwrite").parquet(f"{base}/agg.parquet")
     applied.write.mode("overwrite").parquet(f"{base}/batches.parquet")
-    fs, _, jvm = _fs(spark, base)
-    fs.create(jvm.org.apache.hadoop.fs.Path(base + "/" + _COMMITTED),
-              True).close()
+    _commit(spark, base)
     if keep_versions is not None:
         vacuum_rollup_store(spark, store_path, keep_last=keep_versions)
     return spark.read.parquet(f"{base}/agg.parquet")

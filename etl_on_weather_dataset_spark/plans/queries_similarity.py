@@ -1210,3 +1210,128 @@ register(QuerySpec(
     covers=("ann-high-recall-preset", "serving-config"),
     extended=True,  # rotated into the round-5 driver window
 ))
+
+
+# --- persistent IVF index store scenario (build -> append -> probe) ----------
+#
+# The production ANN maintenance cycle (operators/ann_store.py): train
+# the coarse quantizer once on a build corpus, append later batches
+# WITHOUT retraining (assignment against the frozen centroids -- the
+# only shape that avoids a full-corpus Lloyd job per ingestion batch
+# at 100 TB), probe the committed store. The scenario builds on
+# vec_id < 300, appends the rest as batch 'b2', then serves
+# top-5/n_probe=2 for vec_id < 20 out of a per-invocation temp store.
+# The DuckDB twin recomputes the exact same pipeline statelessly
+# (kmeans CTE chain on the build half -> snapped-argmin assignment of
+# ALL vectors against the frozen cents -> ranked 2-cell probes ->
+# rounded cosine top-5), so a hash match attests that the store's
+# persisted centroids/cells round-trip bit-exactly and the probe path
+# serves precisely what a from-scratch computation would.
+
+_IVFS_BUILD = 300   # build corpus: vec_id < 300; append: the rest
+_IVFS_QUERIES = 20
+_IVFS_PROBE = 2
+
+
+def _ivf_store_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ann_store import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="spark_ivf_store_")
+    try:
+        store = f"{tmp}/ivf"
+        ivf_index_build(
+            spark, emb.filter(F.col("vec_id") < _IVFS_BUILD), store
+        )
+        ivf_index_append(
+            spark, emb.filter(F.col("vec_id") >= _IVFS_BUILD), store, "b2"
+        )
+        out = ivf_index_query(
+            spark, emb.filter(F.col("vec_id") < _IVFS_QUERIES), store,
+            k=_K, n_probe=_IVFS_PROBE,
+        )
+        # materialize before the temp store disappears
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, sim double, rk int"
+    )
+
+
+def _ivf_store_oracle() -> str:
+    from ..operators.cluster import MICRO, kmeans_ctes
+    from ..operators.similarity import SIM_DECIMALS, dot_sql
+
+    build = (
+        f"(SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id < {_IVFS_BUILD})"
+    )
+    iters = 3  # ann_store build defaults = cluster.py defaults
+    km = kmeans_ctes(table=build)
+    d_snap = (
+        f"CAST(ROUND(({dot_sql('c.cent', 'c.cent')}"
+        f" - 2 * {dot_sql('a.v', 'c.cent')}) * {MICRO}) AS BIGINT)"
+    )
+    return f"""
+        WITH {km},
+        allv AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        assigned AS (
+            SELECT id, v, cluster FROM (
+                SELECT a.id, a.v, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.id
+                           ORDER BY {d_snap} ASC, c.cluster ASC
+                       ) AS rn
+                FROM allv a CROSS JOIN cents{iters} c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT id AS query_id, v AS qv, cluster,
+                   sqrt({dot_sql('v', 'v')}) AS qn
+            FROM (
+                SELECT a.id, a.v, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.id
+                           ORDER BY {d_snap} ASC, c.cluster ASC
+                       ) AS rn
+                FROM (SELECT * FROM allv
+                      WHERE id < {_IVFS_QUERIES}) a
+                CROSS JOIN cents{iters} c
+            ) WHERE rn <= {_IVFS_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, m.id AS neighbor_id,
+                   ROUND({dot_sql('p.qv', 'm.v')}
+                         / (p.qn * sqrt({dot_sql('m.v', 'm.v')})),
+                         {SIM_DECIMALS}) AS sim
+            FROM probes p JOIN assigned m USING (cluster)
+            WHERE p.query_id != m.id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {_K}
+    """
+
+
+register(QuerySpec(
+    name="ivf_store_scenario",
+    spark_fn=_ivf_store_scenario,
+    oracle=_ivf_store_oracle,
+    covers=("ivf-index-store", "ann-index-maintenance"),
+    extended=True,  # round-6 rotation (registry.py)
+))

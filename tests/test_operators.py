@@ -2867,3 +2867,88 @@ def test_logreg_negative_gradients_match_duckdb(spark):
         dim=8, iters=3, lr_num=4, lr_den=1,
     )).fetchall()
     assert [v for _, v in got] == w
+
+
+class TestIvfIndexStore:
+    def _emb(self, spark, n=60, dim=8, base=0):
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            lsh_hyperplanes,
+        )
+
+        vecs = lsh_hyperplanes(dim, n, seed=123 + base)
+        return spark.createDataFrame(
+            [(base + i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_build_append_replay_query(self, spark, tmp_path):
+        from etl_on_weather_dataset_spark.operators.ann_store import (
+            _read_version,
+            ivf_index_append,
+            ivf_index_build,
+            ivf_index_query,
+        )
+
+        store = str(tmp_path / "ivf")
+        b1 = self._emb(spark, n=40, base=0)
+        b2 = self._emb(spark, n=20, base=1000)
+        v1 = ivf_index_build(spark, b1, store, k=4, iters=2, dim=8)
+        assert v1 == 1
+        v2 = ivf_index_append(spark, b2, store, "b2")
+        assert v2 == 2
+        # replay: no new version, cells unchanged
+        assert ivf_index_append(spark, b2, store, "b2") == 2
+        cents, cells, batches, v = _read_version(spark, store)
+        assert v == 2
+        assert cells.count() == 60
+        assert {r.batch_id for r in batches.collect()} == {
+            "__build__", "b2"
+        }
+        # centroids frozen across append (bit-exact round-trip)
+        c1 = spark.read.parquet(f"{store}/v1/centroids.parquet")
+        assert sorted(map(tuple, (r.cent for r in c1.collect()))) == \
+            sorted(map(tuple, (r.cent for r in cents.collect())))
+        # querying serves appended vectors too
+        out = ivf_index_query(
+            spark, b2.limit(3), store, k=3, n_probe=4
+        ).collect()
+        assert out and all(r.rk <= 3 for r in out)
+
+    def test_crash_garbage_invisible_and_vacuum(self, spark, tmp_path):
+        import pathlib
+
+        from etl_on_weather_dataset_spark.operators.ann_store import (
+            _read_version,
+            ivf_index_append,
+            ivf_index_build,
+        )
+
+        store = str(tmp_path / "ivf")
+        b1 = self._emb(spark, n=30, base=0)
+        ivf_index_build(spark, b1, store, k=4, iters=1, dim=8)
+        # marker-less directory (crash mid-write) is never selected
+        fake = pathlib.Path(store) / "v9"
+        fake.mkdir()
+        assert _read_version(spark, store)[3] == 1
+        # appends with retention keep only the newest keep_versions
+        for i in range(3):
+            ivf_index_append(
+                spark, self._emb(spark, n=5, base=2000 + 100 * i),
+                store, f"b{i}", keep_versions=2,
+            )
+        dirs = {p.name for p in pathlib.Path(store).iterdir()}
+        assert "v4" in dirs and "v3" in dirs
+        assert not {"v1", "v2"} & dirs
+        assert _read_version(spark, store)[3] == 4
+
+    def test_append_requires_built_index(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_on_weather_dataset_spark.operators.ann_store import (
+            ivf_index_append,
+        )
+
+        with _pytest.raises(ValueError, match="no committed index"):
+            ivf_index_append(
+                spark, self._emb(spark, n=3), str(tmp_path / "none"), "b"
+            )
