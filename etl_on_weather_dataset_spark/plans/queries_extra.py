@@ -1502,3 +1502,67 @@ register(QuerySpec(
     covers=("robust-outliers", "grouped-median-mad"),
     extended=True,
 ))
+
+
+# --- snapshot diff / CDC between two table versions --------------------------
+#
+# The lakehouse table_changes() primitive computed from plain
+# snapshots (operators/merge.py snapshot_diff): full-outer key join,
+# null-safe column compare, |changes|-sized output. Scenario: "new"
+# = orders with key%13 rows deleted, key%7 rows re-statused 'U', and
+# 50 synthetic inserts -- deterministic, so the full change set
+# (both images included) is hash-pinned.
+
+def _snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    kept = old.filter(F.col("o_orderkey") % 13 != 0)
+    new = kept.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("U"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice",
+    ).unionByName(
+        spark.range(50).select(
+            (F.lit(90_000_000) + F.col("id")).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(10.0).alias("o_totalprice"),
+        )
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+def _snapshot_diff_oracle() -> str:
+    from ..operators.merge import snapshot_diff_sql
+
+    old_sql = (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    )
+    new_sql = """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT 90000000 + CAST(i AS BIGINT), 'N', 10.0
+        FROM range(0, 50) t(i)
+    """
+    return snapshot_diff_sql(
+        old_sql, new_sql, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+register(QuerySpec(
+    name="snapshot_diff_orders",
+    spark_fn=_snapshot_diff_orders,
+    oracle=_snapshot_diff_oracle,
+    covers=("snapshot-diff", "cdc-table-changes"),
+    extended=True,  # round-6 rotation (registry.py)
+))

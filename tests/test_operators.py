@@ -2952,3 +2952,31 @@ class TestIvfIndexStore:
             ivf_index_append(
                 spark, self._emb(spark, n=3), str(tmp_path / "none"), "b"
             )
+
+
+class TestSnapshotDiff:
+    def test_insert_update_delete_and_null_transitions(self, spark):
+        from etl_on_weather_dataset_spark.operators.merge import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0),
+             (4, "d", 4.0)],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 1.0),        # unchanged -> absent from output
+             (2, "b", 2.0),       # NULL -> value: update
+             (3, None, 3.0),      # value -> NULL: update
+             (5, "e", 5.0)],      # insert; 4 deleted
+            "k long, s string, v double",
+        )
+        out = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert set(out) == {2, 3, 4, 5}
+        assert out[2].change_type == "update" and out[2].new_v == 2.0 \
+            and out[2].old_v is None
+        assert out[3].change_type == "update" and out[3].new_s is None
+        assert out[4].change_type == "delete" and out[4].new_s is None \
+            and out[4].old_s == "d"
+        assert out[5].change_type == "insert" and out[5].old_s is None
