@@ -214,13 +214,18 @@ def kmeans_ctes(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
+    prefix: str = "",
 ) -> str:
     """The Lloyd rounds unrolled as CTE chains (seeded centroid
     literals -> assignment via first-min window -> exact micro-long
     component sums -> rebuilt centroid relation), ending in
-    ``afinal(id, v, cluster, cent)`` -- exposed separately so
-    composed queries (trained-cell ANN) can build on the final
-    partition."""
+    ``{prefix}afinal(id, v, cluster, cent)`` -- exposed separately so
+    composed queries (trained-cell ANN, trained PQ codebooks) can
+    build on the final partition. ``prefix`` namespaces every internal
+    CTE so several chains (one per PQ subspace) can share one WITH
+    clause; ``{prefix}cents{iters}`` is the trained-centroid
+    relation."""
+    P = prefix
     cents0 = lsh_hyperplanes(dim, k, seed)
     rows = ", ".join(
         f"({j}, {c!r}::DOUBLE[])" for j, c in enumerate(cents0)
@@ -234,52 +239,52 @@ def kmeans_ctes(
         f" - 2 * {dot_sql('q.v', 'c.cent', dim)}) * {MICRO}) AS BIGINT)"
     )
     parts = [
-        f"""vecs AS (
+        f"""{P}vecs AS (
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
-        ), spine AS (
+        ), {P}spine AS (
             SELECT unnest(range({k})) AS cluster
-        ), cents0(cluster, cent) AS (VALUES {rows})"""
+        ), {P}cents0(cluster, cent) AS (VALUES {rows})"""
     ]
     for r in range(iters):
-        parts.append(f"""a{r} AS (
+        parts.append(f"""{P}a{r} AS (
             SELECT id, v, CAST(cluster AS INTEGER) AS cluster FROM (
                 SELECT q.id, q.v, c.cluster,
                        ROW_NUMBER() OVER (
                            PARTITION BY q.id
                            ORDER BY {d_snap} ASC, c.cluster ASC
                        ) AS rn
-                FROM vecs q CROSS JOIN cents{r} c
+                FROM {P}vecs q CROSS JOIN {P}cents{r} c
             ) WHERE rn = 1
-        ), s{r} AS (
+        ), {P}s{r} AS (
             SELECT cluster, u.pos,
                    SUM(CAST(ROUND(u.val * {MICRO}) AS BIGINT)) AS s,
                    COUNT(*) AS n
             FROM (
                 SELECT cluster, unnest(list_transform(v,
                     (x, i) -> struct_pack(pos := i, val := x))) AS u
-                FROM a{r}
+                FROM {P}a{r}
             ) GROUP BY cluster, u.pos
-        ), cents{r + 1} AS (
+        ), {P}cents{r + 1} AS (
             SELECT sp.cluster,
                    COALESCE(l.cent, p.cent) AS cent
-            FROM spine sp
+            FROM {P}spine sp
             LEFT JOIN (
                 SELECT cluster,
                        list((CAST(s AS DOUBLE) / n) / {MICRO}
                             ORDER BY pos) AS cent
-                FROM s{r} GROUP BY cluster
+                FROM {P}s{r} GROUP BY cluster
             ) l ON l.cluster = sp.cluster
-            JOIN cents{r} p ON p.cluster = sp.cluster
+            JOIN {P}cents{r} p ON p.cluster = sp.cluster
         )""")
-    parts.append(f"""afinal AS (
+    parts.append(f"""{P}afinal AS (
             SELECT id, v, cluster, cent FROM (
                 SELECT q.id, q.v, c.cluster, c.cent,
                        ROW_NUMBER() OVER (
                            PARTITION BY q.id
                            ORDER BY {d_snap} ASC, c.cluster ASC
                        ) AS rn
-                FROM vecs q CROSS JOIN cents{iters} c
+                FROM {P}vecs q CROSS JOIN {P}cents{iters} c
             ) WHERE rn = 1
         )""")
     return ",\n".join(parts)

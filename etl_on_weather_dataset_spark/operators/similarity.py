@@ -55,7 +55,17 @@ def dot_sql(a: str, b: str, dim: int = 64) -> str:
     (no FMA), bit-identical to Spark's fold. (An unrolled 64-term
     ``+`` chain is equally exact but blows up DuckDB's CTE-inlining
     planner memory when spliced into multi-round CTE chains.)
+
+    SHORT vectors (dim <= 16, e.g. PQ sub-spaces) unroll into a
+    plain ``+`` chain instead: same left-associated value
+    (``0.0 + t0 == t0`` bit-exactly), ~10x faster than per-element
+    lambda dispatch, and small enough that CTE inlining cannot
+    amplify it meaningfully.
     """
+    if dim <= 16:
+        return "(" + " + ".join(
+            f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1)
+        ) + ")"
     return (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {dim} + 1), "
@@ -67,7 +77,12 @@ def dot_lit_sql(vec: str, lit: list[float]) -> str:
     """:func:`dot_sql` against a LITERAL vector (centroid/hyperplane):
     the components are inlined as repr'd doubles, so DuckDB parses
     the exact same IEEE values Spark gets from the constants-as-data
-    literal array, and the sum is the same left fold."""
+    literal array, and the sum is the same left fold. Short vectors
+    unroll with INLINE scalar literals (see dot_sql)."""
+    if len(lit) <= 16:
+        return "(" + " + ".join(
+            f"{vec}[{i + 1}] * {c!r}" for i, c in enumerate(lit)
+        ) + ")"
     return (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {len(lit)} + 1), "
@@ -1229,6 +1244,95 @@ def pq_codebooks(
     ]
 
 
+_MICRO = 1_000_000  # same snap scale as operators/cluster.py
+
+
+def pq_trained_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    train_iters: int = 2,
+) -> list[list[list[float]]]:
+    """TRAINED per-subspace PQ codebooks: one engine-exact Lloyd run
+    (operators/cluster.py) per subspace over the corpus's CELL
+    RESIDUALS v - centroid(cell) -- faiss's IVFPQ training step. The
+    seeded books are random unit directions; residuals concentrate
+    around the origin with corpus-specific structure, so fitting the
+    books to them is where PQ's real accuracy comes from
+    (ivf_pq_residual_recall measures the gap).
+
+    Coordination cost: m_sub Lloyd runs x train_iters rounds, each
+    collecting k_codes x d_sub micro-long ints -- O(1) in corpus
+    size, same budget as the IVF cell training. Returned as plain
+    floats, so the serving query embeds them as literals exactly like
+    the seeded books; the SQL twin re-derives them through the
+    unrolled kmeans CTE chain and matches bit-for-bit (the kmeans
+    exactness contract)."""
+    from .caching import persisted
+    from .cluster import _lloyd
+
+    d_sub = dim // m_sub
+    centroids = lsh_hyperplanes(dim, n_cells, seed)
+    const_df = df.sparkSession.createDataFrame(
+        [(centroids, 0)], "cents array<array<double>>, __k long"
+    )
+    vecs = _with_constant_row(
+        df.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+        ),
+        const_df,
+        "id",
+    ).withColumn("cell", _centroid_argmax(F.col("v"), F.col("cents")))
+    rv = persisted(
+        vecs.select(
+            "id",
+            F.zip_with(
+                F.col("v"),
+                F.element_at(F.col("cents"), F.col("cell") + 1),
+                lambda x, y: x - y,
+            ).alias("rv"),
+        )
+    )
+    books: list[list[list[float]]] = []
+    for m in range(m_sub):
+        sub = rv.select(
+            "id", F.slice(F.col("rv"), m * d_sub + 1, d_sub).alias("v")
+        )
+        books.append(
+            _lloyd(sub, k_codes, train_iters, d_sub,
+                   seed + 101 * (m + 1))
+        )
+    return books
+
+
+def _pq_encode_l2(
+    vec: Column, cbs: Column, m_sub: int, d_sub: int
+) -> Column:
+    """array<int> of per-subspace code ids by MICRO-SNAPPED argmin-L2
+    against codebook m -- the assignment rule that matches Lloyd
+    training (trained codewords are not unit vectors, so argmax-dot
+    and argmin-L2 no longer coincide). Same snap discipline as
+    cluster._assign: no raw IEEE double ever decides a code."""
+    def code_for(m: Column) -> Column:
+        sub = F.slice(vec, m * d_sub + 1, d_sub)
+        dm = F.transform(
+            F.element_at(cbs, m + 1),
+            lambda c: F.round(
+                (dot(c, c) - 2 * dot(sub, c)) * _MICRO
+            ).cast("long"),
+        )
+        return (F.array_position(dm, F.array_min(dm)) - 1).cast("int")
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)), code_for
+    )
+
+
 def _pq_encode(vec: Column, cbs: Column, m_sub: int, d_sub: int) -> Column:
     """array<int> of per-subspace code ids: code_m = argmax dot of the
     m-th subvector against codebook m (unit codewords make max-dot =
@@ -1286,6 +1390,9 @@ def ivf_pq_topk(
     k_codes: int = 16,
     rerank: int = 32,
     with_shortlist_rank: bool = False,
+    residual: bool = False,
+    trained: bool = False,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-PQ approximate top-k -- the industry-standard serving index
     (Jegou et al. 2011), re-expressed for Spark:
@@ -1312,15 +1419,43 @@ def ivf_pq_topk(
 
     Determinism: codebook/centroid literals shared with the SQL twin;
     approx scores rounded before the shortlist cut; ties by id.
+
+    ``residual=True`` is faiss's actual IVFPQ: each vector is encoded
+    as codes of its RESIDUAL v - centroid(cell) rather than of v
+    itself. Residuals concentrate around the origin, so a shared
+    codebook quantizes them with far less error than raw vectors, and
+    the ADC score becomes <q, cent(cell)> + sum_m <q_sub, cw_m> --
+    one extra per-(query, cell) dot against a literal, still no
+    vectors in the candidate join.
+
+    ``trained=True`` additionally fits the codebooks to the corpus
+    (pq_trained_codebooks: one engine-exact Lloyd per subspace over
+    the cell residuals) and encodes by micro-snapped argmin-L2 --
+    Lloyd's own assignment rule, required because trained codewords
+    are not unit vectors. residual+trained is faiss's actual IVFPQ;
+    ivf_pq_residual_recall hash-pins the accuracy ladder
+    (seeded-raw -> seeded-residual -> trained-residual) at equal
+    (n_probe, rerank) cost.
     """
     if rerank < k:
         raise ValueError(
             f"rerank={rerank} < k={k}: the exact pass could never "
             "return k rows per query"
         )
+    if trained and not residual:
+        raise ValueError(
+            "trained codebooks are fit on cell residuals; use "
+            "residual=True with trained=True"
+        )
     d_sub = dim // m_sub
     centroids = lsh_hyperplanes(dim, n_cells, seed)
-    cbs = pq_codebooks(dim, m_sub, k_codes, seed)
+    cbs = (
+        pq_trained_codebooks(
+            df, id_col, vec_col, n_cells, dim, seed, m_sub, k_codes,
+            train_iters,
+        )
+        if trained else pq_codebooks(dim, m_sub, k_codes, seed)
+    )
     const_df = df.sparkSession.createDataFrame(
         [(centroids, cbs, 0)],
         "cents array<array<double>>, "
@@ -1336,13 +1471,38 @@ def ivf_pq_topk(
         )
         .withColumn("n", norm(F.col("v")))
         .withColumn("cell", _centroid_argmax(F.col("v"), F.col("cents")))
-        .withColumn("codes", _pq_encode(F.col("v"), F.col("cbs"),
-                                        m_sub, d_sub))
+    )
+    sel_cent = F.element_at(F.col("cents"), F.col("cell") + 1)
+    enc_vec = (
+        F.zip_with(F.col("v"), sel_cent, lambda x, y: x - y)
+        if residual else F.col("v")
+    )
+    encoder = _pq_encode_l2 if trained else _pq_encode
+    vecs = vecs.withColumn(
+        "codes", encoder(enc_vec, F.col("cbs"), m_sub, d_sub)
     )
     if n_probe > 1:
         vecs = vecs.withColumn(
             "probes", _probe_cells(F.col("v"), F.col("cents"), n_probe)
         )
+        if residual:
+            # per-probe <q, cent(cell)> correction terms, computed
+            # while the centroid literals are still attached
+            vecs = vecs.withColumn(
+                "qcs",
+                F.transform(
+                    F.col("probes"),
+                    lambda p: F.struct(
+                        p.alias("cell"),
+                        dot(
+                            F.col("v"),
+                            F.element_at(F.col("cents"), p + 1),
+                        ).alias("qc"),
+                    ),
+                ),
+            )
+    elif residual:
+        vecs = vecs.withColumn("qc", dot(F.col("v"), sel_cent))
     from .caching import persisted
 
     vecs = persisted(
@@ -1352,20 +1512,35 @@ def ivf_pq_topk(
     )
     # query side ships the small ADC table (m_sub*k_codes doubles),
     # not the vector and not the codebooks
-    probe_cell = (
-        F.explode(F.col("probes")) if n_probe > 1 else F.col("cell")
-    )
-    a = vecs.select(
-        F.col("id").alias("query_id"), F.col("adc"),
-        probe_cell.alias("cell"),
-    )
+    if n_probe > 1:
+        if residual:
+            qp = F.explode(F.col("qcs")).alias("p")
+            a = vecs.select(
+                F.col("id").alias("query_id"), F.col("adc"), qp
+            ).select(
+                "query_id", "adc",
+                F.col("p.cell").alias("cell"), F.col("p.qc").alias("qc"),
+            )
+        else:
+            a = vecs.select(
+                F.col("id").alias("query_id"), F.col("adc"),
+                F.explode(F.col("probes")).alias("cell"),
+            )
+    else:
+        cols = [
+            F.col("id").alias("query_id"), F.col("adc"), F.col("cell")
+        ]
+        if residual:
+            cols.append(F.col("qc"))
+        a = vecs.select(*cols)
     # candidate side ships codes only -- no vectors
     b = vecs.select(
         F.col("id").alias("neighbor_id"), F.col("cell"), "codes",
     )
-    approx = F.round(
-        _pq_approx_dot(F.col("adc"), F.col("codes")), SIM_DECIMALS
-    )
+    approx_raw = _pq_approx_dot(F.col("adc"), F.col("codes"))
+    if residual:
+        approx_raw = F.col("qc") + approx_raw
+    approx = F.round(approx_raw, SIM_DECIMALS)
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id").asc()
     )
@@ -1421,15 +1596,32 @@ def ivf_pq_topk_sql(
     k_codes: int = 16,
     rerank: int = 32,
     query_filter: str | None = None,
+    residual: bool = False,
+    trained: bool = False,
+    train_iters: int = 2,
 ) -> str:
     """DuckDB twin of ivf_pq_topk: same centroid + codebook literals,
-    same per-subspace argmax encoding, same ADC shortlist + exact
-    rerank."""
+    same per-subspace argmax encoding (of the raw vector, or of the
+    cell residual when ``residual``), same ADC shortlist + exact
+    rerank. ``trained`` re-derives the codebooks STATELESSLY through
+    one prefixed kmeans CTE chain per subspace over the residual
+    slices (the full training loop is inside the oracle -- nothing is
+    smuggled from the Spark side) and encodes by the same
+    micro-snapped argmin-L2."""
+    if trained and not residual:
+        raise ValueError("trained requires residual=True")
     d_sub = dim // m_sub
     centroids = lsh_hyperplanes(dim, n_cells, seed)
     cbs = pq_codebooks(dim, m_sub, k_codes, seed)
     cdots = ", ".join(
         f"{dot_lit_sql('v', c)}" for c in centroids
+    )
+    # centroid relation as VALUES rows (kmeans_ctes pattern): joining
+    # on cell makes the per-row centroid a COLUMN, computed once --
+    # indexing a 16x64-double nested literal inside per-element
+    # lambdas re-parses it per evaluation (~100x slowdown, measured)
+    cents_rows = ", ".join(
+        f"({j}, {c!r}::DOUBLE[])" for j, c in enumerate(centroids)
     )
     qf = f"WHERE {query_filter}" if query_filter else ""
 
@@ -1438,23 +1630,117 @@ def ivf_pq_topk_sql(
 
     code_exprs = []
     for m in range(m_sub):
-        sub_v = "(" + sub("v", m) + ")"
-        dots_m = ", ".join(dot_lit_sql(sub_v, c) for c in cbs[m])
-        code_exprs.append(
-            f"CAST(list_position([{dots_m}], list_max([{dots_m}])) - 1 "
-            f"AS INTEGER)"
+        # residual mode encodes sub-slices of the per-row `rv`
+        # column (v - cent(cell), materialized ONCE in the celled
+        # CTE via a lateral alias -- inlining the literal-indexed
+        # subtraction into every codeword dot re-evaluates the
+        # centroid lookup m_sub*k_codes*d_sub times per row and is
+        # catastrophically slow in DuckDB)
+        sub_v = (
+            "(" + sub("rv" if residual else "v", m) + ")"
         )
+        if trained:
+            # trained codewords come from the cb{m}_ kmeans chain's
+            # final centroid relation; encode by the same
+            # micro-snapped argmin-L2 as _pq_encode_l2
+            snap = (
+                f"CAST(ROUND(({dot_sql('c.cent', 'c.cent', d_sub)}"
+                f" - 2 * {dot_sql(sub_v, 'c.cent', d_sub)})"
+                f" * {_MICRO}) AS BIGINT)"
+            )
+            code_exprs.append(
+                f"(SELECT CAST(c.cluster AS INTEGER) "
+                f"FROM cb{m}_cents{train_iters} c "
+                f"ORDER BY {snap} ASC, c.cluster ASC LIMIT 1)"
+            )
+        else:
+            dots_m = ", ".join(dot_lit_sql(sub_v, c) for c in cbs[m])
+            code_exprs.append(
+                f"CAST(list_position([{dots_m}], list_max([{dots_m}]))"
+                f" - 1 AS INTEGER)"
+            )
     codes_sql = "[" + ", ".join(code_exprs) + "]"
+    # Residual mode: `rv` = v - cent(cell) is materialized in its OWN
+    # projection level (cellonly -> resid -> celled). DuckDB expands
+    # same-SELECT lateral aliases textually, so computing rv next to
+    # the 128 codeword dots that reference it would re-evaluate the
+    # centroid-indexed subtraction per dot -- a ~100x blowup. Element
+    # order matches Spark's zip_with(v, cent, x - y).
+    if residual:
+        # trained mode splices one prefixed kmeans chain per subspace
+        # BETWEEN resid and celled: the chains read the residual
+        # slices and end in cb{m}_cents{train_iters}(cluster, cent),
+        # which the encode subqueries and ADC terms consult
+        cb_chains = ""
+        if trained:
+            from .cluster import kmeans_ctes
 
-    approx_terms = " + ".join(
-        dot_sql(
-            f"({sub('q.v', m)})",
-            f"(([{', '.join(f'{c!r}::DOUBLE[]' for c in cbs[m])}])"
-            f"[c.codes[{m + 1}] + 1])",
-            dim=d_sub,
+            chains = [
+                kmeans_ctes(
+                    k=k_codes, iters=train_iters,
+                    table=(
+                        f"(SELECT id, {sub('rv', m)} AS embedding"
+                        f" FROM resid)"
+                    ),
+                    id_col="id", vec_col="embedding", dim=d_sub,
+                    seed=seed + 101 * (m + 1), prefix=f"cb{m}_",
+                )
+                for m in range(m_sub)
+            ]
+            cb_chains = ", " + ",\n".join(chains)
+        celled_chain = f"""cellonly AS (
+            SELECT id, v, n,
+                   CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER)
+                       AS cell
+            FROM dotted
+        ), resid AS (
+            SELECT id, v, n, cell,
+                   list_transform(range(1, {dim} + 1),
+                       j -> v[j] - ct.cent[j]) AS rv
+            FROM cellonly JOIN cents_rel ct ON ct.cluster = cell
+        ){cb_chains}, celled AS (
+            SELECT id, v, n, cell, {codes_sql} AS codes
+            FROM resid
+        )"""
+    else:
+        celled_chain = f"""celled AS (
+            SELECT id, v, n,
+                   CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER)
+                       AS cell,
+                   {codes_sql} AS codes
+            FROM dotted
+        )"""
+
+    if trained:
+        # per-subspace <q_sub, codeword(code_m)> via correlated
+        # lookups in the trained relations -- same value as Spark's
+        # ADC table entry for that code
+        t_terms = []
+        for m in range(m_sub):
+            qsub = "(" + sub("q.v", m) + ")"
+            t_terms.append(
+                f"(SELECT {dot_sql(qsub, 'c2.cent', d_sub)} "
+                f"FROM cb{m}_cents{train_iters} c2 "
+                f"WHERE c2.cluster = c.codes[{m + 1}])"
+            )
+        approx_terms = " + ".join(t_terms)
+    else:
+        approx_terms = " + ".join(
+            dot_sql(
+                f"({sub('q.v', m)})",
+                f"(([{', '.join(f'{c!r}::DOUBLE[]' for c in cbs[m])}])"
+                f"[c.codes[{m + 1}] + 1])",
+                dim=d_sub,
+            )
+            for m in range(m_sub)
         )
-        for m in range(m_sub)
-    )
+    if residual:
+        # <q, cent(candidate cell)> + (sum of per-subspace terms) --
+        # same grouping as Spark's qc + _pq_approx_dot fold; the
+        # centroid comes from the cents_rel join (ct.cent column)
+        approx_terms = (
+            dot_sql("q.v", "ct.cent") + f" + ({approx_terms})"
+        )
     if n_probe == 1:
         probed = f"""probed AS (
             SELECT id, cell FROM celled {qf}
@@ -1470,22 +1756,21 @@ def ivf_pq_topk_sql(
             SELECT id, CAST(unnest({probe}) AS INTEGER) AS cell
             FROM dotted {qf}
         )"""
+    cent_join = (
+        "JOIN cents_rel ct ON ct.cluster = c.cell" if residual else ""
+    )
     return f"""
-        WITH vecs AS (
+        WITH cents_rel(cluster, cent) AS (VALUES {cents_rows}),
+        vecs AS (
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
             FROM {table}
         ), dotted AS (
             SELECT id, v, sqrt({dot_sql('v', 'v')}) AS n,
                    [{cdots}] AS ds
             FROM vecs
-        ), celled AS (
-            SELECT id, v, n,
-                   CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER)
-                       AS cell,
-                   {codes_sql} AS codes
-            FROM dotted
-        ), {probed}, cand AS (
-            SELECT a.id AS query_id, b.id AS neighbor_id, b.codes
+        ), {celled_chain}, {probed}, cand AS (
+            SELECT a.id AS query_id, b.id AS neighbor_id, b.codes,
+                   b.cell
             FROM probed a JOIN celled b USING (cell)
             WHERE a.id != b.id
         ), shortlist AS (
@@ -1499,6 +1784,7 @@ def ivf_pq_topk_sql(
                                     c.neighbor_id ASC
                        ) AS srk
                 FROM cand c JOIN dotted q ON q.id = c.query_id
+                {cent_join}
             ) WHERE srk <= {rerank}
         ), scored AS (
             SELECT s.query_id, s.neighbor_id,

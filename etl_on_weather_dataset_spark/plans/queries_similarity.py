@@ -1335,3 +1335,94 @@ register(QuerySpec(
     covers=("ivf-index-store", "ann-index-maintenance"),
     extended=True,  # round-6 rotation (registry.py)
 ))
+
+
+# --- trained-codebook IVF-PQ recall (the faiss IVFPQ training step) ----------
+#
+# operators/similarity.py pq_trained_codebooks fits the per-subspace
+# codebooks to the corpus's cell residuals with the engine-exact
+# Lloyd, and the ORACLE RE-DERIVES THE WHOLE TRAINING LOOP statelessly
+# (one prefixed kmeans CTE chain per subspace) -- so this row pins
+# training + snapped-L2 encoding + residual ADC + rerank end-to-end,
+# bit-for-bit, nothing smuggled from the Spark side.
+#
+# Honest finding (why this row matters even though the number does
+# not beat the seeded books): at (n_probe=2, rerank=32) on the
+# adversarial i.i.d. corpus, trained-residual recall is statistically
+# indistinguishable from seeded-raw (compare the pinned ivf_pq_recall
+# rerank=32 row) -- with only 16 codewords per 8-dim subspace on
+# structureless unit vectors there is nothing for Lloyd to learn, and
+# the binding constraint is IVF candidate recall (n_probe), not
+# quantization. The engineering conclusion a user should draw --
+# spend probes/tables before codebook training on unstructured
+# embeddings -- is itself the attested result, in the same tradition
+# as the pinned single-table LSH 0.019 row. On clustered real
+# corpora the training machinery is there and proven exact.
+
+def _pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import persisted
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    exact = persisted(
+        cosine_topk(queries, emb, k=_K).select("query_id", "neighbor_id")
+    )
+    ann = (
+        ivf_pq_topk(
+            emb, k=_K, n_probe=_PQ_PROBES, rerank=32,
+            residual=True, trained=True,
+        )
+        .filter(F.col("query_id") < _RECALL_QUERIES)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.lit("trained_residual").alias("encoding"),
+            F.lit(32).alias("rerank"),
+            "n_exact",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE n_hits * CAST(1000000 AS BIGINT) div n_exact END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _pq_trained_recall_oracle() -> str:
+    from ..operators.similarity import ivf_pq_topk_sql
+
+    qf = f"id < {_RECALL_QUERIES}"
+    exact = cosine_topk_sql(k=_K, query_filter=qf)
+    ann = ivf_pq_topk_sql(
+        k=_K, n_probe=_PQ_PROBES, rerank=32, query_filter=qf,
+        residual=True, trained=True,
+    )
+    hits = (
+        "SELECT COUNT(*) FROM exact e JOIN ann a "
+        "ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"
+    )
+    return f"""
+        WITH exact AS ({exact}), ann AS ({ann})
+        SELECT 'trained_residual' AS encoding,
+               32 AS rerank,
+               (SELECT COUNT(*) FROM exact) AS n_exact,
+               ({hits}) AS n_hits,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 0
+                    ELSE ({hits}) * 1000000
+                         // (SELECT COUNT(*) FROM exact)
+                    END AS BIGINT) AS recall_ppm
+    """
+
+
+register(QuerySpec(
+    name="ivf_pq_trained_recall",
+    spark_fn=_pq_trained_recall,
+    oracle=_pq_trained_recall_oracle,
+    covers=("ivf-pq-trained", "pq-codebook-training"),
+    extended=True,  # round-6 rotation (registry.py)
+))
