@@ -524,3 +524,69 @@ def stream_incremental_rollup(
     )
     q.awaitTermination()
     return seen
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_versions: int | None = None,
+    max_files_per_trigger: int = 1,
+) -> list[int]:
+    """Continuous vector ingestion into the persistent IVF index
+    (operators/ann_store.py): each file-stream micro-batch is appended
+    to the committed index WITHOUT retraining -- the streaming twin of
+    faiss's ``add`` loop, and the shape a continuously-embedded corpus
+    needs (an O(batch) assignment pass per trigger instead of an
+    O(corpus) rebuild).
+
+    Same exactly-once contract as stream_incremental_rollup: the
+    append's batch ledger is keyed by the persistent streaming query
+    id + batch id, so an at-least-once re-delivery after restart is a
+    no-op, and a second query into the same store cannot collide.
+    The index must already be built (ivf_index_build) -- the coarse
+    quantizer is trained state, not something a micro-batch should
+    silently re-derive.
+
+    Returns the processed batch ids (AvailableNow run).
+    """
+    import hashlib
+    import json
+    import os
+
+    from ..operators.ann_store import ivf_index_append
+
+    seen: list[int] = []
+
+    def _query_ns() -> str:
+        try:
+            with open(os.path.join(checkpoint, "metadata")) as fh:
+                return json.load(fh)["id"][:12]
+        except (OSError, KeyError, ValueError):
+            return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        ivf_index_append(
+            spark, batch_df, store_path,
+            f"{_query_ns()}-sb{batch_id}",
+            id_col=id_col, vec_col=vec_col,
+            keep_versions=keep_versions,
+        )
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    ).option("pathGlobFilter", "*.parquet")
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

@@ -522,3 +522,69 @@ def test_stream_incremental_rollup_equals_batch(spark, tmp_path):
     assert v3 > v2
     assert {r.event_type: (r.n_rows, r.sum_c)
             for r in agg3.collect()} == {"a": (4, 5300), "b": (2, 1000)}
+
+
+def test_stream_ivf_ingest_appends_without_retrain(spark, tmp_path):
+    """File-stream vector ingestion into the IVF store: after the
+    build + streamed appends, the index serves every streamed vector,
+    the centroids are unchanged from the build, and a drained re-run
+    (same checkpoint) adds no version."""
+    from etl_on_weather_dataset_spark.operators.ann_store import (
+        _read_version,
+        ivf_index_build,
+        ivf_index_query,
+    )
+    from etl_on_weather_dataset_spark.operators.similarity import (
+        lsh_hyperplanes,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_ivf_ingest,
+    )
+
+    dim = 8
+    build_vecs = lsh_hyperplanes(dim, 30, seed=5)
+    build = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(build_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "ivf")
+    ivf_index_build(spark, build, store, k=4, iters=1, dim=dim)
+    cents_before = sorted(
+        map(tuple, (r.cent for r in
+                    _read_version(spark, store)[0].collect()))
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    waves = [lsh_hyperplanes(dim, 5, seed=50 + w) for w in range(2)]
+    for w, vecs in enumerate(waves):
+        spark.createDataFrame(
+            [(1000 + 100 * w + i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.parquet(str(src / f"wave{w}"))
+
+    schema = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    ).schema
+    seen = stream_ivf_ingest(
+        spark, f"{src}/*", schema, store, str(tmp_path / "ckpt"),
+    )
+    assert len(seen) >= 2
+    cents, cells, _, v = _read_version(spark, store)
+    assert cells.count() == 40
+    assert sorted(
+        map(tuple, (r.cent for r in cents.collect()))
+    ) == cents_before  # frozen quantizer
+
+    # streamed vectors are served
+    q = spark.createDataFrame(
+        [(1100, waves[1][0])], "vec_id long, embedding array<double>"
+    )
+    out = ivf_index_query(spark, q, store, k=1, n_probe=4).collect()
+    assert out and out[0].neighbor_id != 1100
+
+    # drained re-run: no new version
+    stream_ivf_ingest(
+        spark, f"{src}/*", schema, store, str(tmp_path / "ckpt"),
+    )
+    assert _read_version(spark, store)[3] == v
