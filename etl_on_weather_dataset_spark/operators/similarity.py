@@ -1264,7 +1264,7 @@ def pq_trained_codebooks(
     seeded books are random unit directions; residuals concentrate
     around the origin with corpus-specific structure, so fitting the
     books to them is where PQ's real accuracy comes from
-    (ivf_pq_residual_recall measures the gap).
+    (ivf_pq_trained_recall pins the measured outcome).
 
     Coordination cost: m_sub Lloyd runs x train_iters rounds, each
     collecting k_codes x d_sub micro-long ints -- O(1) in corpus
@@ -1433,7 +1433,7 @@ def ivf_pq_topk(
     the cell residuals) and encodes by micro-snapped argmin-L2 --
     Lloyd's own assignment rule, required because trained codewords
     are not unit vectors. residual+trained is faiss's actual IVFPQ;
-    ivf_pq_residual_recall hash-pins the accuracy ladder
+    ivf_pq_trained_recall hash-pins the trained operating point
     (seeded-raw -> seeded-residual -> trained-residual) at equal
     (n_probe, rerank) cost.
     """
