@@ -533,3 +533,158 @@ def audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_feats, out_schema)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField("n_frames_used", T.IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 256,
+    hop: int = 128,
+    n_bits: int = 64,
+) -> DataFrame:
+    """64-bit spectral fingerprint per 16-bit PCM WAV payload --
+    Haitsma-Kalker-style robust audio hashing, fully live in this
+    build (stdlib ``wave`` + numpy rFFT, no codec libs):
+
+    - frames of ``frame`` samples every ``hop`` (channel-averaged),
+    - per-frame rFFT magnitude split into ``n_bits`` equal bands,
+    - bit b votes +1 per frame where band b's energy INCREASED vs the
+      previous frame, -1 where it decreased; the fingerprint sets bit
+      b iff the net vote is positive.
+
+    Energy-delta signs survive volume changes, re-encoding, and mild
+    noise, so perturbed copies land within a small Hamming distance
+    while unrelated audio is ~32 bits away -- the same 64-bit
+    near-dup geometry as the text SimHash tier, which is exactly the
+    point: :func:`audio_near_dup_pairs` reuses the banded-Hamming
+    join, making this the multimodal leg of the dedup suite.
+
+    Per-payload work is vectorized numpy inside the standard
+    Arrow-batch ``mapInPandas`` plumbing; undecodable / non-16-bit /
+    too-short payloads yield null fingerprints rather than failing
+    the scan.
+    """
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + AUDIO_FP_SCHEMA.fields
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def fingerprint(b: bytes):
+            try:
+                with wave.open(io.BytesIO(bytes(b))) as w:
+                    if w.getsampwidth() != 2:
+                        return None, None
+                    ch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                if ch > 1:
+                    x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(1)
+                if x.size < frame + hop:
+                    return None, None  # too short for a delta vote
+                n_frames = 1 + (x.size - frame) // hop
+                idx = (
+                    np.arange(frame)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                mags = np.abs(np.fft.rfft(x[idx], axis=1))
+                # drop DC, split the remaining bins into n_bits bands
+                usable = mags[:, 1:]
+                width = usable.shape[1] // n_bits
+                if width == 0:
+                    return None, None
+                bands = usable[:, : width * n_bits].reshape(
+                    n_frames, n_bits, width
+                ).sum(axis=2)
+                votes = np.sign(np.diff(bands, axis=0)).sum(axis=0)
+                bits = (votes > 0).astype(np.uint64)
+                fp = 0
+                for i in range(n_bits):
+                    fp |= int(bits[i]) << i
+                # reinterpret as signed 64-bit for Spark's LongType
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                return fp, n_frames
+            except Exception:  # noqa: BLE001 -- corrupt payload -> nulls
+                return None, None
+
+        for pdf in batches:
+            out = [fingerprint(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fingerprint": pd.array(
+                        [o[0] for o in out], dtype="Int64"
+                    ),
+                    "n_frames_used": pd.array(
+                        [o[1] for o in out], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_fp, out_schema)
+
+
+def audio_near_dup_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    max_hamming: int = 8,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate audio pairs from 64-bit fingerprints: banded
+    equi-join (the SimHash tier's pigeonhole blocking -- any pair
+    within ``max_hamming <= n_bands - 1`` bits shares at least one
+    exact band) + ``bit_count`` verify BEFORE any exchange of
+    results. Returns (id_a, id_b, hamming). Null fingerprints
+    (undecodable audio) never pair."""
+    band_width = 64 // n_bands
+    mask = (1 << band_width) - 1
+    f = fps.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+    )
+    banded = f.select(
+        "id", "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("fp", i * band_width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "fp", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("fp").alias("fp_b"),
+        "band", "key",
+    )
+    ham = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    ).cast("int")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -2980,3 +2980,89 @@ class TestSnapshotDiff:
         assert out[4].change_type == "delete" and out[4].new_s is None \
             and out[4].old_s == "d"
         assert out[5].change_type == "insert" and out[5].old_s is None
+
+
+class TestAudioFingerprint:
+    def _wav(self, samples, rate=16000):
+        import io
+        import wave as wavemod
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return bytearray(buf.getvalue())
+
+    def _signal(self, freqs, n=8000, amp=8000, seed=None, noise=0.0):
+        import math
+
+        import numpy as np
+
+        t = np.arange(n)
+        x = sum(
+            amp * np.sin(2 * math.pi * f * t / 16000.0) for f in freqs
+        )
+        if noise:
+            rng = np.random.default_rng(seed)
+            x = x + rng.normal(0, amp * noise, n)
+        return np.clip(x, -32768, 32767).astype("<i2")
+
+    def test_fingerprint_robust_to_volume_and_noise(self, spark):
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            audio_fingerprint,
+        )
+
+        base = self._signal([440, 1200, 3000], seed=1, noise=0.01)
+        rows = [
+            (1, self._wav(base)),
+            # same audio, half volume + small noise -> near-dup
+            (2, self._wav(
+                (base * 0.5).astype("<i2")
+                + self._signal([0], amp=0, seed=2, noise=0.0)
+            )),
+            # different spectral content -> far
+            (3, self._wav(self._signal([700, 2100, 5000], seed=3))),
+            (4, bytearray(b"corrupt")),  # undecodable -> null fp
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        fps = {r.doc_id: r for r in audio_fingerprint(df).collect()}
+        assert fps[4].fingerprint is None
+        assert fps[1].n_frames_used > 10
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        d_dup = ham(fps[1].fingerprint, fps[2].fingerprint)
+        d_far = ham(fps[1].fingerprint, fps[3].fingerprint)
+        assert d_dup <= 8, d_dup       # volume change barely moves bits
+        assert d_far > 16, d_far       # different audio is far
+
+        # determinism: second run bit-identical
+        fps2 = {r.doc_id: r.fingerprint
+                for r in audio_fingerprint(df).collect()}
+        assert fps2[1] == fps[1].fingerprint
+
+    def test_near_dup_pairs_banded(self, spark):
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            audio_fingerprint,
+            audio_near_dup_pairs,
+        )
+
+        base = self._signal([500, 1500], seed=5, noise=0.01)
+        rows = [
+            (1, self._wav(base)),
+            (2, self._wav((base * 0.7).astype("<i2"))),  # near-dup of 1
+            (3, self._wav(self._signal([900, 4000], seed=6))),
+            (4, bytearray(b"junk")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        fps = audio_fingerprint(df)
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in audio_near_dup_pairs(fps).collect()}
+        assert (1, 2) in pairs
+        assert all(h <= 8 for h in pairs.values())
+        assert not any(4 in p for p in pairs)  # nulls never pair
