@@ -20,6 +20,8 @@ and retries/partitionings cannot perturb the filter.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -208,3 +210,170 @@ def cms_estimates_sql(
             FROM ({arms}) p LEFT JOIN cms c USING (row, cell)
             GROUP BY k
         )"""
+
+
+# --- mergeable HyperLogLog (persistent distinct-count sketch) ----------------
+
+HLL_SCALE = 53  # sum(2^-reg) carried as exact 2^(HLL_SCALE-reg) BIGINTs
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, key: str, m: int = 256, salt: str = "hll"
+) -> DataFrame:
+    """Distributed HyperLogLog registers over ``df[key]`` ->
+    (bucket, register): the MERGEABLE, PERSISTENT distinct-count
+    sketch Spark's ``approx_count_distinct`` cannot give you (its HLL
+    lives inside one aggregation -- you cannot store it, union it
+    with next week's, or ship it between jobs). These registers are a
+    plain m-row DataFrame: persist them, union+max them across
+    batches (:func:`hll_merge` -- HLL's merge IS max-per-bucket), and
+    estimate whenever needed.
+
+    Engine-exact by construction (the CMS stance): bucket and the
+    rank source come from md5 windows (operators/sample.py
+    hash_bucket -- portable), rho is derived from the BINARY STRING
+    LENGTH of the 52-bit window (pure integer/string ops, no
+    floating log), so the oracle rebuilds the registers cell-for-cell
+    and the driver hash pins the sketch itself, not just its
+    estimate. NULL keys are excluded (same contract as the CMS).
+
+    Build cost: one narrow projection + an m-bucket max aggregate --
+    map-side combine, constant-width shuffle keys, O(m) output rows
+    regardless of corpus size.
+    """
+    from .sample import hash_bucket
+
+    keyed = F.concat(F.col(key).cast("string"), F.lit(salt + "r"))
+    w = F.conv(F.substring(F.md5(keyed), 1, 13), 16, 10).cast("long")
+    rho = F.when(
+        w > 0, F.lit(HLL_SCALE) - F.length(F.conv(w, 10, 2))
+    ).otherwise(F.lit(HLL_SCALE)).cast("int")
+    return (
+        df.filter(F.col(key).isNotNull())
+        .select(
+            hash_bucket(F.col(key), buckets=m, salt=salt + "b")
+            .alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Union registers from independently-built sketches (same m and
+    salt) into one: max per bucket. Associative and idempotent, so
+    batches merge in any order and replays are harmless."""
+    out = register_sets[0]
+    for r in register_sets[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
+    """One-row estimate from a register set: (nz_buckets,
+    zero_buckets, sum_pow, est_distinct).
+
+    Integer-first compare surface: ``sum_pow`` = exact BIGINT
+    sum of 2^(HLL_SCALE - register) over all m buckets (empty
+    buckets contribute 2^HLL_SCALE), and ``est_distinct`` =
+    FLOOR of the estimator -- the raw HLL formula is one literal/
+    integer division (bit-exact), and the small-range linear-counting
+    branch (raw <= 2.5m with empty buckets) looks ``ln(m/V)`` up in a
+    PYTHON-PRECOMPUTED literal table indexed by the integer V, so no
+    engine libm ever runs and FLOOR of the identical double is
+    identical. Relative error ~1.04/sqrt(m)."""
+    a_num = _hll_alpha(m) * m * m * float(1 << HLL_SCALE)
+    ln_table = F.array(*[
+        F.lit(math.log(m / v)) for v in range(1, m + 1)
+    ])
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("nz_buckets"),
+        F.coalesce(
+            # shiftleft's python wrapper only takes a literal shift;
+            # the SQL function shifts by a column expression fine
+            F.sum(F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE} - register)"
+            )),
+            F.lit(0).cast("long"),
+        ).alias("nz_pow"),
+    )
+    zeros = F.lit(m) - F.col("nz_buckets")
+    sum_pow = (
+        F.col("nz_pow")
+        + zeros.cast("long") * F.lit(1 << HLL_SCALE).cast("long")
+    )
+    raw = F.lit(a_num) / sum_pow.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.element_at(ln_table, zeros.cast("int")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("nz_buckets").cast("long").alias("nz_buckets"),
+        zeros.cast("long").alias("zero_buckets"),
+        sum_pow.alias("sum_pow"),
+        F.floor(est).cast("long").alias("est_distinct"),
+    )
+
+
+def hll_registers_sql(
+    table_sql: str, key: str, m: int = 256, salt: str = "hll"
+) -> str:
+    """DuckDB CTE rebuilding the registers cell-for-cell: yields
+    ``hll_regs(bucket, register)`` over a subquery exposing ``{key}``.
+    """
+    from .sample import hash_bucket_sql
+
+    keyed = f"CAST({key} AS VARCHAR) || '{salt}r'"
+    w = f"CAST(CAST(('0x' || substr(md5({keyed}), 1, 13)) AS UBIGINT) AS BIGINT)"
+    return f"""hll_src AS ({table_sql}),
+        hll_regs AS (
+            SELECT {hash_bucket_sql(key, buckets=m, salt=salt + 'b')}
+                       AS bucket,
+                   MAX(CASE WHEN {w} > 0
+                        THEN {HLL_SCALE} - length(bin({w}))
+                        ELSE {HLL_SCALE} END) AS register
+            FROM hll_src
+            WHERE {key} IS NOT NULL
+            GROUP BY 1
+        )"""
+
+
+def hll_estimate_sql(m: int = 256) -> str:
+    """DuckDB estimate select over ``hll_regs`` (from
+    hll_registers_sql): same integer sum, same literal ln table."""
+    a_num = _hll_alpha(m) * m * m * float(1 << HLL_SCALE)
+    ln_lits = ", ".join(repr(math.log(m / v)) for v in range(1, m + 1))
+    return f"""
+        SELECT CAST(nz_buckets AS BIGINT) AS nz_buckets,
+               CAST({m} - nz_buckets AS BIGINT) AS zero_buckets,
+               CAST(sum_pow AS BIGINT) AS sum_pow,
+               CAST(FLOOR(
+                   CASE WHEN ({a_num!r} / CAST(sum_pow AS DOUBLE))
+                             <= {2.5 * m!r}
+                             AND {m} - nz_buckets > 0
+                        THEN {float(m)!r} *
+                             ([{ln_lits}])[{m} - nz_buckets]
+                        ELSE {a_num!r} / CAST(sum_pow AS DOUBLE)
+                   END) AS BIGINT) AS est_distinct
+        FROM (
+            SELECT COUNT(*) AS nz_buckets,
+                   COALESCE(SUM((CAST(1 AS BIGINT)
+                                 << ({HLL_SCALE} - register))), 0)
+                   + (CAST({m} AS BIGINT) - COUNT(*))
+                     * (CAST(1 AS BIGINT) << {HLL_SCALE}) AS sum_pow
+            FROM hll_regs
+        )
+    """

@@ -1566,3 +1566,114 @@ register(QuerySpec(
     covers=("snapshot-diff", "cdc-table-changes"),
     extended=True,  # round-6 rotation (registry.py)
 ))
+
+
+# --- mergeable HyperLogLog distinct-count sketch -----------------------------
+#
+# approx_distinct_users attests Spark's BUILT-IN HLL (sketch internals
+# engine-specific, so only the error bound is hash-checked). This
+# query attests the engine-portable MERGEABLE sketch
+# (operators/bloom.py hll_registers: md5-window buckets + binary-
+# string-length ranks), where the oracle rebuilds the registers
+# CELL-FOR-CELL and the estimate derives from exact integers (the ln
+# of the linear-counting branch is a Python-precomputed literal
+# table, so no engine libm runs). The row also pins the MERGE LAW:
+# sketches built on the two event_id halves, merged by max-per-
+# bucket, must equal the one-shot sketch -- the property that makes
+# the sketch a persistent cross-batch store.
+
+_HLL_M = 256
+
+
+def _hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import hll_estimate, hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", m=_HLL_M)
+    merged = hll_merge(
+        hll_registers(ev.filter(F.col("event_id") % 2 == 0),
+                      "user_id", m=_HLL_M),
+        hll_registers(ev.filter(F.col("event_id") % 2 == 1),
+                      "user_id", m=_HLL_M),
+    )
+    diffs = (
+        regs.withColumnRenamed("register", "r1")
+        .join(
+            merged.withColumnRenamed("register", "r2"),
+            "bucket", "full_outer",
+        )
+        .filter(
+            ~F.col("r1").eqNullSafe(F.col("r2"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_diffs"))
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = hll_estimate(regs, m=_HLL_M)
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(diffs))
+        .select(
+            "n_exact", "nz_buckets", "zero_buckets", "sum_pow",
+            "est_distinct",
+            (F.col("n_diffs") == 0).cast("int").alias("merge_consistent"),
+            (
+                F.abs(F.col("est_distinct") - F.col("n_exact")) * 4
+                <= F.col("n_exact")
+            ).cast("int").alias("within_25pct"),
+        )
+    )
+
+
+def _hll_mergeable_oracle() -> str:
+    from ..operators.bloom import hll_estimate_sql, hll_registers_sql
+
+    whole = hll_registers_sql(
+        "SELECT user_id FROM events", "user_id", m=_HLL_M
+    )
+    est = hll_estimate_sql(m=_HLL_M)
+    h0 = hll_registers_sql(
+        "SELECT user_id FROM events WHERE event_id % 2 = 0",
+        "user_id", m=_HLL_M,
+    ).replace("hll_src", "h0_src").replace("hll_regs", "h0_regs")
+    h1 = hll_registers_sql(
+        "SELECT user_id FROM events WHERE event_id % 2 = 1",
+        "user_id", m=_HLL_M,
+    ).replace("hll_src", "h1_src").replace("hll_regs", "h1_regs")
+    return f"""
+        WITH {whole},
+        {h0},
+        {h1},
+        merged AS (
+            SELECT bucket, MAX(register) AS register
+            FROM (SELECT * FROM h0_regs
+                  UNION ALL SELECT * FROM h1_regs)
+            GROUP BY bucket
+        ),
+        diffs AS (
+            SELECT COUNT(*) AS n_diffs
+            FROM hll_regs r1 FULL OUTER JOIN merged r2 USING (bucket)
+            WHERE r1.register IS DISTINCT FROM r2.register
+        ),
+        exact AS (
+            SELECT COUNT(DISTINCT user_id) AS n_exact FROM events
+        ),
+        est AS ({est})
+        SELECT e.n_exact, s.nz_buckets, s.zero_buckets, s.sum_pow,
+               s.est_distinct,
+               CAST((SELECT n_diffs FROM diffs) = 0 AS INTEGER)
+                   AS merge_consistent,
+               CAST(abs(s.est_distinct - e.n_exact) * 4 <= e.n_exact
+                    AS INTEGER) AS within_25pct
+        FROM est s CROSS JOIN exact e
+    """
+
+
+register(QuerySpec(
+    name="hll_mergeable_distinct",
+    spark_fn=_hll_mergeable,
+    oracle=_hll_mergeable_oracle,
+    covers=("hll-mergeable", "persistent-sketch"),
+    extended=True,  # round-6 rotation (registry.py)
+))
