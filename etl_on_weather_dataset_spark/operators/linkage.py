@@ -281,3 +281,126 @@ def linkage_summary_sql(
                     END AS BIGINT) AS recall_ppm
         FROM ({pairs})
     """
+
+
+def golden_records(
+    clean: DataFrame,
+    dirty: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+    max_abs_count: int | None = None,
+) -> DataFrame:
+    """Survivorship -- the third and final stage of entity
+    resolution (blocking -> verification -> GOLDEN RECORD): for every
+    ``clean`` entity, merge its verified ``dirty`` variants into one
+    canonical row.
+
+    Canonical value rule (deterministic, engine-invariant): the
+    golden name is the MOST FREQUENT observation among the clean name
+    plus every matched dirty name, ties broken (count DESC, value
+    ASC) -- the repo's grouped-mode discipline, so no RNG and no
+    first-seen order dependence. Output one row per clean id:
+    (id, golden_name, n_variants, n_observations, changed) where
+    ``changed`` flags entities whose golden name differs from the
+    clean source (majority-of-variants outvoted it).
+
+    Scale shape: the observation table is |clean| + |verified pairs|
+    rows; survivorship is one (id, name) count + one min_by argmax --
+    two map-side-combinable aggregates, nothing quadratic beyond the
+    already-blocked pair generation.
+    """
+    pairs = qgram_blocked_pairs(
+        clean, dirty, name_col, id_col, q, max_rel_freq, max_dist,
+        min_keep_count, max_abs_count,
+    )
+    c = clean.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("obs")
+    )
+    d_obs = pairs.join(
+        dirty.select(
+            F.col(id_col).alias("id_b"), F.col(name_col).alias("obs")
+        ),
+        "id_b",
+    ).select(F.col("id_a").alias("id"), "obs")
+    obs = c.unionByName(d_obs)
+    counts = obs.groupBy("id", "obs").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    golden = counts.groupBy("id").agg(
+        F.min_by(
+            "obs",
+            F.struct((-F.col("cnt")).alias("nc"), F.col("obs")),
+        ).alias("golden_name"),
+        F.count(F.lit(1)).alias("n_variants"),
+        F.sum("cnt").alias("n_observations"),
+    )
+    return (
+        golden.join(
+            c.withColumnRenamed("obs", "clean_name"), "id"
+        )
+        .select(
+            "id", "golden_name", "n_variants", "n_observations",
+            (F.col("golden_name") != F.col("clean_name"))
+            .cast("int").alias("changed"),
+        )
+    )
+
+
+def golden_records_sql(
+    clean_sql: str,
+    dirty_sql: str,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+    max_abs_count: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`golden_records` (same mode tie-break)."""
+    pairs = qgram_blocked_pairs_sql(
+        clean_sql, dirty_sql, name_col, id_col, q, max_rel_freq,
+        max_dist, min_keep_count, max_abs_count,
+    )
+    return f"""
+        WITH pairs AS ({pairs}),
+        obs AS (
+            SELECT {id_col} AS id, {name_col} AS obs
+            FROM ({clean_sql})
+            UNION ALL
+            SELECT p.id_a AS id, d.{name_col} AS obs
+            FROM pairs p JOIN ({dirty_sql}) d ON d.{id_col} = p.id_b
+        ),
+        counts AS (
+            SELECT id, obs, COUNT(*) AS cnt FROM obs GROUP BY id, obs
+        ),
+        golden AS (
+            -- deterministic mode: ROW_NUMBER over (cnt DESC, obs
+            -- ASC), the oracle-side form of Spark's min_by struct
+            -- key (DuckDB's min_by takes no composite ordering key)
+            SELECT w.id, w.obs AS golden_name,
+                   t.n_variants, t.n_observations
+            FROM (
+                SELECT id, obs,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY id
+                           ORDER BY cnt DESC, obs ASC
+                       ) AS rn
+                FROM counts
+            ) w
+            JOIN (
+                SELECT id, COUNT(*) AS n_variants,
+                       SUM(cnt) AS n_observations
+                FROM counts GROUP BY id
+            ) t ON t.id = w.id
+            WHERE w.rn = 1
+        )
+        SELECT g.id, g.golden_name, g.n_variants, g.n_observations,
+               CAST(g.golden_name != c.{name_col} AS INTEGER)
+                   AS changed
+        FROM golden g JOIN ({clean_sql}) c ON c.{id_col} = g.id
+    """

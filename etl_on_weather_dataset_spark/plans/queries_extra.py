@@ -1677,3 +1677,39 @@ register(QuerySpec(
     covers=("hll-mergeable", "persistent-sketch"),
     extended=True,  # round-6 rotation (registry.py)
 ))
+
+
+# --- entity-resolution survivorship (golden records) -------------------------
+#
+# The third ER stage after blocking + verification
+# (record_linkage_summary): merge each clean entity's verified dirty
+# variants into one canonical row by deterministic mode
+# (operators/linkage.py golden_records). Same fixture corpus and
+# blocking parameters as the summary query, so the two driver rows
+# together pin the whole blocking -> verify -> survive pipeline.
+
+def _golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import golden_records
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return golden_records(clean, _linkage_dirty_names(cust),
+                          max_rel_freq=_LINKAGE_REL_FREQ)
+
+
+def _golden_records_oracle() -> str:
+    from ..operators.linkage import golden_records_sql
+
+    return golden_records_sql(_LINKAGE_CLEAN_SQL, _LINKAGE_DIRTY_SQL,
+                              max_rel_freq=_LINKAGE_REL_FREQ)
+
+
+register(QuerySpec(
+    name="golden_records_customers",
+    spark_fn=_golden_records,
+    oracle=_golden_records_oracle,
+    covers=("er-survivorship", "golden-record"),
+    extended=True,  # round-6 rotation (registry.py)
+))

@@ -588,3 +588,60 @@ def test_stream_ivf_ingest_appends_without_retrain(spark, tmp_path):
         spark, f"{src}/*", schema, store, str(tmp_path / "ckpt"),
     )
     assert _read_version(spark, store)[3] == v
+
+
+def test_streaming_hll_merge(spark, tmp_path):
+    """Streaming distinct sketching: each microbatch writes its own
+    HLL registers (per-batch-id overwrite = replay-idempotent) and
+    the drained store, max-merged per bucket, must EQUAL the one-shot
+    sketch of the full corpus -- max is associative and idempotent
+    across microbatches, which is exactly what makes HLL the
+    cross-batch distinct store."""
+    from pyspark.sql import functions as F
+
+    from etl_on_weather_dataset_spark.operators.bloom import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    landed = str(tmp_path / "ev_in")
+    ev.limit(2000).repartition(4).write.parquet(landed)
+
+    store = str(tmp_path / "hll_store")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_id)
+        hll_registers(batch_df, "user_id", m=64).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch={batch_id}")
+
+    schema = spark.read.parquet(landed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 2, seen
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    one_shot = hll_registers(
+        spark.read.parquet(landed), "user_id", m=64
+    )
+    assert sorted(map(tuple, merged.select("bucket", "register").collect())) \
+        == sorted(map(tuple, one_shot.collect()))
+    est = hll_estimate(merged, m=64).collect()[0]
+    n_true = spark.read.parquet(landed).select("user_id").distinct().count()
+    assert abs(est.est_distinct - n_true) * 2 <= n_true  # within 50%
