@@ -311,7 +311,11 @@ def golden_records(
     Scale shape: the observation table is |clean| + |verified pairs|
     rows; survivorship is one (id, name) count + one min_by argmax --
     two map-side-combinable aggregates, nothing quadratic beyond the
-    already-blocked pair generation.
+    already-blocked pair generation. At scale, pick ``q`` to the
+    keyspace density (distinct q-grams must grow with the corpus or
+    blocks go quadratic: measured 21x at 10x with 3-grams over a
+    16^3-gram hex namespace, 2.1x with q=5 + ``max_abs_count`` --
+    SCALE.md round-5 lesson).
     """
     pairs = qgram_blocked_pairs(
         clean, dirty, name_col, id_col, q, max_rel_freq, max_dist,
