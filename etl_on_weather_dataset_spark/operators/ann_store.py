@@ -151,7 +151,14 @@ def ivf_index_build(
     """Train the coarse quantizer on ``vecs`` (engine-exact Lloyd,
     operators/cluster.py), assign the build corpus, and publish v1
     (or v{current+1} -- a REBUILD on a drifted store). Returns the
-    published version number."""
+    published version number.
+
+    A rebuild RESETS the replay ledger (the new version's corpus is
+    exactly ``vecs``; prior batch ids refer to state that no longer
+    exists). Streaming ingesters must therefore restart from a fresh
+    checkpoint after a rebuild -- re-using the old checkpoint would
+    let a re-delivered batch that is already inside ``vecs`` be
+    appended twice."""
     prepped = vecs.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )
