@@ -377,3 +377,55 @@ def hll_estimate_sql(m: int = 256) -> str:
             FROM hll_regs
         )
     """
+
+
+def cms_join_size_estimate(
+    cms_a: DataFrame, cms_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches over
+    the join keys -- the optimizer-style estimate |A JOIN B on k| =
+    inner product of the key-frequency vectors, approximated per
+    sketch row as sum_cells cnt_a * cnt_b and taken as the MIN over
+    rows (AMS/CMS inner-product estimator). Hash collisions only ADD
+    mass, so the estimate is ONE-SIDED: est >= true join size for
+    sketches built with the same (width, depth, salt) -- the same
+    guarantee contract as the CMS point queries.
+
+    This is how an engine sizes a join without touching the data:
+    two sketch scans (O(depth x width) rows each, already built
+    incrementally across batches) replace a full join. Products
+    accumulate in DECIMAL(38,0): at 10^12-row tables a cell holds
+    ~10^9 and a product ~10^18 -- one int64 term, but the cell SUM
+    overflows int64 immediately.
+    """
+    a = cms_a.select(
+        "row", "cell", F.col("cnt").alias("cnt_a")
+    )
+    b = cms_b.select(
+        "row", "cell", F.col("cnt").alias("cnt_b")
+    )
+    per_row = (
+        a.join(b, ["row", "cell"])
+        .groupBy("row")
+        .agg(
+            F.sum(
+                (F.col("cnt_a") * F.col("cnt_b")).cast("decimal(38,0)")
+            ).alias("ip")
+        )
+    )
+    return per_row.agg(
+        F.min("ip").cast("long").alias("est_join_size")
+    )
+
+
+def cms_join_size_sql(depth: int = 4) -> str:
+    """DuckDB twin over two CTEs ``cms_a``/``cms_b`` (each from
+    cms_sql with its cms CTE renamed): yields the one-row estimate."""
+    return """
+        SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size
+        FROM (
+            SELECT a.row, SUM(a.cnt * b.cnt) AS ip
+            FROM cms_a a JOIN cms_b b USING (row, cell)
+            GROUP BY a.row
+        )
+    """

@@ -1713,3 +1713,85 @@ register(QuerySpec(
     covers=("er-survivorship", "golden-record"),
     extended=True,  # round-6 rotation (registry.py)
 ))
+
+
+# --- CMS join-cardinality estimation (optimizer-style sizing) ----------------
+#
+# |orders JOIN lineitem| estimated from two count-min sketches over
+# the join keys (operators/bloom.py cms_join_size_estimate: AMS/CMS
+# inner product, min over rows) -- how an engine sizes a join from
+# O(depth x width) counters instead of executing it. The guarantee is
+# ONE-SIDED (collisions only add mass: est >= true), and the row
+# reports the measured est/true honestly -- tightness is a width
+# budget decision (error <= ||a||1 * ||b||1 / width), not something
+# a small demo sketch should pretend to have.
+
+_CJS_WIDTH, _CJS_DEPTH = 4096, 4
+
+
+def _cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import build_count_min, cms_join_size_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = build_count_min(
+        orders.select(F.col("o_orderkey").alias("k")), "k",
+        width=_CJS_WIDTH, depth=_CJS_DEPTH,
+    )
+    b = build_count_min(
+        li.select(F.col("l_orderkey").alias("k")), "k",
+        width=_CJS_WIDTH, depth=_CJS_DEPTH,
+    )
+    est = cms_join_size_estimate(a, b, depth=_CJS_DEPTH)
+    true = (
+        orders.select("o_orderkey")
+        .join(li.select(F.col("l_orderkey").alias("o_orderkey")),
+              "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("true_join_size"))
+    )
+    return (
+        est.crossJoin(F.broadcast(true))
+        .select(
+            "est_join_size",
+            "true_join_size",
+            (F.col("est_join_size") >= F.col("true_join_size"))
+            .cast("int").alias("one_sided"),
+        )
+    )
+
+
+def _cms_join_size_oracle() -> str:
+    from ..operators.bloom import cms_join_size_sql, cms_sql
+
+    a = cms_sql(
+        "SELECT o_orderkey AS k FROM orders", "k",
+        width=_CJS_WIDTH, depth=_CJS_DEPTH,
+    ).replace("src", "src_a").replace("cms AS", "cms_a AS")
+    b = cms_sql(
+        "SELECT l_orderkey AS k FROM lineitem", "k",
+        width=_CJS_WIDTH, depth=_CJS_DEPTH,
+    ).replace("src", "src_b").replace("cms AS", "cms_b AS")
+    est = cms_join_size_sql(depth=_CJS_DEPTH)
+    return f"""
+        WITH {a},
+        {b},
+        est AS ({est}),
+        truth AS (
+            SELECT COUNT(*) AS true_join_size
+            FROM orders o JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT e.est_join_size, t.true_join_size,
+               CAST(e.est_join_size >= t.true_join_size AS INTEGER)
+                   AS one_sided
+        FROM est e CROSS JOIN truth t
+    """
+
+
+register(QuerySpec(
+    name="cms_join_size_orders",
+    spark_fn=_cms_join_size,
+    oracle=_cms_join_size_oracle,
+    covers=("cms-join-cardinality", "sketch-inner-product"),
+    extended=True,  # round-6 rotation (registry.py)
+))
