@@ -228,7 +228,11 @@ def _hll_alpha(m: int) -> float:
 
 
 def hll_registers(
-    df: DataFrame, key: str, m: int = 256, salt: str = "hll"
+    df: DataFrame,
+    key: str,
+    m: int = 256,
+    salt: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed HyperLogLog registers over ``df[key]`` ->
     (bucket, register): the MERGEABLE, PERSISTENT distinct-count
@@ -250,9 +254,16 @@ def hll_registers(
     Build cost: one narrow projection + an m-bucket max aggregate --
     map-side combine, constant-width shuffle keys, O(m) output rows
     regardless of corpus size.
+
+    ``group_cols`` builds ONE SKETCH PER GROUP (e.g. per day: the
+    incrementally-maintainable "distinct users per day" a COUNT
+    DISTINCT rollup store cannot give you, because distinct is not
+    re-aggregable but registers are): output gains the group columns
+    and merge becomes max per (group..., bucket).
     """
     from .sample import hash_bucket
 
+    groups = [F.col(c) for c in (group_cols or [])]
     keyed = F.concat(F.col(key).cast("string"), F.lit(salt + "r"))
     w = F.conv(F.substring(F.md5(keyed), 1, 13), 16, 10).cast("long")
     rho = F.when(
@@ -261,11 +272,12 @@ def hll_registers(
     return (
         df.filter(F.col(key).isNotNull())
         .select(
+            *groups,
             hash_bucket(F.col(key), buckets=m, salt=salt + "b")
             .alias("bucket"),
             rho.alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*(group_cols or []), "bucket")
         .agg(F.max("rho").alias("register"))
     )
 
@@ -321,6 +333,41 @@ def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
         F.lit(float(m)) * F.element_at(ln_table, zeros.cast("int")),
     ).otherwise(raw)
     return agg.select(
+        F.col("nz_buckets").cast("long").alias("nz_buckets"),
+        zeros.cast("long").alias("zero_buckets"),
+        sum_pow.alias("sum_pow"),
+        F.floor(est).cast("long").alias("est_distinct"),
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], m: int = 256
+) -> DataFrame:
+    """Per-group estimates from grouped registers: (group...,
+    nz_buckets, zero_buckets, sum_pow, est_distinct) -- same
+    integer-first surface and literal ln table as hll_estimate."""
+    a_num = _hll_alpha(m) * m * m * float(1 << HLL_SCALE)
+    ln_table = F.array(*[
+        F.lit(math.log(m / v)) for v in range(1, m + 1)
+    ])
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nz_buckets"),
+        F.sum(F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE} - register)"
+        )).alias("nz_pow"),
+    )
+    zeros = F.lit(m) - F.col("nz_buckets")
+    sum_pow = (
+        F.col("nz_pow")
+        + zeros.cast("long") * F.lit(1 << HLL_SCALE).cast("long")
+    )
+    raw = F.lit(a_num) / sum_pow.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.element_at(ln_table, zeros.cast("int")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
         F.col("nz_buckets").cast("long").alias("nz_buckets"),
         zeros.cast("long").alias("zero_buckets"),
         sum_pow.alias("sum_pow"),

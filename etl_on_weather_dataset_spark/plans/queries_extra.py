@@ -1795,3 +1795,104 @@ register(QuerySpec(
     covers=("cms-join-cardinality", "sketch-inner-product"),
     extended=True,  # round-6 rotation (registry.py)
 ))
+
+
+# --- per-day distinct users via grouped HLL ----------------------------------
+#
+# "Distinct users per day, maintainable across batches": COUNT
+# DISTINCT is not re-aggregable, so the rollup store cannot carry it
+# -- per-(day, bucket) HLL registers can (merge = max). The oracle
+# rebuilds every group's registers cell-for-cell and derives the same
+# integer-first estimates; the row set pins sketch + estimator + the
+# per-group within-25pct accuracy flags.
+
+def _hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import hll_estimate_grouped, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = hll_registers(ev, "user_id", m=256, group_cols=["day"])
+    est = hll_estimate_grouped(regs, ["day"], m=256)
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "day").select(
+        "day", "n_exact", "nz_buckets", "zero_buckets", "sum_pow",
+        "est_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("n_exact")) * 4
+            <= F.col("n_exact")
+        ).cast("int").alias("within_25pct"),
+    )
+
+
+def _hll_daily_oracle() -> str:
+    import math as _math
+
+    from ..operators.bloom import HLL_SCALE, _hll_alpha
+    from ..operators.sample import hash_bucket_sql
+
+    m = 256
+    a_num = _hll_alpha(m) * m * m * float(1 << HLL_SCALE)
+    ln_lits = ", ".join(
+        repr(_math.log(m / v)) for v in range(1, m + 1)
+    )
+    w = ("CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)"
+         " || 'hllr'), 1, 13)) AS UBIGINT) AS BIGINT)")
+    return f"""
+        WITH src AS (
+            SELECT CAST(ts AS DATE) AS day, user_id FROM events
+            WHERE user_id IS NOT NULL
+        ),
+        regs AS (
+            SELECT day,
+                   {hash_bucket_sql('user_id', buckets=m, salt='hllb')}
+                       AS bucket,
+                   MAX(CASE WHEN {w} > 0
+                        THEN {HLL_SCALE} - length(bin({w}))
+                        ELSE {HLL_SCALE} END) AS register
+            FROM src GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT day, COUNT(*) AS nz_buckets,
+                   COALESCE(SUM((CAST(1 AS BIGINT)
+                                 << ({HLL_SCALE} - register))), 0)
+                   + (CAST({m} AS BIGINT) - COUNT(*))
+                     * (CAST(1 AS BIGINT) << {HLL_SCALE}) AS sum_pow
+            FROM regs GROUP BY day
+        ),
+        est AS (
+            SELECT day,
+                   CAST(nz_buckets AS BIGINT) AS nz_buckets,
+                   CAST({m} - nz_buckets AS BIGINT) AS zero_buckets,
+                   CAST(sum_pow AS BIGINT) AS sum_pow,
+                   CAST(FLOOR(
+                       CASE WHEN ({a_num!r} / CAST(sum_pow AS DOUBLE))
+                                 <= {2.5 * m!r}
+                                 AND {m} - nz_buckets > 0
+                            THEN {float(m)!r} *
+                                 ([{ln_lits}])[{m} - nz_buckets]
+                            ELSE {a_num!r} / CAST(sum_pow AS DOUBLE)
+                       END) AS BIGINT) AS est_distinct
+            FROM agg
+        ),
+        exact AS (
+            SELECT day, COUNT(DISTINCT user_id) AS n_exact
+            FROM src GROUP BY day
+        )
+        SELECT e.day, x.n_exact, e.nz_buckets, e.zero_buckets,
+               e.sum_pow, e.est_distinct,
+               CAST(abs(e.est_distinct - x.n_exact) * 4 <= x.n_exact
+                    AS INTEGER) AS within_25pct
+        FROM est e JOIN exact x USING (day)
+    """
+
+
+register(QuerySpec(
+    name="hll_daily_distinct_users",
+    spark_fn=_hll_daily,
+    oracle=_hll_daily_oracle,
+    covers=("hll-grouped", "distinct-rollup-store"),
+    extended=True,  # round-6 rotation (registry.py)
+))

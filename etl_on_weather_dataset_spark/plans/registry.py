@@ -87,16 +87,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     funnel/cohort, hybrid RRF, the deep TPC-H shapes, the rollup
 #     store, OHLC/TWAP/z-score, and corr_matrix_lineitem whose sum
 #     accumulation moved to DECIMAL(38,0) this round).
-# ROUND-6 rotation (the 20 never-attested queries that did not fit,
+# ROUND-6 rotation (the 21 never-attested queries that did not fit,
 # all pytest-oracle-green every run): bpe_compression_stats,
 # bpe_learned_merges, chi_square_independence,
 # cms_join_size_orders, contrastive_triplets_emb, doc_bigram_logprob,
 # doc_vocab_classifier, golden_records_customers,
-# group_kfold_assignment, hll_mergeable_distinct,
-# ivf_pq_trained_recall, ivf_store_scenario, leakage_safe_split,
-# mad_outliers_by_type, melt_measure_profile, quantile_bins_events,
-# referential_integrity_audit, rolling_zscore_anomalies,
-# snapshot_diff_orders, source_drift_kl -- swap them into
+# group_kfold_assignment, hll_daily_distinct_users,
+# hll_mergeable_distinct, ivf_pq_trained_recall, ivf_store_scenario,
+# leakage_safe_split, mad_outliers_by_type, melt_measure_profile,
+# quantile_bins_events, referential_integrity_audit,
+# rolling_zscore_anomalies, snapshot_diff_orders, source_drift_kl --
+# swap them into
 # ROTATE_IN next round, parking equally many r5-attested names. The
 # 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
