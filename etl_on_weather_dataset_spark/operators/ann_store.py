@@ -10,22 +10,41 @@ assignment pass over just the batch (broadcast centroid literals, no
 shuffle wider than (id, cluster, v)).
 
 Storage follows the repo's versioned-store discipline
-(operators/versioned.py -- same layout, markers, replay ledger and
-keep-last-N vacuum as the rollup store):
+(operators/versioned.py -- same markers, replay ledger and
+keep-last-N vacuum as the rollup store), with the inverted file held
+as IMMUTABLE SEGMENTS so an append writes O(batch) bytes, never
+O(index) -- faiss's ``add`` is the mental model: append a segment,
+publish a manifest:
 
     store_path/
-      v1/centroids.parquet   v1/cells.parquet   v1/batches.parquet
+      segments/
+        seg-v1-build.parquet     # (id, cluster, v) -- never rewritten
+        seg-v2-<batch>.parquet
+      v1/centroids.parquet  v1/manifest.parquet  v1/batches.parquet
       v1/_COMMITTED
       v2/...
 
 ``centroids.parquet`` freezes the trained centroids (cluster id +
 exact double components -- parquet round-trips IEEE doubles, so
 appends assign against bit-identical literals to the build).
-``cells.parquet`` is the inverted file: (id, cluster, v) -- the cells
-carry the vectors, so serving never touches the source table.
+``manifest.parquet`` lists the live segment names: the committed
+index is the union-read of exactly those segments; old versions'
+manifests keep serving their own segment set until vacuumed.
 ``batches.parquet`` is the applied-batch replay ledger: re-appending
 a recorded batch id returns the store untouched (exactly-once
 appends on at-least-once drivers, the foreachBatch contract).
+
+Per APPEND the bytes written are: the batch's segment (O(batch)) +
+the metadata trio (centroids k x dim, manifest #segments rows,
+ledger #batches rows) -- all O(metadata), none O(corpus). A REBUILD
+(ivf_index_build on a non-empty store) writes a fresh full segment
+and a manifest listing only it; superseded segments become garbage
+once no committed manifest references them and are removed by
+:func:`gc_segments` (run automatically after every vacuum). Segment
+GC is safe under the store's single-writer discipline: a segment is
+referenced by the manifest of the version that created it, so an
+unreferenced segment is either crash garbage (its version never
+committed) or vacuumed history.
 
 Drift honesty: appended vectors are quantized by the BUILD-time
 partition. As the ingested distribution drifts, cell balance and
@@ -46,9 +65,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import re
+
 from .cluster import MICRO, kmeans_fit
 from .similarity import SIM_DECIMALS, _as_double, _with_constant_row, dot
-from .versioned import commit, current_version, vacuum
+from .versioned import (
+    commit,
+    committed_versions,
+    current_version,
+    fs_for,
+    vacuum,
+)
 
 
 def _snapped_dists(cents_col):
@@ -101,39 +128,97 @@ def _assign_frozen(
     )
 
 
+def _segment_dir(store_path: str) -> str:
+    return f"{store_path}/segments"
+
+
+def _segment_path(store_path: str, segment: str) -> str:
+    return f"{_segment_dir(store_path)}/{segment}"
+
+
+def _segment_name(version: int, tag: str) -> str:
+    """Unique immutable segment name: the creating version prefixes
+    it (single-writer + monotone versions -> no collisions), the tag
+    (sanitized batch id / 'build') keeps it debuggable."""
+    return f"seg-v{version}-{re.sub(r'[^A-Za-z0-9_.-]', '_', tag)}.parquet"
+
+
+def _manifest_names(
+    spark: SparkSession, store_path: str, version: int
+) -> list[str]:
+    return [
+        r.segment
+        for r in spark.read.parquet(
+            f"{store_path}/v{version}/manifest.parquet"
+        ).collect()
+    ]
+
+
 def _read_version(
     spark: SparkSession, store_path: str
 ) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, int]:
     """(centroids, cells, batches, version) of the newest committed
-    version; (None, None, None, 0) for an empty store."""
+    version; (None, None, None, 0) for an empty store. ``cells`` is
+    the union-read of the manifest's segments -- one multi-path
+    parquet scan, no copy."""
     v = current_version(spark, store_path)
     if v == 0:
         return None, None, None, 0
     base = f"{store_path}/v{v}"
+    segments = _manifest_names(spark, store_path, v)
     return (
         spark.read.parquet(f"{base}/centroids.parquet"),
-        spark.read.parquet(f"{base}/cells.parquet"),
+        spark.read.parquet(
+            *[_segment_path(store_path, s) for s in segments]
+        ),
         spark.read.parquet(f"{base}/batches.parquet"),
         v,
     )
 
 
-def _write_version(
+def gc_segments(spark: SparkSession, store_path: str) -> list[str]:
+    """Delete segments referenced by NO committed manifest (vacuumed
+    history or crash garbage); returns the deleted names. Runs after
+    every vacuum; safe under the single-writer discipline (see module
+    docstring)."""
+    fs, _, jvm = fs_for(spark, store_path)
+    segdir = jvm.org.apache.hadoop.fs.Path(_segment_dir(store_path))
+    if not fs.exists(segdir):
+        return []
+    live: set[str] = set()
+    for v in committed_versions(spark, store_path):
+        live |= set(_manifest_names(spark, store_path, v))
+    deleted: list[str] = []
+    for status in fs.listStatus(segdir):
+        name = status.getPath().getName()
+        if name not in live:
+            fs.delete(status.getPath(), True)
+            deleted.append(name)
+    return sorted(deleted)
+
+
+def _publish_version(
     spark: SparkSession,
     store_path: str,
     version: int,
     centroids: DataFrame,
-    cells: DataFrame,
+    segments: list[str],
     batches: DataFrame,
     keep_versions: int | None,
 ) -> None:
+    """Write the O(metadata) version trio and drop the marker LAST.
+    Cell data is NOT written here -- the caller has already written
+    the new segment (or none, for metadata-only publishes)."""
     base = f"{store_path}/v{version}"
     centroids.write.mode("overwrite").parquet(f"{base}/centroids.parquet")
-    cells.write.mode("overwrite").parquet(f"{base}/cells.parquet")
+    spark.createDataFrame(
+        [(s,) for s in segments], "segment string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/manifest.parquet")
     batches.write.mode("overwrite").parquet(f"{base}/batches.parquet")
     commit(spark, base)
     if keep_versions is not None:
         vacuum(spark, store_path, keep_last=keep_versions)
+        gc_segments(spark, store_path)
 
 
 def ivf_index_build(
@@ -171,8 +256,10 @@ def ivf_index_build(
     cells = _assign_frozen(prepped, cents)
     batches = spark.createDataFrame([("__build__",)], "batch_id string")
     new_v = current_version(spark, store_path) + 1
-    _write_version(spark, store_path, new_v, cent_df, cells, batches,
-                   keep_versions)
+    seg = _segment_name(new_v, "build")
+    cells.write.mode("overwrite").parquet(_segment_path(store_path, seg))
+    _publish_version(spark, store_path, new_v, cent_df, [seg], batches,
+                     keep_versions)
     return new_v
 
 
@@ -186,11 +273,13 @@ def ivf_index_append(
     keep_versions: int | None = None,
 ) -> int:
     """Append one ingestion batch to the committed index WITHOUT
-    retraining: assign the batch against the frozen centroids and
-    publish cells' = cells + batch as the next version. Replaying a
-    recorded ``batch_id`` is a no-op (returns the current version).
+    retraining: assign the batch against the frozen centroids, write
+    it as one NEW immutable segment, and publish a manifest listing
+    old segments + the new one -- O(batch) bytes written, the
+    existing cells are never read or rewritten. Replaying a recorded
+    ``batch_id`` is a no-op (returns the current version).
     """
-    cent_df, cells, batches, version = _read_version(spark, store_path)
+    cent_df, _, batches, version = _read_version(spark, store_path)
     if cent_df is None:
         raise ValueError(
             f"no committed index at {store_path}; run ivf_index_build"
@@ -205,15 +294,20 @@ def ivf_index_append(
     prepped = new_vecs.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )
-    appended = cells.unionByName(
-        _assign_frozen(prepped, cents).select("id", "v", "cluster")
-    )
+    new_v = version + 1
+    seg = _segment_name(new_v, batch_id)
+    _assign_frozen(prepped, cents).select("id", "v", "cluster").write.mode(
+        "overwrite"
+    ).parquet(_segment_path(store_path, seg))
     new_batches = batches.select("batch_id").unionAll(
         spark.createDataFrame([(batch_id,)], "batch_id string")
     )
-    _write_version(spark, store_path, version + 1, cent_df, appended,
-                   new_batches, keep_versions)
-    return version + 1
+    _publish_version(
+        spark, store_path, new_v, cent_df,
+        _manifest_names(spark, store_path, version) + [seg],
+        new_batches, keep_versions,
+    )
+    return new_v
 
 
 def ivf_index_query(

@@ -282,14 +282,23 @@ def hll_registers(
     )
 
 
-def hll_merge(*register_sets: DataFrame) -> DataFrame:
+def hll_merge(
+    *register_sets: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Union registers from independently-built sketches (same m and
     salt) into one: max per bucket. Associative and idempotent, so
-    batches merge in any order and replays are harmless."""
+    batches merge in any order and replays are harmless.
+
+    ``group_cols`` must match the builder's: grouped register sets
+    (from ``hll_registers(group_cols=...)``) merge per
+    (group..., bucket) -- omitting it would silently FUSE the groups
+    into one sketch (max over all days' registers estimates the
+    union, not per-day distincts)."""
     out = register_sets[0]
     for r in register_sets[1:]:
         out = out.unionByName(r)
-    return out.groupBy("bucket").agg(
+    return out.groupBy(*(group_cols or []), "bucket").agg(
         F.max("register").alias("register")
     )
 

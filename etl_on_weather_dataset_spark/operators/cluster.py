@@ -311,7 +311,7 @@ def kmeans_sql(
     return f"""WITH {ctes}
         SELECT CAST(cluster AS INTEGER) AS cluster,
                COUNT(*) AS n_members,
-               SUM(CAST(ROUND({sq} * {MICRO}) AS BIGINT))
-                   AS inertia_micro
+               CAST(SUM(CAST(ROUND({sq} * {MICRO}) AS BIGINT))
+                    AS BIGINT) AS inertia_micro
         FROM afinal GROUP BY cluster
     """

@@ -1065,9 +1065,9 @@ def duplicated_span_stats_sql(
         ),
         spans AS (
             SELECT id,
-                   SUM(n_wins) AS n_dup_windows,
+                   CAST(SUM(n_wins) AS BIGINT) AS n_dup_windows,
                    COUNT(*) AS n_dup_spans,
-                   SUM(covered) AS covered_tokens
+                   CAST(SUM(covered) AS BIGINT) AS covered_tokens
             FROM (
                 SELECT id, span_id, COUNT(*) AS n_wins,
                        MAX(e) - MIN(pos) + 1 AS covered

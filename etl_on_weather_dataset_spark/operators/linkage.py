@@ -271,8 +271,9 @@ def linkage_summary_sql(
     return f"""
         SELECT (SELECT COUNT(*) FROM ({clean_sql})) AS n_records,
                COUNT(*) AS n_links,
-               COALESCE(SUM(CASE WHEN id_a = id_b THEN 1 ELSE 0 END),
-                        0) AS n_true_links,
+               CAST(COALESCE(SUM(CASE WHEN id_a = id_b
+                                  THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_true_links,
                CAST(CASE WHEN (SELECT COUNT(*) FROM ({clean_sql})) = 0
                     THEN 0
                     ELSE COALESCE(SUM(CASE WHEN id_a = id_b
@@ -398,7 +399,7 @@ def golden_records_sql(
             ) w
             JOIN (
                 SELECT id, COUNT(*) AS n_variants,
-                       SUM(cnt) AS n_observations
+                       CAST(SUM(cnt) AS BIGINT) AS n_observations
                 FROM counts GROUP BY id
             ) t ON t.id = w.id
             WHERE w.rn = 1

@@ -39,20 +39,26 @@ def fs_for(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
 
 
-def current_version(spark: SparkSession, store_path: str) -> int:
-    """Highest committed version number, or 0 if none."""
+def committed_versions(spark: SparkSession, store_path: str) -> list[int]:
+    """All committed version numbers, ascending ([] if none)."""
     fs, jpath, jvm = fs_for(spark, store_path)
     if not fs.exists(jpath):
-        return 0
-    best = 0
+        return []
+    found: list[int] = []
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
         m = re.fullmatch(r"v(\d+)", name)
         if m and fs.exists(
             jvm.org.apache.hadoop.fs.Path(status.getPath(), COMMITTED)
         ):
-            best = max(best, int(m.group(1)))
-    return best
+            found.append(int(m.group(1)))
+    return sorted(found)
+
+
+def current_version(spark: SparkSession, store_path: str) -> int:
+    """Highest committed version number, or 0 if none."""
+    versions = committed_versions(spark, store_path)
+    return versions[-1] if versions else 0
 
 
 def commit(spark: SparkSession, version_base: str) -> None:

@@ -1078,7 +1078,8 @@ def _zscore_anomalies_oracle() -> str:
         SELECT event_type,
                COUNT(*) AS n_points,
                COUNT(z) AS n_evaluated,
-               SUM(CAST(is_anomaly AS BIGINT)) AS n_anomalies
+               CAST(SUM(CAST(is_anomaly AS BIGINT))
+                    AS BIGINT) AS n_anomalies
         FROM ({inner}) flagged
         GROUP BY event_type ORDER BY event_type
     """
@@ -1491,8 +1492,9 @@ register(QuerySpec(
         )
         SELECT d.event_type,
                COUNT(*) AS n,
-               SUM(CAST(ABS(d.value - d.med) > 3.0 * 1.4826 * a.mad
-                        AS BIGINT)) AS n_outliers,
+               CAST(SUM(CAST(ABS(d.value - d.med) > 3.0 * 1.4826
+                                 * a.mad AS BIGINT))
+                    AS BIGINT) AS n_outliers,
                MIN(d.med) AS med,
                MIN(a.mad) AS mad
         FROM dev d JOIN mad a USING (event_type)

@@ -63,7 +63,7 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# --- round-5 rotation of the driver CORRECTNESS window -----------------------
+# --- round-6 rotation of the driver CORRECTNESS window -----------------------
 #
 # The driver attests at most DRIVER_CAP queries per round. Round-robin
 # policy (round-2 verdict, "Next round" #1): every query must earn a
@@ -76,100 +76,88 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   - round 4 attested the r3/r4-added tier (ANN curves, incremental
 #     dedup, SemDeDup, IVF-PQ, k-means, BM25, linkage, span dedup,
 #     DSIR, corpus mixing, CMS, ...) -- 47 green + 3 hash-red rows
-#     (kmeans_cluster_stats, record_linkage_summary, dup_span_stats),
-#     all three traced to floats compared at the last ulp;
-#   - round 5 (now): the 3 red rows stay in to re-attest their
-#     integer-only compare surfaces, trained_ivf_recall stays in
-#     because the kmeans micro-snapped argmin changed its Spark-side
-#     assignments, and 25 of the 38 never-attested late-r4 queries
-#     rotate in (verdict r4 priority order: the composed embedding
-#     flagship, the graph tier, trained logreg, the column profiler,
-#     funnel/cohort, hybrid RRF, the deep TPC-H shapes, the rollup
-#     store, OHLC/TWAP/z-score, and corr_matrix_lineitem whose sum
-#     accumulation moved to DECIMAL(38,0) this round).
-# ROUND-6 rotation (the 21 never-attested queries that did not fit,
-# all pytest-oracle-green every run): bpe_compression_stats,
-# bpe_learned_merges, chi_square_independence,
-# cms_join_size_orders, contrastive_triplets_emb, doc_bigram_logprob,
-# doc_vocab_classifier, golden_records_customers,
-# group_kfold_assignment, hll_daily_distinct_users,
-# hll_mergeable_distinct, ivf_pq_trained_recall, ivf_store_scenario,
-# leakage_safe_split, mad_outliers_by_type, melt_measure_profile,
-# quantile_bins_events, referential_integrity_audit,
-# rolling_zscore_anomalies, snapshot_diff_orders, source_drift_kl --
-# swap them into
-# ROTATE_IN next round, parking equally many r5-attested names. The
-# 21 slots that never rotate are the flagships and one query per
+#     (kmeans_cluster_stats, record_linkage_summary, dup_span_stats);
+#     the real cause -- found by the round-5 judge, fixed round 6 --
+#     was DuckDB HUGEINT output columns (SUM(BIGINT) promotes) that
+#     the driver's hash does not normalize;
+#   - round 5: 47 green; the same 3 rows red again (root cause: the
+#     oracles emitted DuckDB HUGEINT, which the driver's hash does
+#     not normalize -- fixed round 6 with CAST(... AS BIGINT) plus a
+#     type-parity gate in tests/oracle_harness.py and a registry-wide
+#     no-HUGEINT meta-test, tests/test_oracle_types.py);
+#   - round 6 (now): the 3 HUGEINT-fixed rows re-attest and ALL 21
+#     remaining never-attested queries rotate in (computed by
+#     tools/rotation_plan.py) -- after this window, every registered
+#     query has earned at least one green driver row; the rotation
+#     debt is fully paid for the first time.
+# The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
-# runs hourly. The window is exactly DRIVER_CAP this round
-# (21 pinned + 29 rotations = 50 of 50).
+# runs hourly. Window this round: 21 pinned + 24 rotations = 45 of
+# 50, leaving 5 slots for round-6-new queries (non-extended specs in
+# neither rotation set are driver-visible by default).
 ROTATE_IN: frozenset[str] = frozenset({
-    # re-attest: r4 red rows, compare surfaces now integer-only
+    # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to
+    # BIGINT (round-5 verdict item 1; root cause in COVERAGE.md)
     "kmeans_cluster_stats", "record_linkage_summary", "dup_span_stats",
-    # re-attest: Spark-side assignments changed by the snapped argmin
-    "trained_ivf_recall",
-    # first attestation: verdict-r4 priority backlog
-    "embedding_pipeline_stats",
-    "graph_degree_stats", "graph_triangle_summary", "graph_pagerank_top",
-    "logreg_trained_weights", "column_profile_lineitem",
-    "funnel_view_click_purchase", "hybrid_rrf_topk",
-    "weekly_cohort_retention",
-    "volume_shipping", "national_market_share",
-    "returned_item_customers", "customer_order_distribution",
-    "top_supplier_revenue", "disjunctive_brand_revenue",
-    "grouping_sets_revenue", "large_volume_orders",
-    "promo_revenue_share", "small_quantity_revenue",
-    "rich_inactive_customers",
-    "rollup_incremental_daily",
-    "ohlc_daily_candles", "twap_daily",
-    "corr_matrix_lineitem",
-    # first attestation: the round-5 serving preset (verdict item 4)
-    "ann_high_recall_preset",
+    # first attestation: the 21 remaining never-attested queries
+    # (round-5 verdict item 3) -- after this window every one of
+    # the registry's queries has earned a driver row
+    "doc_vocab_classifier", "contrastive_triplets_emb", "ivf_store_scenario",
+    "ivf_pq_trained_recall", "rolling_zscore_anomalies",
+    "melt_measure_profile", "chi_square_independence",
+    "quantile_bins_events", "referential_integrity_audit",
+    "mad_outliers_by_type", "snapshot_diff_orders", "hll_mergeable_distinct",
+    "golden_records_customers", "cms_join_size_orders",
+    "hll_daily_distinct_users", "doc_bigram_logprob", "source_drift_kl",
+    "bpe_learned_merges", "bpe_compression_stats", "leakage_safe_split",
+    "group_kfold_assignment",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
-    # parked after green rows in r1+r2
-    "forecast_revenue_change", "order_priority_semi_join",
-    "customers_without_orders", "rollup_returnflag_status",
-    "pivot_orders_status", "shipping_priority_counts",
-    "profit_by_nation_year", "orders_above_customer_avg",
-    "timestamp_coercion", "dedup_full_row", "dedup_subset_distinct",
-    "median_impute", "daily_join_fanout", "validation_counts",
-    "outlier_filter", "sink_reshape_rename", "set_ops_user_segments",
-    "json_props_extract", "streaming_tumbling_rollup", "lang_id_confusion",
-    "doc_fingerprints", "chunk_documents", "embedding_label_stats",
-    "distinct_users_per_type", "approx_distinct_users",
-    "cube_status_priority", "normalize_per_user", "value_percentiles",
-    "salted_skew_rollup",
-    # parked after green rows in r3
-    "hash_split_counts", "stratified_sample_counts", "time_bucket_rollup",
-    "hopping_window_rollup", "session_window_rollup", "quality_filter_stats",
-    "gap_filled_hourly", "streaming_interval_join",
-    "pii_redaction", "approx_percentile_bound", "bloom_filter_membership",
-    "tfidf_top_terms",
-    "cosine_topk_pandas_udf", "cosine_topk_ivf",
-    "conditional_aggregation", "array_functions", "value_moments",
-    "scd2_user_history", "chunk_documents_udtf", "json_map_explode",
-    "string_functions", "window_function_breadth", "date_scalar_functions",
-    "math_functions",
-    "monthly_mode_event_type", "date_part_histogram",
-    "event_time_tumbling_window",
-    # parked after green rows in r4 (oracle-arithmetic-only changes
-    # this round -- list_reduce dot folds -- stay pytest-checked)
-    "benchmark_decontamination", "packed_bins", "doc_repetition_stats",
-    "doc_logprob_score", "ann_recall_at_k",
-    "cosine_topk_lsh_multi", "ann_recall_multi_table",
-    "dedup_incremental_exact",
-    "boilerplate_line_removal", "per_source_document_cap",
-    "importance_resample_dsir", "semdedup_embeddings",
-    "ivf_recall_probes", "corpus_mixture_sample",
-    "cosine_topk_ivf_pq", "ivf_pq_recall",
-    "cms_token_frequencies",
-    "weighted_sample_docs", "dsir_weighted_selection",
-    "dup_span_removal",
-    "bm25_topk_docs", "doc_quality_classifier",
-    "dedup_incremental_simhash",
-    "curation_pipeline_stats", "dedup_connected_groups",
+    # parked after green driver rows in r1-r5 (every name here is
+    # attested green in some CORRECTNESS_r*.json and stays
+    # oracle-checked on every pytest run via all_queries())
+    "ann_high_recall_preset", "ann_recall_at_k", "ann_recall_multi_table",
+    "approx_distinct_users", "approx_percentile_bound", "array_functions",
+    "benchmark_decontamination", "bloom_filter_membership", "bm25_topk_docs",
+    "boilerplate_line_removal", "chunk_documents", "chunk_documents_udtf",
+    "cms_token_frequencies", "column_profile_lineitem",
+    "conditional_aggregation", "corpus_mixture_sample",
+    "corr_matrix_lineitem", "cosine_topk_ivf", "cosine_topk_ivf_pq",
+    "cosine_topk_lsh_multi", "cosine_topk_pandas_udf",
+    "cube_status_priority", "curation_pipeline_stats",
+    "customer_order_distribution", "customers_without_orders",
+    "daily_join_fanout", "date_part_histogram", "date_scalar_functions",
+    "dedup_connected_groups", "dedup_full_row", "dedup_incremental_exact",
+    "dedup_incremental_simhash", "dedup_subset_distinct",
+    "disjunctive_brand_revenue", "distinct_users_per_type",
+    "doc_fingerprints", "doc_logprob_score", "doc_quality_classifier",
+    "doc_repetition_stats", "dsir_weighted_selection", "dup_span_removal",
+    "embedding_label_stats", "embedding_pipeline_stats",
+    "event_time_tumbling_window", "forecast_revenue_change",
+    "funnel_view_click_purchase", "gap_filled_hourly", "graph_degree_stats",
+    "graph_pagerank_top", "graph_triangle_summary", "grouping_sets_revenue",
+    "hash_split_counts", "hopping_window_rollup", "hybrid_rrf_topk",
+    "importance_resample_dsir", "ivf_pq_recall", "ivf_recall_probes",
+    "json_map_explode", "json_props_extract", "lang_id_confusion",
+    "large_volume_orders", "logreg_trained_weights", "math_functions",
+    "median_impute", "monthly_mode_event_type", "national_market_share",
+    "normalize_per_user", "ohlc_daily_candles", "order_priority_semi_join",
+    "orders_above_customer_avg", "outlier_filter", "packed_bins",
+    "per_source_document_cap", "pii_redaction", "pivot_orders_status",
+    "profit_by_nation_year", "promo_revenue_share", "quality_filter_stats",
+    "returned_item_customers", "rich_inactive_customers",
+    "rollup_incremental_daily", "rollup_returnflag_status",
+    "salted_skew_rollup", "scd2_user_history", "semdedup_embeddings",
+    "session_window_rollup", "set_ops_user_segments",
+    "shipping_priority_counts", "sink_reshape_rename",
+    "small_quantity_revenue", "stratified_sample_counts",
+    "streaming_interval_join", "streaming_tumbling_rollup",
+    "string_functions", "tfidf_top_terms", "time_bucket_rollup",
+    "timestamp_coercion", "top_supplier_revenue", "trained_ivf_recall",
+    "twap_daily", "validation_counts", "value_moments", "value_percentiles",
+    "volume_shipping", "weekly_cohort_retention", "weighted_sample_docs",
+    "window_function_breadth",
 })
 
 

@@ -561,6 +561,56 @@ class TestBloomFilter:
         assert got.filter("bloom_hit").count() == 0
 
 
+class TestGroupedHllMerge:
+    def test_grouped_merge_equals_rebuild(self, spark):
+        """Merging per-day register sets built from disjoint batches
+        must equal the registers built from the union in one shot --
+        per (day, bucket), not fused across days."""
+        from etl_on_weather_dataset_spark.operators.bloom import (
+            hll_merge,
+            hll_registers,
+        )
+
+        rows = [
+            ("d%d" % (i % 3), i % 40) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "day string, user_id int")
+        b1 = df.filter(F.col("user_id") < 20)
+        b2 = df.filter(F.col("user_id") >= 20)
+        grouped = lambda d: hll_registers(  # noqa: E731
+            d, "user_id", m=64, group_cols=["day"]
+        )
+        merged = hll_merge(
+            grouped(b1), grouped(b2), group_cols=["day"]
+        )
+        rebuilt = grouped(df)
+        key = lambda r: (r["day"], r["bucket"])  # noqa: E731
+        got = {key(r): r["register"] for r in merged.collect()}
+        want = {key(r): r["register"] for r in rebuilt.collect()}
+        assert got == want
+        # 3 distinct days survive the merge (the old bucket-only
+        # groupBy would have collapsed them to one sketch)
+        assert len({d for d, _ in got}) == 3
+
+    def test_ungrouped_merge_unchanged(self, spark):
+        from etl_on_weather_dataset_spark.operators.bloom import (
+            hll_estimate,
+            hll_merge,
+            hll_registers,
+        )
+
+        df = spark.range(0, 500).select(F.col("id").alias("k"))
+        b1 = df.filter("k < 250")
+        b2 = df.filter("k >= 200")  # overlap: idempotent max
+        merged = hll_merge(
+            hll_registers(b1, "k", m=64), hll_registers(b2, "k", m=64)
+        )
+        rebuilt = hll_registers(df, "k", m=64)
+        est_m = hll_estimate(merged, m=64).collect()[0]
+        est_r = hll_estimate(rebuilt, m=64).collect()[0]
+        assert est_m == est_r
+
+
 class TestMinhashVsExactJaccard:
     def test_minhash_pairs_are_true_near_dups(self, spark):
         """The MinHash tier anchored against the exact tier. With the
@@ -2940,6 +2990,80 @@ class TestIvfIndexStore:
         assert "v4" in dirs and "v3" in dirs
         assert not {"v1", "v2"} & dirs
         assert _read_version(spark, store)[3] == 4
+
+    def test_append_writes_o_batch_not_o_index(self, spark, tmp_path):
+        """The scale contract of the segment/manifest layout: an
+        append must write bytes proportional to the BATCH, never
+        rewrite the corpus -- the build segment's files are untouched
+        and the bytes added are a small fraction of the index."""
+        import pathlib
+
+        from etl_on_weather_dataset_spark.operators.ann_store import (
+            _read_version,
+            ivf_index_append,
+            ivf_index_build,
+        )
+
+        def snapshot(root):
+            return {
+                str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+                for p in pathlib.Path(root).rglob("*")
+                if p.is_file()
+            }
+
+        store = str(tmp_path / "ivf")
+        corpus = self._emb(spark, n=500, base=0)
+        ivf_index_build(spark, corpus, store, k=4, iters=1, dim=8)
+        before = snapshot(store)
+        seg_dir = pathlib.Path(store) / "segments"
+        build_files = {
+            str(p): before[str(p)]
+            for p in seg_dir.rglob("*") if p.is_file()
+        }
+        corpus_bytes = sum(sz for sz, _ in build_files.values())
+
+        ivf_index_append(spark, self._emb(spark, n=10, base=9000),
+                         store, "tiny")
+        after = snapshot(store)
+        # immutability: every pre-existing segment file byte-identical
+        for path, sig in build_files.items():
+            assert after[path] == sig, f"build segment rewritten: {path}"
+        new_bytes = sum(
+            sz for p, (sz, _) in after.items() if p not in before
+        )
+        # 10 rows appended to 500: new bytes (tiny segment + metadata
+        # trio) must be far below the corpus segment, not ~equal to it
+        assert new_bytes < 0.5 * corpus_bytes, (
+            f"append wrote {new_bytes}B vs corpus {corpus_bytes}B"
+        )
+        assert _read_version(spark, store)[1].count() == 510
+
+    def test_segment_gc_after_rebuild(self, spark, tmp_path):
+        """A rebuild supersedes all prior segments; once retention
+        drops the versions referencing them, gc removes the orphans
+        while every surviving manifest's segments stay readable."""
+        import pathlib
+
+        from etl_on_weather_dataset_spark.operators.ann_store import (
+            _read_version,
+            ivf_index_append,
+            ivf_index_build,
+        )
+
+        store = str(tmp_path / "ivf")
+        ivf_index_build(spark, self._emb(spark, n=30), store,
+                        k=4, iters=1, dim=8)
+        ivf_index_append(spark, self._emb(spark, n=5, base=500),
+                         store, "b1")
+        # rebuild on the drifted store with keep_versions=1: v1+v2
+        # vacuumed, their segments unreferenced -> gc'd
+        ivf_index_build(spark, self._emb(spark, n=40, base=900), store,
+                        k=4, iters=1, dim=8, keep_versions=1)
+        segs = {
+            p.name for p in (pathlib.Path(store) / "segments").iterdir()
+        }
+        assert segs == {"seg-v3-build.parquet"}, segs
+        assert _read_version(spark, store)[1].count() == 40
 
     def test_append_requires_built_index(self, spark, tmp_path):
         import pytest as _pytest

@@ -123,24 +123,52 @@ def test_compare_harness_detects_divergence(spark):
     from .oracle_harness import compare
 
     df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
-    base = "SELECT * FROM (VALUES (1, 10.0), (2, 20.0)) t(k, v)"
+    # bare 10.0 literals would be DECIMAL in DuckDB and (correctly)
+    # trip the type gate -- cast them to the dtypes Spark returns
+    vals = "(VALUES (1, CAST(10.0 AS DOUBLE)), (2, CAST(20.0 AS DOUBLE)))"
+    base = f"SELECT * FROM {vals} t(k, v)"
     compare(df, base, SF_ORACLE, name="meta_ok")  # sanity: identical passes
 
     with pytest.raises(AssertionError):
         compare(
             df,
-            "SELECT * FROM (VALUES (1, 10.0), (2, 20.5)) t(k, v)",
+            "SELECT k, CAST(v AS DOUBLE) AS v FROM (VALUES (1, 10.0),"
+            " (2, 20.5)) t(k, v)",
             SF_ORACLE, name="meta_value",
         )
     with pytest.raises(AssertionError):
         compare(
             df,
-            "SELECT * FROM (VALUES (1, 10.0)) t(k, v)",
+            "SELECT 1 AS k, CAST(10.0 AS DOUBLE) AS v",
             SF_ORACLE, name="meta_rows",
         )
     with pytest.raises(AssertionError):
         compare(
             df,
-            "SELECT * FROM (VALUES (1, 10.0), (2, 20.0)) t(k, other)",
+            f"SELECT * FROM {vals} t(k, other)",
             SF_ORACLE, name="meta_schema",
+        )
+    # the round-6 lesson, encoded: HUGEINT/DECIMAL must fail even
+    # when every VALUE is equal (2 == Decimal(2) locally, but the
+    # driver hashes the representation) -- and so must cross-family
+    # drift (double vs BIGINT)
+    with pytest.raises(AssertionError, match="HUGEINT/DECIMAL"):
+        compare(
+            df,
+            "SELECT * FROM (VALUES (1, 10.0), (2, 20.0)) t(k, v)",
+            SF_ORACLE, name="meta_decimal",
+        )
+    int_df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    with pytest.raises(AssertionError, match="HUGEINT/DECIMAL"):
+        compare(
+            int_df,
+            "SELECT k, CAST(v AS HUGEINT) AS v FROM (VALUES (1, 10),"
+            " (2, 20)) t(k, v)",
+            SF_ORACLE, name="meta_hugeint",
+        )
+    with pytest.raises(AssertionError, match="cross-family"):
+        compare(
+            int_df,
+            f"SELECT * FROM {vals} t(k, v)",
+            SF_ORACLE, name="meta_family",
         )

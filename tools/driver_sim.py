@@ -8,7 +8,12 @@ count, column-name set, and an order-insensitive value hash.
 
 Comparison: tests/oracle_harness.compare -- value-exact on
 column-name-sorted, row-sorted frames with date/tz normalization,
-STRICTER than the driver's hash (anything passing here hashes equal).
+PLUS a type-parity gate (HUGEINT/DECIMAL rejected; cross-family type
+drift rejected). Value-exactness alone proved weaker than the
+driver's hash in rounds 4-5 (HUGEINT columns pass ``2 == 2.0``
+locally but hash red at the driver); the type gate closes that axis.
+No local harness can be *proven* equivalent to the driver's hash --
+treat a green run here as necessary, not sufficient.
 
 Usage:  python tools/driver_sim.py [sf_dir]        (default sf0.01)
 Exit 0 iff every oracle-backed query matches.
