@@ -4,12 +4,20 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": 0.1, "n": 3, "protocol": "best"}
+   "queries": {"q": median_sec, ...}, "queries_min": {"q": min_sec},
+   "sf": 0.1, "n": 5, "protocol": "median"}
 
 Protocol (stated in the JSON so round-over-round trend is signal, not
 protocol drift): one warm-up run per query (JIT + code cache), then
-BEST of ``n=3`` timed runs; timing includes full plan execution to a
-count-style action (no driver-side collect of big results).
+``n=5`` timed runs reporting BOTH the median (the headline + trend
+stat -- robust to a loaded machine) and the min (the floor the engine
+can hit); timing includes full plan execution to a count-style action
+(no driver-side collect of big results). Dispersion rationale (round-5
+verdict item 5): the r4->r5 driver bench swung +13% with zero code
+changes on the affected queries -- machine-load noise at sub-second
+query times exceeded the delta, and a single best-of-3 number cannot
+distinguish environment drift from a real regression. Median+min can:
+a regression moves BOTH; load moves only the median.
 """
 
 from __future__ import annotations
@@ -17,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -26,7 +35,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-N_RUNS = 3  # best-of-N; stated in the output JSON
+N_RUNS = 5  # median + min over N; stated in the output JSON
 
 
 def main() -> None:
@@ -49,15 +58,17 @@ def main() -> None:
 
     qs = bench_queries()
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
         # warm-up (plan + JIT); cheap relative to steady state
         fn(spark, sf_dir).count()
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        timings_min[name] = round(min(runs), 4)
         # drop operator-internal caches (shingle index, minhash
         # signatures) between queries so cached blocks don't accumulate
         # across the suite; within a query's runs they stay warm (same
@@ -70,9 +81,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
         "sf": sf,
         "n": N_RUNS,
-        "protocol": "best",
+        "protocol": "median",
     }
     # Like-for-like trend line (r4 verdict item 7): the subtotal over
     # queries ALSO benched last round, so the headline growing with
@@ -85,13 +97,21 @@ def main() -> None:
             # driver artifacts wrap the bench's own JSON line in "parsed"
             prev_doc = prev_doc.get("parsed", prev_doc)
             common = sorted(set(prev_doc.get("queries", {})) & set(timings))
-            # only an equal-scale comparison is a trend line
+            # only an equal-scale comparison is a trend line; compare
+            # like stat with like: a prior best-of-N artifact recorded
+            # mins, so compare our mins against it (min-to-min); a
+            # prior median-protocol artifact compares median-to-median
             if common and prev_doc.get("sf") == sf:
+                if prev_doc.get("protocol", "best") == "median":
+                    ours, basis = timings, "median"
+                else:
+                    ours, basis = timings_min, "min_vs_prev_best"
                 out["common_with_prev"] = {
                     "prev_artifact": prev[-1].name,
+                    "basis": basis,
                     "n_queries": len(common),
                     "subtotal_sec": round(
-                        sum(timings[q] for q in common), 4
+                        sum(ours[q] for q in common), 4
                     ),
                     "prev_subtotal_sec": round(
                         sum(prev_doc["queries"][q] for q in common), 4
