@@ -310,6 +310,39 @@ def ivf_index_append(
     return new_v
 
 
+def ivf_index_compact(
+    spark: SparkSession,
+    store_path: str,
+    keep_versions: int | None = None,
+) -> int:
+    """Merge the current manifest's segments into ONE segment and
+    publish it as the next version (centroids and ledger unchanged) --
+    the lifecycle's counterpart to O(batch) appends: many tiny
+    ingestion segments degrade scan parallelism and parquet footer
+    overhead, so compact when the segment count crosses a threshold
+    (caller's policy). Superseded segments become garbage for
+    :func:`gc_segments` once retention drops the versions naming
+    them. No-op (returns the current version) when already compact."""
+    cent_df, cells, batches, version = _read_version(spark, store_path)
+    if cent_df is None:
+        raise ValueError(
+            f"no committed index at {store_path}; run ivf_index_build"
+        )
+    if len(_manifest_names(spark, store_path, version)) <= 1:
+        return version
+    new_v = version + 1
+    seg = _segment_name(new_v, "compact")
+    # repartition by cluster: co-locates each cell's members so a
+    # probe's segment scan touches few row groups (footer min/max on
+    # the cluster column prunes the rest)
+    cells.repartition("cluster").write.mode("overwrite").parquet(
+        _segment_path(store_path, seg)
+    )
+    _publish_version(spark, store_path, new_v, cent_df, [seg],
+                     batches.select("batch_id"), keep_versions)
+    return new_v
+
+
 def ivf_index_query(
     spark: SparkSession,
     queries: DataFrame,

@@ -1,0 +1,288 @@
+"""Round-6 analytics tier: mergeable quantile sketches, skew
+diagnostics, bucketized range joins, corpus size histograms, and
+ordered integer folds (EWMA).
+
+Five first-class operator families a 100 TB pipeline leans on daily:
+
+- ``quantile_sketch_price``: the histogram sketch (operators/
+  histogram.py) built on two DISJOINT halves and MERGED -- the query
+  itself attests that merge(batches) == rebuild, because the oracle
+  builds from the whole table and the driver hash must still match.
+- ``skew_diagnostics_events``: per-key heavy-hitter shares -- the
+  number you read BEFORE choosing a join/agg strategy at scale (a
+  top key owning 30% of rows means salting, not praying).
+- ``shipping_window_weekly``: interval-overlap counting as a
+  BUCKETIZED range join: explode each row to the (bounded) weeks its
+  interval spans and equi-join/aggregate on the bucket -- the scale
+  path Spark's BNLJ-backed range joins can't walk.
+- ``tokens_log2_histogram``: corpus length distribution in log2
+  buckets via an identical CASE chain in both engines (no libm).
+- ``ewma_user_value``: per-user exponential moving average as an
+  ORDERED integer left fold -- the operator class where parallel
+  aggregation is wrong by construction (EWMA is not associative), so
+  the fold runs inside a per-key sorted array, bit-identically in
+  both engines (Spark ``aggregate`` vs DuckDB ``list_reduce``).
+
+All integer-first: micro-scaled BIGINTs everywhere, ``div`` with
+non-negative operands only (Spark truncation == DuckDB floor), no
+float crosses an engine boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..operators.histogram import (
+    histogram_merge,
+    histogram_quantiles,
+    histogram_quantiles_sql,
+    histogram_sketch,
+    histogram_sketch_sql,
+)
+from ..schemas import load_table
+from .registry import QuerySpec, register
+
+# --- mergeable quantile sketch ------------------------------------------------
+
+_HS_LO = 0
+_HS_HI = 110_000_000_000  # l_extendedprice <= ~105k -> 110k in micros
+_HS_BINS = 256
+_HS_QS = [500_000, 900_000, 990_000]  # p50 / p90 / p99 in ppm
+
+
+def _quantile_sketch_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    halves = [
+        histogram_sketch(
+            li.filter(F.col("l_orderkey") % 2 == i),
+            "l_extendedprice", _HS_LO, _HS_HI, _HS_BINS,
+            group_cols=["l_returnflag"],
+        )
+        for i in (0, 1)
+    ]
+    merged = histogram_merge(*halves, group_cols=["l_returnflag"])
+    return histogram_quantiles(
+        merged, _HS_QS, _HS_LO, _HS_HI, _HS_BINS,
+        group_cols=["l_returnflag"],
+    ).orderBy("l_returnflag", "q_ppm")
+
+
+_QUANTILE_SKETCH_ORACLE = histogram_quantiles_sql(
+    histogram_sketch_sql(
+        "SELECT * FROM lineitem", "l_extendedprice",
+        _HS_LO, _HS_HI, _HS_BINS, group_cols=["l_returnflag"],
+    ),
+    _HS_QS, _HS_LO, _HS_HI, _HS_BINS, group_cols=["l_returnflag"],
+) + " ORDER BY l_returnflag, q_ppm"
+
+register(QuerySpec(
+    name="quantile_sketch_price",
+    spark_fn=_quantile_sketch_price,
+    oracle=_QUANTILE_SKETCH_ORACLE,
+    covers=("mergeable-quantile-sketch", "sketch-merge-equals-rebuild"),
+    bench=True,
+))
+
+
+# --- skew diagnostics ---------------------------------------------------------
+
+def _skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_key_rows"),
+        )
+        .withColumn(
+            "top_share_ppm",
+            F.expr("max_key_rows * 1000000 div n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(QuerySpec(
+    name="skew_diagnostics_events",
+    spark_fn=_skew_diagnostics,
+    oracle="""
+        WITH per_key AS (
+            SELECT event_type, user_id, COUNT(*) AS cnt
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+               CAST(MAX(cnt) AS BIGINT) * 1000000
+                   // CAST(SUM(cnt) AS BIGINT) AS top_share_ppm
+        FROM per_key
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    covers=("skew-diagnostics", "heavy-hitter-share"),
+))
+
+
+# --- bucketized range join ----------------------------------------------------
+
+def _shipping_window_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # interval = [shipdate, shipdate + quantity days] (span <= 50 d);
+    # week bucket = days-since-epoch div 7 (non-negative: dates 1995+)
+    spans = li.select(
+        F.expr(
+            "datediff(to_date(l_shipdate), DATE '1970-01-01') div 7"
+        ).alias("ws"),
+        F.expr(
+            "datediff(date_add(to_date(l_shipdate),"
+            " CAST(l_quantity AS INT)), DATE '1970-01-01') div 7"
+        ).alias("we"),
+    )
+    return (
+        spans.select(
+            "ws", F.explode(F.sequence("ws", "we")).alias("week_idx")
+        )
+        .groupBy("week_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum(
+                F.when(F.col("week_idx") == F.col("ws"), 1).otherwise(0)
+            ).alias("n_started"),
+        )
+        .orderBy("week_idx")
+    )
+
+
+register(QuerySpec(
+    name="shipping_window_weekly",
+    spark_fn=_shipping_window_weekly,
+    oracle="""
+        WITH spans AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE)) // 7 AS ws,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE)
+                             + CAST(l_quantity AS INTEGER)) // 7 AS we
+            FROM lineitem
+        ),
+        exploded AS (
+            SELECT ws, UNNEST(generate_series(ws, we)) AS week_idx
+            FROM spans
+        )
+        SELECT week_idx,
+               COUNT(*) AS n_open,
+               CAST(SUM(CASE WHEN week_idx = ws THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_started
+        FROM exploded
+        GROUP BY week_idx
+        ORDER BY week_idx
+    """,
+    covers=("range-join-bucketized", "interval-overlap"),
+    bench=True,
+))
+
+
+# --- corpus token-length histogram --------------------------------------------
+
+# identical CASE chain in both engines: integer log2 bucket with zero
+# libm (an exact-power input can flip FLOOR(LOG2(n)) between libms)
+_LOG2_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_tokens < {1 << (b + 1)} THEN {b}" for b in range(15)
+    )
+    + " ELSE 15 END"
+)
+
+
+def _tokens_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            T.token_count("text").cast("long").alias("n_tokens")
+        )
+        .select("n_tokens", F.expr(_LOG2_CASE).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register(QuerySpec(
+    name="tokens_log2_histogram",
+    spark_fn=_tokens_log2_histogram,
+    oracle=f"""
+        WITH toks AS (
+            SELECT CAST(len(regexp_split_to_array(text, ' +'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT {_LOG2_CASE} AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM toks
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    covers=("token-count", "corpus-length-histogram"),
+))
+
+
+# --- ordered integer fold: per-user EWMA --------------------------------------
+
+def _ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # EWMA with alpha=1/2 as the integer recurrence
+    # e_1 = v_1; e_n = (v_n + e_{n-1}) div 2, over (ts, event_id)
+    # order. Not associative -> MUST be an ordered fold, not an agg:
+    # Spark `aggregate` over the per-user sorted array == DuckDB
+    # `list_reduce` over list(vm ORDER BY ts, event_id) (both
+    # seed the fold with the first element). Values >= 0, so Spark
+    # div (truncate) == DuckDB // (floor).
+    per_user = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+        ).alias("s"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("arr").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)),"
+            " element_at(arr, 1).vm,"
+            " (acc, x) -> (x.vm + acc) div 2)"
+        ).alias("ewma_micro"),
+    ).orderBy("user_id")
+
+
+register(QuerySpec(
+    name="ewma_user_value",
+    spark_fn=_ewma_user_value,
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               list_reduce(
+                   list(CAST(ROUND(value * 1000000) AS BIGINT)
+                        ORDER BY ts, event_id),
+                   (acc, x) -> (x + acc) // 2
+               ) AS ewma_micro
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    covers=("ordered-fold", "ewma"),
+))

@@ -178,6 +178,7 @@ def _load_all() -> None:
         queries_similarity,
         queries_extra,
         queries_pipeline,
+        queries_analytics,  # round-6 tier: sketches, skew, range join
         queries_tpch_deep,  # extended-only: registered after the window
         queries_graph,  # extended-only
     )

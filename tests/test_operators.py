@@ -561,6 +561,74 @@ class TestBloomFilter:
         assert got.filter("bloom_hit").count() == 0
 
 
+class TestHistogramSketch:
+    LO, HI, BINS = 0, 100_000_000, 100  # values 0..100 in micros
+
+    def test_merge_equals_rebuild_grouped(self, spark):
+        from etl_on_weather_dataset_spark.operators.histogram import (
+            histogram_merge,
+            histogram_sketch,
+        )
+
+        rows = [(f"g{i % 3}", float(i % 97)) for i in range(500)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        parts = [
+            histogram_sketch(df.filter(F.col("v") < 50), "v",
+                             self.LO, self.HI, self.BINS, ["g"]),
+            histogram_sketch(df.filter(F.col("v") >= 50), "v",
+                             self.LO, self.HI, self.BINS, ["g"]),
+        ]
+        merged = {
+            (r.g, r.bin): r.cnt
+            for r in histogram_merge(*parts, group_cols=["g"]).collect()
+        }
+        rebuilt = {
+            (r.g, r.bin): r.cnt
+            for r in histogram_sketch(df, "v", self.LO, self.HI,
+                                      self.BINS, ["g"]).collect()
+        }
+        assert merged == rebuilt
+
+    def test_quantile_within_one_cell_of_exact(self, spark):
+        from etl_on_weather_dataset_spark.operators.histogram import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        vals = [float(i) for i in range(1, 1001)]  # 1..1000
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        sk = histogram_sketch(df, "v", 0, 1_000_000_000, 1000)
+        got = {
+            r.q_ppm: r.est_micro
+            for r in histogram_quantiles(
+                sk, [500_000, 990_000], 0, 1_000_000_000, 1000
+            ).collect()
+        }
+        cell = 1_000_000_000 // 1000
+        import math
+        for q_ppm, est in got.items():
+            exact = vals[math.ceil(len(vals) * q_ppm / 1e6) - 1] * 1e6
+            assert abs(est - exact) <= cell, (q_ppm, est, exact)
+
+    def test_out_of_range_values_clamp_into_edge_bins(self, spark):
+        from etl_on_weather_dataset_spark.operators.histogram import (
+            histogram_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (50.0,), (100.0,), (200.0,), (None,)],
+            "v double",
+        )
+        got = {
+            r.bin: r.cnt
+            for r in histogram_sketch(df, "v", self.LO, self.HI,
+                                      self.BINS).collect()
+        }
+        assert sum(got.values()) == 5  # NULL excluded, nothing dropped
+        assert got[0] == 2             # -5 and 0 clamp to bin 0
+        assert got[self.BINS - 1] == 2  # 100 and 200 clamp to last bin
+
+
 class TestGroupedHllMerge:
     def test_grouped_merge_equals_rebuild(self, spark):
         """Merging per-day register sets built from disjoint batches
@@ -3064,6 +3132,47 @@ class TestIvfIndexStore:
         }
         assert segs == {"seg-v3-build.parquet"}, segs
         assert _read_version(spark, store)[1].count() == 40
+
+    def test_compact_merges_segments_preserving_contents(self, spark,
+                                                          tmp_path):
+        """Compaction folds N segments into 1 with identical cell
+        contents, leaves the ledger intact (replays still no-op), and
+        is itself a no-op when already compact."""
+        import pathlib
+
+        from etl_on_weather_dataset_spark.operators.ann_store import (
+            _read_version,
+            ivf_index_append,
+            ivf_index_build,
+            ivf_index_compact,
+        )
+
+        store = str(tmp_path / "ivf")
+        ivf_index_build(spark, self._emb(spark, n=30), store,
+                        k=4, iters=1, dim=8)
+        for i in range(3):
+            ivf_index_append(spark, self._emb(spark, n=5, base=(i + 1) * 500),
+                             store, f"b{i}")
+        before = sorted(
+            (r.id, r.cluster) for r in _read_version(spark, store)[1]
+            .select("id", "cluster").collect()
+        )
+        v = ivf_index_compact(spark, store, keep_versions=1)
+        assert v == 5
+        segs = {
+            p.name for p in (pathlib.Path(store) / "segments").iterdir()
+        }
+        assert segs == {"seg-v5-compact.parquet"}, segs
+        cents, cells, batches, _ = _read_version(spark, store)
+        after = sorted(
+            (r.id, r.cluster) for r in cells.select("id", "cluster").collect()
+        )
+        assert after == before
+        # ledger survives compaction: replaying an old batch still no-ops
+        assert ivf_index_append(spark, self._emb(spark, n=5, base=500),
+                                store, "b0") == 5
+        # already compact -> no new version
+        assert ivf_index_compact(spark, store) == 5
 
     def test_append_requires_built_index(self, spark, tmp_path):
         import pytest as _pytest

@@ -550,3 +550,64 @@ class TestRound5PlanShapes:
         plan = self._plan_of(audio_near_dup_pairs(fps))
         assert "CartesianProduct" not in plan, plan[:2000]
         assert "BroadcastNestedLoop" not in plan, plan[:2000]
+
+
+class TestRound6PlanShapes:
+    """Plan assertions for the round-6 analytics tier."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan_of(self, df):
+        return df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")
+        )
+
+    def test_histogram_sketch_is_single_aggregate(self, spark):
+        """Sketch build: one projection + one (group, bin) aggregate
+        -- exactly one exchange, no join (the HLL discipline)."""
+        from etl_on_weather_dataset_spark.operators.histogram import (
+            histogram_sketch,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        li = load_table(spark, self.SF, "lineitem")
+        plan = self._plan_of(histogram_sketch(
+            li, "l_extendedprice", 0, 110_000_000_000, 256,
+            group_cols=["l_returnflag"],
+        ))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, \
+            plan[:2000]
+        assert "Join" not in plan, plan[:2000]
+
+    def test_quantiles_join_constant_relation_only(self, spark):
+        """The q_ppm join must be a broadcast NL over the tiny
+        constant relation -- never a cartesian over data."""
+        from etl_on_weather_dataset_spark.plans.queries_analytics import (
+            _quantile_sketch_price,
+        )
+
+        plan = self._plan_of(_quantile_sketch_price(spark, self.SF))
+        assert "CartesianProduct" not in plan, plan[:2000]
+
+    def test_range_join_is_bucket_explode_not_bnlj(self, spark):
+        """Interval overlap: explode to week buckets + aggregate --
+        no join node at all (the 100 TB-safe range-join shape)."""
+        from etl_on_weather_dataset_spark.plans.queries_analytics import (
+            _shipping_window_weekly,
+        )
+
+        plan = self._plan_of(_shipping_window_weekly(spark, self.SF))
+        assert "Join" not in plan, plan[:2000]
+        assert "CartesianProduct" not in plan, plan[:2000]
+
+    def test_ewma_is_one_shuffle_no_join(self, spark):
+        """Ordered fold: one groupBy shuffle carrying (ts, id, vm)
+        structs; the fold itself is a projection, never a join or a
+        second exchange."""
+        from etl_on_weather_dataset_spark.plans.queries_analytics import (
+            _ewma_user_value,
+        )
+
+        plan = self._plan_of(_ewma_user_value(spark, self.SF))
+        assert "Join" not in plan, plan[:2000]
