@@ -688,3 +688,126 @@ def audio_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("dhash", T.LongType()),
+        T.StructField("img_w", T.IntegerType()),
+        T.StructField("img_h", T.IntegerType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """64-bit difference hash (dHash) per image payload -- the image
+    leg of the near-dup suite, fully LIVE for uncompressed 24-bit BMP
+    (the format is a struct-unpackable header + raw BGR rows, so no
+    codec library is needed -- the WAV/stdlib stance of
+    :func:`audio_fingerprint` applied to images; JPEG/PNG would route
+    through the PIL-guarded :func:`decode_image` first).
+
+    The classic perceptual-hash recipe: integer-grayscale
+    ((299 r + 587 g + 114 b) // 1000), area-average to a
+    (grid x grid+1) thumbnail using integer block boundaries
+    (i*h // grid), then bit (y, x) = thumb[y][x+1] > thumb[y][x].
+    Gradient-direction bits survive brightness/contrast shifts and
+    mild noise, so perturbed copies land within a small Hamming
+    distance -- the same 64-bit geometry as the audio fingerprint and
+    text SimHash tiers, which is the point:
+    :func:`fingerprint_near_dup_pairs` (the banded-Hamming join)
+    serves all three modalities.
+
+    Vectorized numpy inside Arrow-batch ``mapInPandas``; undecodable
+    / non-24-bit / compressed / tiny payloads yield null hashes
+    rather than failing the scan.
+    """
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + IMAGE_DHASH_SCHEMA.fields
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def dhash(b: bytes):
+            try:
+                b = bytes(b)
+                if len(b) < 54 or b[:2] != b"BM":
+                    return None, None, None
+                off, = struct.unpack_from("<I", b, 10)
+                w, h = struct.unpack_from("<ii", b, 18)
+                bpp, = struct.unpack_from("<H", b, 28)
+                comp, = struct.unpack_from("<I", b, 30)
+                flip = h > 0  # positive height = bottom-up rows
+                h = abs(h)
+                if bpp != 24 or comp != 0 or w < grid + 1 or h < grid:
+                    return None, None, None
+                stride = ((3 * w + 3) // 4) * 4
+                if off + stride * h > len(b):
+                    return None, None, None
+                rows = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h, offset=off
+                ).reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+                if flip:
+                    rows = rows[::-1]
+                px = rows.astype(np.int64)
+                # BMP stores BGR
+                gray = (
+                    299 * px[:, :, 2] + 587 * px[:, :, 1]
+                    + 114 * px[:, :, 0]
+                ) // 1000
+                ys = [i * h // grid for i in range(grid + 1)]
+                xs = [i * w // (grid + 1) for i in range(grid + 2)]
+                thumb = np.array([
+                    [
+                        gray[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+                        for c in range(grid + 1)
+                    ]
+                    for r in range(grid)
+                ])
+                bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.uint64)
+                fp = 0
+                for i, bit in enumerate(bits.ravel()):
+                    fp |= int(bit) << i
+                if fp >= 1 << 63:  # LongType is signed
+                    fp -= 1 << 64
+                return fp, int(w), int(h)
+            except Exception:  # noqa: BLE001 -- corrupt payload -> nulls
+                return None, None, None
+
+        for pdf in batches:
+            out = [dhash(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": pd.array([o[0] for o in out], dtype="Int64"),
+                    "img_w": pd.array([o[1] for o in out], dtype="Int32"),
+                    "img_h": pd.array([o[2] for o in out], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, out_schema)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 8,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs from 64-bit dHashes: the SAME
+    banded-Hamming pigeonhole join the audio tier uses (any pair
+    within max_hamming <= n_bands - 1 bits shares one exact band) --
+    one fingerprint geometry, three modalities."""
+    return audio_near_dup_pairs(
+        hashes, id_col=id_col, fp_col=hash_col,
+        max_hamming=max_hamming, n_bands=n_bands,
+    )

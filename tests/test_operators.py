@@ -3299,3 +3299,94 @@ class TestAudioFingerprint:
         assert (1, 2) in pairs
         assert all(h <= 8 for h in pairs.values())
         assert not any(4 in p for p in pairs)  # nulls never pair
+
+
+class TestImageDhash:
+    """dHash over pure-bytes 24-bit BMPs (no codec libs needed)."""
+
+    @staticmethod
+    def _bmp(pixels) -> bytes:
+        """Minimal bottom-up 24-bit BMP from rows of (r,g,b)."""
+        import struct
+
+        h, w = len(pixels), len(pixels[0])
+        stride = ((3 * w + 3) // 4) * 4
+        body = b""
+        for row in reversed(pixels):  # bottom-up
+            line = b"".join(bytes((b_, g, r)) for r, g, b_ in row)
+            body += line + b"\x00" * (stride - len(line))
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(body), 2835, 2835, 0, 0)
+        )
+        return header + body
+
+    @classmethod
+    def _gradient(cls, w=32, h=32, tweak=0):
+        return [
+            [
+                (
+                    min(255, (x * 255) // w),
+                    min(255, (y * 255) // h),
+                    min(255, ((x + y + tweak) * 255) // (w + h)),
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+
+    def test_dhash_near_dup_geometry(self, spark):
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            image_dhash,
+            image_near_dup_pairs,
+        )
+
+        base = self._gradient()
+        # near-dup: tiny brightness tweak; far: alternating vertical
+        # stripes (opposite horizontal-delta signs every other cell --
+        # an inverted/flipped gradient would NOT do: dHash's
+        # gradient-direction bits are invariant to that, by design)
+        near = self._gradient(tweak=2)
+        stripe = lambda x: 230 if (x // 4) % 2 else 20  # noqa: E731
+        far = [
+            [(stripe(x), stripe(x), stripe(x)) for x in range(32)]
+            for _ in range(32)
+        ]
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(self._bmp(base))),
+                (2, bytearray(self._bmp(near))),
+                (3, bytearray(self._bmp(far))),
+                (4, bytearray(b"not an image")),
+            ],
+            "doc_id long, payload binary",
+        )
+        hashes = image_dhash(df)
+        got = {r.doc_id: r for r in hashes.collect()}
+        assert got[4].dhash is None  # corrupt -> null, never a crash
+        assert got[1].img_w == 32 and got[1].img_h == 32
+        h1, h2, h3 = (got[i].dhash for i in (1, 2, 3))
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+        assert ham(h1, h2) <= 8, ham(h1, h2)
+        assert ham(h1, h3) > 8, ham(h1, h3)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in image_near_dup_pairs(hashes).collect()
+        }
+        assert pairs == {(1, 2)}
+
+    def test_flip_flag_and_truncation_guard(self, spark):
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        bmp = self._bmp(self._gradient())
+        truncated = bmp[: len(bmp) // 2]
+        df = spark.createDataFrame(
+            [(1, bytearray(bmp)), (2, bytearray(truncated))],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+        assert got[1] is not None and got[2] is None

@@ -645,3 +645,71 @@ def test_streaming_hll_merge(spark, tmp_path):
     est = hll_estimate(merged, m=64).collect()[0]
     n_true = spark.read.parquet(landed).select("user_id").distinct().count()
     assert abs(est.est_distinct - n_true) * 2 <= n_true  # within 50%
+
+
+def test_streaming_histogram_sketch_merge(spark, tmp_path):
+    """Streaming quantile sketching: each microbatch writes its own
+    histogram sketch (per-batch-id overwrite = replay-idempotent);
+    the drained store, count-summed per bin, must EQUAL the one-shot
+    sketch of the full corpus -- summation is associative and
+    commutative across microbatches, which is what makes the
+    fixed-grid histogram the cross-batch quantile store (the HLL
+    stream's twin for percentiles)."""
+    from pyspark.sql import functions as F
+
+    from etl_on_weather_dataset_spark.operators.histogram import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    LO, HI, BINS = 0, 500_000_000, 128  # events.value in [0, 500)
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    landed = str(tmp_path / "ev_in")
+    ev.limit(2000).repartition(4).write.parquet(landed)
+
+    store = str(tmp_path / "hist_store")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_id)
+        histogram_sketch(batch_df, "value", LO, HI, BINS).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch={batch_id}")
+
+    schema = spark.read.parquet(landed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 2, seen
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    one_shot = histogram_sketch(
+        spark.read.parquet(landed), "value", LO, HI, BINS
+    )
+    assert sorted(map(tuple, merged.select("bin", "cnt").collect())) \
+        == sorted(map(tuple, one_shot.collect()))
+    # quantiles off the merged store are exact to one grid cell
+    est = {
+        r.q_ppm: r.est_micro
+        for r in histogram_quantiles(
+            merged, [500_000], LO, HI, BINS
+        ).collect()
+    }
+    vals = sorted(
+        r.value for r in spark.read.parquet(landed).collect()
+    )
+    exact = vals[(len(vals) + 1) // 2 - 1] * 1e6
+    assert abs(est[500_000] - exact) <= (HI - LO) // BINS
