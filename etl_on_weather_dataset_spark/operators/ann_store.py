@@ -343,6 +343,38 @@ def ivf_index_compact(
     return new_v
 
 
+def ivf_store_stats(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """One-row health report of the committed index -- the drift and
+    maintenance monitor the store's docstring prescribes: (version,
+    n_segments, n_vectors, n_cells, max_cell_rows, cell_skew_ppm).
+    ``cell_skew_ppm`` = max cell share in ppm (uniform = 1e6/k): as
+    ingested distribution drifts from the trained quantizer it climbs,
+    telling you WHEN to rebuild; ``n_segments`` tells you when to
+    compact. Cost: one groupBy over the cells table + metadata reads.
+    """
+    _, cells, _, version = _read_version(spark, store_path)
+    if cells is None:
+        raise ValueError(
+            f"no committed index at {store_path}; run ivf_index_build"
+        )
+    n_segments = len(_manifest_names(spark, store_path, version))
+    per_cell = cells.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    return per_cell.agg(
+        F.lit(version).cast("int").alias("version"),
+        F.lit(n_segments).cast("int").alias("n_segments"),
+        F.sum("rows").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("rows").alias("max_cell_rows"),
+    ).withColumn(
+        "cell_skew_ppm",
+        F.expr("max_cell_rows * 1000000 div n_vectors"),
+    )
+
+
 def ivf_index_query(
     spark: SparkSession,
     queries: DataFrame,

@@ -536,6 +536,7 @@ def stream_ivf_ingest(
     vec_col: str = "embedding",
     keep_versions: int | None = None,
     max_files_per_trigger: int = 1,
+    max_segments: int | None = 16,
 ) -> list[int]:
     """Continuous vector ingestion into the persistent IVF index
     (operators/ann_store.py): each file-stream micro-batch is appended
@@ -543,6 +544,14 @@ def stream_ivf_ingest(
     faiss's ``add`` loop, and the shape a continuously-embedded corpus
     needs (an O(batch) assignment pass per trigger instead of an
     O(corpus) rebuild).
+
+    ``max_segments`` is the auto-compaction threshold: since every
+    append publishes one immutable segment, a long-running stream
+    would otherwise grow the manifest (and the probe-time multi-path
+    scan) without bound; when the live-segment count crosses the
+    threshold the sink folds them into one (ivf_index_compact) before
+    the next append. Compaction preserves the replay ledger, so the
+    exactly-once contract is unaffected. None disables.
 
     Same exactly-once contract as stream_incremental_rollup: the
     append's batch ledger is keyed by the persistent streaming query
@@ -558,7 +567,12 @@ def stream_ivf_ingest(
     import json
     import os
 
-    from ..operators.ann_store import ivf_index_append
+    from ..operators.ann_store import (
+        _manifest_names,
+        ivf_index_append,
+        ivf_index_compact,
+    )
+    from ..operators.versioned import current_version
 
     seen: list[int] = []
 
@@ -571,6 +585,13 @@ def stream_ivf_ingest(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         seen.append(batch_id)
+        if max_segments is not None:
+            v = current_version(spark, store_path)
+            if v and len(_manifest_names(spark, store_path, v)) \
+                    >= max_segments:
+                ivf_index_compact(
+                    spark, store_path, keep_versions=keep_versions
+                )
         ivf_index_append(
             spark, batch_df, store_path,
             f"{_query_ns()}-sb{batch_id}",

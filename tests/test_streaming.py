@@ -713,3 +713,86 @@ def test_streaming_histogram_sketch_merge(spark, tmp_path):
     )
     exact = vals[(len(vals) + 1) // 2 - 1] * 1e6
     assert abs(est[500_000] - exact) <= (HI - LO) // BINS
+
+
+def test_stream_ivf_auto_compaction(spark, tmp_path):
+    """A long-running ingestion stream must not grow the manifest
+    without bound: with max_segments=2 the sink compacts before
+    appending once two segments are live, the index still serves
+    every ingested vector, and replay semantics survive (restart of
+    the drained stream appends nothing)."""
+    from etl_on_weather_dataset_spark.operators.ann_store import (
+        _manifest_names,
+        _read_version,
+        ivf_index_build,
+    )
+    from etl_on_weather_dataset_spark.operators.similarity import (
+        lsh_hyperplanes,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_ivf_ingest,
+    )
+
+    dim = 8
+    vecs = lsh_hyperplanes(dim, 60, seed=99)
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, vecs[i]) for i in range(lo, hi)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "ivf")
+    ivf_index_build(spark, mk(0, 20), store, k=4, iters=1, dim=dim)
+
+    src = str(tmp_path / "src")
+    for j, (lo, hi) in enumerate([(20, 30), (30, 40), (40, 50)]):
+        mk(lo, hi).coalesce(1).write.parquet(f"{src}/b{j}")
+
+    seen = stream_ivf_ingest(
+        spark, f"{src}/*",
+        schema=mk(0, 1).schema,
+        store_path=store,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_segments=2,
+    )
+    assert len(seen) == 3
+    _, cells, _, v = _read_version(spark, store)
+    assert cells.count() == 50  # build 20 + 3 x 10, nothing dropped
+    # compaction kept the live-segment count bounded by
+    # max_segments + 1 (threshold check runs before each append)
+    assert len(_manifest_names(spark, store, v)) <= 3
+    # drained stream restarted: every batch replays as a no-op
+    stream_ivf_ingest(
+        spark, f"{src}/*",
+        schema=mk(0, 1).schema,
+        store_path=store,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_segments=2,
+    )
+    assert _read_version(spark, store)[1].count() == 50
+
+
+def test_ivf_store_stats_monitor(spark, tmp_path):
+    from etl_on_weather_dataset_spark.operators.ann_store import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_store_stats,
+    )
+    from etl_on_weather_dataset_spark.operators.similarity import (
+        lsh_hyperplanes,
+    )
+
+    vecs = lsh_hyperplanes(8, 40, seed=5)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "ivf")
+    ivf_index_build(spark, df.filter("vec_id < 30"), store,
+                    k=4, iters=1, dim=8)
+    ivf_index_append(
+        spark, df.filter("vec_id >= 30"), store, "b1",
+    )
+    row = ivf_store_stats(spark, store).collect()[0]
+    assert row.version == 2 and row.n_segments == 2
+    assert row.n_vectors == 40 and 1 <= row.n_cells <= 4
+    assert row.max_cell_rows >= row.n_vectors // 4
+    assert row.cell_skew_ppm == row.max_cell_rows * 1_000_000 // 40
