@@ -286,3 +286,41 @@ register(QuerySpec(
     """,
     covers=("ordered-fold", "ewma"),
 ))
+
+
+# --- join-strategy advisor ----------------------------------------------------
+
+_JA_W, _JA_D = 4096, 4
+_JA_BCAST, _JA_SKEW = 1000, 200_000  # force a non-broadcast verdict
+
+
+def _join_advice_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.advisor import join_advice
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_advice(
+        orders, li, "o_orderkey", "l_orderkey",
+        width=_JA_W, depth=_JA_D,
+        broadcast_rows=_JA_BCAST, skew_ppm=_JA_SKEW,
+    )
+
+
+def _join_advice_oracle() -> str:
+    from ..operators.advisor import join_advice_sql
+
+    return join_advice_sql(
+        "SELECT * FROM orders", "SELECT * FROM lineitem",
+        "o_orderkey", "l_orderkey",
+        width=_JA_W, depth=_JA_D,
+        broadcast_rows=_JA_BCAST, skew_ppm=_JA_SKEW,
+    )
+
+
+register(QuerySpec(
+    name="join_advice_orders",
+    spark_fn=_join_advice_orders,
+    oracle=_join_advice_oracle,
+    covers=("join-strategy-advisor", "sketch-based-cost-estimation"),
+    extended=True,  # round-7 rotation (registry.py)
+))

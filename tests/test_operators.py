@@ -3390,3 +3390,55 @@ class TestImageDhash:
         )
         got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
         assert got[1] is not None and got[2] is None
+
+
+class TestJoinAdvisor:
+    def test_strategy_flips_with_shape(self, spark):
+        """broadcast when a side is tiny; salted_shuffle when a hot
+        key dominates; shuffle_hash otherwise -- and the CMS estimate
+        stays one-sided (est >= true)."""
+        from etl_on_weather_dataset_spark.operators.advisor import (
+            join_advice,
+        )
+
+        big_uniform = spark.createDataFrame(
+            [(i % 500, i) for i in range(2000)], "k long, id long"
+        )
+        tiny = spark.createDataFrame(
+            [(i, i) for i in range(20)], "k long, id long"
+        )
+        hot = spark.createDataFrame(
+            [((0 if i % 10 else i), i) for i in range(2000)],
+            "k long, id long",
+        )
+
+        def advise(left, right, **kw):
+            return join_advice(
+                left, right, "k", "k",
+                broadcast_rows=100, skew_ppm=300_000, **kw
+            ).collect()[0]
+
+        r = advise(big_uniform, tiny)
+        assert r.strategy == "broadcast"
+        r = advise(hot, big_uniform)
+        assert r.strategy == "salted_shuffle"
+        # hot side: key 0 owns 90% of rows
+        assert r.left_top_share_ppm >= 890_000
+        r = advise(big_uniform, big_uniform)
+        assert r.strategy == "shuffle_hash"
+        true_size = big_uniform.join(
+            big_uniform.withColumnRenamed("id", "id2"), "k"
+        ).count()
+        assert r.est_join_size >= true_size  # one-sided CMS guarantee
+        assert r.fanout_ppm >= 1_000_000  # 4 rows/key fan-out flagged
+
+    def test_null_keys_excluded(self, spark):
+        from etl_on_weather_dataset_spark.operators.advisor import (
+            join_advice,
+        )
+
+        withnull = spark.createDataFrame(
+            [(None, 1), (1, 2), (1, 3), (2, 4)], "k long, id long"
+        )
+        r = join_advice(withnull, withnull, "k", "k").collect()[0]
+        assert r.n_left == 3 and r.left_keys == 2
