@@ -200,3 +200,72 @@ def histogram_quantiles_sql(
         WHERE cum * {MICRO} >= q_ppm * total
         GROUP BY {gby}
     """
+
+
+# --- persistent incremental quantile store ------------------------------------
+
+
+def histogram_store_ingest(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    batch_id: str,
+    value_col: str,
+    lo_micro: int,
+    hi_micro: int,
+    n_bins: int = 256,
+    group_cols: list[str] | None = None,
+    keep_versions: int | None = None,
+) -> DataFrame:
+    """Fold one ingestion batch into a PERSISTENT quantile store:
+    bin the batch on the fixed grid and merge it into the versioned
+    rollup store keyed on (group..., bin) -- counts per bin are the
+    rollup's ``n_rows``, so the exactly-once machinery (marker-last
+    commit, batch replay ledger, keep-last-N vacuum) is inherited
+    verbatim from operators/rollup_store.py rather than rebuilt.
+    The store also accumulates exact scaled-integer per-bin sums,
+    which an interpolating reader could use for sub-cell estimates.
+
+    foreachBatch streaming ingestion: call this from the sink with
+    the namespaced streaming batch id (the stream_incremental_rollup
+    ledger recipe); replays are no-ops.
+    """
+    from .rollup_store import incremental_rollup
+
+    groups = group_cols or []
+    binned = batch.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.expr(_bin_expr(value_col, lo_micro, hi_micro, n_bins))
+        .alias("bin"),
+        F.col(value_col).alias("__v"),
+    )
+    return incremental_rollup(
+        spark, binned, store_path, batch_id,
+        key_cols=[*groups, "bin"], value_col="__v",
+        keep_versions=keep_versions,
+    )
+
+
+def histogram_store_quantiles(
+    spark,
+    store_path: str,
+    q_ppms: list[int],
+    lo_micro: int,
+    hi_micro: int,
+    n_bins: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantiles straight off the persistent store's current version
+    -- no corpus scan, ever: the read is O(bins x groups) rows."""
+    from .rollup_store import read_rollup
+
+    agg, _, version = read_rollup(spark, store_path)
+    if agg is None:
+        raise ValueError(f"no committed store at {store_path}")
+    sketch = agg.select(
+        *(group_cols or []), "bin", F.col("n_rows").alias("cnt")
+    )
+    return histogram_quantiles(
+        sketch, q_ppms, lo_micro, hi_micro, n_bins,
+        group_cols=group_cols,
+    )

@@ -3442,3 +3442,45 @@ class TestJoinAdvisor:
         )
         r = join_advice(withnull, withnull, "k", "k").collect()[0]
         assert r.n_left == 3 and r.left_keys == 2
+
+
+class TestHistogramStore:
+    def test_ingest_replay_and_store_quantiles(self, spark, tmp_path):
+        """Three batches (one replayed) fold into a persistent store
+        whose quantiles equal the one-shot sketch's -- the exactly-
+        once quantile dashboard over ingestion batches."""
+        from etl_on_weather_dataset_spark.operators.histogram import (
+            histogram_quantiles,
+            histogram_sketch,
+            histogram_store_ingest,
+            histogram_store_quantiles,
+        )
+
+        LO, HI, BINS = 0, 1_000_000_000, 200
+        df = spark.createDataFrame(
+            [(i, float(i % 997)) for i in range(1500)],
+            "id long, v double",
+        )
+        store = str(tmp_path / "qstore")
+        b1 = df.filter("id < 500")
+        b2 = df.filter("id >= 500")
+        histogram_store_ingest(spark, b1, store, "b1", "v", LO, HI, BINS)
+        histogram_store_ingest(spark, b2, store, "b2", "v", LO, HI, BINS)
+        # replay: ledger makes it a no-op
+        histogram_store_ingest(spark, b2, store, "b2", "v", LO, HI, BINS)
+
+        got = {
+            r.q_ppm: (r.n_rows, r.est_micro)
+            for r in histogram_store_quantiles(
+                spark, store, [250_000, 750_000], LO, HI, BINS
+            ).collect()
+        }
+        want = {
+            r.q_ppm: (r.n_rows, r.est_micro)
+            for r in histogram_quantiles(
+                histogram_sketch(df, "v", LO, HI, BINS),
+                [250_000, 750_000], LO, HI, BINS,
+            ).collect()
+        }
+        assert got == want
+        assert got[250_000][0] == 1500  # replay did not double-count
