@@ -354,3 +354,46 @@ def test_morton_key_bijective_on_grid(spark, pts):
         assert r.z == want
         zs[(r.x, r.y)] = r.z
     assert len(set(zs.values())) == len(zs)  # injective on the grid
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=999,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+    n_bins=st.sampled_from([4, 16, 64]),
+    q_ppm=st.sampled_from([100_000, 500_000, 900_000, 1_000_000]),
+)
+@SETTINGS
+def test_histogram_quantile_invariants(spark, vals, n_bins, q_ppm):
+    """For any data/grid/quantile: counts partition the rows, the
+    estimate lies on a bin edge inside [lo, hi], and it is within one
+    grid cell of the exact rank statistic."""
+    import math
+
+    from etl_on_weather_dataset_spark.operators.histogram import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    LO, HI = 0, 1_000_000_000  # micros for values in [0, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sk = histogram_sketch(df, "v", LO, HI, n_bins)
+    counts = sk.collect()
+    assert sum(r.cnt for r in counts) == len(vals)
+    assert all(0 <= r.bin < n_bins for r in counts)
+
+    row = histogram_quantiles(sk, [q_ppm], LO, HI, n_bins).collect()[0]
+    cell = (HI - LO) // n_bins
+    assert row.n_rows == len(vals)
+    assert LO <= row.est_micro <= HI and (row.est_micro - LO) % cell == 0
+    # exact rank statistic: smallest v with rank*1e6 >= q*n, matching
+    # the sketch's integer selection rule (values snapped like the
+    # sketch snaps them, so ties round identically)
+    snapped = sorted(
+        min(max(int(round(v * 1_000_000)), LO), HI) for v in vals
+    )
+    rank = math.ceil(len(vals) * q_ppm / 1_000_000)
+    exact = snapped[max(rank, 1) - 1]
+    assert abs(row.est_micro - exact) <= cell
