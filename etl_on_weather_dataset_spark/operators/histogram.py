@@ -58,20 +58,33 @@ def histogram_sketch(
     hi_micro: int,
     n_bins: int = 256,
     group_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (group..., bin, cnt). NULL values are
     excluded (the HLL/CMS contract). One projection + one aggregate;
-    output is <= n_bins rows per group."""
+    output is <= n_bins rows per group.
+
+    ``weight_col`` (integer, e.g. token counts) makes ``cnt`` the
+    weight SUM per bin instead of the row count -- downstream merge
+    and quantile selection are unchanged, so
+    :func:`histogram_quantiles` then answers WEIGHTED quantiles
+    ("the document length below which half the corpus's TOKENS sit",
+    not half its documents)."""
     groups = group_cols or []
+    measure = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
+    cols = [weight_col] if weight_col else []
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(
-            *groups,
+            *groups, *cols,
             F.expr(_bin_expr(value_col, lo_micro, hi_micro, n_bins))
             .alias("bin"),
         )
         .groupBy(*groups, "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(measure.alias("cnt"))
     )
 
 
@@ -147,6 +160,7 @@ def histogram_sketch_sql(
     hi_micro: int,
     n_bins: int = 256,
     group_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> str:
     """Oracle twin of histogram_sketch: identical integer pipeline
     (DuckDB ``//`` == Spark ``div`` on the clamped non-negative
@@ -157,9 +171,13 @@ def histogram_sketch_sql(
     binx = _bin_expr(value_col, lo_micro, hi_micro, n_bins).replace(
         " div ", " // "
     )
+    measure = (
+        "COUNT(*)" if weight_col is None
+        else f"CAST(SUM(CAST({weight_col} AS BIGINT)) AS BIGINT)"
+    )
     return f"""
         SELECT {gsel}{binx} AS bin,
-               COUNT(*) AS cnt
+               {measure} AS cnt
         FROM ({table_sql})
         WHERE {value_col} IS NOT NULL
         GROUP BY {gby}

@@ -324,3 +324,50 @@ register(QuerySpec(
     covers=("join-strategy-advisor", "sketch-based-cost-estimation"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- token-weighted length quantiles -------------------------------------------
+
+_WQ_LO, _WQ_HI, _WQ_BINS = 0, 1_000_000_000, 200  # n_chars <= ~600
+_WQ_QS = [250_000, 500_000, 900_000]
+
+
+def _weighted_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import histogram_quantiles, histogram_sketch
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("chars"),
+        T.token_count("text").cast("long").alias("w"),
+    )
+    sk = histogram_sketch(
+        docs, "chars", _WQ_LO, _WQ_HI, _WQ_BINS, weight_col="w"
+    )
+    return histogram_quantiles(
+        sk, _WQ_QS, _WQ_LO, _WQ_HI, _WQ_BINS
+    ).orderBy("q_ppm")
+
+
+def _weighted_length_oracle() -> str:
+    from ..operators.histogram import (
+        histogram_quantiles_sql,
+        histogram_sketch_sql,
+    )
+
+    inner = histogram_sketch_sql(
+        "SELECT CAST(n_chars AS DOUBLE) AS chars,"
+        " CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS w"
+        " FROM documents",
+        "chars", _WQ_LO, _WQ_HI, _WQ_BINS, weight_col="w",
+    )
+    return histogram_quantiles_sql(
+        inner, _WQ_QS, _WQ_LO, _WQ_HI, _WQ_BINS
+    ) + " ORDER BY q_ppm"
+
+
+register(QuerySpec(
+    name="weighted_length_quantiles",
+    spark_fn=_weighted_length_quantiles,
+    oracle=_weighted_length_oracle,
+    covers=("weighted-quantiles", "token-weighted-corpus-stats"),
+    extended=True,  # round-7 rotation (registry.py)
+))

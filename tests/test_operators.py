@@ -3484,3 +3484,42 @@ class TestHistogramStore:
         }
         assert got == want
         assert got[250_000][0] == 1500  # replay did not double-count
+
+
+class TestWeightedHistogram:
+    def test_weighted_equals_row_expansion(self, spark):
+        """A weight-w row must be indistinguishable from w unit rows:
+        the weighted sketch == the sketch of the expanded frame, and
+        so are the quantiles."""
+        from etl_on_weather_dataset_spark.operators.histogram import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        LO, HI, BINS = 0, 100_000_000, 50
+        rows = [(float(i % 90), (i % 4) + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "v double, w long")
+        expanded = spark.createDataFrame(
+            [(v,) for v, w in rows for _ in range(w)], "v double"
+        )
+        wsk = {
+            (r.bin, r.cnt)
+            for r in histogram_sketch(
+                df, "v", LO, HI, BINS, weight_col="w"
+            ).collect()
+        }
+        esk = {
+            (r.bin, r.cnt)
+            for r in histogram_sketch(expanded, "v", LO, HI, BINS)
+            .collect()
+        }
+        assert wsk == esk
+        wq = histogram_quantiles(
+            histogram_sketch(df, "v", LO, HI, BINS, weight_col="w"),
+            [500_000], LO, HI, BINS,
+        ).collect()[0]
+        eq = histogram_quantiles(
+            histogram_sketch(expanded, "v", LO, HI, BINS),
+            [500_000], LO, HI, BINS,
+        ).collect()[0]
+        assert (wq.n_rows, wq.est_micro) == (eq.n_rows, eq.est_micro)
