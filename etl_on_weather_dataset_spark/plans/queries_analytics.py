@@ -371,3 +371,146 @@ register(QuerySpec(
     covers=("weighted-quantiles", "token-weighted-corpus-stats"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- corpus health dashboard ----------------------------------------------------
+
+_CH_HI, _CH_BINS = 256_000_000, 256  # token counts 0..256, 1-token cells
+_CH_N, _CH_T = 3, 0.2  # the dedup_ngram_jaccard tier's settings
+_CH_M = 64  # HLL registers for source cardinality
+
+
+def _corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one row a curation team reads daily, composed from the
+    engine's own tiers -- exact counts, the histogram sketch, the
+    mergeable HLL, and the blocked n-gram near-dup join -- each of
+    which carries its own exact DuckDB twin, so the WHOLE dashboard
+    is hash-attestable end to end."""
+    from ..operators.bloom import hll_estimate, hll_registers
+    from ..operators.caching import release_all
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.histogram import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", "lang", "source",
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    lang_row = (
+        base.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("top_lang_docs"),
+             F.sum("c").alias("__n"))
+        .select(
+            "top_lang_docs",
+            F.expr("top_lang_docs * 1000000 div __n")
+            .alias("top_lang_share_ppm"),
+        )
+    )
+    tokq = histogram_quantiles(
+        histogram_sketch(base, "n_tokens", 0, _CH_HI, _CH_BINS),
+        [500_000, 900_000], 0, _CH_HI, _CH_BINS,
+    ).agg(
+        F.max(F.when(F.col("q_ppm") == 500_000, F.col("est_micro")))
+        .alias("p50_tokens_micro"),
+        F.max(F.when(F.col("q_ppm") == 900_000, F.col("est_micro")))
+        .alias("p90_tokens_micro"),
+    )
+    sources = base.agg(
+        F.countDistinct("source").alias("n_sources_exact")
+    )
+    hll_row = hll_estimate(
+        hll_registers(base, "source", m=_CH_M), m=_CH_M
+    ).select(F.col("est_distinct").alias("est_sources_hll"))
+    try:
+        pairs = ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=_CH_N, threshold=_CH_T
+        ).agg(F.count(F.lit(1)).alias("near_dup_pairs"))
+        out = (
+            stats.crossJoin(F.broadcast(lang_row))
+            .crossJoin(F.broadcast(tokq))
+            .crossJoin(F.broadcast(sources))
+            .crossJoin(F.broadcast(hll_row))
+            .crossJoin(F.broadcast(pairs))
+            .withColumn(
+                "near_dup_pair_ppm",
+                F.expr("near_dup_pairs * 1000000 div n_docs"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_all()  # the jaccard tier pins its inverted index
+    return out
+
+
+def _corpus_health_oracle() -> str:
+    from ..operators.bloom import hll_estimate_sql, hll_registers_sql
+    from ..operators.dedup import ngram_jaccard_pairs_sql
+    from ..operators.histogram import (
+        histogram_quantiles_sql,
+        histogram_sketch_sql,
+    )
+
+    toks = ("SELECT doc_id, text, lang, source,"
+            " CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)"
+            " AS n_tokens FROM documents")
+    tokq = histogram_quantiles_sql(
+        histogram_sketch_sql(toks, "n_tokens", 0, _CH_HI, _CH_BINS),
+        [500_000, 900_000], 0, _CH_HI, _CH_BINS,
+    )
+    hll = (f"WITH {hll_registers_sql(toks, 'source', m=_CH_M)}"
+           f" {hll_estimate_sql(m=_CH_M)}")
+    pairs = ngram_jaccard_pairs_sql(
+        "documents", "text", "doc_id", n=_CH_N, threshold=_CH_T
+    )
+    return f"""
+        WITH stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM ({toks})
+        ),
+        lang_row AS (
+            SELECT CAST(MAX(c) AS BIGINT) AS top_lang_docs,
+                   CAST(MAX(c) AS BIGINT) * 1000000
+                       // CAST(SUM(c) AS BIGINT) AS top_lang_share_ppm
+            FROM (SELECT COUNT(*) AS c FROM ({toks}) GROUP BY lang)
+        ),
+        tokq AS (
+            SELECT MAX(CASE WHEN q_ppm = 500000 THEN est_micro END)
+                       AS p50_tokens_micro,
+                   MAX(CASE WHEN q_ppm = 900000 THEN est_micro END)
+                       AS p90_tokens_micro
+            FROM ({tokq})
+        ),
+        sources AS (
+            SELECT COUNT(DISTINCT source) AS n_sources_exact
+            FROM ({toks})
+        ),
+        hll_row AS (
+            SELECT est_distinct AS est_sources_hll FROM ({hll})
+        ),
+        pairs AS (
+            SELECT COUNT(*) AS near_dup_pairs FROM ({pairs})
+        )
+        SELECT n_docs, total_tokens, top_lang_docs,
+               top_lang_share_ppm, p50_tokens_micro, p90_tokens_micro,
+               n_sources_exact, est_sources_hll, near_dup_pairs,
+               near_dup_pairs * 1000000 // n_docs AS near_dup_pair_ppm
+        FROM stats CROSS JOIN lang_row CROSS JOIN tokq
+             CROSS JOIN sources CROSS JOIN hll_row CROSS JOIN pairs
+    """
+
+
+register(QuerySpec(
+    name="corpus_health_dashboard",
+    spark_fn=_corpus_health,
+    oracle=_corpus_health_oracle,
+    covers=("composed-monitoring-dashboard", "sketch-trio-composition"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -97,8 +97,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 50, plus the 5 round-6-new analytics queries (non-extended specs in
 # neither rotation set are driver-visible by default) = exactly 50.
 # ROUND-7 rotation (extended round-6 additions, pytest-oracle-green
-# every run): join_advice_orders, weighted_length_quantiles -- swap
-# into ROTATE_IN next round.
+# every run): join_advice_orders, weighted_length_quantiles,
+# corpus_health_dashboard -- swap into ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to
     # BIGINT (round-5 verdict item 1; root cause in COVERAGE.md)
