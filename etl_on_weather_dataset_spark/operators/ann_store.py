@@ -155,15 +155,29 @@ def _manifest_names(
 
 
 def _read_version(
-    spark: SparkSession, store_path: str
+    spark: SparkSession, store_path: str, version: int | None = None
 ) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, int]:
     """(centroids, cells, batches, version) of the newest committed
     version; (None, None, None, 0) for an empty store. ``cells`` is
     the union-read of the manifest's segments -- one multi-path
-    parquet scan, no copy."""
-    v = current_version(spark, store_path)
-    if v == 0:
-        return None, None, None, 0
+    parquet scan, no copy.
+
+    ``version`` pins a TIME-TRAVEL read (the rollup store's
+    read_rollup contract): older committed versions read exactly as
+    published -- their manifests keep naming their own segment sets,
+    and gc_segments only deletes segments NO committed manifest
+    references, so a retained version's segments are always intact."""
+    if version is None:
+        v = current_version(spark, store_path)
+        if v == 0:
+            return None, None, None, 0
+    else:
+        if version not in committed_versions(spark, store_path):
+            raise ValueError(
+                f"version {version} is not committed at {store_path} "
+                "-- time travel reaches only versions retention kept"
+            )
+        v = version
     base = f"{store_path}/v{v}"
     segments = _manifest_names(spark, store_path, v)
     return (

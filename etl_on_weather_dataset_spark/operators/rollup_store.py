@@ -47,13 +47,31 @@ from .versioned import vacuum as _vacuum
 
 
 def read_rollup(
-    spark: SparkSession, store_path: str
+    spark: SparkSession, store_path: str, version: int | None = None
 ) -> tuple[DataFrame | None, DataFrame | None, int]:
     """(agg, applied_batches, version) of the newest committed
-    version; (None, None, 0) for an empty store."""
-    v = _current_version(spark, store_path)
-    if v == 0:
-        return None, None, 0
+    version; (None, None, 0) for an empty store.
+
+    ``version`` pins a TIME-TRAVEL read: any still-committed older
+    version reads exactly as it was published (versions are immutable
+    -- a writer only ever creates v{current+1}), so "the dashboard as
+    of batch N" is one parameter, no snapshot machinery. Raises if
+    that version was vacuumed or never committed; retention
+    (keep_versions) is therefore also the time-travel horizon."""
+    from .versioned import committed_versions
+
+    if version is None:
+        v = _current_version(spark, store_path)
+        if v == 0:
+            return None, None, 0
+    else:
+        if version not in committed_versions(spark, store_path):
+            raise ValueError(
+                f"version {version} is not committed at {store_path} "
+                "(vacuumed, crashed, or never written) -- time travel "
+                "reaches only versions retention has kept"
+            )
+        v = version
     base = f"{store_path}/v{v}"
     return (
         spark.read.parquet(f"{base}/agg.parquet"),

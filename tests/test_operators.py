@@ -3523,3 +3523,58 @@ class TestWeightedHistogram:
             [500_000], LO, HI, BINS,
         ).collect()[0]
         assert (wq.n_rows, wq.est_micro) == (eq.n_rows, eq.est_micro)
+
+
+class TestTimeTravel:
+    def test_rollup_store_reads_as_of_version(self, spark, tmp_path):
+        """Versions are immutable, so pinning one is a time-travel
+        read: v1 shows only batch b1 after b2 lands; vacuumed
+        versions raise (retention == time-travel horizon)."""
+        import pytest as _pytest
+
+        from etl_on_weather_dataset_spark.operators.rollup_store import (
+            incremental_rollup,
+            read_rollup,
+            vacuum_rollup_store,
+        )
+
+        store = str(tmp_path / "roll")
+        mk = lambda vals: spark.createDataFrame(  # noqa: E731
+            [("k", float(v)) for v in vals], "g string, x double"
+        )
+        incremental_rollup(spark, mk([1, 2]), store, "b1",
+                           key_cols=["g"], value_col="x")
+        incremental_rollup(spark, mk([3]), store, "b2",
+                           key_cols=["g"], value_col="x")
+        asof1 = read_rollup(spark, store, version=1)
+        assert asof1[2] == 1
+        assert asof1[0].collect()[0].n_rows == 2  # before b2
+        latest = read_rollup(spark, store)
+        assert latest[2] == 2 and latest[0].collect()[0].n_rows == 3
+        vacuum_rollup_store(spark, store, keep_last=1)
+        with _pytest.raises(ValueError, match="not committed"):
+            read_rollup(spark, store, version=1)
+
+    def test_ivf_store_reads_as_of_version(self, spark, tmp_path):
+        """An old manifest keeps serving its own segment set even
+        after newer appends -- gc never touches a segment a committed
+        manifest still names."""
+        from etl_on_weather_dataset_spark.operators.ann_store import (
+            _read_version,
+            ivf_index_append,
+            ivf_index_build,
+        )
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            lsh_hyperplanes,
+        )
+
+        vecs = lsh_hyperplanes(8, 40, seed=11)
+        mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+            [(i, vecs[i]) for i in range(lo, hi)],
+            "vec_id long, embedding array<double>",
+        )
+        store = str(tmp_path / "ivf")
+        ivf_index_build(spark, mk(0, 25), store, k=4, iters=1, dim=8)
+        ivf_index_append(spark, mk(25, 40), store, "b1")
+        assert _read_version(spark, store, version=1)[1].count() == 25
+        assert _read_version(spark, store)[1].count() == 40
