@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+from pyspark.sql import functions as F
 
 
 def read_csv(
@@ -135,4 +136,45 @@ def write_jdbc(
         .option("batchsize", str(batch_size))
         .options(**properties)
         .save()
+    )
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    paths: list[str] | str,
+    target_schema: StructType,
+) -> DataFrame:
+    """Read parquet written across SCHEMA GENERATIONS into one frame
+    with the caller's target schema -- the lakehouse reality at
+    100 TB, where years-old files lack columns added last quarter:
+
+    - missing columns come back as typed NULLs (never a read error),
+    - present columns CAST to the target type (widenings like
+      int->bigint, float->double -- parquet footers stay authoritative
+      for what was written, the target for what downstream sees),
+    - extra columns in old files are dropped (column pruning still
+      pushes down: the scan reads only the target's columns that
+      exist in each file).
+
+    Each path is one schema GENERATION (internally consistent --
+    typically a partition/era directory). Spark's ``mergeSchema``
+    cannot widen types across files (int-vs-long parquet footers fail
+    CANNOT_MERGE_SCHEMAS), so each generation is read with its own
+    footer schema, projected to the target, and union-by-name'd --
+    a driver loop over GENERATIONS (a handful), never over files;
+    within each branch Catalyst keeps pushdown and pruning, and the
+    union is a no-shuffle bag concat."""
+    from functools import reduce
+
+    def _project(df: DataFrame) -> DataFrame:
+        return df.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in df.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target_schema.fields
+        ])
+
+    path_list = paths if isinstance(paths, list) else [paths]
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        (_project(spark.read.parquet(p)) for p in path_list),
     )

@@ -155,3 +155,46 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # partition pruning reaches the scan
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan
+
+
+def test_read_parquet_evolving_across_schema_generations(spark, tmp_path):
+    """Old files lacking new columns read as typed NULLs; present
+    columns cast to the target; stale extra columns are dropped."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_on_weather_dataset_spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    gen1 = str(tmp_path / "gen1")  # old: int id, no score, legacy col
+    spark.createDataFrame(
+        [(1, "a", "junk"), (2, "b", "junk")],
+        "id int, name string, legacy string",
+    ).write.parquet(gen1)
+    gen2 = str(tmp_path / "gen2")  # new: long id, score added
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    ).write.parquet(gen2)
+
+    target = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    out = read_parquet_evolving(spark, [gen1, gen2], target)
+    assert out.schema == target
+    rows = {r.id: (r.name, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+    # pushdown survives the projection: filtering on id prunes at scan
+    plan = out.filter(F.col("id") == 3)._jdf.queryExecution() \
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert "PushedFilters: [" in plan
