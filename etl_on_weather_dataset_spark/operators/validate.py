@@ -113,3 +113,40 @@ def assert_observation(obs: Observation, timeout: Optional[float] = None) -> Non
     failures = {k: v for k, v in metrics.items() if (v or 0) > 0}
     if failures:
         raise ValidationError(failures, {})
+
+
+def contract_report(
+    df: DataFrame, expectations: list[Expectation]
+) -> DataFrame:
+    """Declarative data-contract report: ONE scan evaluates every
+    expectation, then the single aggregate row unpivots to the
+    long-format table a quality dashboard ingests:
+    (expectation, n_rows, n_violations, passed).
+
+    This is the reporting face of the F1-F5 validation tier (the
+    fail-fast gate is :func:`check`; the zero-extra-scan plan hook is
+    :func:`observed`): same Expectation objects, same
+    count-the-violations semantics, but it always returns -- contracts
+    are monitored continuously, not only enforced at load time. Scale
+    cost is exactly one aggregate job regardless of how many
+    expectations the contract carries."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[e.violation_count() for e in expectations],
+    )
+    entries = F.array(*[
+        F.struct(
+            F.lit(e.name).alias("expectation"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.coalesce(F.col(f"`{e.name}`"), F.lit(0))
+            .cast("long").alias("n_violations"),
+        )
+        for e in expectations
+    ])
+    return (
+        agg.select(F.explode(entries).alias("x"))
+        .select(
+            "x.expectation", "x.n_rows", "x.n_violations",
+            (F.col("x.n_violations") == 0).cast("int").alias("passed"),
+        )
+    )

@@ -514,3 +514,75 @@ register(QuerySpec(
     covers=("composed-monitoring-dashboard", "sketch-trio-composition"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- declarative data contract --------------------------------------------------
+
+# (name, spark Expectation builder args, DuckDB boolean SQL) -- one
+# row of the contract per tuple; the SQL string is the oracle twin of
+# the Spark predicate, and both count a row as a violation when the
+# predicate is NOT satisfied (nulls per each predicate's own policy).
+_CONTRACT = [
+    ("not_null:o_orderkey,o_custkey",
+     "o_orderkey IS NOT NULL AND o_custkey IS NOT NULL"),
+    ("in_range:o_totalprice",
+     "o_totalprice IS NULL OR o_totalprice BETWEEN 0 AND 600000"),
+    ("at_least:o_totalprice",
+     "o_totalprice IS NULL OR o_totalprice >= 1"),
+    ("domain:o_orderstatus",
+     "o_orderstatus IN ('F', 'O', 'P')"),
+    ("fresh:o_orderdate",
+     "o_orderdate IS NULL OR o_orderdate >= TIMESTAMP '1990-01-01'"),
+]
+
+
+def _data_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import (
+        Expectation,
+        at_least,
+        contract_report,
+        in_range,
+        not_null,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    exps = [
+        not_null(["o_orderkey", "o_custkey"]),
+        in_range("o_totalprice", 0, 600_000),
+        at_least("o_totalprice", 1),
+        Expectation(
+            "domain:o_orderstatus",
+            F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+        Expectation(
+            "fresh:o_orderdate",
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp")),
+        ),
+    ]
+    return contract_report(orders, exps).orderBy("expectation")
+
+
+_CONTRACT_ORACLE = (
+    "SELECT expectation, n_rows, n_violations,\n"
+    "       CAST(n_violations = 0 AS INTEGER) AS passed\n"
+    "FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS expectation,
+               COUNT(*) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(({pred}), FALSE)
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_violations
+        FROM orders"""
+        for name, pred in _CONTRACT
+    )
+    + "\n) ORDER BY expectation"
+)
+
+register(QuerySpec(
+    name="data_contract_orders",
+    spark_fn=_data_contract_orders,
+    oracle=_CONTRACT_ORACLE,
+    covers=("data-contract-report", "declarative-expectations"),
+    extended=True,  # round-7 rotation (registry.py)
+))

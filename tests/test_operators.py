@@ -3578,3 +3578,41 @@ class TestTimeTravel:
         ivf_index_append(spark, mk(25, 40), store, "b1")
         assert _read_version(spark, store, version=1)[1].count() == 25
         assert _read_version(spark, store)[1].count() == 40
+
+
+class TestContractReport:
+    def test_violations_counted_and_flagged(self, spark):
+        from etl_on_weather_dataset_spark.operators.validate import (
+            at_least,
+            contract_report,
+            not_null,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (None, -5.0), (4, 3.0)],
+            "k long, v double",
+        )
+        rows = {
+            r.expectation: r
+            for r in contract_report(
+                df, [not_null(["k"]), at_least("v", 0)]
+            ).collect()
+        }
+        nn = rows["not_null:k"]
+        assert (nn.n_rows, nn.n_violations, nn.passed) == (4, 1, 0)
+        al = rows["at_least:v"]  # null v passes by policy; -5 fails
+        assert (al.n_rows, al.n_violations, al.passed) == (4, 1, 0)
+
+    def test_clean_table_passes_everything(self, spark):
+        from etl_on_weather_dataset_spark.operators.validate import (
+            contract_report,
+            in_range,
+            not_null,
+        )
+
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                   "k long, v double")
+        out = contract_report(
+            df, [not_null(["k", "v"]), in_range("v", 0, 10)]
+        ).collect()
+        assert all(r.passed == 1 and r.n_violations == 0 for r in out)
