@@ -150,3 +150,27 @@ def contract_report(
             (F.col("x.n_violations") == 0).cast("int").alias("passed"),
         )
     )
+
+
+def uniqueness_report(
+    df: DataFrame, key_cols: list[str], name: str | None = None
+) -> DataFrame:
+    """The one contract single-pass predicates cannot express: key
+    uniqueness. One (key)-grouped count + one tiny aggregate --
+    violations = rows beyond the first per duplicated key, so a clean
+    table reports 0 and each extra copy counts once. Output schema
+    matches :func:`contract_report` so the two union into one
+    contract table."""
+    label = name or ("unique:" + ",".join(key_cols))
+    per_key = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_key.agg(
+        F.lit(label).alias("expectation"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("long")
+        .alias("n_violations"),
+    ).select(
+        "expectation", "n_rows", "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )

@@ -560,7 +560,12 @@ def _data_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp")),
         ),
     ]
-    return contract_report(orders, exps).orderBy("expectation")
+    from ..operators.validate import uniqueness_report
+
+    report = contract_report(orders, exps).unionByName(
+        uniqueness_report(orders, ["o_orderkey"])
+    )
+    return report.orderBy("expectation")
 
 
 _CONTRACT_ORACLE = (
@@ -576,7 +581,14 @@ _CONTRACT_ORACLE = (
         FROM orders"""
         for name, pred in _CONTRACT
     )
-    + "\n) ORDER BY expectation"
+    + """
+UNION ALL
+SELECT 'unique:o_orderkey' AS expectation,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS n_violations
+FROM orders
+) ORDER BY expectation"""
 )
 
 register(QuerySpec(

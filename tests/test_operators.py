@@ -3616,3 +3616,19 @@ class TestContractReport:
             df, [not_null(["k", "v"]), in_range("v", 0, 10)]
         ).collect()
         assert all(r.passed == 1 and r.n_violations == 0 for r in out)
+
+    def test_uniqueness_counts_extra_copies(self, spark):
+        from etl_on_weather_dataset_spark.operators.validate import (
+            uniqueness_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1,), (1,), (1,), (2,), (3,), (3,)], "k long"
+        )
+        r = uniqueness_report(df, ["k"]).collect()[0]
+        # 6 rows, 3 keys -> 3 extra copies
+        assert (r.expectation, r.n_rows, r.n_violations, r.passed) == \
+            ("unique:k", 6, 3, 0)
+        clean = spark.createDataFrame([(1,), (2,)], "k long")
+        r = uniqueness_report(clean, ["k"]).collect()[0]
+        assert (r.n_violations, r.passed) == (0, 1)
