@@ -611,3 +611,50 @@ def stream_ivf_ingest(
     )
     q.awaitTermination()
     return seen
+
+
+def stream_contract_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    expectations: list,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+) -> list[dict]:
+    """Continuous data-contract monitoring: attach the validation
+    tier's expectation counters to a file stream via ``observe`` and
+    return one violation-count dict PER MICRO-BATCH (from the
+    streaming progress events' observedMetrics). The counters ride
+    the stream's own pass -- zero extra scans, the streaming face of
+    operators/validate.py ``observed()``. AvailableNow run: drains
+    what exists, then returns.
+
+    At scale this is how contracts run in production: per-batch
+    violation counts land beside the ingestion metrics, and alerting
+    keys off the same progress stream the operator already watches.
+    """
+    from ..operators.validate import Expectation  # noqa: F401
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    ).option("pathGlobFilter", "*.parquet")
+    observed = reader.parquet(src_dir).observe(
+        "contract",
+        *[e.violation_count() for e in expectations],
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out: list[dict] = []
+    for prog in q.recentProgress:
+        metrics = (prog.get("observedMetrics") or {}).get("contract")
+        if metrics:
+            out.append(
+                metrics.asDict() if hasattr(metrics, "asDict")
+                else dict(metrics)
+            )
+    return out

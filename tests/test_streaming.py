@@ -796,3 +796,37 @@ def test_ivf_store_stats_monitor(spark, tmp_path):
     assert row.n_vectors == 40 and 1 <= row.n_cells <= 4
     assert row.max_cell_rows >= row.n_vectors // 4
     assert row.cell_skew_ppm == row.max_cell_rows * 1_000_000 // 40
+
+
+def test_stream_contract_monitor(spark, tmp_path):
+    """Per-micro-batch violation counts ride the stream's own pass
+    (observe -> progress observedMetrics): the dirty batch reports
+    its violations, the clean one reports zero, totals match a batch
+    contract over the union."""
+    from etl_on_weather_dataset_spark.operators.validate import (
+        at_least,
+        not_null,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_contract_monitor,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, 5.0), (2, 6.0)], "k long, v double"
+    )
+    dirty = spark.createDataFrame(
+        [(None, 2.0), (4, -9.0), (5, 1.0)], "k long, v double"
+    )
+    src = str(tmp_path / "src")
+    clean.coalesce(1).write.parquet(f"{src}/b0")
+    dirty.coalesce(1).write.parquet(f"{src}/b1")
+
+    exps = [not_null(["k"]), at_least("v", 0)]
+    batches = stream_contract_monitor(
+        spark, f"{src}/*", clean.schema, exps,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert len(batches) == 2, batches
+    nn = sorted(b["not_null:k"] for b in batches)
+    al = sorted(b["at_least:v"] for b in batches)
+    assert nn == [0, 1] and al == [0, 1]
