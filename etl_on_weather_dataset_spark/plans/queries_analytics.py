@@ -598,3 +598,121 @@ register(QuerySpec(
     covers=("data-contract-report", "declarative-expectations"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- image near-dup: the hash-a-guarantee contract ------------------------------
+
+_IMG_P = 400  # docs sharing doc_id % _IMG_P get byte-identical BMPs
+
+
+def _image_near_dup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image leg of the dedup suite, driver-attestable via the
+    simhash/bloom 'hash a guarantee' pattern: payloads are
+    DETERMINISTIC 16x16 BMPs generated from ``doc_id % _IMG_P`` (md5
+    pixel bytes), so docs sharing the residue are byte-identical
+    images -- dHash finds every such pair at Hamming 0, a hard
+    guarantee the oracle can state from doc_id arithmetic alone. The
+    md5 patterns are pairwise far in dHash space (distinct residues
+    measured > 8 bits apart on this corpus -- deterministic, fixed
+    forever), so the contract also pins zero false pairs."""
+    from ..operators.multimodal import image_dhash, image_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    def _payloads(batches):
+        import hashlib
+        import struct
+
+        def bmp(pid: int) -> bytes:
+            w = h = 16
+            stride = ((3 * w + 3) // 4) * 4
+            body = bytearray()
+            for y in range(h):
+                row = bytearray()
+                for x in range(0, w, 5):
+                    # 15 md5 bytes paint 5 BGR pixels
+                    row += hashlib.md5(
+                        f"img-{pid}-{y}-{x}".encode()
+                    ).digest()[:15]
+                row = row[: 3 * w]
+                body += row + b"\x00" * (stride - len(row))
+            return (
+                b"BM"
+                + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(body), 2835, 2835, 0, 0)
+                + bytes(body)
+            )
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            pids = [int(d) % _IMG_P for d in pdf["doc_id"]]
+            for p in pids:
+                if p not in cache:
+                    cache[p] = bmp(p)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [bytearray(cache[p]) for p in pids],
+            })
+
+    payloads = docs.mapInPandas(
+        _payloads,
+        T_.StructType([
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("payload", T_.BinaryType()),
+        ]),
+    )
+    hashes = image_dhash(payloads)
+    pairs = image_near_dup_pairs(hashes, max_hamming=8)
+    clone = (F.col("id_a") % _IMG_P == F.col("id_b") % _IMG_P).cast("int")
+    found = pairs.agg(
+        F.count(F.lit(1)).alias("n_found_pairs"),
+        F.coalesce(F.sum(clone), F.lit(0)).cast("long")
+        .alias("n_clone_found"),
+    )
+    base = docs.groupBy((F.col("doc_id") % _IMG_P).alias("pid")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(
+        F.sum("c").cast("long").alias("n_images"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+        .alias("n_clone_pairs"),
+    )
+    return base.crossJoin(F.broadcast(found)).select(
+        "n_images", "n_patterns", "n_clone_pairs",
+        "n_found_pairs", "n_clone_found",
+        (F.col("n_clone_found") == F.col("n_clone_pairs")).cast("int")
+        .alias("all_clones_found"),
+        (F.col("n_found_pairs") == F.col("n_clone_found")).cast("int")
+        .alias("no_false_pairs"),
+    )
+
+
+register(QuerySpec(
+    name="image_near_dup_contract",
+    spark_fn=_image_near_dup_contract,
+    oracle=f"""
+        WITH grp AS (
+            SELECT doc_id % {_IMG_P} AS pid, COUNT(*) AS c
+            FROM documents GROUP BY 1
+        ),
+        base AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_images,
+                   COUNT(*) AS n_patterns,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                       AS n_clone_pairs
+            FROM grp
+        )
+        SELECT n_images, n_patterns, n_clone_pairs,
+               n_clone_pairs AS n_found_pairs,
+               n_clone_pairs AS n_clone_found,
+               1 AS all_clones_found,
+               1 AS no_false_pairs
+        FROM base
+    """,
+    covers=("image-near-dup", "multimodal-dedup-contract"),
+    extended=True,  # round-7 rotation (registry.py)
+))
