@@ -716,3 +716,118 @@ register(QuerySpec(
     covers=("image-near-dup", "multimodal-dedup-contract"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- audio near-dup: same guarantee contract, third modality --------------------
+
+_AUD_P = 200  # docs sharing doc_id % _AUD_P get byte-identical WAVs
+
+
+def _audio_near_dup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the dedup suite under the same hash-a-guarantee
+    contract as image_near_dup_contract: deterministic 16-bit PCM
+    WAVs synthesized from ``doc_id % _AUD_P`` (md5-seeded sample
+    words), byte-identical within a residue class -- the spectral
+    fingerprint finds every clone pair at Hamming 0 and the md5
+    signals are pairwise far, so the oracle pins full clone recall
+    and zero false pairs from doc_id arithmetic alone."""
+    from ..operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    def _payloads(batches):
+        import hashlib
+        import io
+        import struct
+        import wave
+
+        def wav(pid: int) -> bytes:
+            # 1024 16-bit mono samples from md5 words: wideband
+            # deterministic 'noise' -- rich spectrum, distinct per pid
+            raw = b"".join(
+                hashlib.md5(f"aud-{pid}-{i}".encode()).digest()
+                for i in range(128)
+            )[: 2 * 1024]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(raw)
+            return buf.getvalue()
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            pids = [int(d) % _AUD_P for d in pdf["doc_id"]]
+            for p in pids:
+                if p not in cache:
+                    cache[p] = wav(p)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [bytearray(cache[p]) for p in pids],
+            })
+
+    payloads = docs.mapInPandas(
+        _payloads,
+        T_.StructType([
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("payload", T_.BinaryType()),
+        ]),
+    )
+    fps = audio_fingerprint(payloads)
+    pairs = audio_near_dup_pairs(fps, max_hamming=6)
+    clone = (F.col("id_a") % _AUD_P == F.col("id_b") % _AUD_P).cast("int")
+    found = pairs.agg(
+        F.count(F.lit(1)).alias("n_found_pairs"),
+        F.coalesce(F.sum(clone), F.lit(0)).cast("long")
+        .alias("n_clone_found"),
+    )
+    base = docs.groupBy((F.col("doc_id") % _AUD_P).alias("pid")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(
+        F.sum("c").cast("long").alias("n_clips"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+        .alias("n_clone_pairs"),
+    )
+    return base.crossJoin(F.broadcast(found)).select(
+        "n_clips", "n_patterns", "n_clone_pairs",
+        "n_found_pairs", "n_clone_found",
+        (F.col("n_clone_found") == F.col("n_clone_pairs")).cast("int")
+        .alias("all_clones_found"),
+        (F.col("n_found_pairs") == F.col("n_clone_found")).cast("int")
+        .alias("no_false_pairs"),
+    )
+
+
+register(QuerySpec(
+    name="audio_near_dup_contract",
+    spark_fn=_audio_near_dup_contract,
+    oracle=f"""
+        WITH grp AS (
+            SELECT doc_id % {_AUD_P} AS pid, COUNT(*) AS c
+            FROM documents GROUP BY 1
+        ),
+        base AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_clips,
+                   COUNT(*) AS n_patterns,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                       AS n_clone_pairs
+            FROM grp
+        )
+        SELECT n_clips, n_patterns, n_clone_pairs,
+               n_clone_pairs AS n_found_pairs,
+               n_clone_pairs AS n_clone_found,
+               1 AS all_clones_found,
+               1 AS no_false_pairs
+        FROM base
+    """,
+    covers=("audio-near-dup", "multimodal-dedup-contract"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -397,3 +397,74 @@ def test_histogram_quantile_invariants(spark, vals, n_bins, q_ppm):
     rank = math.ceil(len(vals) * q_ppm / 1_000_000)
     exact = snapped[max(rank, 1) - 1]
     assert abs(row.est_micro - exact) <= cell
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # user
+            st.integers(min_value=0, max_value=999),  # ts offset (s)
+            st.floats(min_value=0, max_value=400,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+@SETTINGS
+def test_ewma_fold_matches_python(spark, rows):
+    """The ordered integer EWMA must equal a plain Python left fold
+    over the same (ts, event_id)-sorted sequence -- the property that
+    pins the fold ORDER (a parallel/associative evaluation would
+    diverge on permuted inputs)."""
+    import datetime as dt
+    import decimal
+
+    from etl_on_weather_dataset_spark.plans.queries_analytics import (
+        _ewma_user_value,
+    )
+    from etl_on_weather_dataset_spark.schemas import load_table  # noqa: F401
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(seconds=off), u, float(v))
+        for i, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+    # run the query body against an in-memory frame via monkey layer:
+    # rebuild the same expression inline (load_table is file-bound)
+    from pyspark.sql import functions as F
+
+    per_user = df.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+        ).alias("s"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr")
+    )
+    got = {
+        r.user_id: r.ewma
+        for r in per_user.select(
+            "user_id",
+            F.expr(
+                "aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)),"
+                " element_at(arr, 1).vm,"
+                " (acc, x) -> (x.vm + acc) div 2)"
+            ).alias("ewma"),
+        ).collect()
+    }
+
+    def house_round(x: float) -> int:
+        return int(
+            decimal.Decimal(x).quantize(0, decimal.ROUND_HALF_UP)
+        )
+
+    want = {}
+    for eid, ts, u, v in sorted(data, key=lambda t: (t[2], t[1], t[0])):
+        vm = house_round(v * 1_000_000)
+        want[u] = vm if u not in want else (vm + want[u]) // 2
+    assert got == want
