@@ -658,3 +658,87 @@ def stream_contract_monitor(
                 else dict(metrics)
             )
     return out
+
+
+def stream_ingest_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    checkpoint: str,
+    rollup_store: str,
+    histogram_store: str,
+    expectations: list,
+    contract_log: str,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    hist_lo: int,
+    hist_hi: int,
+    hist_bins: int = 128,
+    max_files_per_trigger: int = 1,
+    keep_versions: int | None = None,
+) -> list[int]:
+    """The composed ingestion pipeline: ONE file stream maintains
+    three products per micro-batch --
+
+    1. the versioned rollup store (dashboard aggregates),
+    2. the persistent histogram/quantile store (p50/p99 monitoring),
+    3. a contract-report log (one row per expectation per batch,
+       appended parquet partitioned by batch),
+
+    all under the SAME namespaced batch id, so at-least-once
+    re-delivery replays as a no-op in both versioned stores and the
+    contract log overwrite is idempotent per batch. This is the shape
+    a production ingest runs: metrics, quantiles and quality ride the
+    same pass over the batch, and every store equals what a one-shot
+    batch job over the union would have built (the merge laws the
+    batch tests pin).
+
+    Returns the processed batch ids (AvailableNow run)."""
+    import hashlib
+    import json
+    import os
+
+    from ..operators.histogram import histogram_store_ingest
+    from ..operators.rollup_store import incremental_rollup
+    from ..operators.validate import contract_report
+
+    seen: list[int] = []
+
+    def _query_ns() -> str:
+        try:
+            with open(os.path.join(checkpoint, "metadata")) as fh:
+                return json.load(fh)["id"][:12]
+        except (OSError, KeyError, ValueError):
+            return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        bid = f"{_query_ns()}-sb{batch_id}"
+        incremental_rollup(
+            spark, batch_df, rollup_store, bid,
+            key_cols=list(key_cols), value_col=value_col,
+            keep_versions=keep_versions,
+        )
+        histogram_store_ingest(
+            spark, batch_df, histogram_store, bid, value_col,
+            hist_lo, hist_hi, hist_bins,
+            keep_versions=keep_versions,
+        )
+        from pyspark.sql import functions as F
+
+        contract_report(batch_df, expectations).withColumn(
+            "batch_id", F.lit(bid)
+        ).write.mode("overwrite").parquet(f"{contract_log}/{bid}")
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    ).option("pathGlobFilter", "*.parquet")
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

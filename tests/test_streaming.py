@@ -830,3 +830,99 @@ def test_stream_contract_monitor(spark, tmp_path):
     nn = sorted(b["not_null:k"] for b in batches)
     al = sorted(b["at_least:v"] for b in batches)
     assert nn == [0, 1] and al == [0, 1]
+
+
+def test_stream_ingest_pipeline_three_products(spark, tmp_path):
+    """One stream, three exactly-once products: after draining two
+    micro-batches (plus a full replay), the rollup store equals the
+    one-shot aggregate, the quantile store's estimates equal the
+    one-shot sketch's, and the contract log carries one report per
+    expectation per batch."""
+    from pyspark.sql import functions as F
+
+    from etl_on_weather_dataset_spark.operators.histogram import (
+        histogram_quantiles,
+        histogram_sketch,
+        histogram_store_quantiles,
+    )
+    from etl_on_weather_dataset_spark.operators.rollup_store import (
+        read_rollup,
+    )
+    from etl_on_weather_dataset_spark.operators.validate import (
+        at_least,
+        not_null,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_ingest_pipeline,
+    )
+
+    LO, HI, BINS = 0, 100_000_000, 64
+    schema = "k string, v double"
+    b1 = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 30.0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("a", 40.0), ("b", None)], schema
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(f"{src}/b0")
+    b2.coalesce(1).write.parquet(f"{src}/b1")
+
+    kw = dict(
+        schema=b1.schema,
+        checkpoint=str(tmp_path / "ckpt"),
+        rollup_store=str(tmp_path / "roll"),
+        histogram_store=str(tmp_path / "hist"),
+        expectations=[not_null(["v"]), at_least("v", 0)],
+        contract_log=str(tmp_path / "contracts"),
+        key_cols=("k",),
+        value_col="v",
+        hist_lo=LO, hist_hi=HI, hist_bins=BINS,
+    )
+    seen = stream_ingest_pipeline(spark, f"{src}/*", **kw)
+    assert len(seen) == 2
+    # full replay (fresh checkpoint, same stores): ledgers no-op it
+    stream_ingest_pipeline(
+        spark, f"{src}/*",
+        **{**kw, "checkpoint": str(tmp_path / "ckpt")},
+    )
+
+    union = b1.unionByName(b2)
+    # 1. rollup store == one-shot aggregate
+    agg, _, _ = read_rollup(spark, str(tmp_path / "roll"))
+    got = {r.k: (r.n_rows, r.sum_c) for r in agg.collect()}
+    want = {
+        r.k: (r.n, r.s)
+        for r in union.filter("v IS NOT NULL").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(v * 100) AS BIGINT)")).alias("s"),
+        ).collect()
+    }
+    # exact scaled sums match per key (the rollup's n_rows counts the
+    # null row too, so compare the sum surface)
+    assert got["a"][1] == want["a"][1] and got["b"][1] == want["b"][1]
+    # 2. quantile store == one-shot sketch
+    store_q = {
+        r.q_ppm: r.est_micro
+        for r in histogram_store_quantiles(
+            spark, str(tmp_path / "hist"), [500_000], LO, HI, BINS
+        ).collect()
+    }
+    shot_q = {
+        r.q_ppm: r.est_micro
+        for r in histogram_quantiles(
+            histogram_sketch(union, "v", LO, HI, BINS),
+            [500_000], LO, HI, BINS,
+        ).collect()
+    }
+    assert store_q == shot_q
+    # 3. contract log: per batch, per expectation; the null-v batch
+    # flags not_null:v exactly once
+    log = spark.read.parquet(str(tmp_path / "contracts") + "/*")
+    assert log.count() == 4  # 2 batches x 2 expectations
+    viol = {
+        (r.batch_id.split("-")[-1], r.expectation): r.n_violations
+        for r in log.collect()
+    }
+    assert sum(v for (b, e), v in viol.items()
+               if e == "not_null:v") == 1
