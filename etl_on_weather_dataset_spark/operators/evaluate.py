@@ -1,0 +1,173 @@
+"""Model evaluation for training-data pipelines: exact ROC-AUC +
+confusion/PR metrics as ONE distributed pass (north-star par.2b —
+the eval leg of the in-engine classifier tier, operators/classify.py).
+
+Why in-engine: a curation pipeline that trains or applies quality
+classifiers (classify.py) needs to measure them on held-out data at
+the same scale the scores were produced — shipping 100 TB of scores
+to sklearn is not a plan. ROC-AUC is the Mann–Whitney U statistic,
+which is a pure aggregation problem:
+
+    AUC = U / (n_pos * n_neg),
+    U   = #{(p, n) pairs: s_p > s_n} + 0.5 * #{s_p = s_n}
+
+Grouping rows by DISTINCT score first collapses the pairwise double
+sum to a single cumulative sum over the (much smaller) per-score
+relation: with ``pos_s``/``neg_s`` the class counts at score ``s``
+and ``neg_below(s)`` the negatives at strictly smaller scores,
+
+    2U = sum_s pos_s * (2 * neg_below(s) + neg_s)
+
+— everything stays in exact BIGINTs (``two_u`` is emitted raw so the
+oracle comparison never touches a float; the ppm ratios are integer
+``div``). Ties are handled exactly (the ``+ neg_s`` term), not by
+perturbation.
+
+Scale shape: one map-side-combinable ``groupBy(score)`` shuffle over
+the data, then ONE window cumulative sum over the distinct-score
+relation, then a global one-row aggregate. The window is
+unpartitioned, but it runs on |distinct scores| rows — for
+integer-milli logits that is bounded by the score domain, not the
+corpus (millions of rows at worst, one executor's work). For
+truly unbounded score domains, pre-bucket scores into the histogram
+sketch (operators/histogram.py) and run the same formula over bins —
+that is the O(bins) approximate path; this module is the exact one.
+
+Overflow bound: ``two_u <= 2 * n_pos * n_neg`` and ``auc_ppm``
+multiplies by 1e6, so exactness holds while
+``n_pos * n_neg < 2^63 / 2e6`` (~ 4.6e12 — i.e. a balanced sample of
+~4M rows). Beyond that, evaluate per stratum and average, or use the
+histogram path; a silent wrap cannot happen under ANSI mode (Spark
+errors) and the driver data is far below the bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def binary_eval(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "score",
+    threshold: int = 0,
+) -> DataFrame:
+    """One-row exact binary-classifier report from (label, score) rows.
+
+    ``label_col`` is 0/1 int; ``score_col`` an integer score (e.g.
+    classify.py's exact ``logit_milli``) — integer scores keep every
+    comparison engine-portable. Predicted positive iff
+    ``score > threshold``.
+
+    Output (all BIGINT): n_pos, n_neg, two_u, auc_ppm,
+    tp, fp, fn, tn, precision_ppm, recall_ppm, f1_ppm.
+    Zero denominators (no predicted/actual positives) report 0, not
+    an error, so the report row always exists.
+    """
+    y = F.col(label_col).cast("long")
+    per_score = scored.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(y).alias("pos_s"),
+        (F.count(F.lit(1)) - F.sum(y)).alias("neg_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.withColumn(
+        "neg_below", F.sum("neg_s").over(w) - F.col("neg_s")
+    )
+    pred_pos = F.col("score") > F.lit(threshold)
+    agg = cum.agg(
+        F.sum("pos_s").alias("n_pos"),
+        F.sum("neg_s").alias("n_neg"),
+        F.sum(
+            F.col("pos_s")
+            * (F.lit(2) * F.col("neg_below") + F.col("neg_s"))
+        ).alias("two_u"),
+        F.sum(F.when(pred_pos, F.col("pos_s")).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred_pos, F.col("neg_s")).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred_pos, F.col("pos_s")).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred_pos, F.col("neg_s")).otherwise(0)).alias("tn"),
+    )
+
+    def ratio(num_expr: str, den_expr: str) -> F.Column:
+        # integer ppm with a zero-denominator guard; operands are
+        # non-negative so Spark div == DuckDB // (floor) exactly
+        return F.expr(
+            f"CASE WHEN {den_expr} = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE ({num_expr}) * {PPM} div ({den_expr}) END"
+        )
+
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "two_u",
+        ratio("two_u", "2 * n_pos * n_neg").alias("auc_ppm"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ratio("tp", "tp + fp").alias("precision_ppm"),
+        ratio("tp", "tp + fn").alias("recall_ppm"),
+        ratio("2 * tp", "2 * tp + fp + fn").alias("f1_ppm"),
+    )
+
+
+def binary_eval_sql(
+    scored_sql: str,
+    label_col: str = "y",
+    score_col: str = "score",
+    threshold: int = 0,
+) -> str:
+    """DuckDB twin of :func:`binary_eval` over a (label, score)
+    subquery. Same distinct-score cumulative-sum formulation; every
+    SUM is CAST to BIGINT (DuckDB SUM(BIGINT) promotes to HUGEINT,
+    which the driver hash rejects) and the ppm ratios use ``//`` on
+    non-negative operands, matching Spark ``div`` truncation."""
+    return f"""
+        WITH scored AS ({scored_sql}),
+        per_score AS (
+            SELECT {score_col} AS score,
+                   CAST(SUM({label_col}) AS BIGINT) AS pos_s,
+                   CAST(COUNT(*) - SUM({label_col}) AS BIGINT) AS neg_s
+            FROM scored GROUP BY {score_col}
+        ),
+        cum AS (
+            SELECT score, pos_s, neg_s,
+                   CAST(SUM(neg_s) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - neg_s AS BIGINT) AS neg_below
+            FROM per_score
+        ),
+        agg AS (
+            SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+                   CAST(SUM(pos_s * (2 * neg_below + neg_s))
+                        AS BIGINT) AS two_u,
+                   CAST(SUM(CASE WHEN score > {threshold}
+                            THEN pos_s ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN score > {threshold}
+                            THEN neg_s ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN score <= {threshold}
+                            THEN pos_s ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN score <= {threshold}
+                            THEN neg_s ELSE 0 END) AS BIGINT) AS tn
+            FROM cum
+        )
+        SELECT n_pos, n_neg, two_u,
+               CASE WHEN n_pos * n_neg = 0 THEN CAST(0 AS BIGINT)
+                    ELSE two_u * {PPM} // (2 * n_pos * n_neg)
+               END AS auc_ppm,
+               tp, fp, fn, tn,
+               CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                    ELSE tp * {PPM} // (tp + fp) END AS precision_ppm,
+               CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                    ELSE tp * {PPM} // (tp + fn) END AS recall_ppm,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+                    ELSE 2 * tp * {PPM} // (2 * tp + fp + fn)
+               END AS f1_ppm
+        FROM agg
+    """

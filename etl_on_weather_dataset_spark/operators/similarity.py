@@ -143,23 +143,31 @@ def cosine_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter: str = "TRUE",
+    dim: int = 64,
 ) -> str:
-    """DuckDB oracle for cosine_topk (same rounding + tie-break)."""
+    """DuckDB oracle for cosine_topk (same rounding + tie-break).
+
+    ``dim`` < 64 evaluates over the length-``dim`` PREFIX of each
+    vector (DuckDB list slice == Spark ``F.slice`` — the
+    Matryoshka-truncation twin)."""
+    vec_expr = f"CAST({vec_col} AS DOUBLE[])"
+    if dim != 64:
+        vec_expr = f"({vec_expr})[1:{dim}]"
     return f"""
         WITH vecs AS (
-            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            SELECT {id_col} AS id, {vec_expr} AS v
             FROM {table}
         ), q AS (
             SELECT id AS query_id, v AS qv,
-                   sqrt({dot_sql('v', 'v')}) AS qn
+                   sqrt({dot_sql('v', 'v', dim)}) AS qn
             FROM vecs WHERE {query_filter}
         ), c AS (
             SELECT id AS neighbor_id, v AS cv,
-                   sqrt({dot_sql('v', 'v')}) AS cn
+                   sqrt({dot_sql('v', 'v', dim)}) AS cn
             FROM vecs
         ), scored AS (
             SELECT query_id, neighbor_id,
-                   ROUND({dot_sql('qv', 'cv')} / (qn * cn),
+                   ROUND({dot_sql('qv', 'cv', dim)} / (qn * cn),
                          {SIM_DECIMALS}) AS sim
             FROM q CROSS JOIN c
             WHERE query_id != neighbor_id

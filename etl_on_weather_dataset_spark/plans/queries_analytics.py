@@ -831,3 +831,54 @@ register(QuerySpec(
     covers=("audio-near-dup", "multimodal-dedup-contract"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- exact classifier evaluation (ROC-AUC + confusion) ------------------------
+#
+# The eval leg of the classifier tier (operators/classify.py trains
+# and scores; operators/evaluate.py measures). Task: predict
+# lang = 'en' from the hashing-trick linear score — a real label the
+# deterministic pseudo-weights have NO knowledge of, so the AUC is an
+# honest near-chance measurement and every confusion cell is
+# exercised. The whole report (Mann–Whitney two_u, auc_ppm,
+# tp/fp/fn/tn, precision/recall/f1 ppm) is exact BIGINT end to end:
+# one groupBy(score) shuffle + one distinct-score cumsum + one row.
+
+
+def _classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import hashed_linear_score
+    from ..operators.evaluate import binary_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        ),
+        "id",
+    )
+    return binary_eval(
+        scored.select("y", F.col("logit_milli").alias("score"))
+    )
+
+
+def _classifier_eval_auc_oracle() -> str:
+    from ..operators.classify import hashed_linear_score_sql
+    from ..operators.evaluate import binary_eval_sql
+
+    scored = f"""
+        SELECT s.logit_milli AS score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM ({hashed_linear_score_sql('documents')}) s
+        JOIN documents d ON s.id = d.doc_id
+    """
+    return binary_eval_sql(scored)
+
+
+register(QuerySpec(
+    name="classifier_eval_auc",
+    spark_fn=_classifier_eval_auc,
+    oracle=_classifier_eval_auc_oracle,
+    covers=("roc-auc-exact", "classifier-eval"),
+    extended=True,  # round-7 rotation (registry.py)
+))

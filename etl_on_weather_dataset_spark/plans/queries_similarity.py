@@ -1426,3 +1426,95 @@ register(QuerySpec(
     covers=("ivf-pq-trained", "pq-codebook-training"),
     extended=True,  # round-6 rotation (registry.py)
 ))
+
+
+# --- Matryoshka (MRL) truncation recall curve --------------------------------
+#
+# Matryoshka Representation Learning (Kusupati et al. 2022) serves
+# cheap first-pass retrieval from a PREFIX of each embedding: the
+# first d dims of a trained MRL vector approximate the full-vector
+# geometry, so an index can store/scan d << D floats per row and
+# rerank survivors at full width. This query is the measurement tool:
+# exact top-k over prefix dims (8, 16, 32) vs the full-64 ground
+# truth, one (trunc_dim, n_exact, n_hits, recall_ppm) row per width.
+# On these i.i.d. synthetic embeddings the curve is the honest
+# random-projection baseline (recall rises with d); on real MRL-
+# trained vectors the same query reads much higher — the dial an
+# engineer reads before sizing the serving index's stored width.
+# Scale shape: each arm is the brute-force operator (crossJoin +
+# WindowTopK) over d-wide slices — the slice happens BEFORE the join,
+# so the shuffled bytes shrink with d; swap in ivf/lsh arms for the
+# 100 TB corpus exactly as the other recall harnesses do.
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    exact = cosine_topk(queries, emb, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    rows = []
+    for d in _MRL_DIMS:
+        trunc = emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, d).alias("embedding")
+        )
+        ann = cosine_topk(
+            trunc.filter(F.col("vec_id") < _RECALL_QUERIES), trunc, k=_K
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        rows.append(
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(d).alias("trunc_dim"),
+                "n_exact",
+                "n_hits",
+                F.expr(
+                    "CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) "
+                    "ELSE n_hits * CAST(1000000 AS BIGINT) div n_exact "
+                    "END"
+                ).alias("recall_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("trunc_dim")
+
+
+def _mrl_truncation_recall_oracle() -> str:
+    qf = f"id < {_RECALL_QUERIES}"
+    exact = cosine_topk_sql(k=_K, query_filter=qf)
+    arms = []
+    for d in _MRL_DIMS:
+        ann = cosine_topk_sql(k=_K, query_filter=qf, dim=d)
+        arms.append(f"""
+            SELECT {d} AS trunc_dim,
+                   (SELECT COUNT(*) FROM exact) AS n_exact,
+                   (SELECT COUNT(*) FROM exact e
+                    JOIN ({ann}) a
+                      ON e.query_id = a.query_id
+                     AND e.neighbor_id = a.neighbor_id) AS n_hits
+        """)
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH exact AS ({exact}),
+        arms AS ({union})
+        SELECT trunc_dim, n_exact, n_hits,
+               CAST(CASE WHEN n_exact = 0 THEN 0
+                    ELSE n_hits * 1000000 // n_exact
+                    END AS BIGINT) AS recall_ppm
+        FROM arms
+        ORDER BY trunc_dim
+    """
+
+
+register(QuerySpec(
+    name="mrl_truncation_recall",
+    spark_fn=_mrl_truncation_recall,
+    oracle=_mrl_truncation_recall_oracle,
+    covers=("mrl-truncation", "similarity-eval"),
+    extended=True,  # round-7 rotation (registry.py)
+))

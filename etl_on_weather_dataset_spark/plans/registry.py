@@ -99,7 +99,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # ROUND-7 rotation (extended round-6 additions, pytest-oracle-green
 # every run): join_advice_orders, weighted_length_quantiles,
 # corpus_health_dashboard, data_contract_orders,
-# image_near_dup_contract, audio_near_dup_contract -- swap into
+# image_near_dup_contract, audio_near_dup_contract,
+# classifier_eval_auc, mrl_truncation_recall -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to

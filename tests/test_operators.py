@@ -3632,3 +3632,67 @@ class TestContractReport:
         clean = spark.createDataFrame([(1,), (2,)], "k long")
         r = uniqueness_report(clean, ["k"]).collect()[0]
         assert (r.n_violations, r.passed) == (0, 1)
+
+
+class TestBinaryEval:
+    """operators/evaluate.py: exact ROC-AUC + confusion (par.2b eval
+    leg). Hand-computed Mann-Whitney ground truths, including ties."""
+
+    def _eval(self, spark, rows, threshold=0):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            binary_eval,
+        )
+
+        df = spark.createDataFrame(rows, "y int, score long")
+        return binary_eval(df, threshold=threshold).collect()[0]
+
+    def test_perfect_separation(self, spark):
+        r = self._eval(
+            spark, [(1, 10), (1, 9), (0, -5), (0, -7)]
+        )
+        # every pos > every neg: 2U = 2 * 2 * 2 = 8, AUC = 1
+        assert (r.n_pos, r.n_neg, r.two_u, r.auc_ppm) == (2, 2, 8, 1000000)
+        assert (r.tp, r.fp, r.fn, r.tn) == (2, 0, 0, 2)
+        assert (r.precision_ppm, r.recall_ppm, r.f1_ppm) == (
+            1000000, 1000000, 1000000,
+        )
+
+    def test_ties_count_half(self, spark):
+        # pos scores {5, 3}, neg scores {3, 1}:
+        # pairs: (5,3)+1 (5,1)+1 (3,3)+0.5 (3,1)+1 -> U=3.5, 2U=7
+        # AUC = 3.5/4 = 0.875
+        r = self._eval(spark, [(1, 5), (1, 3), (0, 3), (0, 1)])
+        assert (r.two_u, r.auc_ppm) == (7, 875000)
+
+    def test_reversed_scores_auc_zero(self, spark):
+        r = self._eval(spark, [(1, -1), (0, 1), (0, 2)])
+        assert (r.two_u, r.auc_ppm) == (0, 0)
+        # nothing predicted positive above 0 except the negs
+        assert (r.tp, r.fp, r.fn, r.tn) == (0, 2, 1, 0)
+        assert (r.precision_ppm, r.recall_ppm, r.f1_ppm) == (0, 0, 0)
+
+    def test_single_class_no_division_error(self, spark):
+        r = self._eval(spark, [(1, 4), (1, 2)])
+        assert (r.n_pos, r.n_neg, r.auc_ppm) == (2, 0, 0)
+
+    def test_threshold_is_strict(self, spark):
+        # score == threshold predicts NEGATIVE (score > thr)
+        r = self._eval(spark, [(1, 0), (0, 0), (1, 1)], threshold=0)
+        assert (r.tp, r.fp, r.fn, r.tn) == (1, 0, 1, 1)
+
+    def test_matches_pairwise_bruteforce(self, spark):
+        # deterministic pseudo-random fixture, checked against the
+        # O(n^2) definition computed in plain Python
+        rows = [
+            ((i * 7 + 3) % 5 % 2, ((i * 31 + 11) % 23) - 10)
+            for i in range(40)
+        ]
+        pos = [s for y, s in rows if y == 1]
+        neg = [s for y, s in rows if y == 0]
+        two_u = sum(
+            2 if p > n else (1 if p == n else 0)
+            for p in pos for n in neg
+        )
+        r = self._eval(spark, rows)
+        assert r.two_u == two_u
+        assert r.auc_ppm == two_u * 1_000_000 // (2 * len(pos) * len(neg))
