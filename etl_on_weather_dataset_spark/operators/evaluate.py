@@ -33,6 +33,14 @@ truly unbounded score domains, pre-bucket scores into the histogram
 sketch (operators/histogram.py) and run the same formula over bins —
 that is the O(bins) approximate path; this module is the exact one.
 
+The per-score class-count relation is also the report's MERGEABLE
+sufficient statistic (counts sum per score), so evaluation joins the
+sketch family: :func:`eval_store_ingest` folds scored batches into
+the versioned rollup store (exactly-once, replay-safe, time-travel)
+and :func:`eval_store_report` reads the full report off the store in
+O(distinct scores) — a continuously-updated model dashboard that
+never rescans a batch.
+
 Overflow bound: ``two_u <= 2 * n_pos * n_neg`` and ``auc_ppm``
 multiplies by 1e6, so exactness holds while
 ``n_pos * n_neg < 2^63 / 2e6`` (~ 4.6e12 — i.e. a balanced sample of
@@ -72,6 +80,18 @@ def binary_eval(
         F.sum(y).alias("pos_s"),
         (F.count(F.lit(1)) - F.sum(y)).alias("neg_s"),
     )
+    return binary_eval_from_counts(per_score, threshold=threshold)
+
+
+def binary_eval_from_counts(
+    per_score: DataFrame, threshold: int = 0
+) -> DataFrame:
+    """The report from a (score, pos_s, neg_s) class-count relation —
+    binary_eval's sufficient statistic. Exposed separately because
+    the relation is MERGEABLE (sum per score), which makes the whole
+    evaluation incremental: fold batches into a persistent count
+    store (:func:`eval_store_ingest`) and read AUC/confusion off it
+    in O(distinct scores), like the HLL/CMS/histogram sketches."""
     w = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -113,6 +133,64 @@ def binary_eval(
         ratio("tp", "tp + fn").alias("recall_ppm"),
         ratio("2 * tp", "2 * tp + fp + fn").alias("f1_ppm"),
     )
+
+
+def eval_store_ingest(
+    spark,
+    scored_batch: DataFrame,
+    store_path: str,
+    batch_id: str,
+    label_col: str = "y",
+    score_col: str = "score",
+    keep_versions: int | None = None,
+) -> DataFrame:
+    """Fold one batch of (label, score) rows into a PERSISTENT
+    evaluation store — the incremental twin of :func:`binary_eval`.
+
+    The store is the versioned rollup store keyed on ``score`` with
+    the 0/1 label as the value (scale 1): per score, ``n_rows`` is
+    the class total and ``sum_c`` the positive count, so the exactly-
+    once machinery (marker-last commit, batch replay ledger,
+    keep-last-N vacuum, time travel) is inherited verbatim from
+    operators/rollup_store.py. Replayed ``batch_id``s are no-ops —
+    call from a foreachBatch sink with the namespaced streaming batch
+    id for an always-current eval dashboard over an at-least-once
+    stream.
+    """
+    from .rollup_store import incremental_rollup
+
+    batch = scored_batch.select(
+        F.col(score_col).alias("score"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    return incremental_rollup(
+        spark, batch, store_path, batch_id,
+        key_cols=["score"], value_col="__y", value_scale=1,
+        keep_versions=keep_versions,
+    )
+
+
+def eval_store_report(
+    spark,
+    store_path: str,
+    threshold: int = 0,
+    version: int | None = None,
+) -> DataFrame:
+    """The full binary_eval report straight off the persistent store
+    — no rescan of any scored batch, ever: the read is O(distinct
+    scores) rows. ``version`` pins a time-travel read ("the model's
+    AUC as of batch N")."""
+    from .rollup_store import read_rollup
+
+    agg, _, _ = read_rollup(spark, store_path, version=version)
+    if agg is None:
+        raise ValueError(f"no committed eval store at {store_path}")
+    per_score = agg.select(
+        "score",
+        F.col("sum_c").alias("pos_s"),
+        (F.col("n_rows") - F.col("sum_c")).alias("neg_s"),
+    )
+    return binary_eval_from_counts(per_score, threshold=threshold)
 
 
 def binary_eval_sql(

@@ -742,3 +742,63 @@ def stream_ingest_pipeline(
     )
     q.awaitTermination()
     return seen
+
+
+def stream_eval_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    store_path: str,
+    checkpoint: str,
+    label_col: str = "y",
+    score_col: str = "score",
+    max_files_per_trigger: int = 1,
+    keep_versions: int | None = None,
+) -> list[int]:
+    """Continuous model-evaluation monitoring: a file stream of
+    (label, score) rows drives ``eval_store_ingest`` through
+    foreachBatch, so ``eval_store_report`` is an always-current AUC /
+    confusion dashboard over everything scored so far -- the
+    streaming twin of operators/evaluate.binary_eval, inheriting the
+    rollup store's exactly-once contract (namespaced batch ledger:
+    at-least-once re-delivery after restart is a no-op, a second
+    query into the same store cannot collide; same recipe as
+    stream_incremental_rollup).
+
+    Returns the processed batch ids (AvailableNow run).
+    """
+    import hashlib
+    import json
+    import os
+
+    from ..operators.evaluate import eval_store_ingest
+
+    seen: list[int] = []
+
+    def _query_ns() -> str:
+        try:
+            with open(os.path.join(checkpoint, "metadata")) as fh:
+                return json.load(fh)["id"][:12]
+        except (OSError, KeyError, ValueError):
+            return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        eval_store_ingest(
+            spark, batch_df, store_path, f"{_query_ns()}-sb{batch_id}",
+            label_col=label_col, score_col=score_col,
+            keep_versions=keep_versions,
+        )
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    ).option("pathGlobFilter", "*.parquet")
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

@@ -3696,3 +3696,55 @@ class TestBinaryEval:
         r = self._eval(spark, rows)
         assert r.two_u == two_u
         assert r.auc_ppm == two_u * 1_000_000 // (2 * len(pos) * len(neg))
+
+
+class TestEvalStore:
+    def test_ingest_replay_equals_one_shot(self, spark, tmp_path):
+        """Two batches (one replayed) folded into the persistent eval
+        store must report EXACTLY what one-shot binary_eval says about
+        the union -- merge == rebuild for the AUC sufficient
+        statistic."""
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            binary_eval,
+            eval_store_ingest,
+            eval_store_report,
+        )
+
+        rows = [
+            (i % 3 % 2, ((i * 37 + 5) % 41) - 20, i) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "y int, score long, id long")
+        store = str(tmp_path / "evalstore")
+        b1 = df.filter("id < 100")
+        b2 = df.filter("id >= 100")
+        eval_store_ingest(spark, b1, store, "b1")
+        eval_store_ingest(spark, b2, store, "b2")
+        eval_store_ingest(spark, b2, store, "b2")  # replay: no-op
+
+        got = eval_store_report(spark, store).collect()[0]
+        want = binary_eval(df.select("y", "score")).collect()[0]
+        assert got.asDict() == want.asDict()
+        assert got.n_pos + got.n_neg == 300  # replay did not double
+
+    def test_time_travel_reads_earlier_batch_state(self, spark,
+                                                   tmp_path):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            binary_eval,
+            eval_store_ingest,
+            eval_store_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5, 0), (0, 1, 1), (1, 2, 2), (0, 4, 3)],
+            "y int, score long, id long",
+        )
+        store = str(tmp_path / "evalstore")
+        eval_store_ingest(spark, df.filter("id < 2"), store, "b1")
+        eval_store_ingest(spark, df.filter("id >= 2"), store, "b2")
+        asof = eval_store_report(spark, store, version=1).collect()[0]
+        want = binary_eval(
+            df.filter("id < 2").select("y", "score")
+        ).collect()[0]
+        assert asof.asDict() == want.asDict()
+        now = eval_store_report(spark, store).collect()[0]
+        assert (now.n_pos, now.n_neg) == (2, 2)

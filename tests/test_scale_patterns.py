@@ -611,3 +611,31 @@ class TestRound6PlanShapes:
 
         plan = self._plan_of(_ewma_user_value(spark, self.SF))
         assert "Join" not in plan, plan[:2000]
+
+
+class TestEvalPlans:
+    def test_auc_window_runs_over_distinct_scores_not_rows(self, spark):
+        """binary_eval's only unpartitioned window must consume the
+        per-score AGGREGATE (|distinct scores| rows), never the raw
+        scored relation -- the property that keeps exact AUC viable
+        at corpus scale. Also: no join anywhere in the operator."""
+        import re
+
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            binary_eval,
+        )
+
+        df = spark.range(5000).selectExpr(
+            "CAST(id % 2 AS INT) AS y", "id % 97 AS score"
+        )
+        out = binary_eval(df)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan[:2000]
+        windows = [m.start() for m in re.finditer(r"\bWindow\b", plan)]
+        assert len(windows) >= 1, plan[:2000]
+        # below (textually after) the window node there must be a
+        # hash aggregate keyed on score: the distinct-score rollup
+        below = plan[windows[0]:]
+        assert re.search(r"HashAggregate.*keys=\[score", below), \
+            plan[:3000]

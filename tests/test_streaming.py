@@ -926,3 +926,46 @@ def test_stream_ingest_pipeline_three_products(spark, tmp_path):
     }
     assert sum(v for (b, e), v in viol.items()
                if e == "not_null:v") == 1
+
+
+def test_stream_eval_ingest_dashboard_equals_batch(spark, tmp_path):
+    """Scored (label, score) waves streamed into the eval store: the
+    report read off the store must equal one-shot binary_eval over
+    all waves, and a drained re-run must change nothing -- the
+    always-current model dashboard with exactly-once folding."""
+    from etl_on_weather_dataset_spark.operators.evaluate import (
+        binary_eval,
+        eval_store_report,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_eval_ingest,
+    )
+
+    schema = "y int, score long"
+    rows = [(i % 5 % 2, ((i * 13 + 7) % 31) - 15) for i in range(90)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * 30:(i + 1) * 30], schema
+        ).coalesce(1).write.parquet(str(src / f"wave{i}"))
+
+    store = str(tmp_path / "evalstore")
+    seen = stream_eval_ingest(
+        spark, f"{src}/*", spark.createDataFrame([], schema).schema,
+        store, str(tmp_path / "ckpt"),
+    )
+    assert len(seen) >= 3
+    got = eval_store_report(spark, store).collect()[0]
+    want = binary_eval(
+        spark.createDataFrame(rows, schema)
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+
+    # drained re-run: nothing new, report unchanged
+    stream_eval_ingest(
+        spark, f"{src}/*", spark.createDataFrame([], schema).schema,
+        store, str(tmp_path / "ckpt"),
+    )
+    again = eval_store_report(spark, store).collect()[0]
+    assert again.asDict() == got.asDict()
