@@ -62,44 +62,60 @@ def binary_eval(
     label_col: str = "y",
     score_col: str = "score",
     threshold: int = 0,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One-row exact binary-classifier report from (label, score) rows.
+    """Exact binary-classifier report from (label, score) rows — one
+    row total, or one row per group with ``group_cols`` (per-segment
+    model quality: AUC by source, by language, by shard...).
 
     ``label_col`` is 0/1 int; ``score_col`` an integer score (e.g.
     classify.py's exact ``logit_milli``) — integer scores keep every
     comparison engine-portable. Predicted positive iff
     ``score > threshold``.
 
-    Output (all BIGINT): n_pos, n_neg, two_u, auc_ppm,
+    Output (all BIGINT): [group...,] n_pos, n_neg, two_u, auc_ppm,
     tp, fp, fn, tn, precision_ppm, recall_ppm, f1_ppm.
-    Zero denominators (no predicted/actual positives) report 0, not
-    an error, so the report row always exists.
+    Zero denominators (no predicted/actual positives, or a
+    single-class group) report 0, not an error, so the report row
+    always exists.
+
+    Grouped evaluation also fixes the one scale caveat of the global
+    report: the cumulative-sum window partitions by group, so no
+    single-partition window remains in the plan.
     """
     y = F.col(label_col).cast("long")
-    per_score = scored.groupBy(F.col(score_col).alias("score")).agg(
+    groups = list(group_cols or [])
+    per_score = scored.groupBy(
+        *groups, F.col(score_col).alias("score")
+    ).agg(
         F.sum(y).alias("pos_s"),
         (F.count(F.lit(1)) - F.sum(y)).alias("neg_s"),
     )
-    return binary_eval_from_counts(per_score, threshold=threshold)
+    return binary_eval_from_counts(
+        per_score, threshold=threshold, group_cols=groups
+    )
 
 
 def binary_eval_from_counts(
-    per_score: DataFrame, threshold: int = 0
+    per_score: DataFrame,
+    threshold: int = 0,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """The report from a (score, pos_s, neg_s) class-count relation —
-    binary_eval's sufficient statistic. Exposed separately because
-    the relation is MERGEABLE (sum per score), which makes the whole
-    evaluation incremental: fold batches into a persistent count
+    """The report from a ([group...,] score, pos_s, neg_s) class-count
+    relation — binary_eval's sufficient statistic. Exposed separately
+    because the relation is MERGEABLE (sum per score), which makes the
+    whole evaluation incremental: fold batches into a persistent count
     store (:func:`eval_store_ingest`) and read AUC/confusion off it
     in O(distinct scores), like the HLL/CMS/histogram sketches."""
-    w = Window.orderBy("score").rowsBetween(
+    groups = list(group_cols or [])
+    w = Window.partitionBy(*groups).orderBy("score").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = per_score.withColumn(
         "neg_below", F.sum("neg_s").over(w) - F.col("neg_s")
     )
     pred_pos = F.col("score") > F.lit(threshold)
-    agg = cum.agg(
+    aggs = [
         F.sum("pos_s").alias("n_pos"),
         F.sum("neg_s").alias("n_neg"),
         F.sum(
@@ -110,7 +126,8 @@ def binary_eval_from_counts(
         F.sum(F.when(pred_pos, F.col("neg_s")).otherwise(0)).alias("fp"),
         F.sum(F.when(~pred_pos, F.col("pos_s")).otherwise(0)).alias("fn"),
         F.sum(F.when(~pred_pos, F.col("neg_s")).otherwise(0)).alias("tn"),
-    )
+    ]
+    agg = cum.groupBy(*groups).agg(*aggs) if groups else cum.agg(*aggs)
 
     def ratio(num_expr: str, den_expr: str) -> F.Column:
         # integer ppm with a zero-denominator guard; operands are
@@ -121,6 +138,7 @@ def binary_eval_from_counts(
         )
 
     return agg.select(
+        *groups,
         "n_pos",
         "n_neg",
         "two_u",
@@ -198,30 +216,37 @@ def binary_eval_sql(
     label_col: str = "y",
     score_col: str = "score",
     threshold: int = 0,
+    group_cols: list[str] | None = None,
 ) -> str:
-    """DuckDB twin of :func:`binary_eval` over a (label, score)
-    subquery. Same distinct-score cumulative-sum formulation; every
-    SUM is CAST to BIGINT (DuckDB SUM(BIGINT) promotes to HUGEINT,
-    which the driver hash rejects) and the ppm ratios use ``//`` on
-    non-negative operands, matching Spark ``div`` truncation."""
+    """DuckDB twin of :func:`binary_eval` over a ([group...,] label,
+    score) subquery. Same distinct-score cumulative-sum formulation;
+    every SUM is CAST to BIGINT (DuckDB SUM(BIGINT) promotes to
+    HUGEINT, which the driver hash rejects) and the ppm ratios use
+    ``//`` on non-negative operands, matching Spark ``div``
+    truncation."""
+    groups = list(group_cols or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    gby_score = "GROUP BY " + ", ".join([*groups, score_col])
+    part = ("PARTITION BY " + ", ".join(groups) + " ") if groups else ""
     return f"""
         WITH scored AS ({scored_sql}),
         per_score AS (
-            SELECT {score_col} AS score,
+            SELECT {gsel}{score_col} AS score,
                    CAST(SUM({label_col}) AS BIGINT) AS pos_s,
                    CAST(COUNT(*) - SUM({label_col}) AS BIGINT) AS neg_s
-            FROM scored GROUP BY {score_col}
+            FROM scored {gby_score}
         ),
         cum AS (
-            SELECT score, pos_s, neg_s,
+            SELECT {gsel}score, pos_s, neg_s,
                    CAST(SUM(neg_s) OVER (
-                       ORDER BY score
+                       {part}ORDER BY score
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) - neg_s AS BIGINT) AS neg_below
             FROM per_score
         ),
         agg AS (
-            SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+            SELECT {gsel}CAST(SUM(pos_s) AS BIGINT) AS n_pos,
                    CAST(SUM(neg_s) AS BIGINT) AS n_neg,
                    CAST(SUM(pos_s * (2 * neg_below + neg_s))
                         AS BIGINT) AS two_u,
@@ -233,9 +258,9 @@ def binary_eval_sql(
                             THEN pos_s ELSE 0 END) AS BIGINT) AS fn,
                    CAST(SUM(CASE WHEN score <= {threshold}
                             THEN neg_s ELSE 0 END) AS BIGINT) AS tn
-            FROM cum
+            FROM cum {gby}
         )
-        SELECT n_pos, n_neg, two_u,
+        SELECT {gsel}n_pos, n_neg, two_u,
                CASE WHEN n_pos * n_neg = 0 THEN CAST(0 AS BIGINT)
                     ELSE two_u * {PPM} // (2 * n_pos * n_neg)
                END AS auc_ppm,
@@ -248,4 +273,78 @@ def binary_eval_sql(
                     ELSE 2 * tp * {PPM} // (2 * tp + fp + fn)
                END AS f1_ppm
         FROM agg
+    """
+
+
+def calibration_bins(
+    scored: DataFrame,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+    label_col: str = "y",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reliability-diagram data: fixed-width integer score bins over
+    [lo, hi) with per-bin size, positive count, exact score sum, and
+    the positive rate in ppm — a calibrated model has pos_rate rise
+    with the bin. One aggregation pass; fixed-width (not ntile)
+    binning because quantile bins over tied scores are order-
+    dependent, while ``(score - lo) * n_bins div (hi - lo)`` with a
+    clamp is a pure engine-portable integer expression (same recipe
+    as the histogram sketch). Output all-BIGINT."""
+    span = hi - lo
+    bin_expr = (
+        f"CAST(least({n_bins - 1}, greatest(0, "
+        f"(CAST({score_col} AS BIGINT) - {lo}) * {n_bins} div {span}"
+        f")) AS BIGINT)"
+    )
+    y = F.col(label_col).cast("long")
+    return (
+        scored.groupBy(F.expr(bin_expr).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(y).alias("n_pos"),
+            F.sum(F.col(score_col).cast("long")).alias("score_sum"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            "score_sum",
+            F.expr(f"n_pos * {PPM} div n_rows").alias("pos_rate_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def calibration_bins_sql(
+    scored_sql: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+    label_col: str = "y",
+    score_col: str = "score",
+) -> str:
+    """DuckDB twin of :func:`calibration_bins` (same clamp-then-bin
+    integer expression; ``//`` matches ``div`` on the non-negative
+    clamped operand)."""
+    span = hi - lo
+    bin_expr = (
+        f"CAST(least({n_bins - 1}, greatest(0, "
+        f"(CAST({score_col} AS BIGINT) - {lo}) * {n_bins} // {span}"
+        f")) AS BIGINT)"
+    )
+    return f"""
+        WITH scored AS ({scored_sql}),
+        binned AS (
+            SELECT {bin_expr} AS bin,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM({label_col}) AS BIGINT) AS n_pos,
+                   CAST(SUM(CAST({score_col} AS BIGINT))
+                        AS BIGINT) AS score_sum
+            FROM scored GROUP BY 1
+        )
+        SELECT bin, n_rows, n_pos, score_sum,
+               n_pos * {PPM} // n_rows AS pos_rate_ppm
+        FROM binned ORDER BY bin
     """

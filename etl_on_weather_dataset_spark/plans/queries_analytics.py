@@ -880,5 +880,107 @@ register(QuerySpec(
     spark_fn=_classifier_eval_auc,
     oracle=_classifier_eval_auc_oracle,
     covers=("roc-auc-exact", "classifier-eval"),
+    bench=True,  # the eval tier's headline cost
+    extended=True,  # round-7 rotation (registry.py)
+))
+
+
+# --- grouped (per-segment) classifier evaluation ------------------------------
+#
+# Per-source AUC: the segment-quality readout a model dashboard pages
+# on ("the quality gate is near-chance on src7"). The grouped path is
+# also the better plan at scale: the cumulative-sum window partitions
+# by group, so NO single-partition window remains.
+
+
+def _classifier_eval_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.classify import hashed_linear_score
+    from ..operators.evaluate import binary_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.col("source"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        ),
+        "id",
+    )
+    return binary_eval(
+        scored.select(
+            "source", "y", F.col("logit_milli").alias("score")
+        ),
+        group_cols=["source"],
+    ).orderBy("source")
+
+
+def _classifier_eval_by_source_oracle() -> str:
+    from ..operators.classify import hashed_linear_score_sql
+    from ..operators.evaluate import binary_eval_sql
+
+    scored = f"""
+        SELECT d.source, s.logit_milli AS score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM ({hashed_linear_score_sql('documents')}) s
+        JOIN documents d ON s.id = d.doc_id
+    """
+    return (
+        binary_eval_sql(scored, group_cols=["source"])
+        + " ORDER BY source"
+    )
+
+
+register(QuerySpec(
+    name="classifier_eval_by_source",
+    spark_fn=_classifier_eval_by_source,
+    oracle=_classifier_eval_by_source_oracle,
+    covers=("grouped-roc-auc", "per-segment-eval"),
+    extended=True,  # round-7 rotation (registry.py)
+))
+
+
+# --- score calibration bins ---------------------------------------------------
+
+_CAL_LO, _CAL_HI, _CAL_BINS = -10_000, 30_000, 10
+
+
+def _score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import hashed_linear_score
+    from ..operators.evaluate import calibration_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        ),
+        "id",
+    )
+    return calibration_bins(
+        scored.select("y", F.col("logit_milli").alias("score")),
+        _CAL_LO, _CAL_HI, _CAL_BINS,
+    )
+
+
+def _score_calibration_bins_oracle() -> str:
+    from ..operators.classify import hashed_linear_score_sql
+    from ..operators.evaluate import calibration_bins_sql
+
+    scored = f"""
+        SELECT s.logit_milli AS score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM ({hashed_linear_score_sql('documents')}) s
+        JOIN documents d ON s.id = d.doc_id
+    """
+    return calibration_bins_sql(scored, _CAL_LO, _CAL_HI, _CAL_BINS)
+
+
+register(QuerySpec(
+    name="score_calibration_bins",
+    spark_fn=_score_calibration_bins,
+    oracle=_score_calibration_bins_oracle,
+    covers=("calibration-bins", "reliability-diagram"),
     extended=True,  # round-7 rotation (registry.py)
 ))

@@ -3748,3 +3748,48 @@ class TestEvalStore:
         assert asof.asDict() == want.asDict()
         now = eval_store_report(spark, store).collect()[0]
         assert (now.n_pos, now.n_neg) == (2, 2)
+
+
+class TestGroupedEvalAndCalibration:
+    def test_grouped_equals_per_group_filters(self, spark):
+        """binary_eval(group_cols) must equal running the ungrouped
+        report on each group's rows separately."""
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            binary_eval,
+        )
+
+        rows = [
+            (f"g{i % 3}", (i * 11 + 2) % 7 % 2, ((i * 29 + 3) % 19) - 9)
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "g string, y int, score long")
+        grouped = {
+            r.g: {k: v for k, v in r.asDict().items() if k != "g"}
+            for r in binary_eval(df, group_cols=["g"]).collect()
+        }
+        for g in ("g0", "g1", "g2"):
+            solo = binary_eval(
+                df.filter(F.col("g") == g).select("y", "score")
+            ).collect()[0]
+            assert grouped[g] == solo.asDict(), g
+
+    def test_calibration_bins_clamp_and_rates(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            calibration_bins,
+        )
+
+        # lo=0, hi=100, 10 bins; scores -50 and 999 must clamp to
+        # bins 0 and 9; bin edges: 10 lands in bin 1
+        df = spark.createDataFrame(
+            [(1, -50), (0, 0), (1, 9), (0, 10), (1, 999)],
+            "y int, score long",
+        )
+        got = {
+            r.bin: (r.n_rows, r.n_pos, r.pos_rate_ppm)
+            for r in calibration_bins(df, 0, 100, 10).collect()
+        }
+        assert got == {
+            0: (3, 2, 666666),
+            1: (1, 0, 0),
+            9: (1, 1, 1000000),
+        }
