@@ -811,3 +811,207 @@ def image_near_dup_pairs(
         hashes, id_col=id_col, fp_col=hash_col,
         max_hamming=max_hamming, n_bands=n_bands,
     )
+
+
+def _video_track_sample_ranges(buf: bytes, moov_s: int, moov_e: int):
+    """(offset, size) of every sample (encoded frame) of the first
+    video track, from the stbl's stsz (sizes) + stsc (sample->chunk
+    runs) + stco/co64 (chunk offsets). This is the container-level
+    frame EXTRACTION the stts walker stops short of: with byte
+    ranges, frames can be hashed/deduped/shipped without any codec.
+    Returns None when any required box is missing/truncated."""
+    for btype, s, e in _iter_boxes(buf, moov_s, moov_e):
+        if btype != b"trak":
+            continue
+        mdia = _find_box(buf, s, e, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _find_box(buf, *mdia, b"hdlr")
+        if not hdlr or buf[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _find_box(buf, *mdia, b"minf", b"stbl")
+        if not stbl:
+            return None
+        stsz = _find_box(buf, *stbl, b"stsz")
+        stsc = _find_box(buf, *stbl, b"stsc")
+        stco = _find_box(buf, *stbl, b"stco")
+        co64 = None if stco else _find_box(buf, *stbl, b"co64")
+        if not stsz or not stsc or not (stco or co64):
+            return None
+        # stsz: version+flags, uniform_size, count [, size per sample]
+        zs, ze = stsz
+        if zs + 12 > ze:
+            return None
+        uniform = int.from_bytes(buf[zs + 4:zs + 8], "big")
+        n_samples = int.from_bytes(buf[zs + 8:zs + 12], "big")
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            if zs + 12 + 4 * n_samples > ze:
+                return None
+            sizes = [
+                int.from_bytes(buf[zs + 12 + 4 * i:zs + 16 + 4 * i],
+                               "big")
+                for i in range(n_samples)
+            ]
+        # chunk offsets
+        cs, ce = stco if stco else co64
+        width = 4 if stco else 8
+        if cs + 8 > ce:
+            return None
+        n_chunks = int.from_bytes(buf[cs + 4:cs + 8], "big")
+        if cs + 8 + width * n_chunks > ce:
+            return None
+        offsets = [
+            int.from_bytes(
+                buf[cs + 8 + width * i:cs + 8 + width * (i + 1)], "big"
+            )
+            for i in range(n_chunks)
+        ]
+        # stsc runs: (first_chunk 1-based, samples_per_chunk, sdi)
+        ss, se = stsc
+        if ss + 8 > se:
+            return None
+        n_runs = int.from_bytes(buf[ss + 4:ss + 8], "big")
+        if ss + 8 + 12 * n_runs > se:
+            return None
+        runs = [
+            (
+                int.from_bytes(buf[ss + 8 + 12 * i:ss + 12 + 12 * i],
+                               "big"),
+                int.from_bytes(buf[ss + 12 + 12 * i:ss + 16 + 12 * i],
+                               "big"),
+            )
+            for i in range(n_runs)
+        ]
+        # walk chunks; each run applies until the next run's chunk
+        ranges, si = [], 0
+        for ci in range(n_chunks):
+            per = 0
+            for first, spc in runs:
+                if first <= ci + 1:
+                    per = spc
+                else:
+                    break
+            off = offsets[ci]
+            for _ in range(per):
+                if si >= n_samples:
+                    break
+                ranges.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        return ranges if si == n_samples else None
+    return None
+
+
+FRAME_HASH_SCHEMA_FIELDS = [
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_hash", T.LongType()),
+]
+
+
+def frame_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 1,
+) -> DataFrame:
+    """Per-frame content hashes over video payloads: one row per
+    selected sample -- (id, frame_idx, frame_hash) where frame_hash
+    is the signed-int64 of the first 8 md5 bytes of the frame's
+    ENCODED byte range (stsz/stsc/stco walk). Byte-identical encoded
+    frames -- re-muxed, copied, or concatenated clips -- hash equal
+    with no codec anywhere; rows stay linear in sampled frames.
+    Corrupt/non-MP4 payloads yield zero rows, not errors."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + FRAME_HASH_SCHEMA_FIELDS
+    )
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    b = bytes(b)
+                    moov = _find_box(b, 0, len(b), b"moov")
+                    ranges = (
+                        _video_track_sample_ranges(b, *moov)
+                        if moov else None
+                    )
+                except Exception:  # noqa: BLE001
+                    ranges = None
+                for k in range(0, len(ranges or []), every_n):
+                    off, size = ranges[k]
+                    if off + size > len(b):
+                        continue
+                    d = hashlib.md5(b[off:off + size]).digest()[:8]
+                    h = int.from_bytes(d, "big", signed=True)
+                    ids.append(i)
+                    idxs.append(k)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_hash": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_hashes, out_schema)
+
+
+def video_near_dup_pairs(
+    fhashes: DataFrame,
+    id_col: str = "doc_id",
+    min_overlap_ppm: int = 500_000,
+    max_ids_per_hash: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate video pairs from per-frame content hashes: the
+    inverted-index shape of the n-gram text tier, with frames as the
+    shingles. DISTINCT (id, frame_hash) postings equi-join on
+    frame_hash (never an all-pairs join), shared-frame counts roll up
+    per pair, and the pair qualifies at
+    ``overlap_ppm = shared * 1e6 div min(n_a, n_b) >= min_overlap_ppm``
+    (containment, so a clip cut from a longer video still pairs).
+    ``max_ids_per_hash`` drops degenerate frames shared by more
+    videos than the cap (black frames, slates -- the stop-shingle
+    guard) BEFORE the join, bounding every posting list. Returns
+    (id_a, id_b, n_shared, overlap_ppm)."""
+    posts = fhashes.select(
+        F.col(id_col).alias("id"), "frame_hash"
+    ).distinct()
+    if max_ids_per_hash is not None:
+        hot = posts.groupBy("frame_hash").agg(
+            F.count(F.lit(1)).alias("df_")
+        ).filter(F.col("df_") > max_ids_per_hash).select("frame_hash")
+        posts = posts.join(F.broadcast(hot), "frame_hash", "left_anti")
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a = posts.select(F.col("id").alias("id_a"), "frame_hash")
+    b = posts.select(F.col("id").alias("id_b"), "frame_hash")
+    shared = (
+        a.join(b, "frame_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"),
+                         F.col("n_frames").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"),
+                         F.col("n_frames").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "n_shared",
+            F.expr(
+                "n_shared * CAST(1000000 AS BIGINT) div least(n_a, n_b)"
+            ).alias("overlap_ppm"),
+        )
+        .filter(F.col("overlap_ppm") >= min_overlap_ppm)
+    )

@@ -984,3 +984,152 @@ register(QuerySpec(
     covers=("calibration-bins", "reliability-diagram"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- video near-dup contract --------------------------------------------------
+
+_VID_P = 400  # docs sharing doc_id % _VID_P get byte-identical MP4s
+
+
+def _video_near_dup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg of the dedup suite under the hash-a-guarantee
+    contract (text SimHash / audio fingerprint / image dHash / video
+    frame hashes -- all four modalities carry oracle rows):
+    deterministic MP4s synthesized from ``doc_id % _VID_P`` (six
+    md5-derived encoded frames behind a real stts/stsz/stsc/stco
+    sample table), byte-identical within a residue class. The
+    frame-hash inverted index finds every clone pair at containment
+    1e6 ppm, and distinct residues share no frame (md5 frames are
+    pairwise distinct), so the oracle states full clone recall and
+    zero false pairs from doc_id arithmetic alone."""
+    from ..operators.multimodal import frame_hashes, video_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    def _payloads(batches):
+        import hashlib
+
+        def box(btype: bytes, payload: bytes) -> bytes:
+            return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+        def mp4(pid: int) -> bytes:
+            frames = [
+                hashlib.md5(f"vid-{pid}-{k}".encode()).digest() * 4
+                for k in range(6)
+            ]
+            n = len(frames)
+            stts = (
+                bytes(4) + (1).to_bytes(4, "big")
+                + n.to_bytes(4, "big") + (10).to_bytes(4, "big")
+            )
+            stsz = (
+                bytes(4) + bytes(4) + n.to_bytes(4, "big")
+                + b"".join(len(f).to_bytes(4, "big") for f in frames)
+            )
+            stsc = (
+                bytes(4) + (1).to_bytes(4, "big")
+                + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+                + (1).to_bytes(4, "big")
+            )
+            mdhd = bytes(4) + bytes(8) + (90).to_bytes(4, "big") \
+                + bytes(4) + bytes(4)
+            hdlr = bytes(8) + b"vide" + bytes(12)
+            mvhd = bytes(4) + bytes(8) + (100).to_bytes(4, "big") \
+                + (n * 10).to_bytes(4, "big")
+
+            def build(offset: int) -> bytes:
+                stco = (
+                    bytes(4) + (1).to_bytes(4, "big")
+                    + offset.to_bytes(4, "big")
+                )
+                stbl = (
+                    box(b"stts", stts) + box(b"stsz", stsz)
+                    + box(b"stsc", stsc) + box(b"stco", stco)
+                )
+                mdia = (
+                    box(b"mdhd", mdhd) + box(b"hdlr", hdlr)
+                    + box(b"minf", box(b"stbl", stbl))
+                )
+                moov = box(b"mvhd", mvhd) + box(
+                    b"trak", box(b"mdia", mdia)
+                )
+                return box(b"ftyp", b"isom\x00\x00\x02\x00isom") \
+                    + box(b"moov", moov)
+
+            head = build(0)
+            head = build(len(head) + 8)
+            return head + box(b"mdat", b"".join(frames))
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            pids = [int(d) % _VID_P for d in pdf["doc_id"]]
+            for p in pids:
+                if p not in cache:
+                    cache[p] = mp4(p)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [bytearray(cache[p]) for p in pids],
+            })
+
+    payloads = docs.mapInPandas(
+        _payloads,
+        T_.StructType([
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("payload", T_.BinaryType()),
+        ]),
+    )
+    pairs = video_near_dup_pairs(
+        frame_hashes(payloads), min_overlap_ppm=500_000
+    )
+    clone = (F.col("id_a") % _VID_P == F.col("id_b") % _VID_P).cast("int")
+    found = pairs.agg(
+        F.count(F.lit(1)).alias("n_found_pairs"),
+        F.coalesce(F.sum(clone), F.lit(0)).cast("long")
+        .alias("n_clone_found"),
+    )
+    base = docs.groupBy((F.col("doc_id") % _VID_P).alias("pid")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(
+        F.sum("c").cast("long").alias("n_clips"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+        .alias("n_clone_pairs"),
+    )
+    return base.crossJoin(found).select(
+        "n_clips", "n_patterns", "n_clone_pairs",
+        "n_found_pairs", "n_clone_found",
+        (F.col("n_clone_found") == F.col("n_clone_pairs")).cast("int")
+        .alias("all_clones_found"),
+        (F.col("n_found_pairs") == F.col("n_clone_found")).cast("int")
+        .alias("no_false_pairs"),
+    )
+
+
+register(QuerySpec(
+    name="video_near_dup_contract",
+    spark_fn=_video_near_dup_contract,
+    oracle=f"""
+        WITH grp AS (
+            SELECT doc_id % {_VID_P} AS pid, COUNT(*) AS c
+            FROM documents GROUP BY 1
+        ),
+        base AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_clips,
+                   COUNT(*) AS n_patterns,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                       AS n_clone_pairs
+            FROM grp
+        )
+        SELECT n_clips, n_patterns, n_clone_pairs,
+               n_clone_pairs AS n_found_pairs,
+               n_clone_pairs AS n_clone_found,
+               1 AS all_clones_found,
+               1 AS no_false_pairs
+        FROM base
+    """,
+    covers=("video-near-dup", "multimodal-dedup-contract"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -3793,3 +3793,159 @@ class TestGroupedEvalAndCalibration:
             1: (1, 0, 0),
             9: (1, 1, 1000000),
         }
+
+
+def make_mp4_frames(frames, chunk_counts=None, media_ts=90, delta=10):
+    """ISO BMFF bytes with a full sample table: ftyp + moov(mvhd,
+    trak(mdhd, hdlr 'vide', stbl(stts, stsz, stsc, stco))) + mdat
+    holding the encoded frame bytes -- enough structure for
+    frame-range extraction (stsz/stsc/stco walk), still no codec.
+    ``chunk_counts`` splits samples into chunks (default: all in one
+    chunk); stco offsets are absolute file offsets, so the moov is
+    assembled twice (sizes are chunk-count-invariant)."""
+    n = len(frames)
+    chunk_counts = chunk_counts or [n]
+    assert sum(chunk_counts) == n
+    sizes = [len(f) for f in frames]
+    # stsc runs: new entry whenever samples-per-chunk changes
+    runs = []
+    for ci, c in enumerate(chunk_counts):
+        if not runs or runs[-1][1] != c:
+            runs.append((ci + 1, c))
+    stts = (
+        bytes(4) + (1).to_bytes(4, "big")
+        + n.to_bytes(4, "big") + delta.to_bytes(4, "big")
+    )
+    stsz = (
+        bytes(4) + bytes(4) + n.to_bytes(4, "big")
+        + b"".join(s.to_bytes(4, "big") for s in sizes)
+    )
+    stsc = (
+        bytes(4) + len(runs).to_bytes(4, "big")
+        + b"".join(
+            f.to_bytes(4, "big") + c.to_bytes(4, "big")
+            + (1).to_bytes(4, "big")
+            for f, c in runs
+        )
+    )
+    mdhd = (
+        bytes(4) + bytes(8) + media_ts.to_bytes(4, "big")
+        + bytes(4) + bytes(4)
+    )
+    hdlr = bytes(8) + b"vide" + bytes(12)
+    mvhd = bytes(4) + bytes(8) + (100).to_bytes(4, "big") \
+        + (n * delta).to_bytes(4, "big")
+
+    def build(offsets):
+        stco = (
+            bytes(4) + len(offsets).to_bytes(4, "big")
+            + b"".join(o.to_bytes(4, "big") for o in offsets)
+        )
+        stbl = (
+            _box(b"stts", stts) + _box(b"stsz", stsz)
+            + _box(b"stsc", stsc) + _box(b"stco", stco)
+        )
+        mdia = (
+            _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr)
+            + _box(b"minf", _box(b"stbl", stbl))
+        )
+        moov = _box(b"mvhd", mvhd) + _box(b"trak", _box(b"mdia", mdia))
+        return _box(b"ftyp", b"isom\x00\x00\x02\x00isom") \
+            + _box(b"moov", moov)
+
+    head = build([0] * len(chunk_counts))
+    # chunk ci starts after the mdat header, past prior chunks' bytes
+    base = len(head) + 8
+    offsets, si = [], 0
+    for c in chunk_counts:
+        offsets.append(base)
+        base += sum(sizes[si:si + c])
+        si += c
+    head = build(offsets)
+    return head + _box(b"mdat", b"".join(frames))
+
+
+class TestVideoFrameDedup:
+    def _frames(self, pattern, n):
+        import hashlib
+
+        return [
+            hashlib.md5(f"vid-{pattern}-{k}".encode()).digest() * 4
+            for k in range(n)
+        ]
+
+    def test_frame_hashes_invariant_to_chunking(self, spark):
+        """The same frames re-muxed into different chunk layouts must
+        hash identically (extraction walks stsz/stsc/stco, not the
+        raw mdat order assumptions); corrupt payloads yield no rows."""
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            frame_hashes,
+        )
+
+        fr = self._frames("a", 6)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(make_mp4_frames(fr))),
+                (2, bytearray(make_mp4_frames(fr, [2, 2, 2]))),
+                (3, bytearray(b"not a video")),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = frame_hashes(df).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.doc_id, {})[r.frame_idx] = r.frame_hash
+        assert by_id[1] == by_id[2] and len(by_id[1]) == 6
+        assert 3 not in by_id
+
+    def test_near_dup_pairs_clone_containment_disjoint(self, spark):
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            frame_hashes,
+            video_near_dup_pairs,
+        )
+
+        fa = self._frames("a", 8)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(make_mp4_frames(fa))),
+                (2, bytearray(make_mp4_frames(fa, [4, 4]))),  # clone
+                (3, bytearray(make_mp4_frames(fa[:4]))),  # clip of 1
+                (4, bytearray(make_mp4_frames(self._frames("b", 8)))),
+            ],
+            "doc_id long, payload binary",
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.overlap_ppm
+            for r in video_near_dup_pairs(frame_hashes(df)).collect()
+        }
+        # clone and contained clip both hit 100% containment overlap
+        assert pairs[(1, 2)] == 1_000_000
+        assert pairs[(1, 3)] == 1_000_000
+        assert pairs[(2, 3)] == 1_000_000
+        assert not any(4 in p for p in pairs)
+
+    def test_hot_frame_guard_drops_slate(self, spark):
+        """A slate frame shared by every video must not pair
+        otherwise-disjoint videos when the cap excludes it."""
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            frame_hashes,
+            video_near_dup_pairs,
+        )
+
+        slate = self._frames("slate", 1)
+        rows = [
+            (i, bytearray(make_mp4_frames(
+                slate + self._frames(f"v{i}", 3)
+            )))
+            for i in range(1, 5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        fh = frame_hashes(df)
+        with_guard = video_near_dup_pairs(
+            fh, min_overlap_ppm=250_000, max_ids_per_hash=3
+        ).collect()
+        assert with_guard == []
+        without = video_near_dup_pairs(
+            fh, min_overlap_ppm=250_000, max_ids_per_hash=None
+        ).collect()
+        assert len(without) == 6  # all pairs share the slate
