@@ -639,3 +639,51 @@ class TestEvalPlans:
         below = plan[windows[0]:]
         assert re.search(r"HashAggregate.*keys=\[score", below), \
             plan[:3000]
+
+
+class TestBenchPlansNoCartesian:
+    def test_no_cartesian_in_any_bench_plan(self, spark):
+        """PLANS.md's headline claim, codified: ZERO cartesian
+        products across every statically-plannable bench query.
+        Static (pre-AQE) plans via explainString -- nothing executes.
+        (BNLJ against one-row broadcast constant relations is allowed
+        and audited separately; CartesianProduct is never.)"""
+        import os
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(
+                    __file__))),
+                "tools",
+            ),
+        )
+        from plan_audit import audit_plan
+
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.plans.registry import (
+            bench_queries,
+        )
+
+        mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        sf = "/root/testdata/sf0.001"
+        offenders, audited = [], 0
+        for name, fn in sorted(bench_queries().items()):
+            try:
+                df = fn(spark, sf)
+                plan = df._jdf.queryExecution().explainString(mode)
+            except Exception:
+                continue  # scenario queries needing side dirs
+            finally:
+                release_all()
+            audited += 1
+            if audit_plan(plan)["cartesian"]:
+                offenders.append(name)
+        assert not offenders, offenders
+        assert audited >= 40  # the audit actually covered the set
