@@ -991,23 +991,12 @@ register(QuerySpec(
 _VID_P = 400  # docs sharing doc_id % _VID_P get byte-identical MP4s
 
 
-def _video_near_dup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video leg of the dedup suite under the hash-a-guarantee
-    contract (text SimHash / audio fingerprint / image dHash / video
-    frame hashes -- all four modalities carry oracle rows):
-    deterministic MP4s synthesized from ``doc_id % _VID_P`` (six
-    md5-derived encoded frames behind a real stts/stsz/stsc/stco
-    sample table), byte-identical within a residue class. The
-    frame-hash inverted index finds every clone pair at containment
-    1e6 ppm, and distinct residues share no frame (md5 frames are
-    pairwise distinct), so the oracle states full clone recall and
-    zero false pairs from doc_id arithmetic alone."""
-    from ..operators.multimodal import frame_hashes, video_near_dup_pairs
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
+def video_payloads_fn(pid_mod: int):
+    """mapInPandas generator synthesizing deterministic MP4 payloads
+    from ``doc_id % pid_mod`` — shared by the contract query and the
+    10x scale smoke so their corpora are the same object. Output
+    schema: ``doc_id long, payload binary``."""
     import pandas as pd
-    from pyspark.sql import types as T_
 
     def _payloads(batches):
         import hashlib
@@ -1065,7 +1054,7 @@ def _video_near_dup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         cache: dict[int, bytes] = {}
         for pdf in batches:
-            pids = [int(d) % _VID_P for d in pdf["doc_id"]]
+            pids = [int(d) % pid_mod for d in pdf["doc_id"]]
             for p in pids:
                 if p not in cache:
                     cache[p] = mp4(p)
@@ -1074,12 +1063,27 @@ def _video_near_dup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "payload": [bytearray(cache[p]) for p in pids],
             })
 
+    return _payloads
+
+
+def _video_near_dup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg of the dedup suite under the hash-a-guarantee
+    contract (text SimHash / audio fingerprint / image dHash / video
+    frame hashes -- all four modalities carry oracle rows):
+    deterministic MP4s synthesized from ``doc_id % _VID_P`` (six
+    md5-derived encoded frames behind a real stts/stsz/stsc/stco
+    sample table), byte-identical within a residue class. The
+    frame-hash inverted index finds every clone pair at containment
+    1e6 ppm, and distinct residues share no frame (md5 frames are
+    pairwise distinct), so the oracle states full clone recall and
+    zero false pairs from doc_id arithmetic alone."""
+    from ..operators.multimodal import frame_hashes, video_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
     payloads = docs.mapInPandas(
-        _payloads,
-        T_.StructType([
-            T_.StructField("doc_id", T_.LongType()),
-            T_.StructField("payload", T_.BinaryType()),
-        ]),
+        video_payloads_fn(_VID_P),
+        "doc_id long, payload binary",
     )
     pairs = video_near_dup_pairs(
         frame_hashes(payloads), min_overlap_ppm=500_000
