@@ -1137,3 +1137,58 @@ register(QuerySpec(
     covers=("video-near-dup", "multimodal-dedup-contract"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- privacy / disclosure audit (operators/privacy.py) ------------------------
+#
+# k-anonymity + l-diversity over generalized quasi-identifiers, plus
+# the minimal-suppression release count -- the audit the reference
+# pipeline (reference ETL.py: unconditional RDBMS export) never runs.
+# Exactly two hash aggregates + a semi join; every output is BIGINT
+# (ppm by integer division), so the DuckDB twin is bit-exact.
+
+def _k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import k_anonymity_report, suppress_below_k
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    quasi = ["c_nationkey", "c_mktsegment", "bal_band"]
+    report = k_anonymity_report(
+        cust, quasi, k=5, sensitive_col="c_acctbal", l=3
+    )
+    released = suppress_below_k(cust, quasi, k=5).agg(
+        F.count(F.lit(1)).cast("long").alias("n_released")
+    )
+    # two one-row relations -- constant-size broadcast cross join
+    return report.crossJoin(released)
+
+
+def _k_anonymity_oracle() -> str:
+    from ..operators.privacy import k_anonymity_report_sql
+
+    inner = """SELECT c_nationkey, c_mktsegment,
+                      CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                      c_acctbal
+               FROM customer"""
+    report = k_anonymity_report_sql(
+        inner, ["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5, sensitive_col="c_acctbal", l=3,
+    )
+    # suppression deletes exactly the rows_below_k rows (same class
+    # sizes relation), so the release count folds into the report
+    return f"""
+        SELECT *, CAST(n_rows - rows_below_k AS BIGINT) AS n_released
+        FROM ({report})
+    """
+
+
+register(QuerySpec(
+    name="k_anonymity_customers",
+    spark_fn=_k_anonymity_customers,
+    oracle=_k_anonymity_oracle,
+    covers=("privacy-audit", "k-anonymity", "l-diversity",
+            "suppression-release"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -3949,3 +3949,56 @@ class TestVideoFrameDedup:
             fh, min_overlap_ppm=250_000, max_ids_per_hash=None
         ).collect()
         assert len(without) == 6  # all pairs share the slate
+
+
+class TestPrivacyAudit:
+    def _df(self, spark):
+        rows = [
+            # class (1, 'A'): 3 rows, sensitive {10, 10, 20} -> l=2
+            (1, "A", 10.0), (1, "A", 10.0), (1, "A", 20.0),
+            # class (1, NULL): 2 rows -- NULL is its own class
+            (1, None, 30.0), (1, None, 30.0),
+            # class (2, 'B'): 1 row -> below any k >= 2
+            (2, "B", 40.0),
+        ]
+        return spark.createDataFrame(rows, "nat int, seg string, bal double")
+
+    def test_report_counts_null_class_and_l_diversity(self, spark):
+        from etl_on_weather_dataset_spark.operators.privacy import (
+            k_anonymity_report,
+        )
+
+        row = k_anonymity_report(
+            self._df(spark), ["nat", "seg"], k=2,
+            sensitive_col="bal", l=2,
+        ).first()
+        assert row["n_rows"] == 6
+        assert row["n_classes"] == 3  # NULL seg forms its own class
+        assert row["min_class_size"] == 1
+        assert row["classes_below_k"] == 1
+        assert row["rows_below_k"] == 1
+        assert row["rows_below_k_ppm"] == 1_000_000 // 6
+        assert row["min_l_diversity"] == 1  # the NULL class: only 30.0
+        assert row["classes_below_l"] == 2  # (1,NULL) l=1 and (2,B) l=1
+
+    def test_suppression_keeps_null_classes(self, spark):
+        from etl_on_weather_dataset_spark.operators.privacy import (
+            suppress_below_k,
+        )
+
+        out = suppress_below_k(self._df(spark), ["nat", "seg"], k=2)
+        # (2,'B') suppressed; the NULL-seg class (size 2) must SURVIVE
+        # -- a plain equi-join would drop it (NULL != NULL)
+        assert out.count() == 5
+        assert out.filter(F.col("seg").isNull()).count() == 2
+
+    def test_suppression_matches_report_arithmetic(self, spark):
+        from etl_on_weather_dataset_spark.operators.privacy import (
+            k_anonymity_report,
+            suppress_below_k,
+        )
+
+        df = self._df(spark)
+        row = k_anonymity_report(df, ["nat", "seg"], k=3).first()
+        released = suppress_below_k(df, ["nat", "seg"], k=3).count()
+        assert released == row["n_rows"] - row["rows_below_k"]
