@@ -254,3 +254,96 @@ def cohort_retention_sql(
         )
         GROUP BY cohort, period_offset
     """
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    start_state: str | None = "__start__",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every consecutive (src -> dst) pair in each key's
+    timeline, the transition count and the row-normalized probability
+    as ppm (``p_ppm = n * 1e6 div src_total`` -- integer division,
+    the repo's engine-exact ratio form).
+
+    ``start_state`` (default ``"__start__"``) adds a virtual source
+    for each key's FIRST event, so the matrix doubles as the
+    next-event prior from a cold start; pass None to drop it.
+
+    Determinism: ordering ties on ``ts_col`` are broken by
+    ``tiebreak_col``, so both engines walk the identical sequence.
+
+    Scale shape: one window pass partitioned by key (single shuffle,
+    whale keys cost O(their events) but never an array
+    materialization), then a groupBy bounded by |states|^2 rows and a
+    window over that constant-size relation for row totals. No UDFs.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    seq = df.select(
+        F.lag(state_col).over(w).alias("src_raw"),
+        F.col(state_col).alias("dst"),
+    )
+    if start_state is None:
+        seq = seq.filter(F.col("src_raw").isNotNull())
+        src = F.col("src_raw")
+    else:
+        src = F.coalesce(F.col("src_raw"), F.lit(start_state))
+    counts = (
+        seq.select(src.alias("src"), "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    totals = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n_transitions",
+        F.sum("n_transitions").over(totals).cast("long")
+        .alias("src_total"),
+    ).select(
+        "src", "dst", "n_transitions", "src_total",
+        F.expr("n_transitions * 1000000 div src_total").alias("p_ppm"),
+    )
+
+
+def transition_matrix_sql(
+    table: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    start_state: str | None = "__start__",
+) -> str:
+    """DuckDB twin of :func:`transition_matrix` (same window + two
+    aggregates; BIGINT outputs, integer-division ppm)."""
+    if start_state is None:
+        src = "src_raw"
+        flt = "WHERE src_raw IS NOT NULL"
+    else:
+        src = f"COALESCE(src_raw, '{start_state}')"
+        flt = ""
+    return f"""
+        WITH seq AS (
+            SELECT LAG({state_col}) OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY {ts_col}, {tiebreak_col}) AS src_raw,
+                   {state_col} AS dst
+            FROM {table}
+        ),
+        counts AS (
+            SELECT {src} AS src, dst,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM seq {flt} GROUP BY 1, 2
+        )
+        SELECT src, dst, n_transitions,
+               CAST(SUM(n_transitions) OVER (PARTITION BY src)
+                    AS BIGINT) AS src_total,
+               n_transitions * 1000000
+                   // CAST(SUM(n_transitions) OVER (PARTITION BY src)
+                           AS BIGINT) AS p_ppm
+        FROM counts
+    """

@@ -1192,3 +1192,40 @@ register(QuerySpec(
             "suppression-release"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- Markov transition matrix (operators/funnel.py) ---------------------------
+#
+# First-order next-event model over per-user event sequences: the
+# behavioral fingerprint product analytics builds on top of
+# sessionization (and the prior a next-event recommender cold-starts
+# from). One window pass + a |states|^2-bounded aggregate.
+
+def _session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, key_col="user_id", ts_col="ts", state_col="event_type",
+        tiebreak_col="event_id",
+    ).orderBy("src", "dst")
+
+
+def _session_transitions_oracle() -> str:
+    from ..operators.funnel import transition_matrix_sql
+
+    inner = transition_matrix_sql(
+        "events", key_col="user_id", ts_col="ts",
+        state_col="event_type", tiebreak_col="event_id",
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY src, dst"
+
+
+register(QuerySpec(
+    name="session_transition_matrix",
+    spark_fn=_session_transitions,
+    oracle=_session_transitions_oracle,
+    covers=("markov-transitions", "next-event-model",
+            "sequence-analytics"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -102,7 +102,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # image_near_dup_contract, audio_near_dup_contract,
 # classifier_eval_auc, mrl_truncation_recall,
 # classifier_eval_by_source, score_calibration_bins,
-# video_near_dup_contract, k_anonymity_customers -- swap into
+# video_near_dup_contract, k_anonymity_customers,
+# session_transition_matrix -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to

@@ -4002,3 +4002,46 @@ class TestPrivacyAudit:
         row = k_anonymity_report(df, ["nat", "seg"], k=3).first()
         released = suppress_below_k(df, ["nat", "seg"], k=3).count()
         assert released == row["n_rows"] - row["rows_below_k"]
+
+
+class TestTransitionMatrix:
+    def test_counts_probabilities_and_start_state(self, spark):
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            transition_matrix,
+        )
+
+        rows = [
+            # user 1: A -> B -> B  (tie on ts broken by event_id)
+            (1, 1, 10, "A"), (2, 1, 20, "B"), (3, 1, 20, "B"),
+            # user 2: A -> C
+            (4, 2, 5, "A"), (5, 2, 6, "C"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts long, event_type string"
+        )
+        out = {
+            (r["src"], r["dst"]): (r["n_transitions"], r["src_total"],
+                                   r["p_ppm"])
+            for r in transition_matrix(
+                df, ts_col="ts", tiebreak_col="event_id"
+            ).collect()
+        }
+        assert out[("__start__", "A")] == (2, 2, 1_000_000)
+        assert out[("A", "B")] == (1, 2, 500_000)
+        assert out[("A", "C")] == (1, 2, 500_000)
+        assert out[("B", "B")] == (1, 1, 1_000_000)
+        assert len(out) == 4
+
+    def test_no_start_state_drops_first_events(self, spark):
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            transition_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, "A"), (2, 1, 2, "B")],
+            "event_id long, user_id long, ts long, event_type string",
+        )
+        out = transition_matrix(
+            df, ts_col="ts", start_state=None
+        ).collect()
+        assert [(r["src"], r["dst"]) for r in out] == [("A", "B")]
