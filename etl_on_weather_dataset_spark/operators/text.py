@@ -357,3 +357,57 @@ def shingle_fingerprint(text: Column | str) -> Column:
 def shingle_fingerprint_sql(col_sql: str) -> str:
     arr = f"regexp_split_to_array({col_sql}, ' +')"
     return f"md5(array_to_string(list_sort(list_distinct({arr})), ' '))"
+
+
+# --- HTML text extraction (C4-style) ------------------------------------------
+
+# Entity unescape order matters: '&amp;' must decode LAST or
+# '&amp;lt;' would double-decode -- the standard unescape discipline.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&#40;", "("), ("&#41;", ")"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_TAG_RE = r"<[^>]*>"
+
+
+def html_to_text(html: Column | str) -> Column:
+    """C4-style text extraction from an HTML column, pure codegen:
+
+    1. remove ``<script>``/``<style>`` elements WITH their contents
+       (non-greedy, case-insensitive, dotall -- RE2-portable inline
+       flags, no lookaround);
+    2. strip every remaining tag to a single space (block boundaries
+       must separate words, not concatenate them);
+    3. unescape the common entities (:data:`HTML_ENTITIES`, ``&amp;``
+       last);
+    4. collapse space runs and trim.
+
+    Visible text survives (including nav/footer boilerplate --
+    removing THAT is the job of the cross-doc boilerplate operator,
+    ``corpus.remove_boilerplate_lines``); script/style bodies never
+    reach the corpus. No UDFs: at 100 TB this runs inside
+    whole-stage codegen on the scan.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    c = F.regexp_replace(c, _SCRIPT_RE, " ")
+    c = F.regexp_replace(c, _STYLE_RE, " ")
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def html_to_text_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`html_to_text` (same four passes; 'g'
+    option because DuckDB's regexp_replace is first-match by
+    default, where Spark's is global)."""
+    expr = col_sql
+    for pat in (_SCRIPT_RE, _STYLE_RE, _TAG_RE):
+        expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        e = ent.replace("'", "''")
+        c = ch.replace("'", "''")
+        expr = f"replace({expr}, '{e}', '{c}')"
+    return f"trim(regexp_replace({expr}, ' +', ' ', 'g'))"

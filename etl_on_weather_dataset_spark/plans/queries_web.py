@@ -1,0 +1,194 @@
+"""Web-corpus curation tier: URL canonicalization/domain curation and
+HTML boilerplate-free text extraction.
+
+A crawl-derived LLM corpus is keyed by URL and arrives as HTML; the
+two queries here attest the two curation moves every such pipeline
+runs before any text operator sees a byte:
+
+- ``url_domain_curation``: canonical-URL dedup + registered-domain
+  stats + blocklist + deterministic per-domain page cap
+  (operators/urltools.py). URLs are SYNTHESIZED from ``doc_id``
+  arithmetic with identical `||`/CASE expressions in both engines, so
+  the oracle is an exact twin of the whole pipeline, not a guarantee
+  contract: scheme-case, default-port, fragment, tracking-param,
+  param-order and trailing-slash variants all collapse measurably.
+- ``html_extraction_contract``: C4-style text extraction -- drop
+  <script>/<style> with their contents, strip tags to spaces,
+  unescape entities, collapse whitespace -- run over HTML synthesized
+  around each document's text (title + nav boilerplate + entity-coded
+  glyphs + the text as <p> paragraphs). The synthesis is invertible,
+  so the contract pins EXACT recovery per doc (and zero script
+  leaks), attested by the same synth+extract twin in DuckDB.
+
+Both stay in whole-stage codegen end to end (string/array
+expressions; no UDFs); the per-domain stats groupBy is bounded by the
+site key space. The reference has no web surface (single Kaggle CSV,
+ETL.py:25-46); this tier is mandated by the BASELINE.json extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import html_to_text, html_to_text_sql
+from ..operators.urltools import (
+    domain_curation_stats,
+    domain_curation_stats_sql,
+)
+from ..schemas import load_table
+from .registry import QuerySpec, register
+
+# --- url_domain_curation -------------------------------------------------------
+
+# Synthesized URL: one expression string valid in BOTH dialects
+# (CASE / % / || / integer-to-string coercion agree). CONTENT
+# dimensions (subdomain, site, page, real query params) are coarse
+# residues; VARIANT dimensions (scheme case, default port, trailing
+# slash, tracking params, param order, fragment) are independent
+# fine residues -- so the same page arrives under many raw
+# spellings and the canonicalizer's collapse is MEASURED by the
+# n_urls vs n_canonical gap, not just asserted. The page's real
+# query params depend only on the page (content-consistent), so two
+# variants of one page always canonicalize identically.
+_URL_SYNTH = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE doc_id % 5 WHEN 0 THEN 'www.' WHEN 1 THEN 'news.'
+                        ELSE '' END)
+    || 'site' || (doc_id % 12)
+    || (CASE (doc_id % 12) % 5
+            WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+            WHEN 2 THEN '.co.uk' WHEN 3 THEN '.io'
+            ELSE '.com.au' END)
+    || (CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+    || '/articles/item-' || (doc_id % 7)
+    || (CASE WHEN doc_id % 8 >= 4 THEN '/' ELSE '' END)
+    || (CASE (doc_id % 7) % 3
+            WHEN 0 THEN (CASE WHEN doc_id % 16 < 8 THEN ''
+                              ELSE '?utm_source=feed' END)
+            WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2'
+                              ELSE '?b=2&a=1&utm_campaign=x' END)
+            ELSE '?id=' || (doc_id % 7) ||
+                 (CASE WHEN doc_id % 16 = 3 THEN '&fbclid=abc123'
+                       ELSE '' END) END)
+    || (CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END)
+"""
+
+_BLOCKLIST = ("site3.io", "site5.com", "site4.com.au")
+_DOMAIN_CAP = 4
+
+
+def _url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH).alias("url")
+    )
+    return domain_curation_stats(
+        docs, url_col="url", blocklist=_BLOCKLIST, cap=_DOMAIN_CAP
+    ).orderBy("domain")
+
+
+def _url_domain_curation_oracle() -> str:
+    inner = domain_curation_stats_sql(
+        f"(SELECT doc_id, {_URL_SYNTH} AS url FROM documents)",
+        url_sql="url", blocklist=_BLOCKLIST, cap=_DOMAIN_CAP,
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY domain"
+
+
+register(QuerySpec(
+    name="url_domain_curation",
+    spark_fn=_url_domain_curation,
+    oracle=_url_domain_curation_oracle,
+    covers=("url-canonicalization", "registered-domain",
+            "per-domain-cap", "blocklist-filter", "web-dedup-key"),
+    extended=True,  # round-7 rotation (registry.py)
+))
+
+# --- html_extraction_contract ---------------------------------------------------
+
+# HTML synthesized around each doc's text. Invertible by design:
+# after script/style removal, tag->space stripping, entity unescape
+# and whitespace collapse, the extracted text is EXACTLY
+#   'Doc <id> Home | News & Views Doc <id> <text> (c) example'
+# while the script/style bodies ('var leak_x', 'color: red') must
+# vanish entirely.
+_HTML_SYNTH = """
+    '<html><head><title>Doc ' || doc_id || '</title>'
+    || '<script type="text/javascript">var leak_x = 1 && 2;</script>'
+    || '<style>p { color: red; }</style></head>'
+    || '<body><div class="nav"><a href="/home">Home</a> | '
+    || '<span>News &amp; Views</span></div>'
+    || '<h1>Doc ' || doc_id || '</h1>'
+    || '<p>' || replace(text, ' ', '</p><p>') || '</p>'
+    || '<footer>&#40;c&#41; example</footer></body></html>'
+"""
+
+_HTML_EXPECTED = (
+    "'Doc ' || doc_id || ' Home | News & Views Doc ' || doc_id"
+    " || ' ' || text || ' (c) example'"
+)
+
+
+def _html_extraction_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.expr(_HTML_SYNTH).alias("html")
+    )
+    ext = docs.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_html_chars"),
+        html_to_text("html").alias("extracted"),
+        F.expr(_HTML_EXPECTED).alias("expected"),
+    )
+    return ext.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("extracted") == F.col("expected")).cast("int"))
+        .cast("long").alias("n_exact_recovered"),
+        F.sum(F.col("extracted").contains("leak_x").cast("int"))
+        .cast("long").alias("n_script_leaks"),
+        F.sum(F.col("extracted").contains("color: red").cast("int"))
+        .cast("long").alias("n_style_leaks"),
+        F.sum("n_html_chars").cast("long").alias("total_html_chars"),
+        F.sum(F.length("extracted")).cast("long")
+        .alias("total_text_chars"),
+    )
+
+
+def _html_extraction_oracle() -> str:
+    extracted = html_to_text_sql("html")
+    return f"""
+        WITH synth AS (
+            SELECT doc_id, text, {_HTML_SYNTH} AS html FROM documents
+        ), ext AS (
+            SELECT doc_id,
+                   CAST(length(html) AS BIGINT) AS n_html_chars,
+                   {extracted} AS extracted,
+                   {_HTML_EXPECTED} AS expected
+            FROM synth
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN extracted = expected
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_recovered,
+               CAST(SUM(CASE WHEN contains(extracted, 'leak_x')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_script_leaks,
+               CAST(SUM(CASE WHEN contains(extracted, 'color: red')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_style_leaks,
+               CAST(SUM(n_html_chars) AS BIGINT) AS total_html_chars,
+               CAST(SUM(length(extracted)) AS BIGINT)
+                   AS total_text_chars
+        FROM ext
+    """
+
+
+register(QuerySpec(
+    name="html_extraction_contract",
+    spark_fn=_html_extraction_contract,
+    oracle=_html_extraction_oracle,
+    covers=("html-text-extraction", "boilerplate-tag-strip",
+            "entity-unescape", "c4-style-extraction"),
+    extended=True,  # round-7 rotation (registry.py)
+))

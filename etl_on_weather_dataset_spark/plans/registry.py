@@ -103,7 +103,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # classifier_eval_auc, mrl_truncation_recall,
 # classifier_eval_by_source, score_calibration_bins,
 # video_near_dup_contract, k_anonymity_customers,
-# session_transition_matrix -- swap into
+# session_transition_matrix, url_domain_curation,
+# html_extraction_contract -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to
@@ -188,6 +189,7 @@ def _load_all() -> None:
         queries_extra,
         queries_pipeline,
         queries_analytics,  # round-6 tier: sketches, skew, range join
+        queries_web,  # round-6 tier: URL curation, HTML extraction
         queries_tpch_deep,  # extended-only: registered after the window
         queries_graph,  # extended-only
     )

@@ -1,0 +1,204 @@
+"""Unit tests for the web-curation tier (operators/urltools.py,
+text.html_to_text): edge-case parity between the Spark expression and
+its DuckDB twin, plus the codegen-only (no Python UDF) plan shape.
+
+The end-to-end queries (url_domain_curation,
+html_extraction_contract) are covered by the parametrized
+oracle-parity suite; these tests pin the per-URL edge cases a
+corpus-level aggregate could mask.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_on_weather_dataset_spark.operators.text import (
+    html_to_text,
+    html_to_text_sql,
+)
+from etl_on_weather_dataset_spark.operators.urltools import (
+    canonical_url,
+    canonical_url_sql,
+    registered_domain,
+    registered_domain_sql,
+    url_host,
+    url_host_sql,
+)
+
+EDGE_URLS = [
+    # scheme/host case + default port
+    "HTTPS://WWW.Example.COM:443/Path/To/Page",
+    "https://www.example.com/Path/To/Page",
+    # explicit non-default port survives
+    "https://example.com:8080/x",
+    "http://example.com:80/x",
+    "http://example.com:8080/x",
+    # no path at all -> '/'
+    "https://example.com",
+    "https://example.com/",
+    # trailing slashes collapse
+    "https://example.com/a/b///",
+    # fragment dropped, tracking stripped, params sorted
+    "https://e.com/p?utm_source=x&b=2&a=1#frag",
+    "https://e.com/p?a=1&b=2",
+    "https://e.com/p?fbclid=zzz&gclid=yyy&ref=home",
+    # query only, no path
+    "https://e.com?a=1",
+    # empty query string
+    "https://e.com/p?",
+    # param that merely STARTS like a tracker must need the full
+    # prefix: 'utm_x=1' is stripped (prefix utm_), 'utmost=1' is not
+    "https://e.com/p?utmost=1&utm_x=1",
+    # multi-label host under a two-level public suffix
+    "https://news.bbc.co.uk/story",
+    "https://a.b.c.site7.com.au/x?z=9&y=8",
+    # bare single-label host
+    "http://localhost/x",
+]
+
+
+def _duck_eval(expr_sql: str, urls: list[str]) -> list:
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}')" for u in urls)
+    out = con.execute(
+        f"SELECT {expr_sql} FROM (VALUES {vals}) AS t(u) ORDER BY u"
+    ).fetchall()
+    con.close()
+    return [r[0] for r in out]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(
+        [(u,) for u in EDGE_URLS], ["u"]
+    ).orderBy("u")
+
+
+def test_canonical_url_matches_duckdb_twin(spark, url_df):
+    got = [r[0] for r in url_df.select(canonical_url("u")).collect()]
+    want = _duck_eval(canonical_url_sql("u"), EDGE_URLS)
+    assert got == want
+
+
+def test_url_host_and_registered_domain_match_twin(spark, url_df):
+    got = [
+        tuple(r)
+        for r in url_df.select(
+            url_host("u").alias("h"),
+            registered_domain(url_host("u")).alias("d"),
+        ).collect()
+    ]
+    want_h = _duck_eval(url_host_sql("u"), EDGE_URLS)
+    want_d = _duck_eval(
+        registered_domain_sql(url_host_sql("u")), EDGE_URLS
+    )
+    assert got == list(zip(want_h, want_d))
+
+
+def test_canonical_url_semantics(spark):
+    rows = dict(
+        spark.createDataFrame([(u,) for u in EDGE_URLS], ["u"])
+        .select("u", canonical_url("u").alias("c"))
+        .collect()
+    )
+    # case + default-port variants collapse
+    assert rows["HTTPS://WWW.Example.COM:443/Path/To/Page"] == \
+        rows["https://www.example.com/Path/To/Page"]
+    # path case is PRESERVED (only scheme/host lowercase)
+    assert rows["https://www.example.com/Path/To/Page"].endswith(
+        "/Path/To/Page")
+    # non-default port survives; scheme-default dropped
+    assert rows["https://example.com:8080/x"] == \
+        "https://example.com:8080/x"
+    assert rows["http://example.com:80/x"] == "http://example.com/x"
+    assert rows["http://example.com:8080/x"] == \
+        "http://example.com:8080/x"
+    # empty path -> '/'; trailing slashes collapse
+    assert rows["https://example.com"] == "https://example.com/"
+    assert rows["https://example.com/"] == "https://example.com/"
+    assert rows["https://example.com/a/b///"] == \
+        "https://example.com/a/b"
+    # tracking stripped + sorted + fragment dropped
+    assert rows["https://e.com/p?utm_source=x&b=2&a=1#frag"] == \
+        "https://e.com/p?a=1&b=2"
+    assert rows["https://e.com/p?utm_source=x&b=2&a=1#frag"] == \
+        rows["https://e.com/p?a=1&b=2"]
+    # all-tracker query vanishes entirely
+    assert rows["https://e.com/p?fbclid=zzz&gclid=yyy&ref=home"] == \
+        "https://e.com/p"
+    # prefix discipline: utm_x stripped, utmost kept
+    assert rows["https://e.com/p?utmost=1&utm_x=1"] == \
+        "https://e.com/p?utmost=1"
+
+
+def test_registered_domain_semantics(spark):
+    hosts = ["news.bbc.co.uk", "a.b.c.site7.com.au", "www.example.com",
+             "example.com", "localhost", "co.uk"]
+    got = dict(
+        spark.createDataFrame([(h,) for h in hosts], ["h"])
+        .select("h", registered_domain("h").alias("d"))
+        .collect()
+    )
+    assert got["news.bbc.co.uk"] == "bbc.co.uk"
+    assert got["a.b.c.site7.com.au"] == "site7.com.au"
+    assert got["www.example.com"] == "example.com"
+    assert got["example.com"] == "example.com"
+    assert got["localhost"] == "localhost"
+    # a bare two-level public suffix has no registrable label; the
+    # heuristic returns the 2-label tail unchanged
+    assert got["co.uk"] == "co.uk"
+
+
+HTML_CASES = [
+    # script/style bodies vanish; tags become spaces; entities decode
+    ('<html><script>var x = "a<b";</script><style>p{}</style>'
+     "<body><h1>T</h1><p>a</p><p>b</p></body></html>", "T a b"),
+    # case-insensitive script tag, attributes, multiline body
+    ('<SCRIPT type="x">\nline1\nline2\n</SCRIPT>ok', "ok"),
+    # entity decode order: &amp;lt; -> '&lt;' (NOT '<')
+    ("x &amp;lt; y", "x &lt; y"),
+    ("1 &lt; 2 &amp;&amp; 3 &gt; 2", "1 < 2 && 3 > 2"),
+    ("a&nbsp;b", "a b"),
+    # tag-to-space keeps word boundaries
+    ("<p>one</p><p>two</p>", "one two"),
+    # no html at all passes through
+    ("plain text", "plain text"),
+]
+
+
+def test_html_to_text_cases_and_twin(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HTML_CASES)], ["i", "h"]
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text("h").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(HTML_CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+    con = duckdb.connect()
+    for i, (h, want) in enumerate(HTML_CASES):
+        lit = "'" + h.replace("'", "''") + "'"
+        out = con.execute(
+            "SELECT " + html_to_text_sql(lit)
+        ).fetchone()[0]
+        assert out == want, f"duck case {i}: {out!r} != {want!r}"
+    con.close()
+
+
+def test_web_tier_is_pure_codegen(spark):
+    """Neither operator family may fall off the codegen path into a
+    Python UDF -- at 100 TB these run on every scanned row."""
+    from etl_on_weather_dataset_spark.plans.queries_web import (
+        _html_extraction_contract,
+        _url_domain_curation,
+    )
+
+    for fn in (_url_domain_curation, _html_extraction_contract):
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "mapInPandas" not in plan.lower()
