@@ -348,3 +348,149 @@ def calibration_bins_sql(
                n_pos * {PPM} // n_rows AS pos_rate_ppm
         FROM binned ORDER BY bin
     """
+
+
+# --- ranking metrics (MRR / NDCG@k) --------------------------------------------
+#
+# The eval leg of the RETRIEVAL tier (operators/retrieval.py BM25/RRF,
+# operators/similarity.py ANN): given per-query ranked candidates with
+# binary relevance, score the ranking itself. Exact-integer
+# discipline: the per-rank discount 1/log2(r+1) is snapped to
+# MICRO-units at codegen time (python round() bakes LITERALS into the
+# plan -- no libm crosses an engine boundary at runtime), so DCG sums,
+# MRR reciprocals and every ratio are BIGINT arithmetic that two
+# engines cannot disagree on.
+
+
+def _dcg_weights_micro(k: int) -> list[int]:
+    """round(1e6 / log2(r+1)) for r = 1..k -- plan-time constants."""
+    import math
+
+    return [round(PPM / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def _weight_case(k: int, rank_sql: str) -> str:
+    """Shared-dialect CASE mapping rank -> micro discount weight."""
+    whens = " ".join(
+        f"WHEN {r} THEN {w}"
+        for r, w in enumerate(_dcg_weights_micro(k), start=1)
+    )
+    return f"(CASE {rank_sql} {whens} ELSE 0 END)"
+
+
+def _idcg_case(k: int, m_sql: str) -> str:
+    """Shared-dialect CASE mapping #relevant (capped at k) -> ideal
+    DCG in micro-units (prefix sums of the weight table)."""
+    acc, whens = 0, []
+    for r, w in enumerate(_dcg_weights_micro(k), start=1):
+        acc += w
+        whens.append(f"WHEN {r} THEN {acc}")
+    return f"(CASE {m_sql} {' '.join(whens)} ELSE 0 END)"
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rk",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """One-row ranking report over per-query ranked candidates.
+
+    Input: one row per (query, candidate) with a 1-based ``rank_col``
+    and binary ``rel_col``. Candidates ranked beyond ``k`` are
+    ignored (the serving cutoff). Output columns (all exact ints):
+
+    - ``n_queries``, ``n_with_rel`` (queries with >= 1 relevant in
+      the top k);
+    - ``hits_at_1`` (first candidate relevant);
+    - ``mrr_ppm``: mean reciprocal rank of the first relevant
+      candidate, micro-scaled then integer-div by n_queries;
+    - ``mean_ndcg_ppm``: per-query NDCG@k (micro DCG over the snapped
+      discount table, ideal DCG from the prefix-sum CASE over
+      min(#relevant, k)), ppm-scaled, integer-div by n_queries.
+
+    Scale shape: one filter + one groupBy(query) with map-side
+    combine + one global one-row aggregate; the discount tables are
+    plan constants. Queries with zero relevant candidates contribute
+    0 to both means (the standard convention), keeping the means
+    comparable across corpora with different label coverage.
+    """
+    topk = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("q"),
+        F.col(rank_col).cast("long").alias("rk"),
+        F.col(rel_col).cast("long").alias("rel"),
+    )
+    per_q = topk.groupBy("q").agg(
+        F.sum(F.expr(_weight_case(k, "rk")) * F.col("rel"))
+        .cast("long").alias("dcg_micro"),
+        F.least(F.sum("rel"), F.lit(k)).cast("long").alias("m"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+    ).select(
+        "dcg_micro",
+        F.expr(_idcg_case(k, "m")).cast("long").alias("idcg_micro"),
+        F.coalesce(
+            F.expr(f"{PPM} div first_rel"), F.lit(0)
+        ).cast("long").alias("rr_micro"),
+        (F.col("first_rel") == 1).cast("long").alias("hit1"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((F.col("idcg_micro") > 0).cast("long")).cast("long")
+        .alias("n_with_rel"),
+        F.coalesce(F.sum("hit1"), F.lit(0)).cast("long")
+        .alias("hits_at_1"),
+        F.expr(f"coalesce(sum(rr_micro), 0) div count(1)")
+        .cast("long").alias("mrr_ppm"),
+        F.expr(
+            f"coalesce(sum(CASE WHEN idcg_micro > 0 THEN "
+            f"dcg_micro * {PPM} div idcg_micro ELSE 0 END), 0) "
+            f"div count(1)"
+        ).cast("long").alias("mean_ndcg_ppm"),
+    )
+
+
+def ranking_metrics_sql(
+    ranked_sql: str,
+    query_col: str = "query_id",
+    rank_col: str = "rk",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ranking_metrics` (identical literal
+    discount tables; every SUM cast to BIGINT -- DuckDB SUM(BIGINT)
+    promotes to HUGEINT, which the driver hash rejects)."""
+    return f"""
+        WITH topk AS (
+            SELECT {query_col} AS q,
+                   CAST({rank_col} AS BIGINT) AS rk,
+                   CAST({rel_col} AS BIGINT) AS rel
+            FROM ({ranked_sql})
+            WHERE {rank_col} <= {k}
+        ), per_q AS (
+            SELECT q,
+                   CAST(SUM({_weight_case(k, 'rk')} * rel) AS BIGINT)
+                       AS dcg_micro,
+                   CAST(LEAST(SUM(rel), {k}) AS BIGINT) AS m,
+                   MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel
+            FROM topk GROUP BY q
+        ), scored AS (
+            SELECT dcg_micro,
+                   CAST({_idcg_case(k, 'm')} AS BIGINT) AS idcg_micro,
+                   CAST(COALESCE({PPM} // first_rel, 0) AS BIGINT)
+                       AS rr_micro,
+                   CASE WHEN first_rel = 1 THEN 1 ELSE 0 END AS hit1
+            FROM per_q
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN idcg_micro > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_rel,
+               CAST(COALESCE(SUM(hit1), 0) AS BIGINT) AS hits_at_1,
+               CAST(COALESCE(SUM(rr_micro), 0) AS BIGINT)
+                   // COUNT(*) AS mrr_ppm,
+               CAST(COALESCE(SUM(CASE WHEN idcg_micro > 0 THEN
+                        dcg_micro * {PPM} // idcg_micro
+                        ELSE 0 END), 0) AS BIGINT)
+                   // COUNT(*) AS mean_ndcg_ppm
+        FROM scored
+    """

@@ -1518,3 +1518,70 @@ register(QuerySpec(
     covers=("mrl-truncation", "similarity-eval"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- retrieval ranking metrics (MRR / NDCG@10) ---------------------------------
+#
+# The ranking-eval leg (operators/evaluate.py ranking_metrics) over a
+# live retrieval arm: exact cosine top-10 per query, relevance = the
+# neighbor shares the query's class label. Unlike the recall curves
+# (which compare two retrieval arms), this scores ONE arm against
+# labeled ground truth -- the number a serving index is actually
+# tuned on. Discount tables are plan-time micro literals, so both
+# engines run pure BIGINT arithmetic.
+
+_RANK_K = 10
+_RANK_QF = "id % 25 = 0"  # every 25th vector queries the corpus
+
+
+def _retrieval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import ranking_metrics
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    topk = cosine_topk(queries, emb, k=_RANK_K)
+    labels = emb.select("vec_id", "label")
+    ranked = (
+        topk
+        .join(labels.withColumnRenamed("vec_id", "query_id")
+              .withColumnRenamed("label", "q_label"), "query_id")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+              .withColumnRenamed("label", "n_label"), "neighbor_id")
+        .select(
+            "query_id", "rk",
+            (F.col("q_label") == F.col("n_label")).cast("int")
+            .alias("rel"),
+        )
+    )
+    return ranking_metrics(
+        ranked, query_col="query_id", rank_col="rk", rel_col="rel",
+        k=_RANK_K,
+    )
+
+
+def _retrieval_ranking_oracle() -> str:
+    from ..operators.evaluate import ranking_metrics_sql
+    from ..operators.similarity import cosine_topk_sql
+
+    ann = cosine_topk_sql(k=_RANK_K, query_filter=_RANK_QF)
+    ranked = f"""
+        SELECT t.query_id, t.rk,
+               CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+        FROM ({ann}) t
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+        JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+    """
+    return ranking_metrics_sql(
+        ranked, query_col="query_id", rank_col="rk", rel_col="rel",
+        k=_RANK_K,
+    )
+
+
+register(QuerySpec(
+    name="retrieval_ranking_metrics",
+    spark_fn=_retrieval_ranking,
+    oracle=_retrieval_ranking_oracle,
+    covers=("ranking-eval", "mrr", "ndcg", "retrieval-eval"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -4045,3 +4045,75 @@ class TestTransitionMatrix:
             df, ts_col="ts", start_state=None
         ).collect()
         assert [(r["src"], r["dst"]) for r in out] == [("A", "B")]
+
+
+class TestRankingMetrics:
+    """operators/evaluate.py ranking_metrics: hand-computed MRR/NDCG
+    ground truths over tiny ranked lists (discount table = plan-time
+    micro literals, so expected values are exact integers)."""
+
+    def _run(self, spark, rows, k=3):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ranking_metrics,
+        )
+
+        df = spark.createDataFrame(rows, "query_id long, rk long, rel int")
+        return ranking_metrics(df, k=k).collect()[0]
+
+    def test_perfect_ranking(self, spark):
+        # one query, all top-3 relevant -> NDCG 1, RR 1
+        r = self._run(spark, [(1, 1, 1), (1, 2, 1), (1, 3, 1)])
+        assert (r.n_queries, r.n_with_rel, r.hits_at_1) == (1, 1, 1)
+        assert r.mrr_ppm == 1_000_000
+        assert r.mean_ndcg_ppm == 1_000_000
+
+    def test_single_relevant_at_rank_two(self, spark):
+        # weights (k=3): w1=1000000, w2=630930, w3=500000
+        # dcg = w2; idcg (1 relevant) = w1 -> ndcg = 630930 ppm
+        r = self._run(spark, [(1, 1, 0), (1, 2, 1), (1, 3, 0)])
+        assert r.hits_at_1 == 0
+        assert r.mrr_ppm == 500_000          # 1/2
+        assert r.mean_ndcg_ppm == 630_930    # w2 / w1
+
+    def test_no_relevant_counts_as_zero(self, spark):
+        # q1 perfect, q2 empty of relevance -> means halve
+        rows = [(1, 1, 1), (1, 2, 0), (1, 3, 0),
+                (2, 1, 0), (2, 2, 0), (2, 3, 0)]
+        r = self._run(spark, rows)
+        assert (r.n_queries, r.n_with_rel) == (2, 1)
+        assert r.mrr_ppm == 500_000
+        assert r.mean_ndcg_ppm == 500_000
+
+    def test_beyond_k_ignored(self, spark):
+        # relevant only at rank 4 with k=3 -> contributes nothing
+        rows = [(1, 1, 0), (1, 2, 0), (1, 3, 0), (1, 4, 1)]
+        r = self._run(spark, rows)
+        assert (r.mrr_ppm, r.mean_ndcg_ppm, r.n_with_rel) == (0, 0, 0)
+
+    def test_idcg_caps_at_k(self, spark):
+        # 2 relevant of 3 shown at ranks 1,3: dcg = w1 + w3,
+        # idcg(m=2) = w1 + w2 -> ndcg = (1500000*1e6)//1630930
+        r = self._run(spark, [(1, 1, 1), (1, 2, 0), (1, 3, 1)])
+        assert r.mean_ndcg_ppm == (1_500_000 * 1_000_000) // 1_630_930
+
+    def test_matches_duckdb_twin_on_edge_rows(self, spark):
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ranking_metrics,
+            ranking_metrics_sql,
+        )
+
+        rows = [(q, r, int((q * r) % 3 == 0))
+                for q in range(1, 8) for r in range(1, 6)]
+        df = spark.createDataFrame(rows, "query_id long, rk long, rel int")
+        got = ranking_metrics(df, k=4).collect()[0].asDict()
+        con = duckdb.connect()
+        vals = ", ".join(f"({q}, {r}, {v})" for q, r, v in rows)
+        inner = (f"SELECT * FROM (VALUES {vals}) "
+                 "AS t(query_id, rk, rel)")
+        want = con.execute(
+            ranking_metrics_sql(inner, k=4)
+        ).df().iloc[0].to_dict()
+        con.close()
+        assert got == {k2: int(v) for k2, v in want.items()}
