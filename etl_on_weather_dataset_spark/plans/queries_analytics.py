@@ -1229,3 +1229,41 @@ register(QuerySpec(
             "sequence-analytics"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- inference batch packing audit ----------------------------------------------
+#
+# The serving-side sibling of pack_sequences: deterministic
+# length-bucketed inference batches vs naive arrival-order batching,
+# with the exact padded-slot saving (operators/batching.py). The
+# driver hash pins the full assignment indirectly: pad counts change
+# if ANY doc lands in a different batch.
+
+
+def _inference_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.batching import batching_waste_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return batching_waste_audit(
+        docs, id_col="doc_id", text_col="text",
+        batch_size=8, bucket_width=16, shards=4,
+    )
+
+
+def _inference_batch_audit_oracle() -> str:
+    from ..operators.batching import batching_waste_audit_sql
+
+    return batching_waste_audit_sql(
+        "documents", id_col="doc_id", text_col="text",
+        batch_size=8, bucket_width=16, shards=4,
+    )
+
+
+register(QuerySpec(
+    name="inference_batch_packing",
+    spark_fn=_inference_batch_audit,
+    oracle=_inference_batch_audit_oracle,
+    covers=("inference-batching", "padding-waste",
+            "length-bucketing"),
+    extended=True,  # round-7 rotation (registry.py)
+))

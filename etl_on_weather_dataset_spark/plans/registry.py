@@ -104,7 +104,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # classifier_eval_by_source, score_calibration_bins,
 # video_near_dup_contract, k_anonymity_customers,
 # session_transition_matrix, url_domain_curation,
-# html_extraction_contract, retrieval_ranking_metrics -- swap into
+# html_extraction_contract, retrieval_ranking_metrics,
+# inference_batch_packing -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to

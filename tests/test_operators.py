@@ -4117,3 +4117,57 @@ class TestRankingMetrics:
         ).df().iloc[0].to_dict()
         con.close()
         assert got == {k2: int(v) for k2, v in want.items()}
+
+
+class TestInferenceBatching:
+    """operators/batching.py: deterministic length-bucketed batches
+    + padding-waste audit (serving-side sibling of pack_sequences)."""
+
+    def _docs(self, spark, n=60):
+        rows = [(i, " ".join(["w"] * (1 + (i * 7) % 40))) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_assignment_is_partitioning_invariant(self, spark):
+        from etl_on_weather_dataset_spark.operators.batching import (
+            length_bucketed_batches,
+        )
+
+        docs = self._docs(spark)
+        a = length_bucketed_batches(docs).orderBy("id").collect()
+        b = length_bucketed_batches(docs.repartition(13)) \
+            .orderBy("id").collect()
+        assert a == b
+
+    def test_batch_size_respected_and_pad_consistent(self, spark):
+        from etl_on_weather_dataset_spark.operators.batching import (
+            length_bucketed_batches,
+        )
+
+        rows = length_bucketed_batches(
+            self._docs(spark), batch_size=4
+        ).collect()
+        from collections import defaultdict
+        batches = defaultdict(list)
+        for r in rows:
+            batches[(r.shard, r.bucket, r.batch_idx)].append(r)
+        for members in batches.values():
+            assert len(members) <= 4
+            mx = max(m.n_tokens for m in members)
+            for m in members:
+                assert m.batch_max == mx
+                assert m.pad == mx - m.n_tokens
+                # length bucketing: same 16-token bucket
+                assert m.bucket == m.n_tokens // 16
+
+    def test_bucketing_never_pads_worse_than_naive(self, spark):
+        from etl_on_weather_dataset_spark.operators.batching import (
+            batching_waste_audit,
+        )
+
+        r = batching_waste_audit(self._docs(spark)).collect()[0]
+        assert r.n_docs == 60
+        assert r.pad_bucketed <= r.pad_naive
+        assert 0 <= r.pad_saving_ppm <= 1_000_000
+        # bucketed batches pad within a 16-wide length band, so each
+        # doc pads < 16 slots
+        assert r.pad_bucketed < 16 * r.n_docs
