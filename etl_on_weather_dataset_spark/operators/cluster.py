@@ -315,3 +315,199 @@ def kmeans_sql(
                     AS BIGINT) AS inertia_micro
         FROM afinal GROUP BY cluster
     """
+
+
+# --- class prototypes (label centroids + margin audit) -------------------------
+#
+# Nearest-class-mean diagnostics over a labeled embedding table: the
+# audit an embedding-based curation pipeline reads before trusting a
+# label column (noisy labels show up as collapsed inter-class
+# margins) and the init a prototype classifier serves from. Unlike
+# kmeans above (IEEE distances snapped per-expression), prototypes
+# stay in PURE INTEGER space end to end: components are micro-snapped
+# once on entry, centroids divide with Spark `div` / DuckDB `//`
+# (both truncate toward zero -- verified on negative sums), and every
+# distance is a sum of integer squares -- associative, so partial
+# aggregation cannot diverge from a sequential oracle by
+# construction.
+
+
+def _exact_div_micro(c) -> "F.Column":
+    """Integer floor-divide a NON-NEGATIVE long column by 1e6 without
+    ever trusting a double quotient's rounding: subtract the modulus
+    first, so the `/` is exact (numerator divisible, result < 2^53)
+    and the cast cannot flip a floor boundary. Matches DuckDB's
+    integer `// 1000000` bit-for-bit."""
+    return ((c - c % F.lit(MICRO)) / F.lit(MICRO)).cast("long")
+
+
+def label_prototypes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label prototype audit (one row per label, sorted):
+
+    - ``n_vecs``: class size;
+    - ``intra_mean_sqdist_micro``: mean squared distance of members
+      to their own class centroid (micro^2 scaled down by 1e6 per
+      vector BEFORE summing, so the corpus-wide sum stays far from
+      BIGINT range at any scale);
+    - ``nearest_label`` / ``inter_sqdist_micro``: the closest other
+      class centroid and its (same-scaled) squared distance --
+      deterministic (distance, label) tie-break;
+    - ``margin_ppm``: inter/(intra+1) ratio in ppm -- the
+      separability number; < 1e6 means the nearest foreign prototype
+      sits inside the class's own scatter.
+
+    Scale shape: one (label, dim)-keyed partial-sum shuffle (explode
+    is map-side; keys are constant-width), centroids are a
+    |labels|-row relation broadcast back for the intra pass, and the
+    pairwise margin table is |labels|^2 driver-free arithmetic.
+    """
+    snapped = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.transform(
+            _as_double(vec_col),
+            lambda x: F.round(x * MICRO).cast("long"),
+        ).alias("v"),
+    )
+    comp = (
+        snapped.select(
+            "label", F.posexplode("v").alias("pos", "c")
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label", "pos", "n",
+            # Spark `div` and DuckDB `//` BOTH truncate toward zero
+            # (verified on negative operands), so the centroid
+            # components agree exactly even where sums are negative.
+            F.expr("s div n").cast("long").alias("cc"),
+        )
+    )
+    cents = comp.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cc"))),
+            lambda st: st.cc,
+        ).alias("cent"),
+    )
+    sq_sum = F.aggregate(
+        F.zip_with("v", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    intra = (
+        snapped.join(F.broadcast(cents.select("label", "cent")), "label")
+        .select("label", _exact_div_micro(sq_sum).alias("d"))
+        .groupBy("label")
+        .agg(F.expr("sum(d) div count(1)").cast("long")
+             .alias("intra_mean_sqdist_micro"))
+    )
+    pairs = (
+        cents.select(F.col("label").alias("la"), F.col("cent").alias("ca"))
+        .join(cents.select(F.col("label").alias("lb"),
+                           F.col("cent").alias("cb")),
+              F.col("la") != F.col("lb"))
+        .select(
+            "la", "lb",
+            _exact_div_micro(F.aggregate(
+                F.zip_with("ca", "cb", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )).alias("d"),
+        )
+    )
+    nearest = (
+        pairs.groupBy("la")
+        .agg(F.min(F.struct("d", "lb")).alias("m"))
+        .select(
+            F.col("la").alias("label"),
+            F.col("m.lb").alias("nearest_label"),
+            F.col("m.d").alias("inter_sqdist_micro"),
+        )
+    )
+    return (
+        cents.select("label", "n_vecs")
+        .join(intra, "label")
+        .join(nearest, "label")
+        .select(
+            "label", "n_vecs", "intra_mean_sqdist_micro",
+            "nearest_label", "inter_sqdist_micro",
+            F.expr(f"inter_sqdist_micro * {MICRO} div "
+                   f"(intra_mean_sqdist_micro + 1)").cast("long")
+            .alias("margin_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+def label_prototypes_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`label_prototypes` (identical integer
+    pipeline; DuckDB ``//`` truncates toward zero exactly like
+    Spark's ``div``, including on negative component sums)."""
+    isq = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> (v[i] - cent[i]) * (v[i] - cent[i]))), (x, y) -> x + y)"
+    )
+    psq = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> (ca[i] - cb[i]) * (ca[i] - cb[i]))), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH snapped AS (
+            SELECT {id_col} AS id, {label_col} AS label,
+                   list_transform(CAST({vec_col} AS DOUBLE[]),
+                       x -> CAST(ROUND(x * {MICRO}) AS BIGINT)) AS v
+            FROM {table}
+        ), comp AS (
+            SELECT label, t.i AS pos,
+                   CAST(SUM(v[t.i]) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM snapped, range(1, {dim} + 1) t(i)
+            GROUP BY label, t.i
+        ), cents AS (
+            SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+                   list(s // n ORDER BY pos) AS cent
+            FROM comp GROUP BY label
+        ), intra AS (
+            SELECT s.label,
+                   CAST(SUM({isq} // {MICRO}) AS BIGINT)
+                       // COUNT(*) AS intra_mean_sqdist_micro
+            FROM snapped s JOIN cents c USING (label)
+            GROUP BY s.label
+        ), pairs AS (
+            SELECT a.label AS la, b.label AS lb,
+                   CAST({psq} // {MICRO} AS BIGINT) AS d
+            FROM (SELECT label, cent AS ca FROM cents) a
+            JOIN (SELECT label, cent AS cb FROM cents) b
+              ON a.label != b.label
+        ), nearest AS (
+            SELECT la AS label, lb AS nearest_label, d AS inter_sqdist_micro
+            FROM (
+                SELECT la, lb, d, ROW_NUMBER() OVER (
+                    PARTITION BY la ORDER BY d, lb) AS rn
+                FROM pairs
+            ) WHERE rn = 1
+        )
+        SELECT c.label, c.n_vecs, i.intra_mean_sqdist_micro,
+               n.nearest_label, n.inter_sqdist_micro,
+               n.inter_sqdist_micro * {MICRO}
+                   // (i.intra_mean_sqdist_micro + 1) AS margin_ppm
+        FROM cents c
+        JOIN intra i ON i.label = c.label
+        JOIN nearest n ON n.label = c.label
+        ORDER BY c.label
+    """

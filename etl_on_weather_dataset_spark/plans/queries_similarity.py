@@ -1585,3 +1585,29 @@ register(QuerySpec(
     covers=("ranking-eval", "mrr", "ndcg", "retrieval-eval"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- class prototypes / label margin audit --------------------------------------
+
+
+def _label_prototype_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import label_prototypes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_prototypes(emb)
+
+
+def _label_prototype_margins_oracle() -> str:
+    from ..operators.cluster import label_prototypes_sql
+
+    return label_prototypes_sql("embeddings")
+
+
+register(QuerySpec(
+    name="label_prototype_margins",
+    spark_fn=_label_prototype_margins,
+    oracle=_label_prototype_margins_oracle,
+    covers=("class-prototypes", "label-quality-audit",
+            "nearest-class-mean"),
+    extended=True,  # round-7 rotation (registry.py)
+))

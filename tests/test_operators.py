@@ -4171,3 +4171,71 @@ class TestInferenceBatching:
         # bucketed batches pad within a 16-wide length band, so each
         # doc pads < 16 slots
         assert r.pad_bucketed < 16 * r.n_docs
+
+
+class TestLabelPrototypes:
+    """cluster.label_prototypes: pure-integer class-prototype audit
+    (snapped components, truncating centroid division, integer
+    squared distances)."""
+
+    def _emb(self, spark):
+        # two tight planted classes far apart + one noisy class
+        import math
+        rows = []
+        for i in range(12):
+            base = [1.0] * 4 if i % 3 == 0 else (
+                [-1.0] * 4 if i % 3 == 1 else [0.25, -0.75, 0.5, -0.25])
+            jitter = ((i * 37) % 7 - 3) / 1000.0
+            rows.append((i, [c + jitter for c in base], i % 3))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+
+    def test_margins_and_structure(self, spark):
+        from etl_on_weather_dataset_spark.operators.cluster import (
+            label_prototypes,
+        )
+
+        out = label_prototypes(self._emb(spark), dim=4).collect()
+        assert [r.label for r in out] == [0, 1, 2]
+        for r in out:
+            assert r.n_vecs == 4
+            # planted classes are far tighter than their separation
+            assert r.margin_ppm > 1_000_000
+        # class 0 (+1s) is nearer to class 2 (mixed) than to class 1
+        assert out[0].nearest_label == 2
+        assert out[1].nearest_label == 2
+
+    def test_matches_duckdb_twin_with_negative_sums(self, spark):
+        """Negative component sums exercise the div/truncation
+        parity that floats would get wrong at floor boundaries."""
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.cluster import (
+            label_prototypes,
+            label_prototypes_sql,
+        )
+
+        df = self._emb(spark)
+        got = [tuple(r) for r in label_prototypes(df, dim=4).collect()]
+        rows = df.collect()
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({r.vec_id}, {r.embedding!r}::DOUBLE[], {r.label})"
+            for r in rows
+        )
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"(VALUES {vals}) t(vec_id, embedding, label)")
+        want = [tuple(int(x) for x in row) for row in con.execute(
+            label_prototypes_sql("embeddings", dim=4)).fetchall()]
+        con.close()
+        assert got == want
+
+    def test_partitioning_invariant(self, spark):
+        from etl_on_weather_dataset_spark.operators.cluster import (
+            label_prototypes,
+        )
+
+        df = self._emb(spark)
+        a = label_prototypes(df, dim=4).collect()
+        b = label_prototypes(df.repartition(7), dim=4).collect()
+        assert a == b
