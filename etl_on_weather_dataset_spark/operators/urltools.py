@@ -187,45 +187,41 @@ def domain_curation_stats(
     boundary, so two engines keeping different pages cannot hash
     equal).
 
-    Scale shape: canonicalization is map-side codegen; one distinct
-    over (domain, canonical); one window bounded per-domain by its
-    distinct canonicals (WindowGroupLimit trims at cap); one groupBy
-    on the domain key space. The blocklist is a literal IN -- a real
-    deployment joins a broadcast blocklist table the same way.
+    Scale shape: ONE scan (the host is functionally determined by the
+    canonical URL, so every stat derives from the (domain, host,
+    canonical) count relation): canonicalization is map-side codegen,
+    one map-combinable groupBy over that key, one per-domain window
+    over the (much smaller) distinct-canonical relation, and the
+    final per-domain aggregate reuses the window's partitioning --
+    no second pass over the data. The blocklist is a literal IN -- a
+    real deployment joins a broadcast blocklist table the same way.
     """
     from pyspark.sql.window import Window
 
     canon = df.select(
-        F.col(url_col).alias("url"),
         canonical_url(url_col).alias("canonical"),
         url_host(url_col).alias("host"),
     ).withColumn("domain", registered_domain(F.col("host")))
-    per_url = canon.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("n_urls"),
-        F.countDistinct("host").cast("long").alias("n_hosts"),
+    per_canon = canon.groupBy("domain", "host", "canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
-    distinct_canon = canon.select("domain", "canonical").distinct()
     w = Window.partitionBy("domain").orderBy(F.md5("canonical"), "canonical")
-    kept = (
-        distinct_canon
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("keep", (F.col("rn") <= cap).cast("int"))
-    )
-    per_canon = kept.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("n_canonical"),
-        F.sum("keep").cast("long").alias("n_kept_after_cap"),
-        F.max(F.when(F.col("keep") == 1, F.md5("canonical")))
-        .alias("kept_max_md5"),
+    ranked = per_canon.withColumn(
+        "keep", (F.row_number().over(w) <= cap).cast("int")
     )
     blocked = (
         F.col("domain").isin(*blocklist) if blocklist else F.lit(False)
     ).cast("int").alias("blocked")
-    return (
-        per_url.join(per_canon, "domain")
-        .select(
-            "domain", "n_urls", "n_canonical", "n_hosts",
-            blocked, "n_kept_after_cap", "kept_max_md5",
-        )
+    return ranked.groupBy("domain").agg(
+        F.sum("n").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("keep").cast("long").alias("n_kept_after_cap"),
+        F.max(F.when(F.col("keep") == 1, F.md5("canonical")))
+        .alias("kept_max_md5"),
+    ).select(
+        "domain", "n_urls", "n_canonical", "n_hosts",
+        blocked, "n_kept_after_cap", "kept_max_md5",
     )
 
 
@@ -251,29 +247,25 @@ def domain_curation_stats_sql(
             SELECT canonical, host,
                    {registered_domain_sql('host')} AS domain
             FROM canon
-        ), per_url AS (
-            SELECT domain,
-                   CAST(COUNT(*) AS BIGINT) AS n_urls,
-                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
-            FROM dom GROUP BY domain
-        ), dc AS (
-            SELECT DISTINCT domain, canonical FROM dom
+        ), per_canon AS (
+            SELECT domain, host, canonical,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM dom GROUP BY domain, host, canonical
         ), ranked AS (
-            SELECT domain, canonical,
+            SELECT domain, host, canonical, n,
                    CASE WHEN ROW_NUMBER() OVER (
                        PARTITION BY domain
                        ORDER BY md5(canonical), canonical) <= {cap}
                    THEN 1 ELSE 0 END AS keep
-            FROM dc
-        ), per_canon AS (
-            SELECT domain,
-                   CAST(COUNT(*) AS BIGINT) AS n_canonical,
-                   CAST(SUM(keep) AS BIGINT) AS n_kept_after_cap,
-                   MAX(CASE WHEN keep = 1 THEN md5(canonical) END)
-                       AS kept_max_md5
-            FROM ranked GROUP BY domain
+            FROM per_canon
         )
-        SELECT per_url.domain, n_urls, n_canonical, n_hosts,
-               {blocked} AS blocked, n_kept_after_cap, kept_max_md5
-        FROM per_url JOIN per_canon USING (domain)
+        SELECT domain,
+               CAST(SUM(n) AS BIGINT) AS n_urls,
+               CAST(COUNT(*) AS BIGINT) AS n_canonical,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+               {blocked} AS blocked,
+               CAST(SUM(keep) AS BIGINT) AS n_kept_after_cap,
+               MAX(CASE WHEN keep = 1 THEN md5(canonical) END)
+                   AS kept_max_md5
+        FROM ranked GROUP BY domain
     """

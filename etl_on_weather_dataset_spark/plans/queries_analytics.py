@@ -1265,5 +1265,6 @@ register(QuerySpec(
     oracle=_inference_batch_audit_oracle,
     covers=("inference-batching", "padding-waste",
             "length-bucketing"),
+    bench=True,  # window-assignment throughput headliner
     extended=True,  # round-7 rotation (registry.py)
 ))

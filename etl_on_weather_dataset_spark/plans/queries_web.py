@@ -103,6 +103,7 @@ register(QuerySpec(
     oracle=_url_domain_curation_oracle,
     covers=("url-canonicalization", "registered-domain",
             "per-domain-cap", "blocklist-filter", "web-dedup-key"),
+    bench=True,  # string-codegen throughput headliner
     extended=True,  # round-7 rotation (registry.py)
 ))
 

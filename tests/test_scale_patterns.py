@@ -641,6 +641,70 @@ class TestEvalPlans:
             plan[:3000]
 
 
+class TestRound6LatePlans:
+    """Plan-shape contracts for the late round-6 tier (web curation,
+    inference batching, ranking eval, class prototypes)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan_of(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_batch_assignment_is_windows_only_no_join(self, spark):
+        """Per-doc batch assignment: sort-based windows inside
+        (shard, bucket) groups -- no join node, no cartesian, and
+        the only exchanges are the window partitionings."""
+        import re
+
+        from etl_on_weather_dataset_spark.operators.batching import (
+            length_bucketed_batches,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        docs = load_table(spark, self.SF, "documents")
+        plan = self._plan_of(length_bucketed_batches(docs))
+        assert "Join" not in plan, plan[:2000]
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, \
+            plan[:2000]
+
+    def test_ranking_metrics_is_two_aggregates_no_join(self, spark):
+        """MRR/NDCG: one groupBy(query) + one global row -- the
+        discount tables are plan literals, so no join, no window,
+        no python."""
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ranking_metrics,
+        )
+
+        ranked = spark.range(1000).selectExpr(
+            "id % 50 AS query_id",
+            "CAST(id % 10 + 1 AS LONG) AS rk",
+            "CAST(id % 3 = 0 AS INT) AS rel",
+        )
+        plan = self._plan_of(ranking_metrics(ranked))
+        assert "Join" not in plan, plan[:2000]
+        assert "Window" not in plan, plan[:2000]
+        assert "BatchEvalPython" not in plan, plan[:2000]
+
+    def test_label_prototypes_joins_are_broadcast_only(self, spark):
+        """Prototype audit: every join touches the |labels|-row
+        centroid relation and must be broadcast -- never a shuffled
+        join of the corpus against itself, never a cartesian."""
+        import re
+
+        from etl_on_weather_dataset_spark.operators.cluster import (
+            label_prototypes,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        emb = load_table(spark, self.SF, "embeddings")
+        plan = self._plan_of(label_prototypes(emb))
+        assert "CartesianProduct" not in plan, plan[:2000]
+        joins = re.findall(r"(\w+Join\w*)", plan)
+        assert joins, plan[:1000]
+        for j in set(joins):
+            assert j.startswith("Broadcast"), (j, plan[:2000])
+
+
 class TestBenchPlansNoCartesian:
     def test_no_cartesian_in_any_bench_plan(self, spark):
         """PLANS.md's headline claim, codified: ZERO cartesian
