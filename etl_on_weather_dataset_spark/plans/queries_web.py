@@ -193,3 +193,168 @@ register(QuerySpec(
             "entity-unescape", "c4-style-extraction"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+# --- web_ingest_pipeline_stats: the composed web-ingest flagship ----------------
+#
+# The fourth composed flagship (after weather ETL, curation, and the
+# embedding pipeline): a crawl-shaped ingest run end to end --
+#
+#   raw (url, html) records
+#     -> HTML text extraction        (html_to_text)
+#     -> canonical-URL exact dedup   (keep min doc_id per canonical)
+#     -> domain blocklist            (registered-domain anti-filter)
+#     -> per-domain page cap         (md5-rank, deterministic)
+#     -> quality gate                (extracted token count >= min)
+#     -> inference batch assignment  (length-bucketed, padded-slot audit)
+#
+# One row of per-stage counts is the audit trail; the oracle splices
+# the per-operator twins into one CTE chain, so the driver hash
+# attests the WHOLE composition, not just its parts. Every stage
+# before batching is embarrassingly parallel per record; the only
+# windows partition by canonical/domain/(shard, bucket).
+
+_WI_CAP = 15          # pages kept per registered domain
+_WI_MIN_TOKENS = 40   # quality gate on the EXTRACTED text
+
+
+def _web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.batching import length_bucketed_batches
+    from ..operators.text import token_count
+    from ..operators.urltools import (
+        canonical_url,
+        registered_domain,
+        url_host,
+    )
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.expr(_URL_SYNTH).alias("url"),
+        F.expr(_HTML_SYNTH).alias("html"),
+    )
+    rec = raw.select(
+        "doc_id",
+        canonical_url("url").alias("canonical"),
+        registered_domain(url_host("url")).alias("domain"),
+        html_to_text("html").alias("extracted"),
+    )
+    dedup = rec.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("canonical"))
+    ).filter(F.col("doc_id") == F.col("keep_id")).drop("keep_id")
+    unblocked = dedup.filter(~F.col("domain").isin(*_BLOCKLIST))
+    capped = unblocked.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("domain")
+            .orderBy(F.md5("canonical"), "canonical")
+        ),
+    ).filter(F.col("rn") <= _WI_CAP).drop("rn")
+    quality = capped.filter(
+        token_count("extracted") >= _WI_MIN_TOKENS
+    )
+    batches = length_bucketed_batches(
+        quality, id_col="doc_id", text_col="extracted",
+        batch_size=8, bucket_width=16, shards=4,
+    )
+
+    def n(df, alias):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    batch_stats = batches.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batched_docs"),
+        F.countDistinct("shard", "bucket", "batch_idx").cast("long")
+        .alias("n_batches"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        F.sum("pad").cast("long").alias("pad_tokens"),
+    )
+    chars = quality.agg(
+        F.sum(F.length("extracted")).cast("long")
+        .alias("extracted_chars")
+    )
+    return (
+        n(raw, "n_raw")
+        .crossJoin(F.broadcast(n(dedup, "n_after_url_dedup")))
+        .crossJoin(F.broadcast(n(unblocked, "n_after_blocklist")))
+        .crossJoin(F.broadcast(n(capped, "n_after_cap")))
+        .crossJoin(F.broadcast(n(quality, "n_after_quality")))
+        .crossJoin(F.broadcast(chars))
+        .crossJoin(F.broadcast(batch_stats))
+    )
+
+
+def _web_ingest_pipeline_oracle() -> str:
+    from ..operators.batching import _arm_sql
+    from ..operators.text import html_to_text_sql
+    from ..operators.urltools import (
+        canonical_url_sql,
+        registered_domain_sql,
+        url_host_sql,
+    )
+
+    blocked = ", ".join(f"'{b}'" for b in _BLOCKLIST)
+    batched = _arm_sql(
+        "quality", "doc_id", "extracted", 8, 16, 4
+    )
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, text, {_URL_SYNTH} AS url,
+                   {_HTML_SYNTH} AS html
+            FROM documents
+        ), rec AS (
+            SELECT doc_id,
+                   {canonical_url_sql('url')} AS canonical,
+                   {registered_domain_sql(url_host_sql('url'))} AS domain,
+                   {html_to_text_sql('html')} AS extracted
+            FROM raw
+        ), dedup AS (
+            SELECT doc_id, canonical, domain, extracted FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY canonical)
+                       AS keep_id
+                FROM rec
+            ) WHERE doc_id = keep_id
+        ), unblocked AS (
+            SELECT * FROM dedup WHERE domain NOT IN ({blocked})
+        ), capped AS (
+            SELECT doc_id, canonical, domain, extracted FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY domain
+                    ORDER BY md5(canonical), canonical) AS rn
+                FROM unblocked
+            ) WHERE rn <= {_WI_CAP}
+        ), quality AS (
+            SELECT * FROM capped
+            WHERE len(regexp_split_to_array(extracted, ' +'))
+                  >= {_WI_MIN_TOKENS}
+        ), batched AS ({batched})
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS n_raw,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dedup)
+                   AS n_after_url_dedup,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM unblocked)
+                   AS n_after_blocklist,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM capped)
+                   AS n_after_cap,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM quality)
+                   AS n_after_quality,
+               (SELECT CAST(SUM(length(extracted)) AS BIGINT)
+                FROM quality) AS extracted_chars,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM batched)
+                   AS n_batched_docs,
+               (SELECT CAST(COUNT(DISTINCT (shard, bucket, batch_idx))
+                            AS BIGINT) FROM batched) AS n_batches,
+               (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM batched)
+                   AS real_tokens,
+               (SELECT CAST(SUM(pad) AS BIGINT) FROM batched)
+                   AS pad_tokens
+    """
+
+
+register(QuerySpec(
+    name="web_ingest_pipeline_stats",
+    spark_fn=_web_ingest_pipeline,
+    oracle=_web_ingest_pipeline_oracle,
+    covers=("composed-web-ingest", "crawl-pipeline-flagship",
+            "url-dedup", "domain-cap", "html-extraction",
+            "inference-batching"),
+    extended=True,  # round-7 rotation (registry.py)
+))

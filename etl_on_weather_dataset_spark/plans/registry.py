@@ -105,7 +105,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # video_near_dup_contract, k_anonymity_customers,
 # session_transition_matrix, url_domain_curation,
 # html_extraction_contract, retrieval_ranking_metrics,
-# inference_batch_packing, label_prototype_margins -- swap into
+# inference_batch_packing, label_prototype_margins,
+# web_ingest_pipeline_stats -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to

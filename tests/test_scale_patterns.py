@@ -705,6 +705,24 @@ class TestRound6LatePlans:
             assert j.startswith("Broadcast"), (j, plan[:2000])
 
 
+    def test_web_ingest_flagship_no_cartesian_no_python(self, spark):
+        """The composed crawl pipeline: the only joins are the
+        broadcast crosses of one-row stage aggregates; nothing
+        cartesian, nothing Python, and every window partitions by
+        canonical/domain/(shard, bucket) -- no global sort."""
+        import re
+
+        from etl_on_weather_dataset_spark.plans.queries_web import (
+            _web_ingest_pipeline,
+        )
+
+        plan = self._plan_of(_web_ingest_pipeline(spark, self.SF))
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "BatchEvalPython" not in plan, plan[:2000]
+        for m in re.finditer(r"Window.*partitionBy=\[\]", plan):
+            raise AssertionError("unpartitioned window: " + m.group(0))
+
+
 class TestBenchPlansNoCartesian:
     def test_no_cartesian_in_any_bench_plan(self, spark):
         """PLANS.md's headline claim, codified: ZERO cartesian
