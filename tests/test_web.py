@@ -202,3 +202,56 @@ def test_web_tier_is_pure_codegen(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "mapInPandas" not in plan.lower()
+
+
+def test_crawl_frontier_composition(spark, tmp_path):
+    """Crawl-frontier dedup is a COMPOSITION, not a new operator:
+    canonical_url as the content key + the persistent
+    incremental_exact_dedup store. Batch 2 re-submits spellings of
+    pages batch 1 already landed (different raw URLs, same canonical
+    form); the frontier must admit only never-seen pages, across
+    batches, with replay a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_on_weather_dataset_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    from etl_on_weather_dataset_spark.plans.queries_web import _URL_SYNTH
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi).withColumnRenamed("id", "doc_id")
+            .select(
+                "doc_id",
+                F.expr(_URL_SYNTH).alias("url"),
+                canonical_url(F.expr(_URL_SYNTH)).alias("canonical"),
+            )
+        )
+
+    store = str(tmp_path / "frontier_store")
+    out1 = str(tmp_path / "landed_b1")
+    out2 = str(tmp_path / "landed_b2")
+
+    b1, b2 = batch(0, 100), batch(50, 200)
+    landed1 = incremental_exact_dedup(
+        spark, b1, store, out1, text_col="canonical", id_col="doc_id"
+    )
+    landed2 = incremental_exact_dedup(
+        spark, b2, store, out2, text_col="canonical", id_col="doc_id"
+    )
+    c1 = {r[0] for r in landed1.select("canonical").collect()}
+    c2 = {r[0] for r in landed2.select("canonical").collect()}
+    # batch 2 admits no page batch 1 landed...
+    assert not (c1 & c2)
+    # ...and together they cover exactly the union's distinct pages
+    want = {
+        r[0] for r in
+        b1.unionByName(b2).select("canonical").distinct().collect()
+    }
+    assert c1 | c2 == want
+    # a full replay of batch 2 is a no-op (same landing, no re-admit)
+    replay = incremental_exact_dedup(
+        spark, b2, store, out2, text_col="canonical", id_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in replay.collect()) == \
+        sorted(r.doc_id for r in landed2.collect())
