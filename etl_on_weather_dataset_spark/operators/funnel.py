@@ -347,3 +347,122 @@ def transition_matrix_sql(
                            AS BIGINT) AS p_ppm
         FROM counts
     """
+
+
+# --- context-window assembly (session history -> training examples) -----------
+
+
+def assemble_context_windows(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+    max_turns: int = 5,
+) -> DataFrame:
+    """Assemble each key's session history into one training example
+    per session: the chronologically-ordered turn sequence, truncated
+    to the LAST ``max_turns`` turns (the context-window budget --
+    recency-keep, the standard chat-history policy).
+
+    Output per session: ``key, session_start, n_events, n_kept,
+    context`` (turns joined with ``' -> '``) and ``context_fp`` (md5)
+    so a hash attests the exact assembled sequence, not just counts.
+
+    Determinism: ordering ties on ``ts_col`` break on
+    ``tiebreak_col``; sessions cut at ``gap_seconds`` of inactivity
+    (same lag+cumsum discipline as ``sessionize_batch``).
+
+    Scale shape: one window pass partitioned by key (the
+    sessionization tag), one groupBy(key, session) whose collected
+    arrays are bounded by session length -- never a key's whole
+    history in one array unless it IS one session. No UDFs.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(event_col).alias("turn"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    w = Window.partitionBy("key").orderBy("ts", "tb")
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    tagged = base.withColumn(
+        "session_id",
+        F.sum(
+            F.when(
+                gap.isNull() | (gap > gap_seconds), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = tagged.groupBy("key", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "tb", "turn"))),
+            lambda s: s.turn,
+        ).alias("turns"),
+    )
+    kept = F.slice(
+        F.col("turns"),
+        F.greatest(F.lit(1), (F.size("turns") - max_turns + 1)),
+        max_turns,
+    )
+    return per_session.select(
+        "key", "session_start", "n_events",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " -> ").alias("context"),
+        F.md5(F.array_join(kept, " -> ")).alias("context_fp"),
+    )
+
+
+def assemble_context_windows_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+    max_turns: int = 5,
+) -> str:
+    """DuckDB twin of :func:`assemble_context_windows` (same
+    lag+cumsum sessionization, ordered list aggregation, tail
+    slice)."""
+    return f"""
+        WITH gaps AS (
+            SELECT {key_col} AS key, {ts_col} AS ts,
+                   {event_col} AS turn, {tiebreak_col} AS tb,
+                   epoch({ts_col}) - epoch(LAG({ts_col}) OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY {ts_col}, {tiebreak_col})) AS gap
+            FROM {table}
+        ), tagged AS (
+            SELECT key, ts, turn, tb,
+                   SUM(CASE WHEN gap IS NULL OR gap > {gap_seconds}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY key ORDER BY ts, tb
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        ), per_session AS (
+            SELECT key, session_id,
+                   MIN(ts) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   list(turn ORDER BY ts, tb) AS turns
+            FROM tagged GROUP BY key, session_id
+        )
+        SELECT key, session_start, n_events,
+               CAST(len(list_slice(turns,
+                   greatest(1, len(turns) - {max_turns} + 1),
+                   len(turns))) AS BIGINT) AS n_kept,
+               array_to_string(list_slice(turns,
+                   greatest(1, len(turns) - {max_turns} + 1),
+                   len(turns)), ' -> ') AS context,
+               md5(array_to_string(list_slice(turns,
+                   greatest(1, len(turns) - {max_turns} + 1),
+                   len(turns)), ' -> ')) AS context_fp
+        FROM per_session
+    """

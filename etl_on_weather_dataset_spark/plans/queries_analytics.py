@@ -1268,3 +1268,36 @@ register(QuerySpec(
     bench=True,  # window-assignment throughput headliner
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- context-window assembly (session history -> training examples) -------------
+
+
+def _context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import assemble_context_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return assemble_context_windows(
+        ev, key_col="user_id", ts_col="ts", event_col="event_type",
+        tiebreak_col="event_id", gap_seconds=1800, max_turns=5,
+    )
+
+
+def _context_windows_oracle() -> str:
+    from ..operators.funnel import assemble_context_windows_sql
+
+    return assemble_context_windows_sql(
+        "events", key_col="user_id", ts_col="ts",
+        event_col="event_type", tiebreak_col="event_id",
+        gap_seconds=1800, max_turns=5,
+    )
+
+
+register(QuerySpec(
+    name="session_context_windows",
+    spark_fn=_context_windows,
+    oracle=_context_windows_oracle,
+    covers=("context-assembly", "chat-history-prep",
+            "session-training-examples"),
+    extended=True,  # round-7 rotation (registry.py)
+))

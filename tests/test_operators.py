@@ -4239,3 +4239,82 @@ class TestLabelPrototypes:
         a = label_prototypes(df, dim=4).collect()
         b = label_prototypes(df.repartition(7), dim=4).collect()
         assert a == b
+
+
+class TestContextWindows:
+    """funnel.assemble_context_windows: session-cut, recency
+    truncation, and deterministic tie-breaks."""
+
+    def _ev(self, spark):
+        from datetime import datetime as dt
+        rows = [
+            # user 1: one session of 7 events (1 min apart) -> keep
+            # the LAST 5; two same-ts events (ids 103,104) tie-break
+            (100 + i, dt(2024, 1, 1, 10, min(i, 59)), 1, f"e{i}")
+            for i in range(7)
+        ]
+        rows[4] = (104, dt(2024, 1, 1, 10, 3), 1, "e4")  # ties id 103
+        # user 1: second session 2h later, 2 events
+        rows += [(110, dt(2024, 1, 1, 13, 0), 1, "x0"),
+                 (111, dt(2024, 1, 1, 13, 1), 1, "x1")]
+        # user 2: single event
+        rows += [(200, dt(2024, 1, 2, 9, 0), 2, "solo")]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string")
+
+    def test_sessions_truncation_and_ties(self, spark):
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            assemble_context_windows,
+        )
+
+        out = {
+            (r.key, str(r.session_start)): r
+            for r in assemble_context_windows(
+                self._ev(spark), max_turns=5
+            ).collect()
+        }
+        assert len(out) == 3
+        s1 = out[(1, "2024-01-01 10:00:00")]
+        # 7 events, last 5 kept; at 10:03 id 103 ('e3') sorts before
+        # id 104 ('e4')
+        assert (s1.n_events, s1.n_kept) == (7, 5)
+        assert s1.context == "e2 -> e3 -> e4 -> e5 -> e6"
+        s2 = out[(1, "2024-01-01 13:00:00")]
+        assert (s2.n_events, s2.n_kept) == (2, 2)
+        assert s2.context == "x0 -> x1"
+        s3 = out[(2, "2024-01-02 09:00:00")]
+        assert (s3.n_events, s3.context) == (1, "solo")
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            assemble_context_windows,
+            assemble_context_windows_sql,
+        )
+
+        df = self._ev(spark)
+        got = sorted(
+            (r.key, str(r.session_start), r.n_events, r.n_kept,
+             r.context, r.context_fp)
+            for r in assemble_context_windows(df, max_turns=3).collect()
+        )
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({r.event_id}, TIMESTAMP '{r.ts}', {r.user_id}, "
+            f"'{r.event_type}')"
+            for r in df.collect()
+        )
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM (VALUES {vals}) "
+            "t(event_id, ts, user_id, event_type)"
+        )
+        want = sorted(
+            (row[0], str(row[1]), row[2], row[3], row[4], row[5])
+            for row in con.execute(
+                assemble_context_windows_sql("events", max_turns=3)
+            ).fetchall()
+        )
+        con.close()
+        assert got == want
