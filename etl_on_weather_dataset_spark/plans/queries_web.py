@@ -358,3 +358,111 @@ register(QuerySpec(
             "inference-batching"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+# --- pii_prevalence_by_source: the governance report over the scrub -------------
+#
+# redact_pii (operators/text.py) has been pytest-attested since round
+# 2; this query makes the SCRUB ITSELF measurable: per-source match
+# counts for each PII class, chars removed by redaction, and the
+# residual-match invariant (a post-redaction rescan must find ZERO
+# matches -- the number a privacy review reads). PII is synthesized
+# into the corpus from doc_id residues (emails / IPs / phone runs),
+# so both engines see identical plants and the oracle is exact.
+
+# class residue 7 is COPRIME with the source residue (source is
+# doc_id % 20, a multiple of 5 -- a %5 class would pin one PII class
+# per source and the report would never mix classes within a row)
+_PII_SYNTH = """
+    text || (CASE doc_id % 7
+        WHEN 0 THEN ' contact bob' || (doc_id % 50)
+                    || '@example.com now'
+        WHEN 1 THEN ' server at 10.0.' || (doc_id % 256) || '.5 up'
+        WHEN 2 THEN ' call +1 555 01' || (100 + doc_id % 100)
+                    || ' today'
+        ELSE '' END)
+"""
+
+
+def _pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import PII_PATTERNS, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.expr(_PII_SYNTH).alias("ptext")
+    )
+    counts = [
+        F.sum(
+            F.size(F.regexp_extract_all("ptext", F.lit(pat), F.lit(0)))
+        ).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    residual = F.sum(
+        sum(
+            (
+                F.size(
+                    F.regexp_extract_all(
+                        "redacted", F.lit(pat), F.lit(0)
+                    )
+                )
+                for _, pat, _ in PII_PATTERNS
+            ),
+            F.lit(0),
+        )
+    ).cast("long").alias("residual_matches")
+    return (
+        docs.withColumn("redacted", redact_pii("ptext"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *counts,
+            F.sum(
+                F.length("ptext") - F.length("redacted")
+            ).cast("long").alias("chars_delta"),
+            residual,
+        )
+        .orderBy("source")
+    )
+
+
+def _pii_prevalence_oracle() -> str:
+    from ..operators.text import PII_PATTERNS, redact_pii_sql
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    counts = ", ".join(
+        f"CAST(SUM(len(regexp_extract_all(ptext, '{esc(pat)}')))"
+        f" AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    residual = " + ".join(
+        f"len(regexp_extract_all(redacted, '{esc(pat)}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH synth AS (
+            SELECT source, {_PII_SYNTH} AS ptext FROM documents
+        ), red AS (
+            SELECT source, ptext,
+                   {redact_pii_sql('ptext')} AS redacted
+            FROM synth
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {counts},
+               CAST(SUM(length(ptext) - length(redacted)) AS BIGINT)
+                   AS chars_delta,
+               CAST(SUM({residual}) AS BIGINT) AS residual_matches
+        FROM red
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+register(QuerySpec(
+    name="pii_prevalence_by_source",
+    spark_fn=_pii_prevalence,
+    oracle=_pii_prevalence_oracle,
+    covers=("pii-prevalence", "privacy-governance-report",
+            "redaction-residual-invariant"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -106,7 +106,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # session_transition_matrix, url_domain_curation,
 # html_extraction_contract, retrieval_ranking_metrics,
 # inference_batch_packing, label_prototype_margins,
-# web_ingest_pipeline_stats, session_context_windows -- swap into
+# web_ingest_pipeline_stats, session_context_windows,
+# pii_prevalence_by_source -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to
