@@ -937,3 +937,131 @@ def apply_bpe_merges(
     for a, b in merges:
         seq = _merge_pair_expr(seq, a, b)
     return df.withColumn("bpe_tokens", seq)
+
+
+# --- vocabulary growth curve (Heaps' law) --------------------------------------
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Vocabulary-vs-corpus-size curve: split the corpus into
+    ``n_buckets`` deterministic md5 shards (a partitioning-invariant
+    proxy for "the first d/n of the corpus"), and for each prefix
+    d report cumulative token occurrences, cumulative DISTINCT
+    vocabulary (tokens whose FIRST shard is within the prefix), the
+    new types the d-th shard contributed, and the type-token ratio.
+
+    This is the Heaps'-law dial a corpus owner reads before paying
+    for more data: a flattening ``new_types`` column says the next
+    10% of the same source buys almost no new vocabulary (diminishing
+    content), while a linear one says the source is far from
+    exhausted. Same decision surface as the dedup tiers, one level
+    up.
+
+    Scale shape: two map-side-combinable token shuffles (per-bucket
+    occurrence counts; per-token min-bucket, then the
+    |vocabulary|-sized relation aggregates to ``n_buckets`` rows) and
+    one cumulative window over the CONSTANT n_buckets-row relation --
+    the binary_eval discipline: unpartitioned windows only ever see
+    bounded relations. All integers.
+    """
+    from pyspark.sql.window import Window
+
+    from .sample import hash_bucket
+    from .text import tokens
+
+    toks = df.select(
+        hash_bucket(id_col, n_buckets).alias("bucket"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first_seen = (
+        toks.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_bucket.join(first_seen, "bucket", "full_outer")
+        .select(
+            (F.col("bucket") + 1).cast("long").alias("prefix"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "prefix", "new_types",
+            F.sum("n_tokens").over(
+                Window.orderBy("prefix").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).cast("long").alias("tokens_cum"),
+            F.sum("new_types").over(
+                Window.orderBy("prefix").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).cast("long").alias("vocab_cum"),
+        )
+        .select(
+            "prefix", "tokens_cum", "vocab_cum", "new_types",
+            F.expr("vocab_cum * 1000000 div tokens_cum")
+            .cast("long").alias("ttr_ppm"),
+        )
+        .orderBy("prefix")
+    )
+
+
+def vocab_growth_curve_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB twin of :func:`vocab_growth_curve`."""
+    from .sample import hash_bucket_sql
+
+    bucket = hash_bucket_sql(id_col, n_buckets)
+    return f"""
+        WITH toks AS (
+            SELECT CAST({bucket} AS BIGINT) AS bucket,
+                   unnest(regexp_split_to_array({text_col}, ' +'))
+                       AS token
+            FROM {table}
+        ), per_bucket AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY bucket
+        ), first_seen AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+            FROM (
+                SELECT token, MIN(bucket) AS bucket
+                FROM toks GROUP BY token
+            ) GROUP BY bucket
+        ), fused AS (
+            SELECT COALESCE(p.bucket, f.bucket) + 1 AS prefix,
+                   COALESCE(n_tokens, 0) AS n_tokens,
+                   COALESCE(new_types, 0) AS new_types
+            FROM per_bucket p FULL OUTER JOIN first_seen f
+              ON p.bucket = f.bucket
+        )
+        SELECT prefix,
+               CAST(SUM(n_tokens) OVER (ORDER BY prefix
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+               CAST(SUM(new_types) OVER (ORDER BY prefix
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum,
+               new_types,
+               CAST(SUM(new_types) OVER (ORDER BY prefix
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000
+                   // CAST(SUM(n_tokens) OVER (ORDER BY prefix
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS ttr_ppm
+        FROM fused
+        ORDER BY prefix
+    """

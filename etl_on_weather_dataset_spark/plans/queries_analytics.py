@@ -1301,3 +1301,28 @@ register(QuerySpec(
             "session-training-examples"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- vocabulary growth (Heaps' law) ---------------------------------------------
+
+
+def _vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import vocab_growth_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth_curve(docs, n_buckets=10)
+
+
+def _vocab_growth_oracle() -> str:
+    from ..operators.corpus import vocab_growth_curve_sql
+
+    return vocab_growth_curve_sql("documents", n_buckets=10)
+
+
+register(QuerySpec(
+    name="vocab_growth_curve",
+    spark_fn=_vocab_growth,
+    oracle=_vocab_growth_oracle,
+    covers=("heaps-law", "vocab-growth", "corpus-sizing"),
+    extended=True,  # round-7 rotation (registry.py)
+))
