@@ -1320,3 +1320,174 @@ def incremental_simhash_dedup(
     ).write.mode("append").parquet(store_path)
     _write_marker(spark, out_path, _MARK_APPENDED)
     return landed.drop("simhash")
+
+
+# --- jaccard threshold sweep (the dedup-aggressiveness dial) -------------------
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    floor_threshold: float = 0.2,
+    max_doc_freq: float | None = 0.5,
+) -> DataFrame:
+    """Candidate-pair mass per Jaccard decile: run the inverted-index
+    pair generation ONCE at a low floor and bin every candidate pair
+    by similarity, with a descending cumulative column -- the table a
+    corpus owner reads to pick the near-dup threshold (how many pairs
+    does 0.8 kill vs 0.6?) without re-running the join per candidate
+    threshold.
+
+    Binning is PURE INTEGER: ``bin = least(9, inter * 10 div union)``
+    over the exact intersection/union counts -- no float boundary can
+    flip a decile (``floor(jaccard * 10)`` on a double can, when
+    inter/union sits on a tenth).
+
+    Output per decile: ``jac_floor_ppm`` (bin lower edge),
+    ``n_pairs``, ``cum_pairs_geq`` (pairs at or above this decile --
+    a window over the <= 10-row bin relation).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = _jaccard_pairs_with_sizes(
+        df, text_col, id_col, n, floor_threshold, max_doc_freq
+    )
+    binned = (
+        pairs.select(
+            F.expr("least(9, inter * 10 div (n_a + n_b - inter))")
+            .cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return binned.select(
+        (F.col("bin") * 100_000).cast("long").alias("jac_floor_ppm"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs_geq"),
+    ).orderBy(F.col("jac_floor_ppm").desc())
+
+
+def _jaccard_pairs_with_sizes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    max_doc_freq: float | None,
+) -> DataFrame:
+    """ngram_jaccard_pairs keeping the exact (n_a, n_b) set sizes --
+    shared pair generation for consumers that need integer union
+    arithmetic downstream (the sweep's decile binning)."""
+    from .caching import persisted
+
+    sh = persisted(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, n).alias("shingles"),
+        )
+    )
+    if max_doc_freq is None:
+        inv = sh.select(
+            "id", F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+    else:
+        exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+        n_docs = sh.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("doc_freq") > F.col("n_docs") * max_doc_freq)
+            .select("shingle")
+        )
+        kept = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        n_sh = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        inv = persisted(kept.join(n_sh, "id"))
+    a = inv.select(F.col("id").alias("id_a"),
+                   F.col("n_sh").alias("n_a"), "shingle")
+    b = inv.select(F.col("id").alias("id_b"),
+                   F.col("n_sh").alias("n_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return pairs.filter(jac >= threshold)
+
+
+def jaccard_threshold_sweep_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    floor_threshold: float = 0.2,
+    max_doc_freq: float | None = 0.5,
+) -> str:
+    """DuckDB twin of :func:`jaccard_threshold_sweep` (the pair CTEs
+    come from ngram_jaccard_pairs_sql's builder shape, sizes kept)."""
+    if max_doc_freq is None:
+        index_ctes = """inv AS (
+            SELECT id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh
+        )"""
+    else:
+        index_ctes = f"""exploded AS (
+            SELECT id, unnest(shingles) AS shingle FROM sh
+        ), kept AS (
+            SELECT id, shingle FROM exploded
+            WHERE shingle NOT IN (
+                SELECT shingle FROM exploded
+                GROUP BY shingle
+                HAVING COUNT(*) > (SELECT COUNT(*) FROM sh)
+                                      * {max_doc_freq}
+            )
+        ), inv AS (
+            SELECT id, COUNT(*) OVER (PARTITION BY id) AS n_sh, shingle
+            FROM kept
+        )"""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS id,
+                   regexp_split_to_array({text_col}, ' +') AS t
+            FROM {table}
+        ), sh AS (
+            SELECT id,
+                   CASE WHEN len(t) >= {n} THEN
+                       list_distinct(list_transform(
+                           range(1, len(t) - {n} + 2),
+                           i -> array_to_string(t[i:i+{n}-1], ' ')))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        ), {index_ctes}, pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b,
+                   COUNT(*) AS inter
+            FROM inv a JOIN inv b ON a.shingle = b.shingle
+            WHERE a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        ), floored AS (
+            SELECT * FROM pairs
+            WHERE inter * 1.0 / (n_a + n_b - inter)
+                  >= {floor_threshold}
+        ), binned AS (
+            SELECT LEAST(9, inter * 10 // (n_a + n_b - inter)) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM floored GROUP BY 1
+        )
+        SELECT CAST(bin * 100000 AS BIGINT) AS jac_floor_ppm,
+               n_pairs,
+               CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_pairs_geq
+        FROM binned
+        ORDER BY jac_floor_ppm DESC
+    """

@@ -739,3 +739,32 @@ register(QuerySpec(
     covers=("incremental-near-dup", "simhash-store"),
     extended=True,
 ))
+
+
+# --- near-dup threshold sweep ----------------------------------------------------
+
+
+def _jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_threshold_sweep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_threshold_sweep(
+        docs, n=3, floor_threshold=0.2, max_doc_freq=0.5
+    )
+
+
+def _jaccard_sweep_oracle() -> str:
+    from ..operators.dedup import jaccard_threshold_sweep_sql
+
+    return jaccard_threshold_sweep_sql(
+        "documents", n=3, floor_threshold=0.2, max_doc_freq=0.5
+    )
+
+
+register(QuerySpec(
+    name="jaccard_threshold_sweep",
+    spark_fn=_jaccard_sweep,
+    oracle=_jaccard_sweep_oracle,
+    covers=("dedup-threshold-calibration", "jaccard-deciles"),
+    extended=True,  # round-7 rotation (registry.py)
+))
