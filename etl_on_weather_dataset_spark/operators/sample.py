@@ -515,3 +515,147 @@ def group_kfold(
             (hash_bucket(F.col("group"), salt=salt) % k).cast("int"),
         )
     )
+
+
+# --- temperature-based mixture (multilingual/source sampling) ------------------
+
+
+def _temp_score(n: Column, alpha: float) -> Column:
+    """Unnormalized temperature score n^alpha, snapped to micro-units
+    per STRATUM (the per-term snap that makes the later integer
+    normalization engine-exact). alpha = 0.5 routes through sqrt,
+    which IEEE 754 requires to be correctly rounded -- bit-identical
+    across engines, no libm residual at all; other alphas use
+    exp(alpha * ln n) in one fixed op order (the documented
+    residual-libm class, micro-snapped immediately)."""
+    nd = n.cast("double")
+    if alpha == 0.5:
+        raw = F.sqrt(nd)
+    else:
+        raw = F.exp(F.lit(float(alpha)) * F.log(nd))
+    return F.round(raw * 1_000_000).cast("long")
+
+
+def _temp_score_sql(n_sql: str, alpha: float) -> str:
+    nd = f"CAST({n_sql} AS DOUBLE)"
+    raw = f"sqrt({nd})" if alpha == 0.5 else f"exp({alpha!r} * ln({nd}))"
+    return f"CAST(ROUND({raw} * 1000000) AS BIGINT)"
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    budget_docs: int = 1000,
+    temperature: float = 2.0,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based sampling plan (the mT5/multilingual recipe):
+    stratum s is sampled proportionally to n_s^(1/T) -- T=1 is
+    natural proportions, T->inf is uniform across strata -- so
+    low-resource strata are upsampled RELATIVE to their share without
+    ever exceeding their actual mass (keep fraction caps at 1).
+
+    Output per stratum: ``n_docs``, ``score_micro`` (snapped n^alpha),
+    ``weight_ppm`` (integer-normalized share of the budget),
+    ``keep_frac_ppm`` (min(1, budget * w / n)), and ``n_kept`` -- the
+    ACTUAL md5-bucket selection count, so the hash attests the
+    concrete doc selection, not just the plan arithmetic.
+
+    Everything after the per-stratum snap is integer: the
+    normalization sum is a BIGINT sum (associative -- Spark partials
+    and a sequential oracle cannot disagree), ratios are integer
+    ``div``. One aggregate over |strata| rows + one broadcast join
+    back for the selection filter.
+    """
+    alpha = 1.0 / temperature
+    strata = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(
+        strata_col, "n_docs",
+        _temp_score(F.col("n_docs"), alpha).alias("score_micro"),
+    )
+    total = strata.agg(
+        F.sum("score_micro").cast("long").alias("score_total")
+    )
+    plan = (
+        strata.crossJoin(F.broadcast(total))
+        .select(
+            strata_col, "n_docs", "score_micro",
+            F.expr("score_micro * 1000000 div score_total")
+            .cast("long").alias("weight_ppm"),
+        )
+        .select(
+            strata_col, "n_docs", "score_micro", "weight_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(f"({budget_docs} * weight_ppm div 1000000)"
+                       " * 1000000 div n_docs").cast("long"),
+            ).alias("keep_frac_ppm"),
+        )
+    )
+    kept = (
+        df.select(F.col(strata_col), F.col(key_col).alias("_k"))
+        .join(F.broadcast(plan.select(strata_col, "keep_frac_ppm")),
+              strata_col)
+        .filter(hash_bucket(F.col("_k"), salt=salt)
+                < F.col("keep_frac_ppm"))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        plan.join(kept, strata_col, "left")
+        .select(
+            strata_col, "n_docs", "score_micro", "weight_ppm",
+            "keep_frac_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+def temperature_mixture_plan_sql(
+    table: str = "documents",
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    budget_docs: int = 1000,
+    temperature: float = 2.0,
+    salt: str = "temp",
+) -> str:
+    """DuckDB twin of :func:`temperature_mixture_plan`."""
+    alpha = 1.0 / temperature
+    bucket = hash_bucket_sql(key_col, salt=salt)
+    return f"""
+        WITH strata AS (
+            SELECT {strata_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   {_temp_score_sql('COUNT(*)', alpha)} AS score_micro
+            FROM {table} GROUP BY {strata_col}
+        ), total AS (
+            SELECT CAST(SUM(score_micro) AS BIGINT) AS score_total
+            FROM strata
+        ), plan AS (
+            SELECT {strata_col}, n_docs, score_micro,
+                   score_micro * 1000000 // score_total AS weight_ppm
+            FROM strata CROSS JOIN total
+        ), plan2 AS (
+            SELECT *,
+                   LEAST(1000000,
+                         ({budget_docs} * weight_ppm // 1000000)
+                         * 1000000 // n_docs) AS keep_frac_ppm
+            FROM plan
+        ), kept AS (
+            SELECT t.{strata_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM {table} t
+            JOIN plan2 p ON t.{strata_col} = p.{strata_col}
+            WHERE CAST({bucket} AS BIGINT) < p.keep_frac_ppm
+            GROUP BY t.{strata_col}
+        )
+        SELECT p.{strata_col}, n_docs, score_micro, weight_ppm,
+               keep_frac_ppm,
+               CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+        FROM plan2 p LEFT JOIN kept k
+          ON p.{strata_col} = k.{strata_col}
+        ORDER BY p.{strata_col}
+    """

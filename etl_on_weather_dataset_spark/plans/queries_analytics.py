@@ -1326,3 +1326,38 @@ register(QuerySpec(
     covers=("heaps-law", "vocab-growth", "corpus-sizing"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- temperature-based mixture plan ----------------------------------------------
+
+
+def _temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import temperature_mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    # T=2 -> alpha=0.5: the sqrt path, bit-exact across engines.
+    # Stratify by lang (en holds ~41% of the corpus): temperature
+    # sampling visibly compresses the en share toward the rest.
+    return temperature_mixture_plan(
+        docs, strata_col="lang", key_col="doc_id",
+        budget_docs=200, temperature=2.0,
+    )
+
+
+def _temperature_mixture_oracle() -> str:
+    from ..operators.sample import temperature_mixture_plan_sql
+
+    return temperature_mixture_plan_sql(
+        "documents", strata_col="lang", key_col="doc_id",
+        budget_docs=200, temperature=2.0,
+    )
+
+
+register(QuerySpec(
+    name="temperature_mixture_plan",
+    spark_fn=_temperature_mixture,
+    oracle=_temperature_mixture_oracle,
+    covers=("temperature-sampling", "multilingual-mixture",
+            "mt5-recipe"),
+    extended=True,  # round-7 rotation (registry.py)
+))
