@@ -1065,3 +1065,97 @@ def vocab_growth_curve_sql(
         FROM fused
         ORDER BY prefix
     """
+
+
+# --- persistent vocabulary store (incremental unigram LM) ----------------------
+#
+# Token counts are a mergeable sufficient statistic (counts sum per
+# token), so the corpus's unigram model joins the sketch/store family:
+# batches fold into the versioned rollup store (exactly-once replay
+# ledger, keep-last-N vacuum, time travel) and the model -- or a
+# logprob scoring pass against it -- reads off the store without ever
+# rescanning an ingested batch. This is what makes the fluency filter
+# (unigram_logprob) and the drift monitor deployable on a GROWING
+# corpus: the model updates per batch, O(batch) tokens folded into a
+# vocabulary-sized table.
+
+
+def vocab_store_ingest(
+    spark,
+    docs: DataFrame,
+    store_path: str,
+    batch_id: str,
+    text_col: str = "text",
+    keep_versions: int | None = None,
+) -> DataFrame:
+    """Fold one document batch's token counts into the persistent
+    vocabulary store. Replayed ``batch_id``s are no-ops (the rollup
+    store's ledger); per token, ``n_rows`` IS the occurrence count.
+    Returns the new store contents."""
+    from .rollup_store import incremental_rollup
+    from .text import tokens
+
+    toks = docs.select(
+        F.explode(tokens(text_col)).alias("token"),
+        F.lit(1).alias("__one"),
+    )
+    return incremental_rollup(
+        spark, toks, store_path, batch_id,
+        key_cols=["token"], value_col="__one", value_scale=1,
+        keep_versions=keep_versions,
+    )
+
+
+def vocab_store_logprob(
+    spark,
+    df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    version: int | None = None,
+) -> DataFrame:
+    """Score documents against the STORED unigram model -- the
+    incremental twin of :func:`unigram_logprob`, which rebuilds its
+    model from the scored corpus itself. Same micro-nat snapping,
+    same per-doc exact integer sum; when every token is in the store
+    (e.g. scoring the ingested corpus), the output is BIT-EQUAL to
+    the one-shot operator (pytest-pinned).
+
+    Out-of-vocabulary tokens (scoring NEW text against an older
+    model) are floored at ln(1/total) -- the rarest-possible-token
+    score -- and counted per doc in ``n_oov`` so a drifting corpus is
+    visible, not silently absorbed. ``version`` pins a time-travel
+    read ("score under the model as of batch N")."""
+    from .caching import persisted
+    from .rollup_store import read_rollup
+    from .text import tokens
+
+    agg, _, _ = read_rollup(spark, store_path, version=version)
+    if agg is None:
+        raise ValueError(f"no committed vocab store at {store_path}")
+    freqs = agg.select("token", F.col("n_rows").alias("tok_n"))
+    total = freqs.agg(F.sum("tok_n").cast("double").alias("total_n"))
+    toks = persisted(df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("token"),
+    ))
+    lp_seen = F.log(F.col("tok_n") / F.col("total_n"))
+    lp_oov = F.log(F.lit(1.0) / F.col("total_n"))
+    scored = (
+        toks.join(freqs, "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.col("tok_n").isNull().cast("long").alias("oov"),
+            F.round(
+                F.when(F.col("tok_n").isNull(), lp_oov)
+                .otherwise(lp_seen) * 1e6
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(F.sum("lp_micro") / F.count(F.lit(1)))
+        .cast("long").alias("avg_logprob_micro"),
+    )

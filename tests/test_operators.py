@@ -4318,3 +4318,96 @@ class TestContextWindows:
         )
         con.close()
         assert got == want
+
+
+class TestVocabStore:
+    """corpus.vocab_store_*: the unigram model as a persistent
+    mergeable store (exactly-once folds, time travel), and scoring
+    that is bit-equal to the one-shot operator when OOV-free."""
+
+    def _docs(self, spark, lo, hi):
+        return spark.createDataFrame(
+            [(i, "alpha beta " + ("gamma " * (1 + i % 3)).strip())
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    def test_incremental_equals_oneshot_and_replay_noop(
+        self, spark, tmp_path
+    ):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            vocab_store_ingest,
+        )
+
+        store = str(tmp_path / "vocab")
+        b1, b2 = self._docs(spark, 0, 40), self._docs(spark, 40, 100)
+        vocab_store_ingest(spark, b1, store, "b1")
+        vocab_store_ingest(spark, b2, store, "b2")
+        # replay of b2 must be a no-op
+        agg = vocab_store_ingest(spark, b2, store, "b2")
+        got = {r.token: r.n_rows for r in agg.collect()}
+        want = {
+            r.token: r.n
+            for r in self._docs(spark, 0, 100)
+            .selectExpr("explode(split(text, ' +')) AS token")
+            .groupBy("token").count().withColumnRenamed("count", "n")
+            .collect()
+        }
+        assert got == want
+
+    def test_store_scoring_bit_equals_oneshot_when_no_oov(
+        self, spark, tmp_path
+    ):
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            unigram_logprob,
+            vocab_store_ingest,
+            vocab_store_logprob,
+        )
+
+        store = str(tmp_path / "vocab2")
+        docs = self._docs(spark, 0, 60)
+        vocab_store_ingest(spark, docs, store, "all")
+        got = sorted(
+            (r.id, r.n_tokens, r.n_oov, r.avg_logprob_micro)
+            for r in vocab_store_logprob(spark, docs, store).collect()
+        )
+        release_all()
+        want = sorted(
+            (r.id, r.n_tokens, 0, r.avg_logprob_micro)
+            for r in unigram_logprob(docs).collect()
+        )
+        release_all()
+        assert got == want
+
+    def test_oov_floor_and_time_travel(self, spark, tmp_path):
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            vocab_store_ingest,
+            vocab_store_logprob,
+        )
+
+        store = str(tmp_path / "vocab3")
+        vocab_store_ingest(spark, self._docs(spark, 0, 40), store, "b1")
+        new = spark.createDataFrame(
+            [(999, "alpha zzz_unseen")], "doc_id long, text string"
+        )
+        r = vocab_store_logprob(spark, new, store).collect()[0]
+        assert (r.n_tokens, r.n_oov) == (2, 1)
+        release_all()
+        # fold a batch CONTAINING the new token; v1 still scores it OOV
+        vocab_store_ingest(
+            spark, spark.createDataFrame(
+                [(1000, "zzz_unseen")], "doc_id long, text string"
+            ), store, "b2",
+        )
+        now = vocab_store_logprob(spark, new, store).collect()[0]
+        release_all()
+        asof = vocab_store_logprob(spark, new, store, version=1
+                                   ).collect()[0]
+        assert now.n_oov == 0
+        assert asof.n_oov == 1
