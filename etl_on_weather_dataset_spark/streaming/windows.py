@@ -802,3 +802,60 @@ def stream_eval_ingest(
     )
     q.awaitTermination()
     return seen
+
+
+def stream_vocab_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    keep_versions: int | None = None,
+) -> list[int]:
+    """Continuous vocabulary maintenance: a file stream of documents
+    drives ``vocab_store_ingest`` through foreachBatch, so the stored
+    unigram model (and anything scored against it via
+    ``vocab_store_logprob``) is always current -- the streaming twin
+    of the incremental unigram LM, inheriting the rollup store's
+    exactly-once contract (namespaced batch ledger: at-least-once
+    re-delivery after restart is a no-op; same recipe as
+    stream_eval_ingest).
+
+    Returns the processed batch ids (AvailableNow run).
+    """
+    import hashlib
+    import json
+    import os
+
+    from ..operators.corpus import vocab_store_ingest
+
+    seen: list[int] = []
+
+    def _query_ns() -> str:
+        try:
+            with open(os.path.join(checkpoint, "metadata")) as fh:
+                return json.load(fh)["id"][:12]
+        except (OSError, KeyError, ValueError):
+            return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        vocab_store_ingest(
+            spark, batch_df, store_path, f"{_query_ns()}-sb{batch_id}",
+            text_col=text_col, keep_versions=keep_versions,
+        )
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    ).option("pathGlobFilter", "*.parquet")
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

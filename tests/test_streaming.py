@@ -969,3 +969,56 @@ def test_stream_eval_ingest_dashboard_equals_batch(spark, tmp_path):
     )
     again = eval_store_report(spark, store).collect()[0]
     assert again.asDict() == got.asDict()
+
+
+def test_stream_vocab_ingest_model_equals_batch(spark, tmp_path):
+    """Streamed document waves must produce the same stored unigram
+    model as one batch ingest, and a drained re-run must be a no-op
+    (exactly-once over at-least-once delivery)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_on_weather_dataset_spark.operators.corpus import (
+        vocab_store_ingest,
+    )
+    from etl_on_weather_dataset_spark.operators.rollup_store import (
+        read_rollup,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_vocab_ingest,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + "gamma " * (1 + i % 4)) for i in range(80)],
+        schema,
+    )
+    for w, flt in (("w1", "doc_id < 40"), ("w2", "doc_id >= 40")):
+        docs.filter(flt).coalesce(1).write.parquet(str(src / w))
+    store = str(tmp_path / "stream_vocab")
+    ck = str(tmp_path / "ck")
+    seen = stream_vocab_ingest(spark, str(src) + "/*", schema, store, ck)
+    assert seen
+
+    one_shot = str(tmp_path / "oneshot_vocab")
+    vocab_store_ingest(spark, docs, one_shot, "all")
+    got, _, _ = read_rollup(spark, store)
+    want, _, _ = read_rollup(spark, one_shot)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # drained re-run: no new batches fold, store version unchanged
+    _, _, v_before = read_rollup(spark, store)
+    stream_vocab_ingest(spark, str(src) + "/*", schema, store, ck)
+    _, _, v_after = read_rollup(spark, store)
+    assert v_after == v_before
