@@ -394,6 +394,7 @@ def ranking_metrics(
     rank_col: str = "rk",
     rel_col: str = "rel",
     k: int = 10,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """One-row ranking report over per-query ranked candidates.
 
@@ -410,23 +411,30 @@ def ranking_metrics(
       discount table, ideal DCG from the prefix-sum CASE over
       min(#relevant, k)), ppm-scaled, integer-div by n_queries.
 
+    ``group_cols`` (columns of ``ranked``, constant per query)
+    produce one report row per segment instead of one global row --
+    per-lang/source retrieval quality, the grouped-AUC discipline.
+
     Scale shape: one filter + one groupBy(query) with map-side
     combine + one global one-row aggregate; the discount tables are
     plan constants. Queries with zero relevant candidates contribute
     0 to both means (the standard convention), keeping the means
     comparable across corpora with different label coverage.
     """
+    groups = list(group_cols or [])
     topk = ranked.filter(F.col(rank_col) <= k).select(
+        *groups,
         F.col(query_col).alias("q"),
         F.col(rank_col).cast("long").alias("rk"),
         F.col(rel_col).cast("long").alias("rel"),
     )
-    per_q = topk.groupBy("q").agg(
+    per_q = topk.groupBy(*groups, "q").agg(
         F.sum(F.expr(_weight_case(k, "rk")) * F.col("rel"))
         .cast("long").alias("dcg_micro"),
         F.least(F.sum("rel"), F.lit(k)).cast("long").alias("m"),
         F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
     ).select(
+        *groups,
         "dcg_micro",
         F.expr(_idcg_case(k, "m")).cast("long").alias("idcg_micro"),
         F.coalesce(
@@ -434,7 +442,8 @@ def ranking_metrics(
         ).cast("long").alias("rr_micro"),
         (F.col("first_rel") == 1).cast("long").alias("hit1"),
     )
-    return per_q.agg(
+    agg_target = per_q.groupBy(*groups) if groups else per_q
+    return agg_target.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.sum((F.col("idcg_micro") > 0).cast("long")).cast("long")
         .alias("n_with_rel"),
@@ -456,33 +465,37 @@ def ranking_metrics_sql(
     rank_col: str = "rk",
     rel_col: str = "rel",
     k: int = 10,
+    group_cols: list[str] | None = None,
 ) -> str:
     """DuckDB twin of :func:`ranking_metrics` (identical literal
     discount tables; every SUM cast to BIGINT -- DuckDB SUM(BIGINT)
     promotes to HUGEINT, which the driver hash rejects)."""
+    groups = list(group_cols or [])
+    g = "".join(f"{c}, " for c in groups)
+    final_group = f"GROUP BY {', '.join(groups)}" if groups else ""
     return f"""
         WITH topk AS (
-            SELECT {query_col} AS q,
+            SELECT {g}{query_col} AS q,
                    CAST({rank_col} AS BIGINT) AS rk,
                    CAST({rel_col} AS BIGINT) AS rel
             FROM ({ranked_sql})
             WHERE {rank_col} <= {k}
         ), per_q AS (
-            SELECT q,
+            SELECT {g}q,
                    CAST(SUM({_weight_case(k, 'rk')} * rel) AS BIGINT)
                        AS dcg_micro,
                    CAST(LEAST(SUM(rel), {k}) AS BIGINT) AS m,
                    MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel
-            FROM topk GROUP BY q
+            FROM topk GROUP BY {g}q
         ), scored AS (
-            SELECT dcg_micro,
+            SELECT {g}dcg_micro,
                    CAST({_idcg_case(k, 'm')} AS BIGINT) AS idcg_micro,
                    CAST(COALESCE({PPM} // first_rel, 0) AS BIGINT)
                        AS rr_micro,
                    CASE WHEN first_rel = 1 THEN 1 ELSE 0 END AS hit1
             FROM per_q
         )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        SELECT {g}CAST(COUNT(*) AS BIGINT) AS n_queries,
                CAST(SUM(CASE WHEN idcg_micro > 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_with_rel,
                CAST(COALESCE(SUM(hit1), 0) AS BIGINT) AS hits_at_1,
@@ -493,4 +506,5 @@ def ranking_metrics_sql(
                         ELSE 0 END), 0) AS BIGINT)
                    // COUNT(*) AS mean_ndcg_ppm
         FROM scored
+        {final_group}
     """

@@ -1611,3 +1611,62 @@ register(QuerySpec(
             "nearest-class-mean"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- per-label ranking metrics (grouped MRR/NDCG) --------------------------------
+
+
+def _retrieval_ranking_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.evaluate import ranking_metrics
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    topk = cosine_topk(queries, emb, k=_RANK_K)
+    labels = emb.select("vec_id", "label")
+    ranked = (
+        topk
+        .join(labels.withColumnRenamed("vec_id", "query_id")
+              .withColumnRenamed("label", "q_label"), "query_id")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+              .withColumnRenamed("label", "n_label"), "neighbor_id")
+        .select(
+            "q_label", "query_id", "rk",
+            (F.col("q_label") == F.col("n_label")).cast("int")
+            .alias("rel"),
+        )
+    )
+    return ranking_metrics(
+        ranked, query_col="query_id", rank_col="rk", rel_col="rel",
+        k=_RANK_K, group_cols=["q_label"],
+    ).orderBy("q_label")
+
+
+def _retrieval_ranking_by_label_oracle() -> str:
+    from ..operators.evaluate import ranking_metrics_sql
+    from ..operators.similarity import cosine_topk_sql
+
+    ann = cosine_topk_sql(k=_RANK_K, query_filter=_RANK_QF)
+    ranked = f"""
+        SELECT ql.label AS q_label, t.query_id, t.rk,
+               CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+        FROM ({ann}) t
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+        JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+    """
+    inner = ranking_metrics_sql(
+        ranked, query_col="query_id", rank_col="rk", rel_col="rel",
+        k=_RANK_K, group_cols=["q_label"],
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY q_label"
+
+
+register(QuerySpec(
+    name="retrieval_ndcg_by_label",
+    spark_fn=_retrieval_ranking_by_label,
+    oracle=_retrieval_ranking_by_label_oracle,
+    covers=("grouped-ranking-eval", "per-segment-ndcg"),
+    extended=True,  # round-7 rotation (registry.py)
+))
