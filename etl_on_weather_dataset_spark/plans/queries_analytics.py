@@ -23,9 +23,11 @@ Five first-class operator families a 100 TB pipeline leans on daily:
   the fold runs inside a per-key sorted array, bit-identically in
   both engines (Spark ``aggregate`` vs DuckDB ``list_reduce``).
 
-All integer-first: micro-scaled BIGINTs everywhere, ``div`` with
-non-negative operands only (Spark truncation == DuckDB floor), no
-float crosses an engine boundary.
+All integer-first: micro-scaled BIGINTs everywhere; Spark ``div``
+and DuckDB ``//`` both truncate toward zero (verified on negative
+operands -- cluster.label_prototypes relies on it), so integer
+division is engine-exact for ANY sign; no float crosses an engine
+boundary.
 """
 
 from __future__ import annotations
