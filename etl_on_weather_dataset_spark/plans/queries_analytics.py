@@ -1363,3 +1363,58 @@ register(QuerySpec(
             "mt5-recipe"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- VARIANT-typed semi-structured analytics -------------------------------------
+#
+# Spark 4's VARIANT type is the scan-efficient path for JSON columns
+# (binary-encoded, shredded pushdown-friendly storage -- the modern
+# replacement for from_json with a pinned schema when the shape
+# drifts). This query runs the events props column through
+# parse_json -> variant_get and aggregates; the existing
+# `json_props_stats` family covers the schema-pinned from_json path,
+# so together the two attest both JSON disciplines the engine offers.
+
+
+def _variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("k_sum"),
+            F.coalesce(F.min("k"), F.lit(0)).cast("long").alias("k_min"),
+            F.coalesce(F.max("k"), F.lit(0)).cast("long").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(QuerySpec(
+    name="variant_props_stats",
+    spark_fn=_variant_props_stats,
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               CAST(COALESCE(SUM(k), 0) AS BIGINT) AS k_sum,
+               CAST(COALESCE(MIN(k), 0) AS BIGINT) AS k_min,
+               CAST(COALESCE(MAX(k), 0) AS BIGINT) AS k_max
+        FROM v
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    covers=("variant-type", "semi-structured-json",
+            "spark4-native"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -109,7 +109,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # web_ingest_pipeline_stats, session_context_windows,
 # pii_prevalence_by_source, vocab_growth_curve,
 # jaccard_threshold_sweep, temperature_mixture_plan,
-# retrieval_ndcg_by_label -- swap into
+# retrieval_ndcg_by_label, variant_props_stats -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to
