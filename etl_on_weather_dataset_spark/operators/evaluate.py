@@ -508,3 +508,88 @@ def ranking_metrics_sql(
         FROM scored
         {final_group}
     """
+
+
+# --- Wilson score intervals (rate + CI, engine-exact) ---------------------------
+#
+# The Wilson interval is the standard "is this rate real or noise"
+# bound for segment metrics (conversion rates, defect rates, filter
+# pass rates). It is also one of the few CI formulas an exactness
+# discipline can ship bit-identically: every operation in it
+# (+ - * / sqrt) is IEEE-755 correctly rounded, so with ONE fixed op
+# order the doubles agree across engines before the final micro
+# ROUND -- no libm residual at all (unlike normal-quantile or
+# t-based intervals, which need erf/ln).
+
+
+def wilson_bounds_sql(s_sql: str, n_sql: str, z: float = 1.959964) -> tuple[str, str]:
+    """(lower, upper) Wilson-bound expressions in ppm BIGINTs --
+    SHARED dialect (valid in Spark SQL and DuckDB verbatim), one
+    fixed op order. ``s_sql``/``n_sql`` are integer success/total
+    expressions; n must be > 0 where evaluated."""
+    p = f"(CAST({s_sql} AS DOUBLE) / CAST({n_sql} AS DOUBLE))"
+    nn = f"CAST({n_sql} AS DOUBLE)"
+    z2 = repr(z * z)
+    zl = repr(z)
+    denom = f"(1.0 + {z2} / {nn})"
+    center = f"(({p} + {z2} / (2.0 * {nn})) / {denom})"
+    margin = (
+        f"(({zl} / {denom}) * sqrt({p} * (1.0 - {p}) / {nn}"
+        f" + {z2} / (4.0 * {nn} * {nn})))"
+    )
+    lo = f"CAST(ROUND(greatest(0.0, {center} - {margin}) * 1000000) AS BIGINT)"
+    hi = f"CAST(ROUND(least(1.0, {center} + {margin}) * 1000000) AS BIGINT)"
+    return lo, hi
+
+
+def rate_with_wilson(
+    df: DataFrame,
+    success_col: str,
+    group_cols: list[str],
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group success rate with its Wilson CI: ``n, successes,
+    rate_ppm, ci_lo_ppm, ci_hi_ppm`` -- one map-combinable aggregate,
+    then per-row arithmetic on the (bounded) group relation."""
+    lo, hi = wilson_bounds_sql("successes", "n", z)
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(success_col).cast("long")).cast("long")
+            .alias("successes"),
+        )
+        .select(
+            *group_cols, "n", "successes",
+            F.expr("successes * 1000000 div n").cast("long")
+            .alias("rate_ppm"),
+            F.expr(lo).alias("ci_lo_ppm"),
+            F.expr(hi).alias("ci_hi_ppm"),
+        )
+    )
+
+
+def rate_with_wilson_sql(
+    table_sql: str,
+    success_sql: str,
+    group_cols: list[str],
+    z: float = 1.959964,
+) -> str:
+    """DuckDB twin of :func:`rate_with_wilson` (the bound expressions
+    are byte-shared with the Spark side)."""
+    lo, hi = wilson_bounds_sql("successes", "n", z)
+    g = ", ".join(group_cols)
+    return f"""
+        WITH counts AS (
+            SELECT {g},
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST({success_sql} AS BIGINT)) AS BIGINT)
+                       AS successes
+            FROM ({table_sql}) GROUP BY {g}
+        )
+        SELECT {g}, n, successes,
+               successes * 1000000 // n AS rate_ppm,
+               {lo} AS ci_lo_ppm,
+               {hi} AS ci_hi_ppm
+        FROM counts
+    """

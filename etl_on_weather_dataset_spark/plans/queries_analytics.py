@@ -1418,3 +1418,41 @@ register(QuerySpec(
             "spark4-native"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- per-segment rate with Wilson CI ---------------------------------------------
+
+
+def _purchase_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import rate_with_wilson
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        "event_type",
+        (F.col("value") > 100).cast("int").alias("high_value"),
+    )
+    return rate_with_wilson(
+        flagged, success_col="high_value", group_cols=["event_type"]
+    ).orderBy("event_type")
+
+
+def _purchase_rate_wilson_oracle() -> str:
+    from ..operators.evaluate import rate_with_wilson_sql
+
+    inner = rate_with_wilson_sql(
+        """SELECT event_type,
+                  CASE WHEN value > 100 THEN 1 ELSE 0 END AS high_value
+           FROM events""",
+        success_sql="high_value", group_cols=["event_type"],
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY event_type"
+
+
+register(QuerySpec(
+    name="rate_wilson_ci_by_type",
+    spark_fn=_purchase_rate_wilson,
+    oracle=_purchase_rate_wilson_oracle,
+    covers=("wilson-interval", "segment-rate-ci",
+            "engine-exact-statistics"),
+    extended=True,  # round-7 rotation (registry.py)
+))

@@ -109,7 +109,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # web_ingest_pipeline_stats, session_context_windows,
 # pii_prevalence_by_source, vocab_growth_curve,
 # jaccard_threshold_sweep, temperature_mixture_plan,
-# retrieval_ndcg_by_label, variant_props_stats -- swap into
+# retrieval_ndcg_by_label, variant_props_stats,
+# rate_wilson_ci_by_type -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to

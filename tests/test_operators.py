@@ -4411,3 +4411,64 @@ class TestVocabStore:
                                    ).collect()[0]
         assert now.n_oov == 0
         assert asof.n_oov == 1
+
+
+class TestWilsonCI:
+    """evaluate.rate_with_wilson: engine-exact Wilson bounds (every
+    op in the formula is IEEE-correctly-rounded, so the shared
+    expression is bit-portable)."""
+
+    def _rates(self, spark, rows):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            rate_with_wilson,
+        )
+
+        df = spark.createDataFrame(rows, "g string, s int")
+        return {
+            r.g: r for r in rate_with_wilson(
+                df, success_col="s", group_cols=["g"]
+            ).collect()
+        }
+
+    def test_bounds_bracket_and_clamp(self, spark):
+        rows = (
+            [("half", i % 2) for i in range(10)]
+            + [("none", 0)] * 8
+            + [("all", 1)] * 8
+        )
+        out = self._rates(spark, rows)
+        h = out["half"]
+        assert h.ci_lo_ppm < h.rate_ppm < h.ci_hi_ppm
+        # Wilson is symmetric around 1/2 at p-hat = 1/2
+        assert h.ci_lo_ppm + h.ci_hi_ppm == 1_000_000
+        # zero and full rates clamp into [0, 1] but stay informative
+        assert out["none"].ci_lo_ppm == 0 and out["none"].ci_hi_ppm > 0
+        assert out["all"].ci_hi_ppm == 1_000_000
+        assert out["all"].ci_lo_ppm < 1_000_000
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            rate_with_wilson,
+            rate_with_wilson_sql,
+        )
+
+        rows = [(f"g{i % 3}", int((i * 7) % 5 == 0)) for i in range(50)]
+        df = spark.createDataFrame(rows, "g string, s int")
+        got = sorted(
+            tuple(r) for r in rate_with_wilson(
+                df, success_col="s", group_cols=["g"]
+            ).collect()
+        )
+        con = duckdb.connect()
+        vals = ", ".join(f"('{g}', {s})" for g, s in rows)
+        want = sorted(
+            (row[0], *map(int, row[1:]))
+            for row in con.execute(rate_with_wilson_sql(
+                f"SELECT * FROM (VALUES {vals}) t(g, s)",
+                success_sql="s", group_cols=["g"],
+            )).fetchall()
+        )
+        con.close()
+        assert got == want
