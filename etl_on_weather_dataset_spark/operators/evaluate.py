@@ -593,3 +593,123 @@ def rate_with_wilson_sql(
                {hi} AS ci_hi_ppm
         FROM counts
     """
+
+
+# --- two-sample Kolmogorov-Smirnov (exact, integer surface) ---------------------
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact two-sample KS statistic between two slices of one
+    relation: D = max over the pooled distinct values of
+    |ECDF_a - ECDF_b| -- THE distribution-drift test between two
+    sources/periods when a binned PSI/KL is too coarse.
+
+    Exactness: values snap to ``scale``-scaled BIGINTs on entry, the
+    per-value class counts come from ONE conditional aggregate, and
+    the ECDFs are integer ppm (``cum * 1e6 div n``), so D and its
+    arg-value are engine-exact. The only window runs over the
+    DISTINCT-value relation (the binary_eval discipline: bounded by
+    the value domain, not the row count).
+
+    Output (one row): ``n_a, n_b, ks_ppm, at_value_scaled`` (the
+    smallest snapped value attaining the max -- deterministic
+    tie-break).
+    """
+    v = F.round(F.col(value_col) * scale).cast("long").alias("v")
+    is_a = (F.col(side_col) == side_a).cast("long")
+    is_b = (F.col(side_col) == side_b).cast("long")
+    per_v = (
+        df.select(v, is_a.alias("a"), is_b.alias("b"))
+        .filter((F.col("a") + F.col("b")) > 0)
+        .groupBy("v")
+        .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    )
+    totals = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = (
+        per_v.crossJoin(F.broadcast(totals))
+        .select(
+            "v", "n_a", "n_b",
+            F.sum("ca").over(w).alias("cum_a"),
+            F.sum("cb").over(w).alias("cum_b"),
+        )
+        .select(
+            "v", "n_a", "n_b",
+            F.abs(
+                F.expr("cum_a * 1000000 div n_a")
+                - F.expr("cum_b * 1000000 div n_b")
+            ).cast("long").alias("d_ppm"),
+        )
+    )
+    return (
+        ecdf
+        .withColumn(
+            "mx",
+            F.max("d_ppm").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .agg(
+            F.min("n_a").cast("long").alias("n_a"),
+            F.min("n_b").cast("long").alias("n_b"),
+            F.max("d_ppm").cast("long").alias("ks_ppm"),
+            F.min(F.when(F.col("d_ppm") == F.col("mx"), F.col("v")))
+            .cast("long").alias("at_value_scaled"),
+        )
+    )
+
+
+def ks_two_sample_sql(
+    table_sql: str,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`ks_two_sample`."""
+    qa = f"'{side_a}'" if isinstance(side_a, str) else repr(side_a)
+    qb = f"'{side_b}'" if isinstance(side_b, str) else repr(side_b)
+    return f"""
+        WITH per_v AS (
+            SELECT CAST(ROUND({value_col} * {scale}) AS BIGINT) AS v,
+                   CAST(SUM(CASE WHEN {side_col} = {qa}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN {side_col} = {qb}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM ({table_sql})
+            WHERE {side_col} IN ({qa}, {qb})
+            GROUP BY 1
+        ), totals AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(cb) AS BIGINT) AS n_b
+            FROM per_v
+        ), ecdf AS (
+            SELECT v, n_a, n_b,
+                   abs(CAST(SUM(ca) OVER (ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       * 1000000 // n_a
+                     - CAST(SUM(cb) OVER (ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       * 1000000 // n_b) AS d_ppm
+            FROM per_v CROSS JOIN totals
+        )
+        SELECT CAST(MIN(n_a) AS BIGINT) AS n_a,
+               CAST(MIN(n_b) AS BIGINT) AS n_b,
+               CAST(MAX(d_ppm) AS BIGINT) AS ks_ppm,
+               CAST(MIN(CASE WHEN d_ppm = (SELECT MAX(d_ppm) FROM ecdf)
+                        THEN v END) AS BIGINT) AS at_value_scaled
+        FROM ecdf
+    """

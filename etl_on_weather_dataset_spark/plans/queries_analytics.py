@@ -1456,3 +1456,35 @@ register(QuerySpec(
             "engine-exact-statistics"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- two-sample KS drift test ------------------------------------------------------
+
+
+def _ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev, value_col="value", side_col="event_type",
+        side_a="purchase", side_b="error", scale=100,
+    )
+
+
+def _ks_value_drift_oracle() -> str:
+    from ..operators.evaluate import ks_two_sample_sql
+
+    return ks_two_sample_sql(
+        "SELECT * FROM events", value_col="value",
+        side_col="event_type", side_a="purchase", side_b="error",
+        scale=100,
+    )
+
+
+register(QuerySpec(
+    name="ks_value_drift",
+    spark_fn=_ks_value_drift,
+    oracle=_ks_value_drift_oracle,
+    covers=("ks-two-sample", "distribution-drift-test"),
+    extended=True,  # round-7 rotation (registry.py)
+))

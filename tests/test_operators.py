@@ -4472,3 +4472,52 @@ class TestWilsonCI:
         )
         con.close()
         assert got == want
+
+
+class TestKSTwoSample:
+    """evaluate.ks_two_sample: exact integer ECDF distance."""
+
+    def test_identical_and_shifted(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ks_two_sample,
+        )
+
+        rows = [("a", (i % 20) * 1.0) for i in range(100)]
+        same = rows + [("b", v) for _, v in rows]
+        r = ks_two_sample(
+            spark.createDataFrame(same, "side string, value double"),
+            "value", "side", "a", "b",
+        ).collect()[0]
+        assert (r.n_a, r.n_b, r.ks_ppm) == (100, 100, 0)
+
+        shifted = rows + [("b", v + 10.0) for _, v in rows]
+        r2 = ks_two_sample(
+            spark.createDataFrame(shifted, "side string, value double"),
+            "value", "side", "a", "b",
+        ).collect()[0]
+        # b is a +10 shift of a with support width 19: D = 10/20 = 0.5
+        assert r2.ks_ppm == 500_000
+        # arg-value: the smallest snapped value attaining the max gap
+        assert r2.at_value_scaled == 900  # value 9.0 at scale 100
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ks_two_sample,
+            ks_two_sample_sql,
+        )
+
+        rows = [("a" if i % 3 else "b", ((i * 17) % 40) / 4.0)
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "side string, value double")
+        got = tuple(ks_two_sample(df, "value", "side", "a", "b")
+                    .collect()[0])
+        con = duckdb.connect()
+        vals = ", ".join(f"('{s}', {v})" for s, v in rows)
+        want = tuple(map(int, con.execute(ks_two_sample_sql(
+            f"SELECT * FROM (VALUES {vals}) t(side, value)",
+            "value", "side", "a", "b",
+        )).fetchone()))
+        con.close()
+        assert got == want
