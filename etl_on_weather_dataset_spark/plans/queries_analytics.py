@@ -1488,3 +1488,99 @@ register(QuerySpec(
     covers=("ks-two-sample", "distribution-drift-test"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- point-in-time enrichment (the feature-store join) ---------------------------
+#
+# Training-serving skew usually enters through ONE join: enriching an
+# event with dimension state that wasn't knowable at event time
+# (joining the LATEST customer state onto last year's orders). The
+# leak-free form is the point-in-time (as-of) join every feature
+# store ships. This query attests the engine's asof_join operator
+# (union-and-carry-forward, operators/joins.py) against an
+# INDEPENDENT closed form: with the version dim synthesized as "the
+# customer's cumulative order count as of each order date", the PIT
+# enrichment of an order provably equals COUNT(*) OVER (PARTITION BY
+# cust ORDER BY date RANGE UNBOUNDED PRECEDING) -- so the oracle
+# never runs an as-of join at all, and a hash match proves the
+# operator implements the semantics, not just that two copies of the
+# same code agree. The naive (latest-state) arm is also measured:
+# its disagreement rate with PIT is the leakage a feature store
+# exists to prevent.
+
+
+def _pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.joins import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    # version dim: one row per (cust, date) with the cumulative order
+    # count THROUGH that date -- unique ts per key by construction
+    # (equal-ts versions would carry nondeterministically)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    versions = (
+        orders
+        .withColumn("state", F.count(F.lit(1)).over(w).cast("long"))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.max("state").alias("state"))
+    )
+    enriched = asof_join(
+        orders.select(
+            F.col("o_orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+        ),
+        versions,
+        on="custkey", ts_col="ts",
+        right_value_cols=["state"],
+        left_id_col="o_orderkey",
+    ).select("o_orderkey", "custkey", F.col("asof_state").alias("pit"))
+    latest = versions.groupBy("custkey").agg(
+        F.max("state").alias("naive")
+    )
+    both = enriched.join(latest, "custkey")
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("pit").cast("long").alias("pit_state_sum"),
+        F.sum("naive").cast("long").alias("naive_state_sum"),
+        F.sum((F.col("naive") != F.col("pit")).cast("long"))
+        .cast("long").alias("n_leaky_rows"),
+        F.expr("sum(CASE WHEN naive != pit THEN 1 ELSE 0 END) "
+               "* 1000000 div count(1)").cast("long").alias("leak_ppm"),
+    )
+
+
+register(QuerySpec(
+    name="point_in_time_enrichment",
+    spark_fn=_pit_enrichment,
+    oracle="""
+        WITH pit AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS pit,
+                   CAST(COUNT(*) OVER (PARTITION BY o_custkey)
+                        AS BIGINT) AS naive
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(pit) AS BIGINT) AS pit_state_sum,
+               CAST(SUM(naive) AS BIGINT) AS naive_state_sum,
+               CAST(SUM(CASE WHEN naive != pit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaky_rows,
+               CAST(SUM(CASE WHEN naive != pit THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1000000 // COUNT(*) AS leak_ppm
+        FROM pit
+    """,
+    covers=("point-in-time-join", "feature-store-semantics",
+            "temporal-leakage-audit"),
+    extended=True,  # round-7 rotation (registry.py)
+))

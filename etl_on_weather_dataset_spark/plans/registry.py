@@ -110,7 +110,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # pii_prevalence_by_source, vocab_growth_curve,
 # jaccard_threshold_sweep, temperature_mixture_plan,
 # retrieval_ndcg_by_label, variant_props_stats,
-# rate_wilson_ci_by_type, ks_value_drift -- swap into
+# rate_wilson_ci_by_type, ks_value_drift,
+# point_in_time_enrichment -- swap into
 # ROTATE_IN next round.
 ROTATE_IN: frozenset[str] = frozenset({
     # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to
