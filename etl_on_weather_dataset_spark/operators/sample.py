@@ -604,7 +604,9 @@ def temperature_mixture_plan(
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
     )
     return (
-        plan.join(kept, strata_col, "left")
+        # both sides are |strata|-sized post-aggregates; Catalyst has
+        # no size stats for them, so hint the broadcast explicitly
+        plan.join(F.broadcast(kept), strata_col, "left")
         .select(
             strata_col, "n_docs", "score_micro", "weight_ppm",
             "keep_frac_ppm",

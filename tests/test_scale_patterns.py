@@ -723,6 +723,83 @@ class TestRound6LatePlans:
             raise AssertionError("unpartitioned window: " + m.group(0))
 
 
+class TestLateStatsPlans:
+    """Plan contracts for the late round-6 statistical tier."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan_of(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_ks_window_runs_over_distinct_values(self, spark):
+        """KS: no join; the cumulative window consumes the per-value
+        AGGREGATE (bounded by the value domain), never raw rows."""
+        import re
+
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ks_two_sample,
+        )
+
+        df = spark.range(5000).selectExpr(
+            "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS side",
+            "CAST(id % 97 AS DOUBLE) AS value",
+        )
+        out = ks_two_sample(df, "value", "side", "a", "b")
+        plan = self._plan_of(out)
+        assert "CartesianProduct" not in plan, plan[:2000]
+        windows = [m.start() for m in re.finditer(r"\bWindow\b", plan)]
+        assert windows, plan[:2000]
+        below = plan[windows[-1]:]
+        assert re.search(r"HashAggregate.*keys=\[v", below), plan[:3000]
+
+    def test_wilson_is_one_aggregate_no_join(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            rate_with_wilson,
+        )
+
+        df = spark.range(1000).selectExpr(
+            "CAST(id % 4 AS STRING) AS g",
+            "CAST(id % 7 = 0 AS INT) AS s",
+        )
+        plan = self._plan_of(rate_with_wilson(df, "s", ["g"]))
+        assert "Join" not in plan, plan[:2000]
+        assert "Window" not in plan, plan[:2000]
+
+    def test_temperature_plan_joins_broadcast_strata_only(self, spark):
+        """Temperature mixture: the per-stratum plan is broadcast
+        back for the selection; nothing corpus-sized joins itself."""
+        import re
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            temperature_mixture_plan,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        docs = load_table(spark, self.SF, "documents")
+        plan = self._plan_of(temperature_mixture_plan(docs))
+        assert "CartesianProduct" not in plan, plan[:2000]
+        for j in set(re.findall(r"(\w+Join\w*)", plan)):
+            assert j.startswith("Broadcast"), (j, plan[:2000])
+
+    def test_vocab_growth_window_is_bucket_bounded(self, spark):
+        """Heaps curve: the cumulative window consumes the n_buckets
+        aggregate, not tokens; no cartesian."""
+        import re
+
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            vocab_growth_curve,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        docs = load_table(spark, self.SF, "documents")
+        plan = self._plan_of(vocab_growth_curve(docs))
+        assert "CartesianProduct" not in plan, plan[:2000]
+        w = plan.find("Window")
+        assert w >= 0, plan[:2000]
+        assert re.search(r"HashAggregate.*keys=\[bucket",
+                         plan[w:]), plan[:3000]
+
+
 class TestBenchPlansNoCartesian:
     def test_no_cartesian_in_any_bench_plan(self, spark):
         """PLANS.md's headline claim, codified: ZERO cartesian
