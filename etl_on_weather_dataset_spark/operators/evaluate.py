@@ -631,6 +631,14 @@ def ks_two_sample(
         .groupBy("v")
         .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
     )
+    return ks_from_counts(per_v)
+
+
+def ks_from_counts(per_v: DataFrame) -> DataFrame:
+    """The KS report from a (v, ca, cb) per-value count relation --
+    the statistic's MERGEABLE sufficient form (counts sum per value),
+    which is what lets :func:`ks_between_versions` compare two store
+    snapshots without any raw rows."""
     totals = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
@@ -713,3 +721,61 @@ def ks_two_sample_sql(
                         THEN v END) AS BIGINT) AS at_value_scaled
         FROM ecdf
     """
+
+
+def ks_store_ingest(
+    spark,
+    df: DataFrame,
+    store_path: str,
+    batch_id: str,
+    value_col: str,
+    scale: int = 100,
+    keep_versions: int | None = None,
+) -> DataFrame:
+    """Fold one batch's snapped-value counts into a persistent
+    distribution store (the rollup store keyed on the scaled value)
+    -- per-value counts are KS's mergeable sufficient statistic, so
+    distribution monitoring joins the store family: exactly-once
+    replay ledger, vacuum, time travel."""
+    from .rollup_store import incremental_rollup
+
+    batch = df.select(
+        F.round(F.col(value_col) * scale).cast("long").alias("v"),
+        F.lit(1).alias("__one"),
+    )
+    return incremental_rollup(
+        spark, batch, store_path, batch_id,
+        key_cols=["v"], value_col="__one", value_scale=1,
+        keep_versions=keep_versions,
+    )
+
+
+def ks_between_versions(
+    spark,
+    store_path: str,
+    version_a: int,
+    version_b: int | None = None,
+) -> DataFrame:
+    """Exact KS distance between the distribution AS OF ``version_a``
+    and as of ``version_b`` (default: current) -- "has the corpus's
+    value distribution drifted since snapshot N", computed entirely
+    from the store's per-value counts (no ingested batch is ever
+    rescanned). Output matches :func:`ks_two_sample`:
+    ``n_a, n_b, ks_ppm, at_value_scaled``."""
+    from .rollup_store import read_rollup
+
+    agg_a, _, _ = read_rollup(spark, store_path, version=version_a)
+    agg_b, _, _ = read_rollup(spark, store_path, version=version_b)
+    if agg_a is None or agg_b is None:
+        raise ValueError(f"no committed version at {store_path}")
+    a = agg_a.select("v", F.col("n_rows").alias("ca"))
+    b = agg_b.select("v", F.col("n_rows").alias("cb"))
+    per_v = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    return ks_from_counts(per_v)

@@ -4521,3 +4521,43 @@ class TestKSTwoSample:
         )).fetchone()))
         con.close()
         assert got == want
+
+
+class TestKSStore:
+    """evaluate.ks_store_*: distribution monitoring off the
+    persistent per-value count store."""
+
+    def test_version_compare_equals_direct_ks(self, spark, tmp_path):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ks_between_versions,
+            ks_store_ingest,
+            ks_two_sample,
+        )
+
+        store = str(tmp_path / "dist")
+        b1 = spark.range(200).selectExpr(
+            "CAST(id % 40 AS DOUBLE) AS value")
+        b2 = spark.range(150).selectExpr(
+            "CAST(id % 40 + 15 AS DOUBLE) AS value")
+        ks_store_ingest(spark, b1, store, "b1", "value")
+        # replay no-op, then the drifted batch
+        ks_store_ingest(spark, b1, store, "b1", "value")
+        ks_store_ingest(spark, b2, store, "b2", "value")
+
+        got = ks_between_versions(spark, store, 1).collect()[0]
+        # direct KS: side a = snapshot v1 (b1), side b = current
+        # cumulative corpus (b1 + b2)
+        direct_rows = (
+            b1.selectExpr("'a' AS side", "value")
+            .unionByName(b1.selectExpr("'b' AS side", "value"))
+            .unionByName(b2.selectExpr("'b' AS side", "value"))
+        )
+        want = ks_two_sample(
+            direct_rows, "value", "side", "a", "b"
+        ).collect()[0]
+        assert tuple(got) == tuple(want)
+        assert got.ks_ppm > 0  # the shift is visible
+
+        # comparing a version with itself is exactly zero drift
+        same = ks_between_versions(spark, store, 1, 1).collect()[0]
+        assert (same.ks_ppm, same.n_a) == (0, 200)
