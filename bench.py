@@ -2,10 +2,16 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q": median_sec, ...}, "queries_min": {"q": min_sec},
-   "sf": 0.1, "n": 5, "protocol": "median"}
+Emission contract (round-6 verdict item 1 -- BENCH_r06.json came back
+``parsed: null`` because one ~6 KB JSON line with two 45-query dicts
+overflowed the driver's tail capture): per-query median/min detail is
+written to ``BENCH_DETAIL.json`` AND printed on its own EARLY stdout
+line; the LAST stdout line is a compact headline small enough for any
+tail buffer:
+  {"metric": "headline_queries_total_sec", "value": <sum of medians>,
+   "value_min": <sum of mins>, "unit": "sec", "sf": 0.1, "n": 5,
+   "protocol": "median", "n_queries": K,
+   "common_with_prev": {...five scalars...}}
 
 Protocol (stated in the JSON so round-over-round trend is signal, not
 protocol drift): one warm-up run per query (JIT + code cache), then
@@ -76,51 +82,93 @@ def main() -> None:
         release_all()
 
     total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
+    total_min = round(sum(timings_min.values()), 4)
+    detail = {
         "queries": timings,
         "queries_min": timings_min,
         "sf": sf,
         "n": N_RUNS,
         "protocol": "median",
     }
+    # Per-query detail: to a file (the durable in-repo record a future
+    # round's trend line can read even if the driver's tail buffer
+    # truncates stdout) AND an early stdout line for humans. The
+    # compact headline is printed LAST -- the driver parses the final
+    # line, and BENCH_r06.json proved a ~6 KB final line overflows its
+    # 2000-char tail capture (round-6 verdict item 1).
+    (Path(_REPO) / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+    print(json.dumps(detail))
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "value_min": total_min,
+        "unit": "sec",
+        "sf": sf,
+        "n": N_RUNS,
+        "n_queries": len(timings),
+        "protocol": "median",
+    }
     # Like-for-like trend line (r4 verdict item 7): the subtotal over
     # queries ALSO benched last round, so the headline growing with
-    # the query set never obscures a regression. Read from the
-    # previous round's artifact when present.
-    prev = sorted(Path(_REPO).glob("BENCH_r*.json"))
-    if prev:
-        try:
-            prev_doc = json.loads(prev[-1].read_text())
-            # driver artifacts wrap the bench's own JSON line in "parsed"
-            prev_doc = prev_doc.get("parsed", prev_doc)
-            common = sorted(set(prev_doc.get("queries", {})) & set(timings))
-            # only an equal-scale comparison is a trend line; compare
-            # like stat with like: a prior best-of-N artifact recorded
-            # mins, so compare our mins against it (min-to-min); a
-            # prior median-protocol artifact compares median-to-median
-            if common and prev_doc.get("sf") == sf:
-                if prev_doc.get("protocol", "best") == "median":
-                    ours, basis = timings, "median"
-                else:
-                    ours, basis = timings_min, "min_vs_prev_best"
-                out["common_with_prev"] = {
-                    "prev_artifact": prev[-1].name,
-                    "basis": basis,
-                    "n_queries": len(common),
-                    "subtotal_sec": round(
-                        sum(ours[q] for q in common), 4
-                    ),
-                    "prev_subtotal_sec": round(
-                        sum(prev_doc["queries"][q] for q in common), 4
-                    ),
-                }
-        except (ValueError, OSError):
-            pass  # a malformed prior artifact never breaks the bench
+    # the query set never obscures a regression. Prefer the driver's
+    # parsed artifact; when parsed is null (r6), fall back to the
+    # committed BENCH_DETAIL_r{N}.json reconstruction for that round.
+    prev_doc, prev_name = _prev_bench_record()
+    if prev_doc is not None:
+        # compare like stat with like: median-to-median when the
+        # prior record carries full medians; else min-to-min (the r6
+        # reconstruction only has queries_min); else our min vs a
+        # legacy best-of-N record
+        if prev_doc.get("protocol") == "median" and prev_doc.get("queries"):
+            prev_q, ours, basis = prev_doc["queries"], timings, "median"
+        elif prev_doc.get("queries_min"):
+            prev_q, ours, basis = (
+                prev_doc["queries_min"], timings_min, "min_vs_prev_min"
+            )
+        else:
+            prev_q, ours, basis = (
+                prev_doc.get("queries", {}), timings_min, "min_vs_prev_best"
+            )
+        common = sorted(set(prev_q) & set(ours))
+        if common and prev_doc.get("sf") == sf:
+            out["common_with_prev"] = {
+                "prev_artifact": prev_name,
+                "basis": basis,
+                "n_queries": len(common),
+                "subtotal_sec": round(sum(ours[q] for q in common), 4),
+                "prev_subtotal_sec": round(
+                    sum(prev_q[q] for q in common), 4
+                ),
+            }
     print(json.dumps(out))
     spark.stop()
+
+
+def _prev_bench_record() -> tuple[dict | None, str | None]:
+    """Latest usable prior-round per-query record.
+
+    Walk BENCH_r{N}.json newest-first; use its ``parsed`` payload when
+    non-null, else the committed ``BENCH_DETAIL_r{N}.json``
+    reconstruction (r6's parsed is null -- its only complete per-query
+    record is the reconstruction). Malformed artifacts never break the
+    bench.
+    """
+    for p in sorted(Path(_REPO).glob("BENCH_r*.json"), reverse=True):
+        try:
+            doc = json.loads(p.read_text())
+            parsed = doc.get("parsed", doc)
+            if parsed and (
+                parsed.get("queries") or parsed.get("queries_min")
+            ):
+                return parsed, p.name
+            rec = p.with_name(
+                p.stem.replace("BENCH_", "BENCH_DETAIL_") + ".json"
+            )
+            if rec.exists():
+                return json.loads(rec.read_text()), rec.name
+        except (ValueError, OSError):
+            continue
+    return None, None
 
 
 if __name__ == "__main__":

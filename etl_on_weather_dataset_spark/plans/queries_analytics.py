@@ -271,10 +271,7 @@ def _ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-register(QuerySpec(
-    name="ewma_user_value",
-    spark_fn=_ewma_user_value,
-    oracle="""
+_EWMA_ORACLE = """
         SELECT user_id,
                COUNT(*) AS n_events,
                list_reduce(
@@ -285,8 +282,49 @@ register(QuerySpec(
         FROM events
         GROUP BY user_id
         ORDER BY user_id
-    """,
+    """
+
+register(QuerySpec(
+    name="ewma_user_value",
+    spark_fn=_ewma_user_value,
+    oracle=_EWMA_ORACLE,
     covers=("ordered-fold", "ewma"),
+))
+
+
+def _ewma_user_value_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The bounded-memory scale path for the same fold (round-6 verdict
+    # item 3): _ewma_user_value materializes each key's full history
+    # as ONE in-task array (collect_list), which a whale key OOMs at
+    # 100 TB; ordered_fold_stream folds the externally-SORTED stream
+    # via mapInPandas with an O(1) per-key carry across Arrow batches,
+    # so per-task memory is one Arrow batch regardless of key size.
+    # Same DuckDB list_reduce twin, bit-equal (values >= 0, so Python
+    # // == Spark div == DuckDB //). Whale-key proof:
+    # tests/test_operators.py::test_ordered_fold_stream_whale_key.
+    from ..operators.fold import ordered_fold_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+    )
+    return ordered_fold_stream(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="vm",
+        fold=lambda acc, v: (v + acc) // 2,
+        out_col="ewma_micro",
+        count_col="n_events",
+    ).orderBy("user_id")
+
+
+register(QuerySpec(
+    name="ewma_user_value_chunked",
+    spark_fn=_ewma_user_value_chunked,
+    oracle=_EWMA_ORACLE,
+    covers=("ordered-fold", "ewma", "bounded-memory"),
+    extended=True,  # round-8 rotation (named in registry.py)
 ))
 
 
@@ -445,7 +483,12 @@ def _corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("near_dup_pairs * 1000000 div n_docs"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # Materialize executor-side BEFORE release_all() drops the
+        # jaccard tier's pinned inverted index the plan depends on:
+        # eager localCheckpoint stores the (one-row) result as RDD
+        # blocks and truncates lineage -- no driver round-trip of
+        # result rows (round-6 verdict item 6).
+        out = out.localCheckpoint(eager=True)
     finally:
         release_all()  # the jaccard tier pins its inverted index
     return out

@@ -1294,14 +1294,13 @@ def _incremental_rollup_scenario(
                 spark, b, store, bid,
                 key_cols=("event_type", "day"), value_col="value",
             )
-        rows = final.collect()  # tempdir dies with this scope
+        # eager localCheckpoint: materialize executor-side before the
+        # tempdir dies -- no driver round-trip of result rows
+        final = final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return (
-        spark.createDataFrame(
-            rows, "event_type string, day date, n_rows long,"
-                  " sum_c long, sum2_c long"
-        )
+        final
         .select(
             "event_type", "day", "n_rows",
             (F.col("sum_c") / 100.0).alias("sum_value"),

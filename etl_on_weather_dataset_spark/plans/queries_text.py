@@ -652,10 +652,14 @@ def _incremental_simhash_scenario(
             spark, b1, store, f"{tmp}/o1", max_hamming=max_h
         )
         n1_in = b1.count()
-        store_before = spark.createDataFrame(
+        # snapshot the store BEFORE batch 2 lands: eager
+        # localCheckpoint freezes the read executor-side (a lazy scan
+        # would see the post-batch-2 files) without a driver
+        # round-trip of rows
+        store_before = (
             spark.read.parquet(store)
             .select(F.col("simhash").alias("sh_s"))
-            .collect()
+            .localCheckpoint(eager=True)
         )
         landed2 = incremental_simhash_dedup(
             spark, b2, store, f"{tmp}/o2", max_hamming=max_h

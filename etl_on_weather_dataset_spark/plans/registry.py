@@ -63,7 +63,7 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# --- round-6 rotation of the driver CORRECTNESS window -----------------------
+# --- round-7 rotation of the driver CORRECTNESS window -----------------------
 #
 # The driver attests at most DRIVER_CAP queries per round. Round-robin
 # policy (round-2 verdict, "Next round" #1): every query must earn a
@@ -85,41 +85,50 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     not normalize -- fixed round 6 with CAST(... AS BIGINT) plus a
 #     type-parity gate in tests/oracle_harness.py and a registry-wide
 #     no-HUGEINT meta-test, tests/test_oracle_types.py);
-#   - round 6 (now): the 3 HUGEINT-fixed rows re-attest and ALL 21
+#   - round 6: the 3 HUGEINT-fixed rows re-attest and ALL 21
 #     remaining never-attested queries rotate in (computed by
-#     tools/rotation_plan.py) -- after this window, every registered
-#     query has earned at least one green driver row; the rotation
-#     debt is fully paid for the first time.
+#     tools/rotation_plan.py) -- 50/50 green, the first fully-green
+#     driver artifact; the pre-round-6 rotation debt is fully paid;
+#   - round 7 (now): the 29 round-6-added extended queries (the
+#     documented round-7 rotation, pytest-oracle-green every run)
+#     rotate in, and the 5 round-6-new analytics queries attested
+#     green in r6 (quantile_sketch_price, skew_diagnostics_events,
+#     shipping_window_weekly, tokens_log2_histogram, ewma_user_value)
+#     park in ROTATE_OUT to make room: 21 pinned + 29 = exactly 50.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
-# runs hourly. Window this round: 21 pinned + 24 rotations = 45 of
-# 50, plus the 5 round-6-new analytics queries (non-extended specs in
-# neither rotation set are driver-visible by default) = exactly 50.
-# ROUND-7 rotation (extended round-6 additions, pytest-oracle-green
-# every run): join_advice_orders, weighted_length_quantiles,
-# corpus_health_dashboard, data_contract_orders,
-# image_near_dup_contract, audio_near_dup_contract,
-# classifier_eval_auc, mrl_truncation_recall,
-# classifier_eval_by_source, score_calibration_bins,
-# video_near_dup_contract, k_anonymity_customers,
-# session_transition_matrix, url_domain_curation,
-# html_extraction_contract, retrieval_ranking_metrics,
-# inference_batch_packing, label_prototype_margins,
-# web_ingest_pipeline_stats, session_context_windows,
-# pii_prevalence_by_source, vocab_growth_curve,
-# jaccard_threshold_sweep, temperature_mixture_plan,
-# retrieval_ndcg_by_label, variant_props_stats,
-# rate_wilson_ci_by_type, ks_value_drift,
-# point_in_time_enrichment -- swap into
-# ROTATE_IN next round.
+# runs hourly.
+# ROUND-8 rotation (round-7 additions, pytest-oracle-green every
+# run; swap into ROTATE_IN next round):
+# point_in_time_store_enrichment, ewma_user_value_chunked
 ROTATE_IN: frozenset[str] = frozenset({
-    # re-attest: the r4+r5 HUGEINT-oracle red rows, now CAST to
-    # BIGINT (round-5 verdict item 1; root cause in COVERAGE.md)
+    # first attestation: the 29 round-6-added extended queries (the
+    # round-6 verdict's item 2 rotation, named verbatim in the
+    # round-6 edition of this comment) -- after this window every
+    # pre-round-7 registry query has earned a green driver row
+    "join_advice_orders", "weighted_length_quantiles",
+    "corpus_health_dashboard", "data_contract_orders",
+    "image_near_dup_contract", "audio_near_dup_contract",
+    "classifier_eval_auc", "mrl_truncation_recall",
+    "classifier_eval_by_source", "score_calibration_bins",
+    "video_near_dup_contract", "k_anonymity_customers",
+    "session_transition_matrix", "url_domain_curation",
+    "html_extraction_contract", "retrieval_ranking_metrics",
+    "inference_batch_packing", "label_prototype_margins",
+    "web_ingest_pipeline_stats", "session_context_windows",
+    "pii_prevalence_by_source", "vocab_growth_curve",
+    "jaccard_threshold_sweep", "temperature_mixture_plan",
+    "retrieval_ndcg_by_label", "variant_props_stats",
+    "rate_wilson_ci_by_type", "ks_value_drift",
+    "point_in_time_enrichment",
+})
+ROTATE_OUT: frozenset[str] = frozenset({
+    # parked after green driver rows in r1-r6 (every name here is
+    # attested green in some CORRECTNESS_r*.json and stays
+    # oracle-checked on every pytest run via all_queries())
+    # -- attested green in round 6 (the r6 ROTATE_IN window):
     "kmeans_cluster_stats", "record_linkage_summary", "dup_span_stats",
-    # first attestation: the 21 remaining never-attested queries
-    # (round-5 verdict item 3) -- after this window every one of
-    # the registry's queries has earned a driver row
     "doc_vocab_classifier", "contrastive_triplets_emb", "ivf_store_scenario",
     "ivf_pq_trained_recall", "rolling_zscore_anomalies",
     "melt_measure_profile", "chi_square_independence",
@@ -129,11 +138,11 @@ ROTATE_IN: frozenset[str] = frozenset({
     "hll_daily_distinct_users", "doc_bigram_logprob", "source_drift_kl",
     "bpe_learned_merges", "bpe_compression_stats", "leakage_safe_split",
     "group_kfold_assignment",
-})
-ROTATE_OUT: frozenset[str] = frozenset({
-    # parked after green driver rows in r1-r5 (every name here is
-    # attested green in some CORRECTNESS_r*.json and stays
-    # oracle-checked on every pytest run via all_queries())
+    # -- the 5 round-6-new analytics queries, attested green in r6 as
+    # default-visible entries; parked to free slots for the 29-query
+    # round-7 rotation:
+    "quantile_sketch_price", "skew_diagnostics_events",
+    "shipping_window_weekly", "tokens_log2_histogram", "ewma_user_value",
     "ann_high_recall_preset", "ann_recall_at_k", "ann_recall_multi_table",
     "approx_distinct_users", "approx_percentile_bound", "array_functions",
     "benchmark_decontamination", "bloom_filter_membership", "bm25_topk_docs",

@@ -4561,3 +4561,76 @@ class TestKSStore:
         # comparing a version with itself is exactly zero drift
         same = ks_between_versions(spark, store, 1, 1).collect()[0]
         assert (same.ks_ppm, same.n_a) == (0, 200)
+
+
+class TestOrderedFoldStream:
+    """Bounded-memory ordered fold (operators/fold.py): the EWMA
+    scale path. The whale-key case is the round-6 verdict's item 3 --
+    a key whose history spans MANY Arrow batches must fold exactly,
+    with the carry crossing batch boundaries."""
+
+    @staticmethod
+    def _reference(rows, fold):
+        # rows: (key, order, v) -- Python reference fold per key
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for k, o, v in rows:
+            per[k].append((o, v))
+        out = {}
+        for k, seq in per.items():
+            seq.sort()
+            acc = seq[0][1]
+            for _, v in seq[1:]:
+                acc = fold(acc, v)
+            out[k] = (len(seq), acc)
+        return out
+
+    def test_ordered_fold_stream_whale_key(self, spark):
+        from etl_on_weather_dataset_spark.operators.fold import (
+            ordered_fold_stream,
+        )
+
+        fold = lambda acc, v: (v + acc) // 2  # noqa: E731
+        # whale: 5000 rows >> the 97-row Arrow batches forced below;
+        # plus two normal keys so key-change emission is exercised
+        rows = [("whale", i, (i * 2654435761) % 1_000_000)
+                for i in range(5000)]
+        rows += [("u1", i, i * 7) for i in range(13)]
+        rows += [("u2", i, 41 - i) for i in range(3)]
+        df = spark.createDataFrame(rows, "k string, o long, v long")
+
+        prev = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "97")
+        try:
+            got = {
+                r.k: (r.n_events, r.fold_value)
+                for r in ordered_fold_stream(
+                    df, ["k"], ["o"], "v", fold
+                ).collect()
+            }
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+        assert got == self._reference(rows, fold)
+        assert got["whale"][0] == 5000
+
+    def test_chunked_ewma_matches_array_fold_plan_free_of_collect_list(
+        self, spark
+    ):
+        # the two registered EWMA variants agree row-for-row at
+        # sf0.001, and the chunked plan contains NO collect_list
+        from etl_on_weather_dataset_spark.plans.queries_analytics import (
+            _ewma_user_value,
+            _ewma_user_value_chunked,
+        )
+
+        from .conftest import SF_SMOKE
+
+        a = _ewma_user_value(spark, SF_SMOKE)
+        b = _ewma_user_value_chunked(spark, SF_SMOKE)
+        assert a.collect() == b.collect()
+        plan = b._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" not in plan
