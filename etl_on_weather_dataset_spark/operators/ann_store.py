@@ -328,6 +328,7 @@ def ivf_index_compact(
     spark: SparkSession,
     store_path: str,
     keep_versions: int | None = None,
+    rows_per_file: int = 4_000_000,
 ) -> int:
     """Merge the current manifest's segments into ONE segment and
     publish it as the next version (centroids and ledger unchanged) --
@@ -346,11 +347,24 @@ def ivf_index_compact(
         return version
     new_v = version + 1
     seg = _segment_name(new_v, "compact")
-    # repartition by cluster: co-locates each cell's members so a
-    # probe's segment scan touches few row groups (footer min/max on
-    # the cluster column prunes the rest)
-    cells.repartition("cluster").write.mode("overwrite").parquet(
-        _segment_path(store_path, seg)
+    # RANGE-partition + sort by cluster: each output file (and each
+    # row group within it) covers a contiguous, near-disjoint cluster
+    # range, so a probe's `cluster IN (...)` filter prunes to the few
+    # row groups whose footer min/max straddle the probed cells.
+    # (Hash repartition("cluster") would scatter cluster ids across
+    # files -- every footer would span the whole id range and nothing
+    # would prune.) The file count is EXPLICIT (rows/rows_per_file):
+    # an unsized repartitionByRange lets AQE coalesce a small shuffle
+    # into one partition, producing one row group that spans every
+    # cluster -- exactly the unprunable layout compaction exists to
+    # fix. Proof from actual parquet footers:
+    # tests/test_operators.py::test_compaction_prunes_probe_row_groups.
+    n_files = max(1, -(-cells.count() // rows_per_file))
+    (
+        cells.repartitionByRange(n_files, "cluster")
+        .sortWithinPartitions("cluster")
+        .write.mode("overwrite")
+        .parquet(_segment_path(store_path, seg))
     )
     _publish_version(spark, store_path, new_v, cent_df, [seg],
                      batches.select("batch_id"), keep_versions)

@@ -696,6 +696,49 @@ def dedup_components_sql(pairs_sql: str, id_a: str = "id_a",
     """
 
 
+def canonical_survivors(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware dedup resolution: keep the BEST-scored row per
+    duplicate component, not the min-id one.
+
+    ``components`` is (id, component) from :func:`dedup_components`;
+    rows of ``df`` absent from it are singletons and survive
+    unconditionally. Within a component the survivor is the max
+    ``score_col`` row, tie -> min id (deterministic). This is the
+    standard corpus-curation ending (RefinedWeb/FineWeb keep the
+    longest / highest-quality member of each near-dup cluster) that
+    plain keep-min-id dedup gets wrong: min-id can keep the truncated
+    clone and drop the full document.
+
+    Scale: the component map is |clustered docs| rows -- far smaller
+    than the corpus -- so both arms join the corpus against a small
+    (usually broadcastable) side: singletons via left_anti, cluster
+    winners via inner join + a WindowGroupLimit-able row_number whose
+    partitions are single clusters (near-cliques, tiny). Singletons
+    deliberately NEVER enter the window: a left join + one window
+    with nulls grouped together would funnel the entire non-duplicate
+    majority of the corpus into one window partition.
+    """
+    comp = components.select(
+        F.col("id").alias(id_col), "component"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    winners = (
+        df.join(comp, id_col, "inner")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "component")
+    )
+    singletons = df.join(comp, id_col, "left_anti")
+    return singletons.unionByName(winners)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

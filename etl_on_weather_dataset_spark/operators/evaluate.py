@@ -400,7 +400,14 @@ def ranking_metrics(
 
     Input: one row per (query, candidate) with a 1-based ``rank_col``
     and binary ``rel_col``. Candidates ranked beyond ``k`` are
-    ignored (the serving cutoff). Output columns (all exact ints):
+    ignored (the serving cutoff). Denominator convention:
+    ``n_queries`` counts only queries with >= 1 candidate IN the top
+    k -- a query whose candidates all rank beyond k drops out of the
+    relation (and the means) entirely, rather than contributing a
+    zero row. Callers scoring every ISSUED query must left-join their
+    query universe in first (a zero-contribution row per missing
+    query); the metrics here are over served-within-cutoff queries.
+    Output columns (all exact ints):
 
     - ``n_queries``, ``n_with_rel`` (queries with >= 1 relevant in
       the top k);
@@ -653,13 +660,24 @@ def ks_from_counts(per_v: DataFrame) -> DataFrame:
         )
         .select(
             "v", "n_a", "n_b",
-            F.abs(
-                F.expr("cum_a * 1000000 div n_a")
-                - F.expr("cum_b * 1000000 div n_b")
+            # guard BEFORE the division: under ANSI mode an empty
+            # side would otherwise surface as a generic
+            # DIVIDE_BY_ZERO; with ANSI off, as a silent NULL report
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.abs(
+                    F.expr("cum_a * 1000000 div n_a")
+                    - F.expr("cum_b * 1000000 div n_b")
+                ),
+            ).otherwise(
+                F.expr(
+                    "raise_error('ks_from_counts: empty sample side"
+                    " (n_a or n_b = 0) -- KS distance is undefined')"
+                ).cast("long")
             ).cast("long").alias("d_ppm"),
         )
     )
-    return (
+    report = (
         ecdf
         .withColumn(
             "mx",
@@ -676,6 +694,23 @@ def ks_from_counts(per_v: DataFrame) -> DataFrame:
             F.min(F.when(F.col("d_ppm") == F.col("mx"), F.col("v")))
             .cast("long").alias("at_value_scaled"),
         )
+    )
+    # Degenerate input fails LOUDLY (r6 advice): an empty side makes
+    # every cum/total division NULL, which would silently report NULL
+    # ks_ppm as if it were a finding. n_a IS NULL covers the
+    # both-sides-empty relation (agg over zero rows).
+    ok = (
+        F.col("n_a").isNotNull() & (F.col("n_a") > 0)
+        & F.col("n_b").isNotNull() & (F.col("n_b") > 0)
+    )
+    err = F.expr(
+        "raise_error('ks_from_counts: empty sample side"
+        " (n_a or n_b = 0) -- KS distance is undefined')"
+    ).cast("long")
+    return report.select(
+        "n_a", "n_b",
+        F.when(ok, F.col("ks_ppm")).otherwise(err).alias("ks_ppm"),
+        "at_value_scaled",
     )
 
 

@@ -431,14 +431,23 @@ def assemble_context_windows_sql(
 ) -> str:
     """DuckDB twin of :func:`assemble_context_windows` (same
     lag+cumsum sessionization, ordered list aggregation, tail
-    slice)."""
+    slice).
+
+    Gap arithmetic uses ``FLOOR(epoch(ts))`` -- DuckDB's bare
+    ``epoch()`` keeps fractional seconds while Spark's
+    ``unix_timestamp`` drops them, so sub-second timestamps would
+    otherwise place session boundaries differently between engines
+    (same whole-second discipline as timeseries.py).
+    """
     return f"""
         WITH gaps AS (
             SELECT {key_col} AS key, {ts_col} AS ts,
                    {event_col} AS turn, {tiebreak_col} AS tb,
-                   epoch({ts_col}) - epoch(LAG({ts_col}) OVER (
+                   CAST(FLOOR(epoch({ts_col})) AS BIGINT)
+                   - CAST(FLOOR(epoch(LAG({ts_col}) OVER (
                        PARTITION BY {key_col}
-                       ORDER BY {ts_col}, {tiebreak_col})) AS gap
+                       ORDER BY {ts_col}, {tiebreak_col}))) AS BIGINT)
+                       AS gap
             FROM {table}
         ), tagged AS (
             SELECT key, ts, turn, tb,

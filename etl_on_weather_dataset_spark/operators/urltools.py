@@ -70,7 +70,12 @@ def canonical_url(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     nf = F.regexp_replace(u, "#.*", "")
     sch = F.lower(F.regexp_extract(nf, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    auth = F.regexp_extract(nf, r"^[^:]+://([^/?]+)", 1)
+    # strip a userinfo prefix (user:pass@host) so the host -- not the
+    # user -- becomes the dedup key (r6 advice); IPv6 literal hosts
+    # ([::1]:8080) are out of scope for this canonicalizer
+    auth = F.regexp_replace(
+        F.regexp_extract(nf, r"^[^:]+://([^/?]+)", 1), "^[^@]*@", ""
+    )
     pathq = F.regexp_replace(nf, r"^[^:]+://[^/?]*", "")
     hst = F.lower(F.substring_index(auth, ":", 1))
     prt = F.regexp_extract(auth, ":([0-9]+)$", 1)
@@ -107,7 +112,8 @@ def canonical_url_sql(col_sql: str) -> str:
     """
     nf = f"regexp_replace({col_sql}, '#.*', '')"
     sch = f"lower(regexp_extract({nf}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    auth = f"regexp_extract({nf}, '^[^:]+://([^/?]+)', 1)"
+    auth = (f"regexp_replace(regexp_extract({nf},"
+            f" '^[^:]+://([^/?]+)', 1), '^[^@]*@', '')")
     pathq = f"regexp_replace({nf}, '^[^:]+://[^/?]*', '')"
     prt = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
     stripped = f"regexp_replace(split_part({pathq}, '?', 1), '/+$', '')"
@@ -130,16 +136,22 @@ def canonical_url_sql(col_sql: str) -> str:
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host (no port) of an absolute URL."""
+    """Lowercased host (no port, no userinfo) of an absolute URL.
+
+    IPv6 literal hosts ([::1]:8080) are out of scope (the port strip
+    would truncate at the first colon).
+    """
     u = F.col(url) if isinstance(url, str) else url
-    auth = F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1)
+    auth = F.regexp_replace(
+        F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1), "^[^@]*@", ""
+    )
     return F.lower(F.substring_index(auth, ":", 1))
 
 
 def url_host_sql(col_sql: str) -> str:
     return (
-        "lower(split_part(regexp_extract("
-        f"{col_sql}, '^[^:]+://([^/?#]+)', 1), ':', 1))"
+        "lower(split_part(regexp_replace(regexp_extract("
+        f"{col_sql}, '^[^:]+://([^/?#]+)', 1), '^[^@]*@', ''), ':', 1))"
     )
 
 

@@ -1421,9 +1421,23 @@ register(QuerySpec(
 
 def _variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Integer-k contract, pinned (r6 advice item 5): k counts only
+    # when the JSON token IS an integer -- schema_of_variant = BIGINT
+    # here, json_type IN (BIGINT, UBIGINT) in the twin. Without the
+    # gate the dialects diverge on doubles (DuckDB CAST rounds, Spark
+    # variant_get truncates) and quoted numbers (DuckDB parses, Spark
+    # 'long' coerces) -- parity would rest on fixture luck. JSON ints
+    # beyond int64 are out of contract (DuckDB UBIGINT would overflow
+    # the BIGINT cast loudly; Spark types them DECIMAL(20,0) and
+    # excludes them at the gate).
+    pj = F.parse_json("props")
     v = ev.select(
         "event_type",
-        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+        F.when(
+            F.schema_of_variant(F.variant_get(pj, "$.k", "variant"))
+            == "BIGINT",
+            F.variant_get(pj, "$.k", "long"),
+        ).alias("k"),
     )
     return (
         v.groupBy("event_type")
@@ -1444,7 +1458,10 @@ register(QuerySpec(
     oracle="""
         WITH v AS (
             SELECT event_type,
-                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                   CASE WHEN json_type(props, '$.k')
+                             IN ('BIGINT', 'UBIGINT')
+                        THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                   END AS k
             FROM events
         )
         SELECT event_type,
@@ -1626,4 +1643,99 @@ register(QuerySpec(
     covers=("point-in-time-join", "feature-store-semantics",
             "temporal-leakage-audit"),
     extended=True,  # round-7 rotation (registry.py)
+))
+
+
+# --- point-in-time enrichment over REAL stored versions ------------------------
+#
+# The query above attests asof_join against a synthesized cumulative
+# dim (by-construction closed form). This one closes the round-6
+# verdict's item 7: the version dimension is ACTUAL STORED STATE --
+# three deterministic event batches folded into a rollup store
+# (operators/rollup_store.py), each published version read back via
+# time travel and tagged with its version number as the dim's ts.
+# Facts observe every event_type at ts 1..3; the as-of join picks the
+# newest store version <= the fact's ts. The oracle never touches the
+# store: version v's state for a key is, by the batch slicing,
+# exactly the aggregate over raw events with event_id % 3 < v -- so a
+# hash match attests store versioning + time travel + as-of semantics
+# end-to-end against raw data.
+
+
+def _pit_store_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from ..operators.joins import asof_join
+    from ..operators.rollup_store import incremental_rollup, read_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_pit_store_")
+    try:
+        store = f"{tmp}/rollup"
+        for i in range(3):
+            incremental_rollup(
+                spark, ev.filter(F.col("event_id") % 3 == i), store,
+                f"b{i}", key_cols=("event_type",), value_col="value",
+            )
+        dim = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                read_rollup(spark, store, version=v)[0].select(
+                    "event_type",
+                    F.lit(v).cast("long").alias("ts"),
+                    "n_rows", "sum_c",
+                )
+                for v in (1, 2, 3)
+            ],
+        )
+        facts = (
+            ev.select("event_type").distinct()
+            .crossJoin(
+                spark.range(1, 4).select(F.col("id").alias("ts"))
+            )
+            .withColumn("fact_id", F.expr("event_type || '#' || ts"))
+        )
+        out = asof_join(
+            facts, dim, on="event_type", ts_col="ts",
+            right_value_cols=["n_rows", "sum_c"], left_id_col="fact_id",
+        ).select(
+            "event_type",
+            F.col("ts").cast("long").alias("as_of_version"),
+            F.coalesce("asof_n_rows", F.lit(0)).cast("long")
+            .alias("pit_rows"),
+            F.coalesce("asof_sum_c", F.lit(0)).cast("long")
+            .alias("pit_sum_c"),
+        ).orderBy("event_type", "as_of_version")
+        # materialize executor-side before the temp store disappears
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+register(QuerySpec(
+    name="point_in_time_store_enrichment",
+    spark_fn=_pit_store_enrichment,
+    oracle="""
+        WITH types AS (SELECT DISTINCT event_type FROM events),
+             vs AS (SELECT * FROM (VALUES (1), (2), (3)) t(v))
+        SELECT t.event_type,
+               CAST(v.v AS BIGINT) AS as_of_version,
+               CAST(COUNT(e.event_id) AS BIGINT) AS pit_rows,
+               CAST(COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)),
+                             0) AS BIGINT) AS pit_sum_c
+        FROM types t
+        CROSS JOIN vs v
+        LEFT JOIN events e
+          ON e.event_type = t.event_type AND e.event_id % 3 < v.v
+        GROUP BY t.event_type, v.v
+        ORDER BY t.event_type, as_of_version
+    """,
+    covers=("point-in-time-join", "feature-store-semantics",
+            "store-time-travel", "versioned-dimension"),
+    extended=True,  # round-8 rotation (registry.py)
 ))

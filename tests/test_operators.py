@@ -3106,6 +3106,79 @@ class TestIvfIndexStore:
         )
         assert _read_version(spark, store)[1].count() == 510
 
+
+    def test_compaction_prunes_probe_row_groups(self, spark, tmp_path):
+        """Parquet-footer proof of ann_store.py's pruning claim
+        (round-6 verdict item 4): after ivf_index_compact (range-
+        partition + sort by cluster), a one-cell probe touches
+        STRICTLY fewer row groups than against the uncompacted
+        multi-segment layout, measured from actual footer min/max
+        stats on the cluster column -- the same measurement
+        layout.py's file_span_stats applies to Z-order."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from etl_on_weather_dataset_spark.operators.ann_store import (
+            _manifest_names,
+            _read_version,
+            _segment_path,
+            ivf_index_append,
+            ivf_index_build,
+            ivf_index_compact,
+        )
+
+        def rg_spans(store, version):
+            spans = []
+            for seg in _manifest_names(spark, store, version):
+                for p in glob.glob(
+                    os.path.join(_segment_path(store, seg), "*.parquet")
+                ):
+                    md = pq.ParquetFile(p).metadata
+                    ci = [
+                        md.row_group(0).column(i).path_in_schema
+                        for i in range(md.num_columns)
+                    ].index("cluster")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        spans.append((st.min, st.max))
+            return spans
+
+        store = str(tmp_path / "ivf")
+        ivf_index_build(spark, self._emb(spark, n=200), store,
+                        k=8, iters=2, dim=8)
+        for i in range(4):
+            ivf_index_append(
+                spark, self._emb(spark, n=50, base=(i + 1) * 1000),
+                store, f"b{i}",
+            )
+        _, cells, _, v_before = _read_version(spark, store)
+        clusters = sorted(
+            r.cluster for r in cells.select("cluster").distinct().collect()
+        )
+        before = rg_spans(store, v_before)
+        # rows_per_file sized so the 400-row store compacts into ~8
+        # range files -- the same dial a real deployment sets to its
+        # target file size
+        v_after = ivf_index_compact(spark, store, rows_per_file=50)
+        after = rg_spans(store, v_after)
+
+        def touched(spans, c):
+            return sum(1 for lo, hi in spans if lo <= c <= hi)
+
+        tb = {c: touched(before, c) for c in clusters}
+        ta = {c: touched(after, c) for c in clusters}
+        # every one-cell probe touches no more row groups than before,
+        # and the total is strictly smaller (the pruning is real, not
+        # a comment)
+        assert all(ta[c] <= tb[c] for c in clusters), (ta, tb)
+        assert sum(ta.values()) < sum(tb.values()), (ta, tb)
+        # and the compacted layout is genuinely selective: no single
+        # row group spans the whole cluster range
+        full = (min(clusters), max(clusters))
+        assert all((lo, hi) != full for lo, hi in after), after
+
     def test_segment_gc_after_rebuild(self, spark, tmp_path):
         """A rebuild supersedes all prior segments; once retention
         drops the versions referencing them, gc removes the orphans
@@ -4634,3 +4707,35 @@ class TestOrderedFoldStream:
         assert a.collect() == b.collect()
         plan = b._jdf.queryExecution().optimizedPlan().toString()
         assert "collect_list" not in plan
+
+
+class TestKsDegenerateInput:
+    def test_ks_empty_side_raises(self, spark):
+        """An empty sample side must fail loudly, not return NULL
+        ks_ppm (r6 advice item 3)."""
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ks_two_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i), "a") for i in range(5)],
+            "value double, side string",
+        )
+        with pytest.raises(Exception, match="empty sample side"):
+            ks_two_sample(
+                df, value_col="value", side_col="side",
+                side_a="a", side_b="b",
+            ).collect()
+
+    def test_ks_both_sides_empty_raises(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            ks_two_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, "x")], "value double, side string")
+        with pytest.raises(Exception, match="empty sample side"):
+            ks_two_sample(
+                df, value_col="value", side_col="side",
+                side_a="a", side_b="b",
+            ).collect()
