@@ -23,7 +23,7 @@ semantics, ~3.5x faster, exact rather than feature-hashed rescoring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, tokens

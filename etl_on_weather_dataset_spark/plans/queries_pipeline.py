@@ -833,6 +833,92 @@ register(QuerySpec(
 ))
 
 
+# --- quality-aware canonical selection per near-dup cluster -------------------
+#
+# The resolution policy AFTER grouping: keep each cluster's
+# highest-quality member (here: token count, tie -> min doc_id), not
+# its min-id member -- min-id can keep a truncated clone and drop the
+# full document. Per-cluster output attests the argmax semantics
+# row-for-row; the survivor-frame operator (canonical_survivors,
+# operators/dedup.py) is unit-tested on the same policy.
+
+
+def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=_CC_N, threshold=_CC_T)
+    comp = dedup_components(pairs)
+    joined = comp.join(
+        scored, comp["id"] == scored["doc_id"]
+    ).select("id", "component", "n_tokens")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.max(F.when(F.col("rk") == 1, F.col("id")))
+            .cast("long").alias("kept_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_tokens")))
+            .cast("long").alias("kept_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("rk") > 1, F.col("n_tokens"))),
+                F.lit(0),
+            ).cast("long").alias("removed_tokens"),
+        )
+        .orderBy("component")
+    )
+
+
+def _dedup_canonical_oracle() -> str:
+    from ..operators.dedup import dedup_components_ctes
+
+    pairs = ngram_jaccard_pairs_sql(
+        "documents", "text", "doc_id", _CC_N, _CC_T
+    )
+    return f"""
+        WITH RECURSIVE {dedup_components_ctes(pairs)},
+        scored AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(text, ' +'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT c.id, c.component, s.n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                       ORDER BY s.n_tokens DESC, c.id ASC) AS rk
+            FROM components c JOIN scored s ON s.doc_id = c.id
+        )
+        SELECT component,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT)
+                   AS kept_doc_id,
+               CAST(MAX(CASE WHEN rk = 1 THEN n_tokens END) AS BIGINT)
+                   AS kept_tokens,
+               CAST(COALESCE(SUM(CASE WHEN rk > 1 THEN n_tokens END),
+                             0) AS BIGINT) AS removed_tokens
+        FROM ranked
+        GROUP BY component
+        ORDER BY component
+    """
+
+
+register(QuerySpec(
+    name="dedup_canonical_keep_best",
+    spark_fn=_dedup_canonical,
+    oracle=_dedup_canonical_oracle,
+    covers=("dedup-resolution", "quality-aware-survivorship"),
+    extended=True,  # round-8 rotation (registry.py)
+))
+
+
 # --- boilerplate line removal (CCNet/RefinedWeb pass) -------------------------
 #
 # The synthetic corpus has no newlines, so the query materializes a

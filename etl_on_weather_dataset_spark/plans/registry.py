@@ -101,7 +101,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # runs hourly.
 # ROUND-8 rotation (round-7 additions, pytest-oracle-green every
 # run; swap into ROTATE_IN next round):
-# point_in_time_store_enrichment, ewma_user_value_chunked
+# point_in_time_store_enrichment, ewma_user_value_chunked,
+# dedup_canonical_keep_best
 ROTATE_IN: frozenset[str] = frozenset({
     # first attestation: the 29 round-6-added extended queries (the
     # round-6 verdict's item 2 rotation, named verbatim in the

@@ -4739,3 +4739,28 @@ class TestKsDegenerateInput:
                 df, value_col="value", side_col="side",
                 side_a="a", side_b="b",
             ).collect()
+
+
+class TestCanonicalSurvivors:
+    def test_best_kept_singletons_survive_tie_to_min_id(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            canonical_survivors,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 99), (4, 5), (7, 42)],
+            "doc_id long, score long",
+        )
+        comps = spark.createDataFrame(
+            # cluster A = {1,2,3} (2 and 3 tie on score -> keep 2),
+            # cluster B = {4}; 7 never clustered
+            [(1, 1), (2, 1), (3, 1), (4, 4)],
+            "id long, component long",
+        )
+        got = sorted(
+            r.doc_id
+            for r in canonical_survivors(
+                docs, comps, "doc_id", "score"
+            ).collect()
+        )
+        assert got == [2, 4, 7]
