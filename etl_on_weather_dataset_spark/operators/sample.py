@@ -661,3 +661,247 @@ def temperature_mixture_plan_sql(
           ON p.{strata_col} = k.{strata_col}
         ORDER BY p.{strata_col}
     """
+
+
+def quota_waterfill(strata: DataFrame, budget: int) -> DataFrame:
+    """Water-filling quota allocation: split an integer ``budget``
+    across strata proportionally to ``weight``, capping every stratum
+    at its availability ``n_avail`` and redistributing the excess to
+    the uncapped strata -- the allocation every mixture sampler needs
+    once naive proportional shares start exceeding what small strata
+    actually have.
+
+    Input columns: (stratum, n_avail, weight), both numbers long.
+    The exact solution is a_s = min(n_avail_s, floor(lambda *
+    weight_s)) with the water level lambda solving sum(a_s) <=
+    budget; the capped set is a PREFIX of strata sorted by
+    n_avail/weight ascending (classical water-filling). All decisions
+    are exact-integer: the per-row cap test cross-multiplies instead
+    of dividing (n_i * W_rem <= B_rem * w_i), so Spark and a
+    sequential SQL oracle cannot disagree on a boundary.
+
+    Output per stratum: (stratum, n_avail, weight, capped,
+    alloc) -- capped strata get all their rows; uncapped get
+    floor(B' * w / W') of the post-cap budget B' over the post-cap
+    weight mass W'. Floor remainders (< #uncapped strata rows) stay
+    unassigned by contract; the caller reads them off
+    budget - sum(alloc).
+
+    Scale: |strata| rows end-to-end -- one sort + three window sums
+    + one broadcastable one-row total; never touches corpus grain.
+    """
+    w_ord = Window.orderBy(
+        F.expr("n_avail * 1000000 div weight"), "stratum"
+    )
+    cum = Window.orderBy(
+        F.expr("n_avail * 1000000 div weight"), "stratum"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    tot = strata.agg(
+        F.sum("n_avail").cast("long").alias("n_total"),
+        F.sum("weight").cast("long").alias("w_total"),
+    )
+    marked = (
+        strata.select(
+            "stratum",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_n", F.coalesce(F.sum("n_avail").over(cum), F.lit(0))
+        )
+        .withColumn(
+            "cum_w", F.coalesce(F.sum("weight").over(cum), F.lit(0))
+        )
+        # exact-integer cap test for row i given all earlier rows
+        # (in n/w order) capped: n_i * W_rem <= B_rem * w_i
+        .withColumn(
+            "test_ok",
+            (
+                F.col("n_avail") * (F.col("w_total") - F.col("cum_w"))
+                <= (F.lit(budget) - F.col("cum_n")) * F.col("weight")
+            ).cast("long"),
+        )
+        # capped = every row up to and including this one passes
+        .withColumn(
+            "capped",
+            (
+                F.sum(F.lit(1) - F.col("test_ok")).over(
+                    Window.orderBy(
+                        F.expr("n_avail * 1000000 div weight"),
+                        "stratum",
+                    ).rowsBetween(Window.unboundedPreceding, 0)
+                )
+                == 0
+            ).cast("long"),
+        )
+    )
+    post = marked.agg(
+        F.sum(F.when(F.col("capped") == 1, F.col("n_avail")))
+        .cast("long").alias("capped_n"),
+        F.sum(F.when(F.col("capped") == 1, F.col("weight")))
+        .cast("long").alias("capped_w"),
+    ).select(
+        F.coalesce("capped_n", F.lit(0)).alias("capped_n"),
+        F.coalesce("capped_w", F.lit(0)).alias("capped_w"),
+    )
+    return (
+        marked.crossJoin(F.broadcast(post))
+        .select(
+            "stratum", "n_avail", "weight", "capped",
+            F.when(F.col("capped") == 1, F.col("n_avail"))
+            .otherwise(
+                F.expr(
+                    f"({budget} - capped_n) * weight"
+                    " div (w_total - capped_w)"
+                )
+            ).cast("long").alias("alloc"),
+        )
+        .orderBy("stratum")
+    )
+
+
+def quota_waterfill_sql(strata_sql: str, budget: int) -> str:
+    """DuckDB twin of :func:`quota_waterfill` (same integer
+    cross-multiplied cap test, same n/w prefix order)."""
+    return f"""
+        WITH strata AS (
+            {strata_sql}
+        ), tot AS (
+            SELECT CAST(SUM(n_avail) AS BIGINT) AS n_total,
+                   CAST(SUM(weight) AS BIGINT) AS w_total
+            FROM strata
+        ), marked AS (
+            SELECT s.stratum, s.n_avail, s.weight, t.w_total,
+                   COALESCE(SUM(s.n_avail) OVER w_prev, 0) AS cum_n,
+                   COALESCE(SUM(s.weight) OVER w_prev, 0) AS cum_w
+            FROM strata s CROSS JOIN tot t
+            WINDOW w_prev AS (
+                ORDER BY s.n_avail * 1000000 // s.weight, s.stratum
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), tested AS (
+            SELECT *,
+                   CASE WHEN n_avail * (w_total - cum_w)
+                             <= ({budget} - cum_n) * weight
+                        THEN 1 ELSE 0 END AS test_ok
+            FROM marked
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN SUM(1 - test_ok) OVER (
+                            ORDER BY n_avail * 1000000 // weight,
+                                     stratum
+                            ROWS UNBOUNDED PRECEDING) = 0
+                        THEN 1 ELSE 0 END AS capped
+            FROM tested
+        ), post AS (
+            SELECT CAST(COALESCE(SUM(CASE WHEN capped = 1
+                                          THEN n_avail END), 0)
+                        AS BIGINT) AS capped_n,
+                   CAST(COALESCE(SUM(CASE WHEN capped = 1
+                                          THEN weight END), 0)
+                        AS BIGINT) AS capped_w
+            FROM flagged
+        )
+        SELECT f.stratum,
+               CAST(f.n_avail AS BIGINT) AS n_avail,
+               CAST(f.weight AS BIGINT) AS weight,
+               CAST(f.capped AS BIGINT) AS capped,
+               CAST(CASE WHEN f.capped = 1 THEN f.n_avail
+                         ELSE ({budget} - p.capped_n) * f.weight
+                              // (f.w_total - p.capped_w)
+                    END AS BIGINT) AS alloc
+        FROM flagged f CROSS JOIN post p
+        ORDER BY f.stratum
+    """
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Deterministic curriculum ordering: bucket rows into
+    ``n_buckets`` difficulty tiers by ``score_col`` quantile, then
+    emit a GLOBAL training position that round-robins across tiers --
+    every consecutive run of ``n_buckets`` positions sees one row
+    from each difficulty level (the standard mixed-curriculum
+    ordering; a plain sort by difficulty would feed epochs all-easy
+    then all-hard).
+
+    Bucketing is exact and engine-portable WITHOUT a global
+    row-number: cumulative counts over the DISTINCT score relation
+    (domain-bounded, the same discipline as the AUC operator) give
+    every distinct score a bucket = cum_before * B div total; ties
+    share a bucket by construction. Within a bucket, rank is a
+    row_number partitioned BY the bucket (parallel); the global
+    position (rank-1) * B + bucket is collision-free because (rank,
+    bucket) is unique.
+
+    Output: (id, score, bucket, pos). Scale: one groupBy(score) +
+    one window over |distinct scores| + one broadcast join back +
+    one per-bucket window -- no single-partition global window at
+    row grain.
+    """
+    per_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_score.agg(F.sum("n").cast("long").alias("n_total"))
+    buckets = (
+        per_score.withColumn("cum", F.sum("n").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            F.expr(f"(cum - n) * {n_buckets} div n_total")
+            .cast("long").alias("bucket"),
+        )
+    )
+    wb = Window.partitionBy("bucket").orderBy("s", id_col)
+    return (
+        df.select(F.col(id_col), F.col(score_col).alias("s"))
+        .join(F.broadcast(buckets), "s")
+        .withColumn("rk", F.row_number().over(wb))
+        .select(
+            F.col(id_col),
+            F.col("s").alias(score_col),
+            "bucket",
+            ((F.col("rk") - 1) * n_buckets + F.col("bucket"))
+            .cast("long").alias("pos"),
+        )
+    )
+
+
+def curriculum_interleave_sql(
+    table_sql: str,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB twin of :func:`curriculum_interleave`."""
+    return f"""
+        WITH base AS (
+            {table_sql}
+        ), per_score AS (
+            SELECT {score_col} AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM base GROUP BY {score_col}
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per_score
+        ), buckets AS (
+            SELECT s,
+                   (SUM(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                    - n) * {n_buckets} // n_total AS bucket
+            FROM per_score CROSS JOIN tot
+        ), ranked AS (
+            SELECT b.{id_col}, b.{score_col}, k.bucket,
+                   ROW_NUMBER() OVER (PARTITION BY k.bucket
+                       ORDER BY b.{score_col}, b.{id_col}) AS rk
+            FROM base b JOIN buckets k ON b.{score_col} = k.s
+        )
+        SELECT {id_col},
+               CAST({score_col} AS BIGINT) AS {score_col},
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST((rk - 1) * {n_buckets} + bucket AS BIGINT) AS pos
+        FROM ranked
+    """

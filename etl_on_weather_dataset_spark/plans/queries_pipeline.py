@@ -1801,3 +1801,82 @@ register(QuerySpec(
     covers=("group-kfold", "leakage-safe-cv"),
     extended=True,
 ))
+
+
+# --- water-filling quota allocation across strata ------------------------------
+#
+# The allocation every mixture sampler needs once naive proportional
+# shares exceed what small strata HAVE: budget splits by weight,
+# strata cap at availability, the excess redistributes exactly
+# (operators/sample.py quota_waterfill). Uniform weights over lang
+# with budget 400 exercises the interesting regime at both test SFs:
+# several languages cap, the largest absorbs the redistributed rest.
+
+_QW_BUDGET = 400
+
+
+def _quota_waterfill_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import quota_waterfill
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy(F.col("lang").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_avail"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    return quota_waterfill(strata, _QW_BUDGET)
+
+
+def _quota_waterfill_oracle() -> str:
+    from ..operators.sample import quota_waterfill_sql
+
+    return quota_waterfill_sql(
+        "SELECT lang AS stratum,"
+        " CAST(COUNT(*) AS BIGINT) AS n_avail,"
+        " CAST(1 AS BIGINT) AS weight"
+        " FROM documents GROUP BY lang",
+        _QW_BUDGET,
+    )
+
+
+register(QuerySpec(
+    name="quota_waterfill_langs",
+    spark_fn=_quota_waterfill_langs,
+    oracle=_quota_waterfill_oracle,
+    covers=("quota-allocation", "water-filling", "capped-mixture"),
+    extended=True,  # round-8 rotation (registry.py)
+))
+
+
+# --- curriculum ordering (mixed-difficulty training positions) -----------------
+
+def _curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import curriculum_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    return curriculum_interleave(
+        scored, "n_tokens", "doc_id", n_buckets=10
+    ).orderBy("pos")
+
+
+def _curriculum_order_oracle() -> str:
+    from ..operators.sample import curriculum_interleave_sql
+
+    return curriculum_interleave_sql(
+        "SELECT doc_id,"
+        " CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)"
+        " AS n_tokens FROM documents",
+        "n_tokens", "doc_id", n_buckets=10,
+    ) + " ORDER BY pos"
+
+
+register(QuerySpec(
+    name="curriculum_interleave_order",
+    spark_fn=_curriculum_order,
+    oracle=_curriculum_order_oracle,
+    covers=("curriculum-ordering", "difficulty-quantile-buckets",
+            "training-order"),
+    extended=True,  # round-8 rotation (registry.py)
+))

@@ -4764,3 +4764,80 @@ class TestCanonicalSurvivors:
             ).collect()
         )
         assert got == [2, 4, 7]
+
+
+class TestQuotaWaterfill:
+    def test_hand_computed_allocation(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            quota_waterfill,
+        )
+
+        strata = spark.createDataFrame(
+            [("a", 10, 1), ("b", 100, 1), ("c", 100, 2)],
+            "stratum string, n_avail long, weight long",
+        )
+        # n/w order: a (10), c (50), b (100). budget 110:
+        # a capped (10); c test 100*3 <= 100*2 fails -> uncapped;
+        # B'=100, W'=3 -> c = 200 div 3 = 66, b = 100 div 3 = 33
+        got = {r.stratum: (r.capped, r.alloc)
+               for r in quota_waterfill(strata, 110).collect()}
+        assert got == {"a": (1, 10), "b": (0, 33), "c": (0, 66)}
+
+    def test_budget_exceeds_total_all_capped(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            quota_waterfill,
+        )
+
+        strata = spark.createDataFrame(
+            [("a", 5, 1), ("b", 7, 3)],
+            "stratum string, n_avail long, weight long",
+        )
+        got = {r.stratum: (r.capped, r.alloc)
+               for r in quota_waterfill(strata, 1000).collect()}
+        assert got == {"a": (1, 5), "b": (1, 7)}
+
+    def test_invariants_hold(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            quota_waterfill,
+        )
+
+        strata = spark.createDataFrame(
+            [(f"s{i}", (i * 37) % 90 + 3, i % 4 + 1)
+             for i in range(12)],
+            "stratum string, n_avail long, weight long",
+        )
+        rows = quota_waterfill(strata, 250).collect()
+        assert sum(r.alloc for r in rows) <= 250
+        for r in rows:
+            assert 0 <= r.alloc <= r.n_avail
+            assert (r.capped == 1) == (r.alloc == r.n_avail) or \
+                r.capped == 0  # uncapped may coincidentally equal
+
+
+class TestCurriculumInterleave:
+    def test_positions_unique_and_round_robin(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            curriculum_interleave,
+        )
+
+        df = spark.createDataFrame(
+            [(i, (i * 13) % 50) for i in range(100)],
+            "doc_id long, score long",
+        )
+        rows = curriculum_interleave(
+            df, "score", "doc_id", n_buckets=5
+        ).collect()
+        assert len(rows) == 100
+        assert len({r.pos for r in rows}) == 100  # collision-free
+        # buckets are score-quantile tiers: every bucket's max score
+        # <= next bucket's min score
+        by_b = {}
+        for r in rows:
+            by_b.setdefault(r.bucket, []).append(r.score)
+        bs = sorted(by_b)
+        assert bs == [0, 1, 2, 3, 4]
+        for a, b in zip(bs, bs[1:]):
+            assert max(by_b[a]) <= min(by_b[b])
+        # first len(bs) positions in pos order hit distinct buckets
+        first = sorted(rows, key=lambda r: r.pos)[: len(bs)]
+        assert {r.bucket for r in first} == set(bs)
