@@ -511,3 +511,128 @@ def label_prototypes_sql(
         JOIN nearest n ON n.label = c.label
         ORDER BY c.label
     """
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-cluster simplified silhouette -- the clustering-quality
+    number read AFTER kmeans, answering "are these clusters real or
+    did Lloyd just carve a blob".
+
+    Simplified silhouette replaces the classic all-pairs a/b (O(n^2),
+    a non-starter at corpus scale) with centroid distances: per point,
+    a2 = snapped ||v - c_own||^2, b2 = min over OTHER centroids of the
+    same snap, s_ppm = (b2 - a2) * 1e6 div max(a2, b2) -- in [0, 1e6]
+    since the assigned centroid is the argmin (1e6 = perfectly
+    separated, 0 = on the boundary). Both-zero distances (a point ON
+    two centroids) score 0 by convention.
+
+    Exactness discipline: distances are micro-snapped longs with the
+    identical (v.v - 2*v.c) + c.c op order as kmeans(), so the oracle
+    cannot disagree on a boundary point. Per cluster: (cluster,
+    n_members, mean_sil_ppm = sum(s) div n).
+
+    Scale: one broadcast of k centroids, k snapped dots per row, one
+    groupBy(cluster) -- same shape as the assignment scan itself.
+    """
+    from .similarity import _with_constant_row
+
+    vecs = _prep(df, id_col, vec_col)
+    cents = _lloyd(vecs, k, iters, dim, seed)
+    cent_df = vecs.sparkSession.createDataFrame(
+        [(cents, 0)], "cents array<array<double>>, __k long"
+    )
+    # assignment argmin on the SAME snap kmeans uses (cc - 2vc)
+    adists = F.transform(
+        F.col("cents"),
+        lambda c: F.round(
+            (dot(c, c) - 2 * dot(F.col("v"), c)) * MICRO
+        ).cast("long"),
+    )
+    # full squared distance for the silhouette ratio (vv - 2vc + cc,
+    # kmeans()'s sq_dist op order)
+    fdists = F.transform(
+        F.col("cents"),
+        lambda c: F.round(
+            (
+                dot(F.col("v"), F.col("v"))
+                - 2 * dot(F.col("v"), c)
+                + dot(c, c)
+            ) * MICRO
+        ).cast("long"),
+    )
+    joined = (
+        _with_constant_row(vecs, cent_df, "id")
+        .withColumn(
+            "cluster",
+            (F.array_position(adists, F.array_min(adists)) - 1)
+            .cast("int"),
+        )
+        .withColumn("fd", fdists)
+    )
+    scored = joined.select(
+        "cluster",
+        F.element_at("fd", F.col("cluster") + 1).alias("a2"),
+        F.array_min(
+            F.filter("fd", lambda x, i: i != F.col("cluster"))
+        ).alias("b2"),
+    ).select(
+        "cluster",
+        F.when(F.greatest("a2", "b2") <= 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("(b2 - a2) * 1000000 div greatest(a2, b2)")
+        ).cast("long").alias("s_ppm"),
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.expr("sum(s_ppm) div count(1)")
+            .cast("long").alias("mean_sil_ppm"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def kmeans_silhouette_sql(
+    k: int = 8,
+    iters: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of :func:`kmeans_silhouette` (shared Lloyd CTEs +
+    the same snapped full-distance a2/b2 ratio)."""
+    ctes = kmeans_ctes(k, iters, table, id_col, vec_col, dim, seed)
+    fd = (
+        f"CAST(ROUND(({dot_sql('q.v', 'q.v', dim)}"
+        f" - 2 * {dot_sql('q.v', 'c.cent', dim)}"
+        f" + {dot_sql('c.cent', 'c.cent', dim)}) * {MICRO}) AS BIGINT)"
+    )
+    return f"""WITH {ctes},
+        alldist AS (
+            SELECT q.id, q.cluster, c.cluster AS cj, {fd} AS d2
+            FROM afinal q CROSS JOIN cents{iters} c
+        ), ab AS (
+            SELECT id, cluster,
+                   MIN(CASE WHEN cj = cluster THEN d2 END) AS a2,
+                   MIN(CASE WHEN cj <> cluster THEN d2 END) AS b2
+            FROM alldist GROUP BY id, cluster
+        )
+        SELECT CAST(cluster AS INTEGER) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN GREATEST(a2, b2) <= 0 THEN 0
+                             ELSE (b2 - a2) * 1000000
+                                  // GREATEST(a2, b2) END)
+                    // COUNT(*) AS BIGINT) AS mean_sil_ppm
+        FROM ab GROUP BY cluster ORDER BY cluster
+    """

@@ -1671,3 +1671,27 @@ register(QuerySpec(
     covers=("grouped-ranking-eval", "per-segment-ndcg"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- k-means quality: per-cluster simplified silhouette -----------------------
+
+def _kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import kmeans_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+def _kmeans_silhouette_oracle() -> str:
+    from ..operators.cluster import kmeans_silhouette_sql
+
+    return kmeans_silhouette_sql(k=_KM_K, iters=_KM_ITERS)
+
+
+register(QuerySpec(
+    name="kmeans_silhouette_by_cluster",
+    spark_fn=_kmeans_silhouette,
+    oracle=_kmeans_silhouette_oracle,
+    covers=("clustering-quality", "simplified-silhouette"),
+    extended=True,  # round-8 rotation (registry.py)
+))
