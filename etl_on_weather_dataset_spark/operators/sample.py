@@ -905,3 +905,67 @@ def curriculum_interleave_sql(
                CAST((rk - 1) * {n_buckets} + bucket AS BIGINT) AS pos
         FROM ranked
     """
+
+
+def quota_waterfill_select(
+    df: DataFrame,
+    plan: DataFrame,
+    strata_col: str,
+    key_col: str,
+    salt: str = "qw",
+) -> DataFrame:
+    """Materialize a :func:`quota_waterfill` plan: select EXACTLY
+    ``alloc`` rows per stratum, deterministically.
+
+    Keep-fraction sampling (temperature_mixture_plan) hits a TARGET
+    count in expectation; budget-exact pipelines (eval sets, fixed
+    token budgets) need the exact count. Rows rank inside each
+    stratum by (md5 bucket of key, key) -- a seeded uniform draw, so
+    the selection is an unbiased within-stratum sample, identical
+    across engines/retries/partitionings -- and the top ``alloc``
+    survive.
+
+    Scale: one broadcast of the |strata|-row plan + one per-stratum
+    window sort at row grain. Unlike cap_per_key's literal cap, a
+    column-valued cutoff cannot compile to WindowGroupLimit, so the
+    exchange carries full strata; when one stratum dominates the
+    corpus AND its alloc is tiny, pre-trim with
+    ``cap_per_key(df, strata_col, key_col, max_alloc)`` first (the
+    composition keeps determinism: both rank by the same md5 order).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(key_col), salt=salt), F.col(key_col)
+    )
+    return (
+        df.join(
+            F.broadcast(plan.select(
+                F.col("stratum").alias(strata_col), "alloc"
+            )),
+            strata_col,
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("alloc"))
+        .drop("_rk", "alloc")
+    )
+
+
+def quota_waterfill_select_sql(
+    table_sql: str,
+    plan_sql: str,
+    strata_col: str,
+    key_col: str,
+    salt: str = "qw",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`quota_waterfill_select`."""
+    bucket = hash_bucket_sql(key_col, salt=salt)
+    return f"""
+        SELECT {select} FROM (
+            SELECT t.*, p.alloc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.{strata_col}
+                       ORDER BY {bucket}, t.{key_col}) AS _rk
+            FROM ({table_sql}) t
+            JOIN ({plan_sql}) p ON t.{strata_col} = p.stratum
+        ) WHERE _rk <= alloc
+    """

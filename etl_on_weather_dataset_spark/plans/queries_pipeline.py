@@ -1880,3 +1880,53 @@ register(QuerySpec(
             "training-order"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- budget-exact materialization of the waterfill plan -------------------------
+
+def _quota_waterfill_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import quota_waterfill, quota_waterfill_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy(F.col("lang").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_avail"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    plan = quota_waterfill(strata, _QW_BUDGET)
+    return (
+        quota_waterfill_select(
+            docs.select("lang", "doc_id"), plan, "lang", "doc_id"
+        )
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def _quota_waterfill_selection_oracle() -> str:
+    from ..operators.sample import (
+        quota_waterfill_select_sql,
+        quota_waterfill_sql,
+    )
+
+    plan = quota_waterfill_sql(
+        "SELECT lang AS stratum,"
+        " CAST(COUNT(*) AS BIGINT) AS n_avail,"
+        " CAST(1 AS BIGINT) AS weight"
+        " FROM documents GROUP BY lang",
+        _QW_BUDGET,
+    )
+    return quota_waterfill_select_sql(
+        "SELECT lang, doc_id FROM documents",
+        plan, "lang", "doc_id",
+        select="lang, doc_id",
+    ) + " ORDER BY lang, doc_id"
+
+
+register(QuerySpec(
+    name="quota_waterfill_selection",
+    spark_fn=_quota_waterfill_selection,
+    oracle=_quota_waterfill_selection_oracle,
+    covers=("budget-exact-sampling", "water-filling",
+            "deterministic-selection"),
+    extended=True,  # round-8 rotation (registry.py)
+))

@@ -103,7 +103,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # run; swap into ROTATE_IN next round):
 # point_in_time_store_enrichment, ewma_user_value_chunked,
 # dedup_canonical_keep_best, quota_waterfill_langs,
-# curriculum_interleave_order, kmeans_silhouette_by_cluster
+# curriculum_interleave_order, kmeans_silhouette_by_cluster,
+# quota_waterfill_selection
 ROTATE_IN: frozenset[str] = frozenset({
     # first attestation: the 29 round-6-added extended queries (the
     # round-6 verdict's item 2 rotation, named verbatim in the

@@ -859,3 +859,71 @@ def stream_vocab_ingest(
     )
     q.awaitTermination()
     return seen
+
+
+FOLD_STATE_SCHEMA = "n LONG, acc LONG"
+
+
+def stream_ordered_fold(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    value_scale: int = 1_000_000,
+) -> DataFrame:
+    """Streaming twin of ``operators/fold.py::ordered_fold_stream``
+    for the integer EWMA recurrence (e_1 = v_1; e_n = (v_n + e_{n-1})
+    div 2): per-key state is exactly (count, accumulator) -- O(1),
+    the continuous-ingestion face of the batch fold's O(1) carry.
+
+    Emits one row per key per micro-batch with the RUNNING
+    (n_events, ewma_micro); the latest row per key equals the batch
+    fold over the full history (pinned by test). Same ordering
+    contract as the batch operator: rows are folded in (ts, id)
+    order -- sorted within a batch here; ACROSS batches arrival must
+    be per-key ordered (a watermarked sort upstream handles late
+    data).
+    """
+    import decimal
+
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    key_t = df.schema[key_col].dataType.simpleString()
+    out_schema = _parse_datatype_string(
+        f"{key_col} {key_t}, n_events LONG, ewma_micro LONG"
+    )
+    state_schema = _parse_datatype_string(FOLD_STATE_SCHEMA)
+
+    def _half_up(x: float) -> int:
+        # Spark's F.round = BigDecimal HALF_UP on the exact double
+        return int(
+            decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        n, acc = state.get if state.exists else (0, 0)
+        for val in rows[value_col]:
+            v = _half_up(float(val) * value_scale)
+            # nonnegative ints: Python // == Spark div == DuckDB //
+            acc = v if n == 0 else (v + acc) // 2
+            n += 1
+        state.update((n, acc))
+        yield pd.DataFrame(
+            {key_col: [k], "n_events": [n], "ewma_micro": [acc]}
+        )
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

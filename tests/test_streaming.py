@@ -1022,3 +1022,75 @@ def test_stream_vocab_ingest_model_equals_batch(spark, tmp_path):
     stream_vocab_ingest(spark, str(src) + "/*", schema, store, ck)
     _, _, v_after = read_rollup(spark, store)
     assert v_after == v_before
+
+
+def test_stream_ordered_fold_equals_batch(spark, tmp_path):
+    """Streaming EWMA (stream_ordered_fold): the O(1) per-key carry
+    crosses micro-batch boundaries, so the latest emitted row per key
+    must equal the batch ordered_fold_stream over the concatenated
+    history. Three time-ordered waves, one file per trigger."""
+    import datetime as dt
+
+    from etl_on_weather_dataset_spark.operators.fold import (
+        ordered_fold_stream,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_ordered_fold,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def rows(lo, hi):
+        return [
+            (i * 10 + u, base + dt.timedelta(minutes=i), u,
+             ((i * 37 + u * 11) % 500) / 7.0)
+            for i in range(lo, hi) for u in (1, 2, 3)
+        ]
+
+    land = tmp_path / "land"
+    land.mkdir()
+    for w, (lo, hi) in enumerate([(0, 12), (12, 25), (25, 40)]):
+        spark.createDataFrame(rows(lo, hi), schema).coalesce(
+            1
+        ).write.parquet(str(land / f"wave{w}"))
+
+    all_rows = spark.createDataFrame(rows(0, 40), schema).selectExpr(
+        "user_id", "ts", "event_id",
+        "CAST(ROUND(value * 1000000) AS BIGINT) AS vm",
+    )
+    batch = {
+        r.user_id: (r.n_events, r.ewma_micro)
+        for r in ordered_fold_stream(
+            all_rows, ["user_id"], ["ts", "event_id"], "vm",
+            fold=lambda acc, v: (v + acc) // 2,
+            out_col="ewma_micro",
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(land) + "/*")
+    )
+    q = (
+        stream_ordered_fold(stream)
+        .writeStream.format("memory")
+        .queryName("t_fold")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM t_fold").collect()
+    # one running row per key per batch; the LATEST (max n) per key
+    # is the full-history fold
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.ewma_micro)
+    assert len(emitted) == 9  # 3 keys x 3 micro-batches
+    assert final == batch
+    assert all(v[0] == 40 for v in final.values())
