@@ -215,3 +215,105 @@ def compact_files(
         for s in fs.listStatus(out)
         if s.getPath().getName().endswith(".parquet")
     )
+
+
+def export_training_shards(
+    df,
+    path: str,
+    pos_col: str = "pos",
+    rows_per_shard: int = 1_000_000,
+):
+    """Materialize a training order (e.g. curriculum_interleave's
+    ``pos``) as directory-partitioned parquet shards a data loader
+    can stream IN ORDER without a global sort at read time.
+
+    shard = pos div rows_per_shard -- an explicit value, not a range
+    sample, so the file layout is deterministic (repartitionByRange's
+    sampled bounds are not); rows are sorted by pos WITHIN each shard
+    dir, so a loader reads shard=0,1,2,... sequentially and gets the
+    exact global order. Readers filtering on shard prune at the
+    DIRECTORY level (partition pruning, no footer reads at all).
+
+    Returns the shard count. The attestable manifest (per-shard row
+    counts, pos ranges, an order-sensitive fingerprint) is computed
+    by :func:`shard_manifest` from the same frame -- pure SQL, so a
+    DuckDB twin can pin it.
+    """
+    from pyspark.sql import functions as F
+
+    sharded = df.withColumn(
+        "shard",
+        (F.col(pos_col) / rows_per_shard).cast("long"),
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions(pos_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return sharded.select("shard").distinct().count()
+
+
+def shard_manifest(
+    df,
+    id_col: str,
+    pos_col: str = "pos",
+    rows_per_shard: int = 1_000_000,
+):
+    """Per-shard manifest of a training order: (shard, n_rows,
+    min_pos, max_pos, order_md5) where order_md5 fingerprints the ID
+    SEQUENCE in pos order -- two exports with the same manifest feed
+    byte-identical training streams.
+
+    The ordered fingerprint needs an ordered aggregation; per-shard
+    row count is bounded by ``rows_per_shard``, so the sort+concat is
+    bounded-memory by construction (the same argument as context
+    windows' session arrays).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            (F.col(pos_col) / rows_per_shard).cast("long").alias("shard"),
+            F.col(pos_col).alias("p"),
+            F.col(id_col).cast("string").alias("i"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("p").cast("long").alias("min_pos"),
+            F.max("p").cast("long").alias("max_pos"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("p", "i"))
+                        ),
+                        lambda s: s["i"],
+                    ),
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_manifest_sql(
+    ordered_sql: str,
+    id_col: str,
+    pos_col: str = "pos",
+    rows_per_shard: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`shard_manifest`."""
+    return f"""
+        SELECT {pos_col} // {rows_per_shard} AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN({pos_col}) AS BIGINT) AS min_pos,
+               CAST(MAX({pos_col}) AS BIGINT) AS max_pos,
+               md5(string_agg(CAST({id_col} AS VARCHAR), ','
+                              ORDER BY {pos_col})) AS order_md5
+        FROM ({ordered_sql})
+        GROUP BY shard ORDER BY shard
+    """

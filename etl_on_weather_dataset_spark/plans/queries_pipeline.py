@@ -915,6 +915,7 @@ register(QuerySpec(
     spark_fn=_dedup_canonical,
     oracle=_dedup_canonical_oracle,
     covers=("dedup-resolution", "quality-aware-survivorship"),
+    bench=True,  # the dedup pipeline ending a user runs hourly
     extended=True,  # round-8 rotation (registry.py)
 ))
 
@@ -1928,5 +1929,51 @@ register(QuerySpec(
     oracle=_quota_waterfill_selection_oracle,
     covers=("budget-exact-sampling", "water-filling",
             "deterministic-selection"),
+    extended=True,  # round-8 rotation (registry.py)
+))
+
+
+# --- training-shard manifest of the curriculum order ----------------------------
+
+_SHARD_ROWS = 200
+
+
+def _curriculum_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import shard_manifest
+    from ..operators.sample import curriculum_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    ordered = curriculum_interleave(
+        scored, "n_tokens", "doc_id", n_buckets=10
+    )
+    return shard_manifest(
+        ordered, "doc_id", "pos", rows_per_shard=_SHARD_ROWS
+    )
+
+
+def _curriculum_shard_manifest_oracle() -> str:
+    from ..operators.layout import shard_manifest_sql
+    from ..operators.sample import curriculum_interleave_sql
+
+    ordered = curriculum_interleave_sql(
+        "SELECT doc_id,"
+        " CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)"
+        " AS n_tokens FROM documents",
+        "n_tokens", "doc_id", n_buckets=10,
+    )
+    return shard_manifest_sql(
+        ordered, "doc_id", "pos", rows_per_shard=_SHARD_ROWS
+    )
+
+
+register(QuerySpec(
+    name="curriculum_shard_manifest",
+    spark_fn=_curriculum_shard_manifest,
+    oracle=_curriculum_shard_manifest_oracle,
+    covers=("training-shards", "order-manifest",
+            "deterministic-export"),
     extended=True,  # round-8 rotation (registry.py)
 ))

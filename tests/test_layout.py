@@ -111,3 +111,48 @@ def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))
+
+
+def test_export_training_shards_order_and_pruning(spark, tmp_path):
+    """export_training_shards: the re-read stream in shard order IS
+    the exact global order (manifest fingerprints match per shard),
+    and a shard filter prunes at the DIRECTORY level (PartitionFilters
+    in the scan, no data files of other shards read)."""
+    from pyspark.sql import functions as F
+
+    from etl_on_weather_dataset_spark.operators.layout import (
+        export_training_shards,
+        shard_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i * 7 % 97}x{i}") for i in range(300)],
+        "pos long, doc_id string",
+    )
+    path = str(tmp_path / "shards")
+    n = export_training_shards(df, path, "pos", rows_per_shard=100)
+    assert n == 3
+
+    want = {
+        r.shard: (r.n_rows, r.order_md5)
+        for r in shard_manifest(
+            df, "doc_id", "pos", rows_per_shard=100
+        ).collect()
+    }
+    back = spark.read.parquet(path)
+    got = {
+        r.shard: (r.n_rows, r.order_md5)
+        for r in back.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.md5(F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "doc_id"))),
+                lambda s: s["doc_id"],
+            ))).alias("order_md5"),
+        ).collect()
+    }
+    assert got == want
+    plan = (
+        back.where(F.col("shard") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(shard" in plan
