@@ -85,3 +85,57 @@ def impute_median(
             c, F.coalesce(F.col(c), F.col(f"__med_{i}"))
         )
     return filled.drop(*[f"__med_{i}" for i in range(len(cols))])
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Clip ``value_col`` into its per-group [lo_q, hi_q] percentile
+    band (winsorization) -- the standard heavy-tail guard before
+    means/scalers, so one fat-fingered 1e9 reading cannot drag a
+    group's statistics.
+
+    Adds ``{value}_w`` (clipped), ``{value}_lo`` / ``{value}_hi``
+    (the exact interpolated per-group bounds -- same
+    percentile/quantile_cont parity class as median_impute and
+    mad_outliers), and ``{value}_clip`` (-1 clipped low, +1 clipped
+    high, 0 untouched). One groupBy for the bounds, broadcast back,
+    one projection; nulls pass through unclipped (null stays null,
+    clip flag 0).
+
+    ``approx=True`` switches the bounds to percentile_approx -- the
+    single-pass mergeable sketch for the 100 TB path where the exact
+    per-group sort is not worth it (same dial as impute_median).
+    """
+    keys = list(group_cols)
+    pf = F.percentile_approx if approx else F.percentile
+    bounds = df.groupBy(*keys).agg(
+        pf(F.col(value_col), F.lit(lo_q)).alias(f"{value_col}_lo"),
+        pf(F.col(value_col), F.lit(hi_q)).alias(f"{value_col}_hi"),
+    )
+    v, lo, hi = (
+        F.col(value_col),
+        F.col(f"{value_col}_lo"),
+        F.col(f"{value_col}_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), keys)
+        .withColumn(
+            f"{value_col}_w",
+            # explicit null guard: Spark's least/greatest SKIP nulls
+            # (a null value would silently clip to the lower bound)
+            F.when(v.isNull(), F.lit(None).cast("double"))
+            .otherwise(F.least(F.greatest(v, lo), hi)),
+        )
+        .withColumn(
+            f"{value_col}_clip",
+            F.when(v < lo, F.lit(-1))
+            .when(v > hi, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    )

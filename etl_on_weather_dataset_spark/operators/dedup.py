@@ -1534,3 +1534,162 @@ def jaccard_threshold_sweep_sql(
         FROM binned
         ORDER BY jac_floor_ppm DESC
     """
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """Directed near-dup pairs by shingle CONTAINMENT: emit
+    (contained_id, container_id) when |A inter B| / |A| crosses the
+    threshold -- the asymmetric measure that catches a SHORT document
+    living inside a LONG one, which Jaccard structurally dilutes
+    (a 50-shingle doc inside a 5000-shingle doc has containment 1.0
+    but Jaccard ~0.01, invisible to every symmetric tier).
+
+    Same inverted-index blocking as ngram_jaccard_pairs (equi-join on
+    shared shingles only -- candidate pairs share >= 1 shingle, never
+    all-pairs; ``max_doc_freq`` is the identical hot-shingle guard).
+    The undirected candidate aggregate is computed ONCE and both
+    directions are derived from it, so containment costs the same one
+    join + one groupBy as Jaccard. Integer contract: containment_ppm
+    = inter * 1e6 div n_contained -- exact in both engines.
+
+    Output: (contained_id, container_id, inter, n_contained,
+    containment_ppm), one row per qualifying DIRECTION (mutual
+    near-dups yield two rows; the dedup policy usually drops the
+    contained side, keeping the superset document).
+    """
+    from .caching import persisted
+
+    sh = persisted(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, n).alias("shingles"),
+        )
+    )
+    if max_doc_freq is None:
+        inv = sh.select(
+            "id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+    else:
+        exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+        n_docs = sh.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("doc_freq") > F.col("n_docs") * max_doc_freq)
+            .select("shingle")
+        )
+        kept = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        n_sh = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        inv = persisted(kept.join(n_sh, "id"))
+    a = inv.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.col("inter"),
+                    F.col("n_a").cast("long").alias("n_contained"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.col("inter"),
+                    F.col("n_b").cast("long").alias("n_contained"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return (
+        directed.withColumn(
+            "containment_ppm",
+            F.expr("inter * 1000000 div n_contained").cast("long"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )
+
+
+def ngram_containment_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    max_doc_freq: float | None = None,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs`."""
+    if max_doc_freq is None:
+        index_ctes = """inv AS (
+            SELECT id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh
+        )"""
+    else:
+        index_ctes = f"""exploded AS (
+            SELECT id, unnest(shingles) AS shingle FROM sh
+        ), kept AS (
+            SELECT id, shingle FROM exploded
+            WHERE shingle NOT IN (
+                SELECT shingle FROM exploded
+                GROUP BY shingle
+                HAVING COUNT(*) > (SELECT COUNT(*) FROM sh)
+                                      * {max_doc_freq}
+            )
+        ), inv AS (
+            SELECT id, COUNT(*) OVER (PARTITION BY id) AS n_sh, shingle
+            FROM kept
+        )"""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS id,
+                   regexp_split_to_array({text_col}, ' +') AS t
+            FROM {table}
+        ), sh AS (
+            SELECT id,
+                   CASE WHEN len(t) >= {n} THEN
+                       list_distinct(list_transform(
+                           range(1, len(t) - {n} + 2),
+                           i -> array_to_string(t[i:i+{n}-1], ' ')))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        ), {index_ctes}, pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM inv a JOIN inv b ON a.shingle = b.shingle
+            WHERE a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        ), directed AS (
+            SELECT id_a AS contained_id, id_b AS container_id,
+                   inter, CAST(n_a AS BIGINT) AS n_contained
+            FROM pairs
+            UNION ALL
+            SELECT id_b AS contained_id, id_a AS container_id,
+                   inter, CAST(n_b AS BIGINT) AS n_contained
+            FROM pairs
+        )
+        SELECT contained_id, container_id, inter, n_contained,
+               inter * 1000000 // n_contained AS containment_ppm
+        FROM directed
+        WHERE inter * 1000000 // n_contained >= {threshold_ppm}
+    """

@@ -1898,3 +1898,73 @@ register(QuerySpec(
     covers=("hll-grouped", "distinct-rollup-store"),
     extended=True,  # round-6 rotation (registry.py)
 ))
+
+
+# --- per-group winsorization (heavy-tail clipping) -----------------------------
+#
+# Exact interpolated per-group percentile bounds (the
+# percentile/quantile_cont parity class of median_impute and
+# mad_outliers), clip, then integer-snapped per-group report. Bounds
+# are midpoints of 2-dp values at hundredth interpolation fractions,
+# so scale 10000 snaps them exactly.
+
+_WZ_LO, _WZ_HI = 0.05, 0.95
+
+
+def _winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clean import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize(ev, ["event_type"], "value", _WZ_LO, _WZ_HI)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("value_clip") == -1, 1).otherwise(0))
+            .cast("long").alias("n_clip_lo"),
+            F.sum(F.when(F.col("value_clip") == 1, 1).otherwise(0))
+            .cast("long").alias("n_clip_hi"),
+            F.max(F.round(F.col("value_lo") * 10000))
+            .cast("long").alias("lo_e4"),
+            F.max(F.round(F.col("value_hi") * 10000))
+            .cast("long").alias("hi_e4"),
+            F.sum(F.round(F.col("value_w") * 10000))
+            .cast("long").alias("sum_w_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(QuerySpec(
+    name="winsorized_value_stats",
+    spark_fn=_winsorized_stats,
+    oracle=f"""
+        WITH bounds AS (
+            SELECT event_type,
+                   quantile_cont(value, {_WZ_LO}) AS lo,
+                   quantile_cont(value, {_WZ_HI}) AS hi
+            FROM events GROUP BY event_type
+        ), w AS (
+            SELECT e.event_type, e.value, b.lo, b.hi,
+                   LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w,
+                   CASE WHEN e.value < b.lo THEN -1
+                        WHEN e.value > b.hi THEN 1 ELSE 0 END AS clip
+            FROM events e JOIN bounds b ON e.event_type = b.event_type
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN clip = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN clip = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_hi,
+               CAST(MAX(ROUND(lo * 10000)) AS BIGINT) AS lo_e4,
+               CAST(MAX(ROUND(hi * 10000)) AS BIGINT) AS hi_e4,
+               CAST(SUM(ROUND(value_w * 10000)) AS BIGINT) AS sum_w_e4
+        FROM w
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    covers=("winsorization", "per-group-percentile-clip",
+            "heavy-tail-guard"),
+    extended=True,  # round-8 rotation (registry.py)
+))

@@ -1977,3 +1977,38 @@ register(QuerySpec(
             "deterministic-export"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- asymmetric containment near-dup (short doc inside long doc) ----------------
+
+_CT_N, _CT_PPM = 3, 800_000
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_containment_pairs(
+            docs, "text", "doc_id", n=_CT_N, threshold_ppm=_CT_PPM
+        )
+        .orderBy("contained_id", "container_id")
+    )
+
+
+def _dedup_containment_oracle() -> str:
+    from ..operators.dedup import ngram_containment_pairs_sql
+
+    return ngram_containment_pairs_sql(
+        "documents", "text", "doc_id", n=_CT_N, threshold_ppm=_CT_PPM
+    ) + " ORDER BY contained_id, container_id"
+
+
+register(QuerySpec(
+    name="dedup_containment_pairs",
+    spark_fn=_dedup_containment,
+    oracle=_dedup_containment_oracle,
+    covers=("containment-dedup", "asymmetric-near-dup",
+            "subset-document"),
+    extended=True,  # round-8 rotation (registry.py)
+))

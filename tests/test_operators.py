@@ -4841,3 +4841,60 @@ class TestCurriculumInterleave:
         # first len(bs) positions in pos order hit distinct buckets
         first = sorted(rows, key=lambda r: r.pos)[: len(bs)]
         assert {r.bucket for r in first} == set(bs)
+
+
+class TestWinsorize:
+    def test_clip_flags_and_null_passthrough(self, spark):
+        from etl_on_weather_dataset_spark.operators.clean import winsorize
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(1, 11)] + [("a", None)],
+            "g string, value double",
+        )
+        out = {
+            (r.value if r.value is None else r.value): (
+                r.value_w, r.value_clip
+            )
+            for r in winsorize(
+                df, ["g"], "value", lo_q=0.1, hi_q=0.9
+            ).collect()
+        }
+        # interpolated p10 of 1..10 = 1.9, p90 = 9.1
+        assert out[1.0] == (1.9, -1)
+        assert out[10.0] == (9.1, 1)
+        assert out[5.0] == (5.0, 0)
+        assert out[None] == (None, 0)
+
+
+class TestContainmentPairs:
+    def test_short_inside_long_found_despite_low_jaccard(self, spark):
+        """A 3-shingle doc fully inside a 40-shingle doc: containment
+        1.0 both ways detected, Jaccard ~0.07 would miss it at any
+        realistic threshold."""
+        from etl_on_weather_dataset_spark.operators.caching import (
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        long_text = " ".join(f"w{i}" for i in range(42))
+        short_text = "w10 w11 w12 w13 w14"  # 3 trigram shingles
+        other = " ".join(f"z{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, long_text), (2, short_text), (3, other)],
+            "doc_id long, text string",
+        )
+        try:
+            cont = ngram_containment_pairs(
+                df, "text", "doc_id", n=3, threshold_ppm=900_000
+            ).collect()
+            jac = ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=0.5
+            ).collect()
+        finally:
+            release_all()
+        assert [(r.contained_id, r.container_id,
+                 r.containment_ppm) for r in cont] == [(2, 1, 1_000_000)]
+        assert jac == []  # symmetric tier is blind to this pair
