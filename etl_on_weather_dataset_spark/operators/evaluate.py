@@ -814,3 +814,169 @@ def ks_between_versions(
         )
     )
     return ks_from_counts(per_v)
+
+
+# Cumulative Poisson(1) thresholds, ppm-scaled plan constants: a
+# uniform md5 draw u in [0, 1e6) maps to the bootstrap weight k via
+# the inverse CDF. Shared literals in both dialects -- nothing to
+# disagree on.
+_POIS1_CUM_PPM: tuple[int, ...] = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917,
+)
+
+
+def _poisson_weight_case(u_sql: str) -> str:
+    whens = " ".join(
+        f"WHEN {u_sql} < {t} THEN {k}"
+        for k, t in enumerate(_POIS1_CUM_PPM)
+    )
+    return f"(CASE {whens} ELSE {len(_POIS1_CUM_PPM)} END)"
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    scale: int = 100,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group mean with a percentile-bootstrap CI -- error bars for
+    any sliced metric, fully deterministic and engine-portable.
+
+    Classic bootstrap resampling-with-replacement cannot be expressed
+    as a row-local operation; the distributed-standard substitute is
+    the POISSON bootstrap (each row enters resample b with weight ~
+    Poisson(1)). Weights here are exact integers: u = md5-bucket of
+    (id, b) in [0, 1e6) -> inverse-CDF CASE over ppm-scaled Poisson(1)
+    cumulative constants. Per (group, resample): mean_scaled =
+    sum(w * v_c) * scale div sum(w) -- integer div, no IEEE anywhere.
+    The CI is the exact [lo_q, hi_q] ORDER STATISTIC over the n_boot
+    resample means (ranks ceil(q * B) on the ascending sort, computed
+    over non-degenerate resamples only; a resample with total weight
+    0 is dropped -- probability e^-n per group, real only for tiny
+    groups).
+
+    Scale: the explode(sequence(0, B-1)) is compute-only fan-out --
+    map-side partial aggregation collapses it to |groups| x B cells
+    before the exchange, and the final per-group array holds B longs.
+
+    Output: (group..., n_rows, mean_e, ci_lo_e, ci_hi_e, n_boot_used)
+    where *_e are value * scale^2 integers (v_c carries one factor of
+    ``scale``, the mean div another).
+    """
+    keys = list(group_cols)
+    v_c = F.round(F.col(value_col) * scale).cast("long")
+    b_df = df.select(
+        *keys,
+        F.col(id_col).cast("string").alias("_id"),
+        v_c.alias("v_c"),
+    ).select(
+        *keys, "_id", "v_c",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b"),
+    )
+    u = F.expr(
+        "CAST(conv(substring(md5(concat(_id, '#', CAST(b AS STRING),"
+        f" '{salt}')), 1, 8), 16, 10) AS BIGINT) % 1000000"
+    )
+    w = F.expr(_poisson_weight_case("_u"))
+    cells = (
+        b_df.withColumn("_u", u)
+        .withColumn("w", w)
+        .groupBy(*keys, "b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("v_c")).cast("long").alias("s"),
+        )
+        .filter(F.col("n_eff") > 0)
+        .select(
+            *keys,
+            F.expr(f"s * {scale} div n_eff").cast("long").alias("m"),
+        )
+    )
+    point = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(
+            f"CAST(sum(CAST(ROUND({value_col} * {scale}) AS BIGINT))"
+            f" * {scale} div count(1) AS BIGINT)"
+        ).alias("mean_e"),
+    )
+    ci = cells.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("m")).alias("arr"),
+    ).select(
+        *keys,
+        F.element_at(
+            "arr",
+            F.expr(f"CAST(ceil({lo_q} * size(arr)) AS INT)"),
+        ).cast("long").alias("ci_lo_e"),
+        F.element_at(
+            "arr",
+            F.expr(f"CAST(ceil({hi_q} * size(arr)) AS INT)"),
+        ).cast("long").alias("ci_hi_e"),
+        F.size("arr").cast("long").alias("n_boot_used"),
+    )
+    return point.join(ci, keys).select(
+        *keys, "n_rows", "mean_e", "ci_lo_e", "ci_hi_e", "n_boot_used"
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    scale: int = 100,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    salt: str = "boot",
+) -> str:
+    """DuckDB twin of :func:`bootstrap_mean_ci` (same md5 draw, same
+    ppm thresholds, same order-statistic ranks)."""
+    keys = ", ".join(group_cols)
+    u = (
+        "CAST(('0x' || substr(md5(CAST(_id AS VARCHAR) || '#' ||"
+        f" CAST(b AS VARCHAR) || '{salt}'), 1, 8)) AS UBIGINT)"
+        " % 1000000"
+    )
+    wcase = _poisson_weight_case("_u")
+    return f"""
+        WITH base AS (
+            SELECT {keys}, CAST({id_col} AS VARCHAR) AS _id,
+                   CAST(ROUND({value_col} * {scale}) AS BIGINT) AS v_c
+            FROM ({table_sql})
+        ), fan AS (
+            SELECT base.*, t.b, {u} AS _u
+            FROM base CROSS JOIN (
+                SELECT unnest(range(0, {n_boot})) AS b) t
+        ), cells AS (
+            SELECT {keys}, b,
+                   CAST(SUM({wcase}) AS BIGINT) AS n_eff,
+                   CAST(SUM({wcase} * v_c) AS BIGINT) AS s
+            FROM fan GROUP BY {keys}, b
+        ), means AS (
+            SELECT {keys}, s * {scale} // n_eff AS m
+            FROM cells WHERE n_eff > 0
+        ), ci AS (
+            SELECT {keys},
+                   (list_sort(list(m)))[
+                       CAST(ceil({lo_q} * COUNT(*)) AS INT)]
+                       AS ci_lo_e,
+                   (list_sort(list(m)))[
+                       CAST(ceil({hi_q} * COUNT(*)) AS INT)]
+                       AS ci_hi_e,
+                   CAST(COUNT(*) AS BIGINT) AS n_boot_used
+            FROM means GROUP BY {keys}
+        ), point AS (
+            SELECT {keys},
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND({value_col} * {scale}) AS BIGINT))
+                        * {scale} // COUNT(*) AS BIGINT) AS mean_e
+            FROM ({table_sql}) GROUP BY {keys}
+        )
+        SELECT p.*, c.ci_lo_e, c.ci_hi_e, c.n_boot_used
+        FROM point p JOIN ci c USING ({keys})
+    """

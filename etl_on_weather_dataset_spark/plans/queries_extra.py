@@ -1968,3 +1968,36 @@ register(QuerySpec(
             "heavy-tail-guard"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- Poisson-bootstrap CI for a grouped mean -----------------------------------
+
+_BOOT_B = 200
+
+
+def _bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, ["event_type"], "value", "event_id", n_boot=_BOOT_B,
+    ).orderBy("event_type")
+
+
+def _bootstrap_mean_ci_oracle() -> str:
+    from ..operators.evaluate import bootstrap_mean_ci_sql
+
+    return bootstrap_mean_ci_sql(
+        "SELECT event_type, event_id, value FROM events",
+        ["event_type"], "value", "event_id", n_boot=_BOOT_B,
+    ) + " ORDER BY event_type"
+
+
+register(QuerySpec(
+    name="bootstrap_mean_ci_by_type",
+    spark_fn=_bootstrap_mean_ci,
+    oracle=_bootstrap_mean_ci_oracle,
+    covers=("poisson-bootstrap", "confidence-interval",
+            "deterministic-resampling"),
+    extended=True,  # round-8 rotation (registry.py)
+))

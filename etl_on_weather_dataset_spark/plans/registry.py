@@ -105,7 +105,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # dedup_canonical_keep_best, quota_waterfill_langs,
 # curriculum_interleave_order, kmeans_silhouette_by_cluster,
 # quota_waterfill_selection, curriculum_shard_manifest,
-# winsorized_value_stats, dedup_containment_pairs
+# winsorized_value_stats, dedup_containment_pairs,
+# bootstrap_mean_ci_by_type
 ROTATE_IN: frozenset[str] = frozenset({
     # first attestation: the 29 round-6-added extended queries (the
     # round-6 verdict's item 2 rotation, named verbatim in the

@@ -4898,3 +4898,42 @@ class TestContainmentPairs:
         assert [(r.contained_id, r.container_id,
                  r.containment_ppm) for r in cont] == [(2, 1, 1_000_000)]
         assert jac == []  # symmetric tier is blind to this pair
+
+
+class TestBootstrapMeanCi:
+    def test_ci_brackets_point_and_shrinks_sane(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            bootstrap_mean_ci,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g", 10.0 + (i % 7)) for i in range(400)],
+            "id long, g string, value double",
+        )
+        r = bootstrap_mean_ci(
+            df, ["g"], "value", "id", n_boot=100
+        ).collect()[0]
+        assert r.n_rows == 400
+        # point mean of 10..16 cycle ~ 12.99; e4 scale
+        assert 125000 <= r.mean_e <= 135000
+        assert r.ci_lo_e <= r.mean_e <= r.ci_hi_e
+        # 95% CI of a 400-row mean with sd~2: half-width ~0.2 -> e4
+        # within [500, 6000] (loose sanity, not a statistics test)
+        assert 0 < r.ci_hi_e - r.ci_lo_e < 10000
+        assert r.n_boot_used == 100
+
+    def test_deterministic_across_runs(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            bootstrap_mean_ci,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", float(i % 13)) for i in range(150)],
+            "id long, g string, value double",
+        ).repartition(7)
+        a = sorted(map(tuple, bootstrap_mean_ci(
+            df, ["g"], "value", "id", n_boot=50).collect()))
+        b = sorted(map(tuple, bootstrap_mean_ci(
+            df.repartition(3), ["g"], "value", "id", n_boot=50
+        ).collect()))
+        assert a == b  # partitioning-invariant, hash-seeded
