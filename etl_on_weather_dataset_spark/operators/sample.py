@@ -969,3 +969,50 @@ def quota_waterfill_select_sql(
             JOIN ({plan_sql}) p ON t.{strata_col} = p.stratum
         ) WHERE _rk <= alloc
     """
+
+
+def balanced_shard_assignment(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Assign rows to ``n_shards`` so EVERY shard carries the global
+    stratum mixture (per-stratum round-robin): within each stratum,
+    rows rank by (md5 bucket of key, key) and shard = (rank-1) mod
+    n_shards -- so any two shards' counts for a stratum differ by at
+    most 1, and a training job reading any subset of shards sees the
+    corpus mixture, not whichever sources its files happened to hold.
+
+    Deterministic and engine-portable (the shared md5 rank);
+    per-stratum window sort is the cost, same shape as cap_per_key.
+    Adds ``shard``.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(key_col), salt=salt), F.col(key_col)
+    )
+    return df.withColumn(
+        "shard",
+        ((F.row_number().over(w) - 1) % n_shards).cast("long"),
+    )
+
+
+def balanced_shard_assignment_sql(
+    table_sql: str,
+    strata_col: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`balanced_shard_assignment`."""
+    bucket = hash_bucket_sql(key_col, salt=salt)
+    return f"""
+        SELECT {select},
+               (ROW_NUMBER() OVER (
+                    PARTITION BY {strata_col}
+                    ORDER BY {bucket}, {key_col}) - 1)
+                   % {n_shards} AS shard
+        FROM ({table_sql})
+    """

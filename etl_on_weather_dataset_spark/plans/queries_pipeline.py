@@ -2012,3 +2012,46 @@ register(QuerySpec(
             "subset-document"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- mixture-balanced shard assignment ------------------------------------------
+
+_BSH_N = 8
+
+
+def _mixture_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import balanced_shard_assignment
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return (
+        balanced_shard_assignment(docs, "lang", "doc_id", _BSH_N)
+        .groupBy("shard", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("shard", "lang")
+    )
+
+
+def _mixture_balanced_shards_oracle() -> str:
+    from ..operators.sample import balanced_shard_assignment_sql
+
+    inner = balanced_shard_assignment_sql(
+        "SELECT lang, doc_id FROM documents",
+        "lang", "doc_id", _BSH_N, select="lang, doc_id",
+    )
+    return f"""
+        SELECT CAST(shard AS BIGINT) AS shard, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM ({inner})
+        GROUP BY shard, lang
+        ORDER BY shard, lang
+    """
+
+
+register(QuerySpec(
+    name="mixture_balanced_shards",
+    spark_fn=_mixture_balanced_shards,
+    oracle=_mixture_balanced_shards_oracle,
+    covers=("balanced-sharding", "mixture-stability",
+            "round-robin-stratified"),
+    extended=True,  # round-8 rotation (registry.py)
+))

@@ -4937,3 +4937,24 @@ class TestBootstrapMeanCi:
             df.repartition(3), ["g"], "value", "id", n_boot=50
         ).collect()))
         assert a == b  # partitioning-invariant, hash-seeded
+
+
+class TestBalancedShards:
+    def test_every_shard_carries_the_mixture(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            balanced_shard_assignment,
+        )
+
+        df = spark.createDataFrame(
+            [(f"d{i}", "en" if i % 10 < 7 else "de") for i in range(200)],
+            "doc_id string, lang string",
+        )
+        rows = balanced_shard_assignment(df, "lang", "doc_id", 4).collect()
+        from collections import Counter
+
+        per = Counter((r.shard, r.lang) for r in rows)
+        # per-stratum counts across shards differ by at most 1
+        for lang, total in (("en", 140), ("de", 60)):
+            counts = [per[(s, lang)] for s in range(4)]
+            assert sum(counts) == total
+            assert max(counts) - min(counts) <= 1
