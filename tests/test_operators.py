@@ -4958,3 +4958,31 @@ class TestBalancedShards:
             counts = [per[(s, lang)] for s in range(4)]
             assert sum(counts) == total
             assert max(counts) - min(counts) <= 1
+
+
+class TestQuotaWaterfillSelect:
+    def test_exactly_alloc_rows_per_stratum(self, spark):
+        from etl_on_weather_dataset_spark.operators.sample import (
+            quota_waterfill,
+            quota_waterfill_select,
+        )
+
+        df = spark.createDataFrame(
+            [(f"k{i}", "small" if i < 30 else "big")
+             for i in range(330)],
+            "doc_id string, src string",
+        )
+        strata = df.groupBy(F.col("src").alias("stratum")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_avail"),
+            F.lit(1).cast("long").alias("weight"),
+        )
+        plan = quota_waterfill(strata, 100)
+        alloc = {r.stratum: r.alloc for r in plan.collect()}
+        # small (30 avail) caps; big gets the redistributed 70
+        assert alloc == {"small": 30, "big": 70}
+        got = (
+            quota_waterfill_select(df, plan, "src", "doc_id")
+            .groupBy("src").count().collect()
+        )
+        assert {r.src: r["count"] for r in got} == \
+            {"small": 30, "big": 70}
