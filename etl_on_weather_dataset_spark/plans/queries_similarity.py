@@ -1695,3 +1695,100 @@ register(QuerySpec(
     covers=("clustering-quality", "simplified-silhouette"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- embedding drift: KS over distance-to-centroid distributions ---------------
+#
+# The embedding-space drift monitor: two corpus slices are compared by
+# the distribution of each vector's squared distance to the GLOBAL
+# centroid -- a one-dimensional, exactly-snappable projection of "has
+# the embedding cloud moved". Centroid components are exact integer
+# micro-sums divided once (the Lloyd update discipline, cluster.py);
+# distances use the shared dot-fold parity (similarity.dot_sql); the
+# KS statistic runs on snapped longs (evaluate.ks_two_sample). One
+# posexplode aggregate (constant width = dim), one broadcast constant
+# row, one conditional aggregate + distinct-value window.
+
+
+def _embedding_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import ks_two_sample
+    from ..operators.similarity import _as_double, _with_constant_row, dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("side"),
+        _as_double("embedding").alias("v"),
+    )
+    sums = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("val") * 1_000_000).cast("long"))
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()  # dim rows of ints -- O(1) coordination, Lloyd-style
+    )
+    cent = [0.0] * len(sums)
+    for r in sums:
+        cent[r["pos"]] = (float(r["s"]) / r["n"]) / 1_000_000
+    cent_df = spark.createDataFrame(
+        [(cent, 0)], "c array<double>, __k long"
+    )
+    scored = _with_constant_row(emb, cent_df, "side").select(
+        "side",
+        F.round(
+            (
+                dot(F.col("v"), F.col("v"))
+                - 2 * dot(F.col("v"), F.col("c"))
+                + dot(F.col("c"), F.col("c"))
+            ) * 1_000_000
+        ).cast("long").alias("d2"),
+    )
+    return ks_two_sample(
+        scored, value_col="d2", side_col="side",
+        side_a="a", side_b="b", scale=1,
+    )
+
+
+def _embedding_drift_ks_oracle() -> str:
+    from ..operators.evaluate import ks_two_sample_sql
+    from ..operators.similarity import dot_sql
+
+    d2 = (
+        f"CAST(ROUND(({dot_sql('q.v', 'q.v')}"
+        f" - 2 * {dot_sql('q.v', 'c.c')}"
+        f" + {dot_sql('c.c', 'c.c')}) * 1000000) AS BIGINT)"
+    )
+    scored = f"""
+        WITH vecs AS (
+            SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        ), comps AS (
+            SELECT u.pos,
+                   SUM(CAST(ROUND(u.val * 1000000) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM (
+                SELECT unnest(list_transform(v,
+                    (x, i) -> struct_pack(pos := i, val := x))) AS u
+                FROM vecs
+            ) GROUP BY u.pos
+        ), cent AS (
+            SELECT list((CAST(s AS DOUBLE) / n) / 1000000
+                        ORDER BY pos) AS c
+            FROM comps
+        )
+        SELECT CASE WHEN q.label % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+               {d2} AS d2
+        FROM vecs q CROSS JOIN cent c
+    """
+    return ks_two_sample_sql(scored, "d2", "side", "a", "b", scale=1)
+
+
+register(QuerySpec(
+    name="embedding_drift_ks",
+    spark_fn=_embedding_drift_ks,
+    oracle=_embedding_drift_ks_oracle,
+    covers=("embedding-drift", "ks-two-sample",
+            "distance-distribution-monitor"),
+    extended=True,  # round-8 rotation (registry.py)
+))

@@ -106,7 +106,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # curriculum_interleave_order, kmeans_silhouette_by_cluster,
 # quota_waterfill_selection, curriculum_shard_manifest,
 # winsorized_value_stats, dedup_containment_pairs,
-# bootstrap_mean_ci_by_type, mixture_balanced_shards
+# bootstrap_mean_ci_by_type, mixture_balanced_shards,
+# embedding_drift_ks
 ROTATE_IN: frozenset[str] = frozenset({
     # first attestation: the 29 round-6-added extended queries (the
     # round-6 verdict's item 2 rotation, named verbatim in the
