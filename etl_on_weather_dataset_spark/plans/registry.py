@@ -89,45 +89,33 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     remaining never-attested queries rotate in (computed by
 #     tools/rotation_plan.py) -- 50/50 green, the first fully-green
 #     driver artifact; the pre-round-6 rotation debt is fully paid;
-#   - round 7 (now): the 29 round-6-added extended queries (the
-#     documented round-7 rotation, pytest-oracle-green every run)
-#     rotate in, and the 5 round-6-new analytics queries attested
-#     green in r6 (quantile_sketch_price, skew_diagnostics_events,
-#     shipping_window_weekly, tokens_log2_histogram, ewma_user_value)
-#     park in ROTATE_OUT to make room: 21 pinned + 29 = exactly 50.
+#   - round 7: the 29 round-6-added extended queries (the documented
+#     round-7 rotation) rotated in, and the 5 round-6-new analytics
+#     queries attested green in r6 parked in ROTATE_OUT: 50/50 green
+#     (CORRECTNESS_r07.json) -- after round 7 every pre-round-7
+#     registry query has earned a green driver row;
+#   - round 8 (now): the 13 round-7 additions (named verbatim in the
+#     round-7 edition of this comment and in the round-7 verdict's
+#     item 1) rotate in; the 29 round-7-attested queries park in
+#     ROTATE_OUT. 21 pinned + 13 = 34 visible, leaving room in the
+#     50-row window for round-8-new queries (registered
+#     non-extended, so they attest in the same round they ship).
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
 # runs hourly.
-# ROUND-8 rotation (round-7 additions, pytest-oracle-green every
-# run; swap into ROTATE_IN next round):
-# point_in_time_store_enrichment, ewma_user_value_chunked,
-# dedup_canonical_keep_best, quota_waterfill_langs,
-# curriculum_interleave_order, kmeans_silhouette_by_cluster,
-# quota_waterfill_selection, curriculum_shard_manifest,
-# winsorized_value_stats, dedup_containment_pairs,
-# bootstrap_mean_ci_by_type, mixture_balanced_shards,
-# embedding_drift_ks
 ROTATE_IN: frozenset[str] = frozenset({
-    # first attestation: the 29 round-6-added extended queries (the
-    # round-6 verdict's item 2 rotation, named verbatim in the
-    # round-6 edition of this comment) -- after this window every
-    # pre-round-7 registry query has earned a green driver row
-    "join_advice_orders", "weighted_length_quantiles",
-    "corpus_health_dashboard", "data_contract_orders",
-    "image_near_dup_contract", "audio_near_dup_contract",
-    "classifier_eval_auc", "mrl_truncation_recall",
-    "classifier_eval_by_source", "score_calibration_bins",
-    "video_near_dup_contract", "k_anonymity_customers",
-    "session_transition_matrix", "url_domain_curation",
-    "html_extraction_contract", "retrieval_ranking_metrics",
-    "inference_batch_packing", "label_prototype_margins",
-    "web_ingest_pipeline_stats", "session_context_windows",
-    "pii_prevalence_by_source", "vocab_growth_curve",
-    "jaccard_threshold_sweep", "temperature_mixture_plan",
-    "retrieval_ndcg_by_label", "variant_props_stats",
-    "rate_wilson_ci_by_type", "ks_value_drift",
-    "point_in_time_enrichment",
+    # first attestation: the 13 round-7-added extended queries (the
+    # round-7 verdict's item 1 rotation, pytest-oracle-green every
+    # run) -- after this window every pre-round-8 registry query has
+    # earned a green driver row
+    "point_in_time_store_enrichment", "ewma_user_value_chunked",
+    "dedup_canonical_keep_best", "quota_waterfill_langs",
+    "curriculum_interleave_order", "kmeans_silhouette_by_cluster",
+    "quota_waterfill_selection", "curriculum_shard_manifest",
+    "winsorized_value_stats", "dedup_containment_pairs",
+    "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
+    "embedding_drift_ks",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r6 (every name here is
@@ -149,6 +137,23 @@ ROTATE_OUT: frozenset[str] = frozenset({
     # round-7 rotation:
     "quantile_sketch_price", "skew_diagnostics_events",
     "shipping_window_weekly", "tokens_log2_histogram", "ewma_user_value",
+    # -- the 29 round-6-added extended queries, attested green in r7
+    # (the r7 ROTATE_IN window, CORRECTNESS_r07.json 50/50 green):
+    "join_advice_orders", "weighted_length_quantiles",
+    "corpus_health_dashboard", "data_contract_orders",
+    "image_near_dup_contract", "audio_near_dup_contract",
+    "classifier_eval_auc", "mrl_truncation_recall",
+    "classifier_eval_by_source", "score_calibration_bins",
+    "video_near_dup_contract", "k_anonymity_customers",
+    "session_transition_matrix", "url_domain_curation",
+    "html_extraction_contract", "retrieval_ranking_metrics",
+    "inference_batch_packing", "label_prototype_margins",
+    "web_ingest_pipeline_stats", "session_context_windows",
+    "pii_prevalence_by_source", "vocab_growth_curve",
+    "jaccard_threshold_sweep", "temperature_mixture_plan",
+    "retrieval_ndcg_by_label", "variant_props_stats",
+    "rate_wilson_ci_by_type", "ks_value_drift",
+    "point_in_time_enrichment",
     "ann_high_recall_preset", "ann_recall_at_k", "ann_recall_multi_table",
     "approx_distinct_users", "approx_percentile_bound", "array_functions",
     "benchmark_decontamination", "bloom_filter_membership", "bm25_topk_docs",
