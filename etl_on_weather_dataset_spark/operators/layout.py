@@ -241,13 +241,22 @@ def export_training_shards(
     """
     from pyspark.sql import functions as F
 
+    # exact integer division (`div`), not double-divide + truncating
+    # cast: bit-identical to the SQL twin's `//` at any pos magnitude
     sharded = df.withColumn(
         "shard",
-        (F.col(pos_col) / rows_per_shard).cast("long"),
+        F.expr(f"CAST(`{pos_col}` AS BIGINT) div {int(rows_per_shard)}"),
     )
+    # Sort by (shard, pos): the dynamic-partition write REQUIRES its
+    # rows clustered by the partition column, and a sort by pos alone
+    # would make Spark insert its own Sort(shard) above ours --
+    # within-shard pos order would then survive only via
+    # non-contractual sort stability. Sorting by (shard, pos) already
+    # satisfies the write's required ordering, so no extra sort is
+    # inserted and the on-disk row order IS pos order per shard.
     (
         sharded.repartition("shard")
-        .sortWithinPartitions(pos_col)
+        .sortWithinPartitions("shard", pos_col)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
@@ -275,7 +284,9 @@ def shard_manifest(
 
     return (
         df.select(
-            (F.col(pos_col) / rows_per_shard).cast("long").alias("shard"),
+            F.expr(
+                f"CAST(`{pos_col}` AS BIGINT) div {int(rows_per_shard)}"
+            ).alias("shard"),
             F.col(pos_col).alias("p"),
             F.col(id_col).cast("string").alias("i"),
         )

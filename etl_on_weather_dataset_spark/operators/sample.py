@@ -690,15 +690,26 @@ def quota_waterfill(strata: DataFrame, budget: int) -> DataFrame:
     Scale: |strata| rows end-to-end -- one sort + three window sums
     + one broadcastable one-row total; never touches corpus grain.
     """
-    w_ord = Window.orderBy(
-        F.expr("n_avail * 1000000 div weight"), "stratum"
+    cum = Window.orderBy("nw_key", "stratum").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    cum = Window.orderBy(
-        F.expr("n_avail * 1000000 div weight"), "stratum"
-    ).rowsBetween(Window.unboundedPreceding, -1)
     tot = strata.agg(
         F.sum("n_avail").cast("long").alias("n_total"),
         F.sum("weight").cast("long").alias("w_total"),
+    )
+    # Fail-loud guard (r7 advice, same discipline as ks_from_counts):
+    # weight <= 0 makes the n/w ordering key a silent NULL under
+    # Spark's non-ANSI integer div while DuckDB's // errors -- the
+    # engines would diverge on degenerate input instead of both
+    # refusing it.
+    nw_key = F.when(
+        F.col("weight") > 0,
+        F.expr("n_avail * 1000000 div weight"),
+    ).otherwise(
+        F.expr(
+            "raise_error('quota_waterfill: stratum weight must be"
+            " > 0 -- proportional allocation is undefined')"
+        ).cast("long")
     )
     marked = (
         strata.select(
@@ -706,6 +717,7 @@ def quota_waterfill(strata: DataFrame, budget: int) -> DataFrame:
             F.col("n_avail").cast("long").alias("n_avail"),
             F.col("weight").cast("long").alias("weight"),
         )
+        .withColumn("nw_key", nw_key)
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "cum_n", F.coalesce(F.sum("n_avail").over(cum), F.lit(0))
@@ -727,10 +739,9 @@ def quota_waterfill(strata: DataFrame, budget: int) -> DataFrame:
             "capped",
             (
                 F.sum(F.lit(1) - F.col("test_ok")).over(
-                    Window.orderBy(
-                        F.expr("n_avail * 1000000 div weight"),
-                        "stratum",
-                    ).rowsBetween(Window.unboundedPreceding, 0)
+                    Window.orderBy("nw_key", "stratum").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
                 )
                 == 0
             ).cast("long"),
@@ -771,13 +782,23 @@ def quota_waterfill_sql(strata_sql: str, budget: int) -> str:
             SELECT CAST(SUM(n_avail) AS BIGINT) AS n_total,
                    CAST(SUM(weight) AS BIGINT) AS w_total
             FROM strata
+        ), keyed AS (
+            -- fail-loud weight guard, mirroring the Spark raise_error
+            SELECT *,
+                   CASE WHEN weight <= 0 THEN CAST(error(
+                            'quota_waterfill: stratum weight must be'
+                            || ' > 0') AS BIGINT)
+                        ELSE n_avail * 1000000 // weight
+                   END AS nw_key
+            FROM strata
         ), marked AS (
-            SELECT s.stratum, s.n_avail, s.weight, t.w_total,
+            SELECT s.stratum, s.n_avail, s.weight, s.nw_key,
+                   t.w_total,
                    COALESCE(SUM(s.n_avail) OVER w_prev, 0) AS cum_n,
                    COALESCE(SUM(s.weight) OVER w_prev, 0) AS cum_w
-            FROM strata s CROSS JOIN tot t
+            FROM keyed s CROSS JOIN tot t
             WINDOW w_prev AS (
-                ORDER BY s.n_avail * 1000000 // s.weight, s.stratum
+                ORDER BY s.nw_key, s.stratum
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         ), tested AS (
             SELECT *,
@@ -788,8 +809,7 @@ def quota_waterfill_sql(strata_sql: str, budget: int) -> str:
         ), flagged AS (
             SELECT *,
                    CASE WHEN SUM(1 - test_ok) OVER (
-                            ORDER BY n_avail * 1000000 // weight,
-                                     stratum
+                            ORDER BY nw_key, stratum
                             ROWS UNBOUNDED PRECEDING) = 0
                         THEN 1 ELSE 0 END AS capped
             FROM tested

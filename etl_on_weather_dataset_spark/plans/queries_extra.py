@@ -1946,7 +1946,13 @@ register(QuerySpec(
             FROM events GROUP BY event_type
         ), w AS (
             SELECT e.event_type, e.value, b.lo, b.hi,
-                   LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w,
+                   -- DuckDB LEAST/GREATEST ignore NULLs (Postgres
+                   -- semantics): a NULL value would clip to lo here
+                   -- while the Spark operator deliberately returns
+                   -- NULL, so mirror the null guard explicitly
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE LEAST(GREATEST(e.value, b.lo), b.hi)
+                   END AS value_w,
                    CASE WHEN e.value < b.lo THEN -1
                         WHEN e.value > b.hi THEN 1 ELSE 0 END AS clip
             FROM events e JOIN bounds b ON e.event_type = b.event_type

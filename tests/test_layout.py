@@ -139,18 +139,30 @@ def test_export_training_shards_order_and_pruning(spark, tmp_path):
             df, "doc_id", "pos", rows_per_shard=100
         ).collect()
     }
-    back = spark.read.parquet(path)
-    got = {
-        r.shard: (r.n_rows, r.order_md5)
-        for r in back.groupBy("shard").agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.md5(F.concat_ws(",", F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "doc_id"))),
-                lambda s: s["doc_id"],
-            ))).alias("order_md5"),
-        ).collect()
-    }
+    # Fingerprint the PHYSICAL row stream per shard directory (pyarrow,
+    # file order, NO re-sort): the on-disk order contract itself is what
+    # a data loader consumes, so the test must not launder an unordered
+    # file through array_sort before hashing (r7 advice).
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    got = {}
+    for shard_dir in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        shard = int(shard_dir.rsplit("=", 1)[1])
+        ids = []
+        for f in sorted(
+            glob.glob(os.path.join(shard_dir, "*.parquet"))
+        ):
+            ids.extend(pq.read_table(f, columns=["doc_id"])
+                       .column("doc_id").to_pylist())
+        got[shard] = (
+            len(ids), hashlib.md5(",".join(ids).encode()).hexdigest()
+        )
     assert got == want
+    back = spark.read.parquet(path)
     plan = (
         back.where(F.col("shard") == 2)
         ._jdf.queryExecution().executedPlan().toString()

@@ -4783,6 +4783,32 @@ class TestQuotaWaterfill:
                for r in quota_waterfill(strata, 110).collect()}
         assert got == {"a": (1, 10), "b": (0, 33), "c": (0, 66)}
 
+    def test_nonpositive_weight_fails_loudly_in_both_engines(self, spark):
+        """r7 advice: weight <= 0 must error, not silently NULL the
+        n/w ordering key (Spark non-ANSI div) while DuckDB's //
+        errors -- the engines would diverge on degenerate input."""
+        import duckdb
+        import pytest
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            quota_waterfill,
+            quota_waterfill_sql,
+        )
+
+        strata = spark.createDataFrame(
+            [("a", 10, 1), ("b", 5, 0)],
+            "stratum string, n_avail long, weight long",
+        )
+        with pytest.raises(Exception, match="weight must be"):
+            quota_waterfill(strata, 10).collect()
+        sql = quota_waterfill_sql(
+            "SELECT * FROM (VALUES ('a', 10, 1), ('b', 5, 0))"
+            " AS t(stratum, n_avail, weight)",
+            10,
+        )
+        with pytest.raises(Exception, match="weight must be"):
+            duckdb.sql(sql).fetchall()
+
     def test_budget_exceeds_total_all_capped(self, spark):
         from etl_on_weather_dataset_spark.operators.sample import (
             quota_waterfill,
