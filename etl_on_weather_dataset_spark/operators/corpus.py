@@ -1159,3 +1159,93 @@ def vocab_store_logprob(
         F.round(F.sum("lp_micro") / F.count(F.lit(1)))
         .cast("long").alias("avg_logprob_micro"),
     )
+
+
+def packed_attention_spans(
+    packed: DataFrame,
+    capacity: int,
+) -> DataFrame:
+    """Per-bin attention-boundary manifest over :func:`pack_sequences`
+    output: the loader-facing record of where documents start inside
+    each packed training sequence (cross-document attention masks
+    reset at exactly these offsets).
+
+    Output per (shard, bin_id): n_chunks, n_docs (distinct source
+    docs), fill_tokens (tokens whose chunk STARTS in this bin),
+    n_cut_chunks (chunks the concat-and-cut view splits across the
+    bin boundary: offset_in_bin + n_tokens > capacity), and
+    boundary_md5 -- an order-sensitive md5 over the
+    (offset_in_bin:id:chunk_id) span list in offset order, the exact
+    mask-reset sequence two engines/loaders must agree on.
+
+    Scale: one groupBy over the packed relation; the per-bin ordered
+    fingerprint sorts at most ``capacity`` spans (a bin holds >=
+    capacity/chunk_len chunks but never more than capacity 1-token
+    chunks), so the collect is bounded by the training sequence
+    length by construction -- the same bounded-window argument as
+    shard_manifest.
+    """
+    span = F.concat_ws(
+        ":",
+        F.col("offset_in_bin").cast("string"),
+        F.col("id").cast("string"),
+        F.col("chunk_id").cast("string"),
+    )
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("fill_tokens"),
+            F.sum(
+                (
+                    F.col("offset_in_bin") + F.col("n_tokens")
+                    > capacity
+                ).cast("long")
+            ).cast("long").alias("n_cut_chunks"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("offset_in_bin"),
+                                    F.col("id"),
+                                    F.col("chunk_id"),
+                                    span.alias("s"),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                )
+            ).alias("boundary_md5"),
+        )
+    )
+
+
+def packed_attention_spans_sql(
+    packed_sql: str,
+    capacity: int,
+) -> str:
+    """DuckDB twin of :func:`packed_attention_spans` over the
+    pack_sequences_sql subquery."""
+    return f"""
+        SELECT shard, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+               CAST(SUM(CASE WHEN offset_in_bin + n_tokens
+                                  > {capacity}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cut_chunks,
+               md5(string_agg(
+                   CAST(offset_in_bin AS VARCHAR) || ':'
+                   || CAST(id AS VARCHAR) || ':'
+                   || CAST(chunk_id AS VARCHAR), ','
+                   ORDER BY offset_in_bin, id, chunk_id))
+                   AS boundary_md5
+        FROM ({packed_sql})
+        GROUP BY shard, bin_id
+    """

@@ -1603,6 +1603,20 @@ def ngram_containment_pairs(
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
+    # Prune BEFORE the direction explode: the smaller side has the
+    # higher containment, so a pair where even inter/min(n_a,n_b)
+    # misses the threshold can qualify in neither direction. Without
+    # this the explode doubles the ENTIRE candidate-pair relation
+    # (~10^8 rows on the 10x smoke corpus) to keep a few thousand --
+    # measured 14.9x at 10x data vs jaccard's 3.5x on the identical
+    # index; with the prune the explode sees only qualifying pairs.
+    # Exact: the per-direction filter below is unchanged.
+    pairs = pairs.filter(
+        F.expr(
+            f"inter * 1000000 div least(n_a, n_b)"
+            f" >= {int(threshold_ppm)}"
+        )
+    )
     directed = pairs.select(
         F.explode(
             F.array(
@@ -1673,12 +1687,17 @@ def ngram_containment_pairs_sql(
                    ELSE [array_to_string(t, ' ')] END AS shingles
             FROM toks
         ), {index_ctes}, pairs AS (
-            SELECT a.id AS id_a, b.id AS id_b,
-                   a.n_sh AS n_a, b.n_sh AS n_b,
-                   CAST(COUNT(*) AS BIGINT) AS inter
-            FROM inv a JOIN inv b ON a.shingle = b.shingle
-            WHERE a.id < b.id
-            GROUP BY 1, 2, 3, 4
+            -- same pre-explode prune as the Spark plan: neither
+            -- direction can qualify when even the smaller side misses
+            SELECT * FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       a.n_sh AS n_a, b.n_sh AS n_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter
+                FROM inv a JOIN inv b ON a.shingle = b.shingle
+                WHERE a.id < b.id
+                GROUP BY 1, 2, 3, 4
+            ) WHERE inter * 1000000 // LEAST(n_a, n_b)
+                    >= {threshold_ppm}
         ), directed AS (
             SELECT id_a AS contained_id, id_b AS container_id,
                    inter, CAST(n_a AS BIGINT) AS n_contained

@@ -1036,3 +1036,207 @@ def balanced_shard_assignment_sql(
                    % {n_shards} AS shard
         FROM ({table_sql})
     """
+
+
+def epoch_shuffle_manifest(
+    df: DataFrame,
+    id_col: str,
+    epochs: int = 2,
+    n_buckets: int = 64,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch training shuffle, attested as a
+    manifest: for each epoch, every row gets the shuffle key
+    md5(id || ':' || epoch) and a bucket; the manifest row per
+    (epoch, bucket) carries the row count and an order-sensitive md5
+    of the id sequence in shuffle order. Two runs (or two engines)
+    that produce the same manifest feed byte-identical epoch streams;
+    different epochs get decorrelated orders from the same ids with
+    no RNG state to checkpoint.
+
+    Scale: the global epoch order is (bucket, key) -- a data loader
+    reads buckets in order, so no global sort ever materializes; the
+    per-bucket ordered fingerprint is the same bounded sort+concat
+    argument as shard_manifest (rows per bucket ~= N/n_buckets;
+    n_buckets is the shard-size dial, scale it ~N/1e6 like
+    rows_per_shard). The epoch fan-out is explode(sequence(0, E-1)):
+    E is 1..a few, map-side only.
+    """
+    key = F.md5(
+        F.concat(
+            F.col("i").cast("string"), F.lit(":"),
+            F.col("epoch").cast("string"), F.lit(salt),
+        )
+    )
+    fanned = df.select(F.col(id_col).alias("i")).select(
+        "i",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(epochs) - 1))
+        ).alias("epoch"),
+    ).select(
+        "epoch", "i", key.alias("k"),
+        (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    return (
+        fanned.groupBy("epoch", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "i"))),
+                        lambda s: s["i"].cast("string"),
+                    ),
+                )
+            ).alias("order_md5"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .withColumn("bucket", F.col("bucket").cast("long"))
+    )
+
+
+def epoch_shuffle_manifest_sql(
+    table_sql: str,
+    id_col: str,
+    epochs: int = 2,
+    n_buckets: int = 64,
+    salt: str = "epoch",
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle_manifest`."""
+    key = (
+        f"md5(CAST(i AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
+        f" || '{salt}')"
+    )
+    return f"""
+        WITH fanned AS (
+            SELECT t.{id_col} AS i, e.epoch
+            FROM ({table_sql}) t
+            CROSS JOIN (
+                SELECT unnest(range({int(epochs)})) AS epoch
+            ) e
+        ), keyed AS (
+            SELECT epoch, i, {key} AS k,
+                   CAST(('0x' || substr({key}, 1, 8)) AS UBIGINT)
+                       % {n_buckets} AS bucket
+            FROM fanned
+        )
+        SELECT CAST(epoch AS BIGINT) AS epoch,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               md5(string_agg(CAST(i AS VARCHAR), ','
+                              ORDER BY k, i)) AS order_md5
+        FROM keyed
+        GROUP BY epoch, bucket
+    """
+
+
+def mixture_epoch_plan(
+    strata: DataFrame,
+    token_budget: int,
+    max_epochs_ppm: int = 4_000_000,
+) -> DataFrame:
+    """Token-budget mixture planning with EPOCHING: given per-domain
+    availability and target mixture weights, decide how many epochs
+    (repeats, in ppm -- 1e6 = exactly once) of each domain a training
+    run uses.
+
+    Input columns: (stratum, n_tokens, target_ppm) -- availability and
+    the desired share of the ``token_budget`` (ppm of budget; shares
+    need not sum to 1e6). A domain whose share exceeds its
+    availability is UPSAMPLED (epochs_ppm > 1e6) up to the
+    ``max_epochs_ppm`` repetition cap -- the standard "small
+    high-quality domain repeats ~4 epochs" recipe; beyond the cap the
+    plan honestly reports the shortfall instead of silently repeating
+    further (repetition beyond a few epochs measurably degrades
+    models, hence the dial). Oversupplied domains are downsampled
+    (epochs_ppm < 1e6).
+
+    All integer arithmetic: wanted = budget * target_ppm div 1e6;
+    epochs_ppm = min(cap, wanted * 1e6 div n_tokens); planned =
+    n_tokens * epochs_ppm div 1e6. Output adds shortfall_tokens
+    (wanted - planned, > 0 only when the cap binds) and the capped
+    flag.
+
+    Scale: |domains| rows end to end -- pure per-row expressions over
+    an already-aggregated relation; the row-grain materialization of
+    the plan is the existing samplers' job (temperature_mixture /
+    quota_waterfill_select feed on exactly this shape).
+
+    Fail-loud: n_tokens <= 0 with a positive target is refused in
+    both engines (same discipline as quota_waterfill).
+    """
+    wanted = F.expr(f"{int(token_budget)} * target_ppm div 1000000")
+    bad = (F.col("n_tokens") <= 0) & (F.col("target_ppm") > 0)
+    epochs = F.when(
+        bad,
+        F.expr(
+            "raise_error('mixture_epoch_plan: stratum with target > 0"
+            " has no tokens')"
+        ).cast("long"),
+    ).otherwise(
+        F.least(
+            F.lit(int(max_epochs_ppm)).cast("long"),
+            F.expr("wanted * 1000000 div n_tokens"),
+        )
+    )
+    return (
+        strata.select(
+            "stratum",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("target_ppm").cast("long").alias("target_ppm"),
+        )
+        .withColumn("wanted", wanted.cast("long"))
+        .withColumn("epochs_ppm", epochs)
+        .withColumn(
+            "planned_tokens",
+            F.expr("n_tokens * epochs_ppm div 1000000"),
+        )
+        .select(
+            "stratum", "n_tokens", "target_ppm", "wanted",
+            "epochs_ppm",
+            "planned_tokens",
+            (F.col("wanted") - F.col("planned_tokens")).cast("long")
+            .alias("shortfall_tokens"),
+            (F.col("epochs_ppm") == max_epochs_ppm).cast("long")
+            .alias("capped"),
+        )
+    )
+
+
+def mixture_epoch_plan_sql(
+    strata_sql: str,
+    token_budget: int,
+    max_epochs_ppm: int = 4_000_000,
+) -> str:
+    """DuckDB twin of :func:`mixture_epoch_plan`."""
+    return f"""
+        WITH s AS (
+            SELECT stratum,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(target_ppm AS BIGINT) AS target_ppm,
+                   {int(token_budget)} * CAST(target_ppm AS BIGINT)
+                       // 1000000 AS wanted
+            FROM ({strata_sql})
+        ), e AS (
+            SELECT *,
+                   CASE WHEN n_tokens <= 0 AND target_ppm > 0
+                        THEN CAST(error('mixture_epoch_plan: stratum'
+                             || ' with target > 0 has no tokens')
+                             AS BIGINT)
+                        ELSE LEAST({int(max_epochs_ppm)},
+                                   wanted * 1000000 // n_tokens)
+                   END AS epochs_ppm
+            FROM s
+        )
+        SELECT stratum, n_tokens, target_ppm, wanted, epochs_ppm,
+               n_tokens * epochs_ppm // 1000000 AS planned_tokens,
+               wanted - (n_tokens * epochs_ppm // 1000000)
+                   AS shortfall_tokens,
+               CAST(epochs_ppm = {int(max_epochs_ppm)} AS BIGINT)
+                   AS capped
+        FROM e
+    """

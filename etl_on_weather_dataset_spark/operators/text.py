@@ -411,3 +411,81 @@ def html_to_text_sql(col_sql: str) -> str:
         c = ch.replace("'", "''")
         expr = f"replace({expr}, '{e}', '{c}')"
     return f"trim(regexp_replace({expr}, ' +', ' ', 'g'))"
+
+
+# --- SFT chat-template rendering / parsing -------------------------------------
+#
+# The serialization boundary every SFT pipeline crosses: (prompt,
+# response) pairs are rendered into a single templated string for
+# tokenization, and the loss mask must cover EXACTLY the assistant
+# span. Pure string codegen in both engines; the round-trip contract
+# (parse(render(p, r)) == (p, r), template markers never leak into
+# content) is what the registry query attests, same invertibility
+# discipline as html_extraction_contract.
+
+CHAT_USER = "<|user|>\n"
+CHAT_ASSISTANT = "\n<|assistant|>\n"
+CHAT_END = "\n<|end|>"
+_CHAT_RE = r"^<\|user\|>\n(.*)\n<\|assistant\|>\n(.*)\n<\|end\|>$"
+
+
+def render_chat(
+    prompt: Column | str, response: Column | str
+) -> Column:
+    """Render one (prompt, response) pair into the chat template."""
+    p = F.col(prompt) if isinstance(prompt, str) else prompt
+    r = F.col(response) if isinstance(response, str) else response
+    return F.concat(
+        F.lit(CHAT_USER), p, F.lit(CHAT_ASSISTANT), r, F.lit(CHAT_END)
+    )
+
+
+def render_chat_sql(prompt_sql: str, response_sql: str) -> str:
+    return (
+        f"'<|user|>' || chr(10) || {prompt_sql}"
+        f" || chr(10) || '<|assistant|>' || chr(10)"
+        f" || {response_sql} || chr(10) || '<|end|>'"
+    )
+
+
+def parse_chat(rendered: Column | str) -> Column:
+    """Inverse of :func:`render_chat`:
+    struct(prompt, response, mask_start, mask_len) where
+    [mask_start, mask_start + mask_len) is the 1-based character span
+    the loss mask covers (the response inside the rendered string).
+    An unparseable string yields empty prompt AND response (regexes
+    that don't match extract '' in both engines) -- callers count
+    those via the round-trip check, not via nulls.
+    """
+    c = F.col(rendered) if isinstance(rendered, str) else rendered
+    prompt = F.regexp_extract(c, _CHAT_RE, 1)
+    response = F.regexp_extract(c, _CHAT_RE, 2)
+    mask_start = (
+        F.lit(len(CHAT_USER))
+        + F.length(prompt)
+        + F.lit(len(CHAT_ASSISTANT))
+        + F.lit(1)
+    ).cast("long")
+    return F.struct(
+        prompt.alias("prompt"),
+        response.alias("response"),
+        mask_start.alias("mask_start"),
+        F.length(response).cast("long").alias("mask_len"),
+    )
+
+
+def parse_chat_sql(rendered_sql: str) -> dict[str, str]:
+    """DuckDB twins of the parse_chat struct fields (DuckDB regexp
+    escapes: the pattern string doubles the backslashes)."""
+    pat = "'^<\\|user\\|>\\n(.*)\\n<\\|assistant\\|>\\n(.*)\\n<\\|end\\|>$'"
+    prompt = f"regexp_extract({rendered_sql}, {pat}, 1)"
+    response = f"regexp_extract({rendered_sql}, {pat}, 2)"
+    return {
+        "prompt": prompt,
+        "response": response,
+        "mask_start": (
+            f"CAST({len(CHAT_USER)} + length({prompt})"
+            f" + {len(CHAT_ASSISTANT)} + 1 AS BIGINT)"
+        ),
+        "mask_len": f"CAST(length({response}) AS BIGINT)",
+    }

@@ -217,6 +217,7 @@ def _load_all() -> None:
         queries_pipeline,
         queries_analytics,  # round-6 tier: sketches, skew, range join
         queries_web,  # round-6 tier: URL curation, HTML extraction
+        queries_training,  # round-8 tier: training-run data plane
         queries_tpch_deep,  # extended-only: registered after the window
         queries_graph,  # extended-only
     )
