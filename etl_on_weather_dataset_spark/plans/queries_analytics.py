@@ -289,6 +289,9 @@ register(QuerySpec(
     spark_fn=_ewma_user_value,
     oracle=_EWMA_ORACLE,
     covers=("ordered-fold", "ewma"),
+    # oracle-exact small-scale form; the bounded-memory 100 TB path
+    # is the chunked fold (whale-key proof in SCALE.md)
+    scale_path="ewma_user_value_chunked",
 ))
 
 

@@ -2055,3 +2055,64 @@ register(QuerySpec(
             "round-robin-stratified"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- near-dup cluster governance: size histogram + removable mass -------------
+#
+# The number a curation review reads after any near-dup pass: how is
+# duplicate mass distributed across cluster sizes, and how many docs
+# would dedup remove? One row per cluster size k: n_clusters,
+# n_docs (= k * n_clusters), n_removable (docs beyond each cluster's
+# survivor). Built on the same pairs -> components chain as
+# dedup_connected_groups; the histogram is a two-stage count-of-counts
+# (|clusters| rows, then |distinct sizes| rows -- both tiny next to
+# the corpus, the classic degree-histogram shape).
+
+def _dedup_cluster_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=_CC_N, threshold=_CC_T)
+    comp = dedup_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return (
+        sizes.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "k",
+            "n_clusters",
+            (F.col("k") * F.col("n_clusters")).cast("long")
+            .alias("n_docs"),
+            ((F.col("k") - 1) * F.col("n_clusters")).cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("k")
+    )
+
+
+register(QuerySpec(
+    name="dedup_cluster_size_histogram",
+    spark_fn=_dedup_cluster_histogram,
+    oracle=f"""
+        WITH comp AS (
+            {dedup_components_sql(
+                ngram_jaccard_pairs_sql("documents", "text", "doc_id",
+                                        _CC_N, _CC_T))}
+        ), sizes AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS k
+            FROM comp GROUP BY component
+        )
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(k * COUNT(*) AS BIGINT) AS n_docs,
+               CAST((k - 1) * COUNT(*) AS BIGINT) AS n_removable
+        FROM sizes
+        GROUP BY k
+        ORDER BY k
+    """,
+    covers=("dedup-governance", "cluster-size-histogram",
+            "count-of-counts"),
+))

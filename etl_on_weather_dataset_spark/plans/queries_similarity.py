@@ -36,6 +36,9 @@ register(QuerySpec(
     oracle=cosine_topk_sql(k=_K, query_filter=f"id < {_N_QUERIES}"),
     covers=("similarity-bruteforce", "array-fns"),
     bench=True,
+    # exact baseline; the serving shape at corpus scale is the
+    # IVF-PQ shortlist + exact rerank
+    scale_path="cosine_topk_ivf_pq",
 ))
 
 

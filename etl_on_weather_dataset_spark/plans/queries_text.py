@@ -76,6 +76,10 @@ register(QuerySpec(
     """,
     covers=("dedup-near", "inverted-index-join"),
     bench=True,
+    # the inverted-index join is superlinear on bounded-vocabulary
+    # corpora (SCALE.md smoke); the 100 TB near-dup path is banded
+    # minhash over the same shingle unit
+    scale_path="dedup_minhash_lsh",
 ))
 
 

@@ -59,6 +59,14 @@ class QuerySpec:
     # exact tier to diff against), bench_fn times the OPERATOR itself
     # so BENCH trend lines measure engine cost, not contract cost.
     bench_fn: SparkQuery | None = None
+    # Name of the registry query that is this query's AT-SCALE variant
+    # (round-7 verdict, "What's wrong" #3): some queries are the
+    # oracle-exact small-scale form of an operator whose 100 TB path
+    # is a different registered query (bounded fold, ANN shortlist,
+    # banded minhash). The pointer makes the pairing formal; a
+    # meta-test (tests/test_oracle_parity.py) checks every pointer
+    # resolves to a registered query.
+    scale_path: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}

@@ -172,3 +172,22 @@ def test_compare_harness_detects_divergence(spark):
             f"SELECT * FROM {vals} t(k, v)",
             SF_ORACLE, name="meta_family",
         )
+
+
+def test_scale_path_pointers_resolve():
+    """Every QuerySpec.scale_path names a registered query (the formal
+    small-scale-exact -> at-scale pairing, round-7 verdict item)."""
+    from etl_on_weather_dataset_spark.plans import registry
+
+    registry._load_all()
+    pairs = {
+        n: s.scale_path
+        for n, s in registry.REGISTRY.items()
+        if s.scale_path is not None
+    }
+    assert pairs, "the scale-path pairing lost all its entries"
+    for name, target in pairs.items():
+        assert target in registry.REGISTRY, (
+            f"{name}.scale_path -> {target!r} is not a registered query"
+        )
+        assert target != name
