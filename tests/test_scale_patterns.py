@@ -846,3 +846,110 @@ class TestBenchPlansNoCartesian:
                 offenders.append(name)
         assert not offenders, offenders
         assert audited >= 40  # the audit actually covered the set
+
+
+class TestRound8PlanShapes:
+    """Plan assertions for the round-8 training-data-plane operators:
+    the scale claims in their docstrings, checked against the live
+    physical plan (same discipline as every class above)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan_of(self, df):
+        return df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")
+        )
+
+    def test_preference_pairs_is_one_aggregate_no_window(self, spark):
+        """Chosen/rejected via struct MIN/MAX must compile to ONE
+        partial+final aggregate pair over one scan -- no Window node,
+        no join, exactly one shuffle."""
+        from etl_on_weather_dataset_spark.operators.preference import (
+            preference_pairs,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        ev = load_table(spark, self.SF, "events")
+        plan = self._plan_of(
+            preference_pairs(
+                ev, ["user_id", "event_type"], "event_id", "value"
+            )
+        )
+        import re
+
+        assert "Window" not in plan, plan[:2000]
+        assert "Join" not in plan, plan[:2000]
+        # formatted plans name each node twice (tree + detail);
+        # count detail labels for physical node counts
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, \
+            plan[:2000]
+        # map-side combine: a partial aggregate BEFORE the exchange
+        # (struct min/max compiles to SortAggregate, not Hash)
+        assert "partial_max" in plan and "partial_min" in plan, \
+            plan[:2000]
+        assert len(
+            re.findall(r"\(\d+\) (?:Hash|Sort)Aggregate", plan)
+        ) >= 2, plan[:2000]
+
+    def test_epoch_shuffle_manifest_has_no_global_sort(self, spark):
+        """The per-epoch order fingerprint must come from bucketed
+        aggregation -- no global Sort over the row-grain relation
+        (the loader reads buckets in order; nothing materializes a
+        total order)."""
+        import re
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            epoch_shuffle_manifest,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        docs = load_table(spark, self.SF, "documents")
+        plan = self._plan_of(
+            epoch_shuffle_manifest(docs, "doc_id", epochs=2,
+                                   n_buckets=16)
+        )
+        # no Sort node at all: array_sort inside the aggregate is an
+        # expression, not a physical Sort operator
+        assert not re.search(r"\(\d+\) Sort\b", plan), plan[:2000]
+        assert "Window" not in plan, plan[:2000]
+
+    def test_mixture_epoch_plan_stays_strata_sized(self, spark):
+        """Pure per-row expressions over the already-aggregated strata
+        relation: no join, no window, no shuffle introduced by the
+        planner beyond reading the input."""
+        from etl_on_weather_dataset_spark.operators.sample import (
+            mixture_epoch_plan,
+        )
+
+        strata = spark.createDataFrame(
+            [("a", 1000, 300_000), ("b", 500, 700_000)],
+            "stratum string, n_tokens long, target_ppm long",
+        )
+        plan = self._plan_of(mixture_epoch_plan(strata, 10_000))
+        assert "Exchange" not in plan, plan[:2000]
+        assert "Join" not in plan, plan[:2000]
+
+    def test_packed_spans_groups_without_extra_exchange(self, spark):
+        """packed_attention_spans adds ONE groupBy over pack_sequences
+        output; the bin key contains the shard, so no second
+        row-grain exchange beyond the packer's own shard window is
+        required by the aggregate."""
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            pack_sequences,
+            packed_attention_spans,
+        )
+
+        chunks = spark.createDataFrame(
+            [(i, 0, 10 + i % 5) for i in range(100)],
+            "doc_id long, chunk_id long, n_tokens int",
+        )
+        packed = pack_sequences(chunks, capacity=100, n_shards=4)
+        plan = self._plan_of(packed_attention_spans(packed, 100))
+        import re
+
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        # shard window + one aggregate exchange, nothing more
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, \
+            plan[:2000]
