@@ -267,3 +267,126 @@ def rrf_fuse_sql(
                     AS INTEGER) AS fused_rank
         FROM fused
     """
+
+
+def sample_negatives(
+    queries: DataFrame,
+    pool: DataFrame,
+    query_id: str = "query_id",
+    positive_id: str = "positive_id",
+    pool_id: str = "doc_id",
+    k: int = 4,
+    n_buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for retrieval /
+    contrastive training: for each (query, positive) pair, draw ``k``
+    negatives from the candidate pool -- engine-portable, no RNG
+    state, and NEVER a query x pool cross join.
+
+    Shape: the pool is bucketed once by md5 (B buckets) and trimmed to
+    the k+1 smallest-by-hash docs per bucket (row_number <= k+1
+    compiles to WindowGroupLimit: map-side trim, the exchange carries
+    O((k+1) x buckets) rows however big the pool is). Each query joins
+    exactly ONE bucket -- chosen by md5(query) -- so candidates arrive
+    through an equi-join whose build side is the tiny trimmed pool.
+    The query's own positive is then excluded and the first k of the
+    remainder kept; trimming to k+1 guarantees k survivors even when
+    the positive lands in the chosen bucket.
+
+    The draw is uniform over the pool in the hash order (md5 is
+    uniform, bucket choice is independent of content); two engines /
+    runs / partitionings produce the same negatives, so a training
+    run is exactly reproducible from the corpus alone.
+
+    Output: (query_id, positive_id, neg_id, neg_rank) with
+    neg_rank in [1, k].
+    """
+    from .sample import hash_bucket
+
+    trimmed = (
+        pool.select(
+            F.col(pool_id).alias("neg_id"),
+            hash_bucket(F.col(pool_id), buckets=n_buckets, salt=salt)
+            .alias("b"),
+            F.md5(
+                F.concat(F.col(pool_id).cast("string"),
+                         F.lit(salt))
+            ).alias("h"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("b").orderBy("h", "neg_id")
+            ),
+        )
+        .filter(F.col("rn") <= k + 1)
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(positive_id).alias("positive_id"),
+        hash_bucket(F.col(query_id), buckets=n_buckets, salt=salt)
+        .alias("b"),
+    )
+    return (
+        q.join(F.broadcast(trimmed), "b")
+        .filter(F.col("neg_id") != F.col("positive_id"))
+        .withColumn(
+            "neg_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rn")
+            ),
+        )
+        .filter(F.col("neg_rank") <= k)
+        .select("query_id", "positive_id", "neg_id",
+                F.col("neg_rank").cast("long").alias("neg_rank"))
+    )
+
+
+def sample_negatives_sql(
+    queries_sql: str,
+    pool_sql: str,
+    query_id: str = "query_id",
+    positive_id: str = "positive_id",
+    pool_id: str = "doc_id",
+    k: int = 4,
+    n_buckets: int = 64,
+    salt: str = "neg",
+) -> str:
+    """DuckDB twin of :func:`sample_negatives`."""
+    from .sample import hash_bucket_sql
+
+    pool_bucket = hash_bucket_sql(pool_id, buckets=n_buckets,
+                                  salt=salt)
+    q_bucket = hash_bucket_sql(query_id, buckets=n_buckets, salt=salt)
+    return f"""
+        WITH trimmed AS (
+            SELECT neg_id, b, rn FROM (
+                SELECT {pool_id} AS neg_id,
+                       {pool_bucket} AS b,
+                       md5(CAST({pool_id} AS VARCHAR) || '{salt}')
+                           AS h,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY {pool_bucket}
+                           ORDER BY md5(CAST({pool_id} AS VARCHAR)
+                                        || '{salt}'), {pool_id})
+                           AS rn
+                FROM ({pool_sql})
+            ) WHERE rn <= {k + 1}
+        ), q AS (
+            SELECT {query_id} AS query_id,
+                   {positive_id} AS positive_id,
+                   {q_bucket} AS b
+            FROM ({queries_sql})
+        )
+        SELECT query_id, positive_id, neg_id,
+               CAST(neg_rank AS BIGINT) AS neg_rank
+        FROM (
+            SELECT q.query_id, q.positive_id, t.neg_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id ORDER BY t.rn)
+                       AS neg_rank
+            FROM q JOIN trimmed t USING (b)
+            WHERE t.neg_id != q.positive_id
+        ) WHERE neg_rank <= {k}
+    """

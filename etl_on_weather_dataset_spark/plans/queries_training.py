@@ -484,3 +484,48 @@ register(QuerySpec(
     oracle=_PROFILE_DRIFT_ORACLE,
     covers=("profile-drift", "day2-monitoring", "null-rate-drift"),
 ))
+
+# --- retrieval_negative_samples: deterministic contrastive negatives -----------
+#
+# (query, positive) pairs synthesized from documents (every 9th doc
+# queries for itself -- the self-positive shape of a retrieval
+# training set); negatives drawn from the whole corpus by the
+# bucket-aligned deterministic sampler (operators/retrieval.py
+# sample_negatives: WindowGroupLimit-trimmed pool buckets, one
+# equi-join, never query x pool).
+
+_NEG_K, _NEG_BUCKETS = 4, 16
+
+
+def _retrieval_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import sample_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 9 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("doc_id").alias("positive_id"),
+    )
+    return sample_negatives(
+        qs, docs.select("doc_id"), k=_NEG_K, n_buckets=_NEG_BUCKETS
+    ).orderBy("query_id", "neg_rank")
+
+
+def _retrieval_negatives_oracle() -> str:
+    from ..operators.retrieval import sample_negatives_sql
+
+    inner = sample_negatives_sql(
+        "SELECT doc_id AS query_id, doc_id AS positive_id"
+        " FROM documents WHERE doc_id % 9 = 0",
+        "SELECT doc_id FROM documents",
+        k=_NEG_K, n_buckets=_NEG_BUCKETS,
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY query_id, neg_rank"
+
+
+register(QuerySpec(
+    name="retrieval_negative_samples",
+    spark_fn=_retrieval_negatives,
+    oracle=_retrieval_negatives_oracle,
+    covers=("negative-sampling", "contrastive-training-data",
+            "bucket-aligned-join"),
+))

@@ -953,3 +953,25 @@ class TestRound8PlanShapes:
         # shard window + one aggregate exchange, nothing more
         assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, \
             plan[:2000]
+
+    def test_negative_sampler_trims_pool_mapside(self, spark):
+        """sample_negatives: the pool trim (row_number <= k+1 per
+        bucket) must compile to WindowGroupLimit so the exchange
+        carries O(k x buckets) rows, and the query-candidate join is
+        an equi-join on the bucket -- never query x pool."""
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            sample_negatives,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        docs = load_table(spark, self.SF, "documents")
+        qs = docs.limit(50).select(
+            docs.doc_id.alias("query_id"),
+            docs.doc_id.alias("positive_id"),
+        )
+        plan = self._plan_of(
+            sample_negatives(qs, docs.select("doc_id"), k=4)
+        )
+        assert "WindowGroupLimit" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
