@@ -291,13 +291,23 @@ def sample_negatives(
     exactly ONE bucket -- chosen by md5(query) -- so candidates arrive
     through an equi-join whose build side is the tiny trimmed pool.
     The query's own positive is then excluded and the first k of the
-    remainder kept; trimming to k+1 guarantees k survivors even when
-    the positive lands in the chosen bucket.
+    remainder kept per (query, positive) pair; trimming to k+1
+    guarantees k survivors even when the positive lands in the chosen
+    bucket.
 
-    The draw is uniform over the pool in the hash order (md5 is
-    uniform, bucket choice is independent of content); two engines /
-    runs / partitionings produce the same negatives, so a training
-    run is exactly reproducible from the corpus alone.
+    Honest contract on diversity: only the REACHABLE set -- the
+    (k+1) x n_buckets hash-minimal pool docs -- can ever appear as
+    negatives, and all pairs hashing to one bucket share a negative
+    set. ``n_buckets`` is therefore the diversity dial and must scale
+    with the query count (the same sizing rule as rows_per_shard:
+    pick B ~ |queries|, so expected pairs-per-bucket ~ 1 and the
+    reachable set ~ k x |queries| docs). Which docs are reachable is
+    a uniform md5 draw from the pool, and everything is
+    engine/retry/partitioning-invariant -- a training run is exactly
+    reproducible from the corpus alone. Callers needing
+    similarity-HARD negatives compose the ANN tier instead
+    (cosine_topk / label_prototype_margins); this operator is the
+    uniform-random baseline every contrastive recipe starts from.
 
     Output: (query_id, positive_id, neg_id, neg_rank) with
     neg_rank in [1, k].
@@ -332,9 +342,14 @@ def sample_negatives(
         q.join(F.broadcast(trimmed), "b")
         .filter(F.col("neg_id") != F.col("positive_id"))
         .withColumn(
+            # per (query, positive) PAIR: a query with several
+            # positives gets k negatives for each pair, and the rank
+            # order is total (rn ties cannot occur within one pair --
+            # each rn value appears once per bucket)
             "neg_rank",
             F.row_number().over(
-                Window.partitionBy("query_id").orderBy("rn")
+                Window.partitionBy("query_id", "positive_id")
+                .orderBy("rn")
             ),
         )
         .filter(F.col("neg_rank") <= k)
@@ -384,7 +399,8 @@ def sample_negatives_sql(
         FROM (
             SELECT q.query_id, q.positive_id, t.neg_id,
                    ROW_NUMBER() OVER (
-                       PARTITION BY q.query_id ORDER BY t.rn)
+                       PARTITION BY q.query_id, q.positive_id
+                       ORDER BY t.rn)
                        AS neg_rank
             FROM q JOIN trimmed t USING (b)
             WHERE t.neg_id != q.positive_id

@@ -1177,6 +1177,12 @@ def mixture_epoch_plan(
             "raise_error('mixture_epoch_plan: stratum with target > 0"
             " has no tokens')"
         ).cast("long"),
+    ).when(
+        # zero tokens AND zero target: 0 div 0 is NULL in both
+        # engines and least() SKIPS nulls -- without this branch an
+        # empty no-target stratum would silently report the cap
+        F.col("n_tokens") <= 0,
+        F.lit(0).cast("long"),
     ).otherwise(
         F.least(
             F.lit(int(max_epochs_ppm)).cast("long"),
@@ -1227,6 +1233,7 @@ def mixture_epoch_plan_sql(
                         THEN CAST(error('mixture_epoch_plan: stratum'
                              || ' with target > 0 has no tokens')
                              AS BIGINT)
+                        WHEN n_tokens <= 0 THEN 0
                         ELSE LEAST({int(max_epochs_ppm)},
                                    wanted * 1000000 // n_tokens)
                    END AS epochs_ppm

@@ -426,7 +426,13 @@ def html_to_text_sql(col_sql: str) -> str:
 CHAT_USER = "<|user|>\n"
 CHAT_ASSISTANT = "\n<|assistant|>\n"
 CHAT_END = "\n<|end|>"
-_CHAT_RE = r"^<\|user\|>\n(.*)\n<\|assistant\|>\n(.*)\n<\|end\|>$"
+# (?s): content may contain newlines (multi-line prompts/responses
+# are the norm in SFT data). Lazy prompt group: the prompt ends at
+# the FIRST assistant marker, so parsing is deterministic for any
+# content that does not itself contain the markers -- and content
+# that does is exactly what the round-trip contract counts as a
+# failure (n_marker_leaks).
+_CHAT_RE = r"(?s)^<\|user\|>\n(.*?)\n<\|assistant\|>\n(.*)\n<\|end\|>$"
 
 
 def render_chat(
@@ -477,7 +483,8 @@ def parse_chat(rendered: Column | str) -> Column:
 def parse_chat_sql(rendered_sql: str) -> dict[str, str]:
     """DuckDB twins of the parse_chat struct fields (DuckDB regexp
     escapes: the pattern string doubles the backslashes)."""
-    pat = "'^<\\|user\\|>\\n(.*)\\n<\\|assistant\\|>\\n(.*)\\n<\\|end\\|>$'"
+    pat = ("'(?s)^<\\|user\\|>\\n(.*?)\\n<\\|assistant\\|>"
+           "\\n(.*)\\n<\\|end\\|>$'")
     prompt = f"regexp_extract({rendered_sql}, {pat}, 1)"
     response = f"regexp_extract({rendered_sql}, {pat}, 2)"
     return {

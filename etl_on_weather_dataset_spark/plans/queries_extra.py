@@ -923,6 +923,16 @@ _LINKAGE_DIRTY_SQL = """
     FROM customer"""
 _LINKAGE_CLEAN_SQL = "SELECT c_custkey AS id, c_name AS name FROM customer"
 _LINKAGE_REL_FREQ = 0.02
+# Dense-digit dials (round-8 sf1 run): TPC-H names are
+# 'Customer#NNNNNNNNN', so 3-gram blocking has only ~10^3 distinct
+# grams and the block join goes quadratic as the table grows --
+# measured 133.8x at 10x data (530 s at sf1) with the old defaults.
+# q=5 restores key discrimination (~10^5 grams) and the absolute cap
+# bounds any residual hot block (the regime tools/scale_smoke.py's
+# linkage_digcap row documents: 2.1x at 10x). Structural recall on
+# this fixture is unchanged (the planted self-links survive q=5).
+_LINKAGE_Q = 5
+_LINKAGE_ABS_CAP = 2000
 
 
 def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,14 +945,18 @@ def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.02 rel-freq cutoff measured equal-output to 0.05 on this name
     # space but ~2x faster (fewer surviving grams in the block join)
     return linkage_summary(clean, _linkage_dirty_names(cust),
-                           max_rel_freq=_LINKAGE_REL_FREQ)
+                           q=_LINKAGE_Q,
+                           max_rel_freq=_LINKAGE_REL_FREQ,
+                           max_abs_count=_LINKAGE_ABS_CAP)
 
 
 def _record_linkage_oracle() -> str:
     from ..operators.linkage import linkage_summary_sql
 
     return linkage_summary_sql(_LINKAGE_CLEAN_SQL, _LINKAGE_DIRTY_SQL,
-                               max_rel_freq=_LINKAGE_REL_FREQ)
+                               q=_LINKAGE_Q,
+                               max_rel_freq=_LINKAGE_REL_FREQ,
+                               max_abs_count=_LINKAGE_ABS_CAP)
 
 
 register(QuerySpec(

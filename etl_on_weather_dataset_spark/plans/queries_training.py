@@ -139,7 +139,10 @@ def _mixture_epochs_oracle() -> str:
         SELECT source AS stratum,
                CAST(SUM(len(regexp_split_to_array(text, ' +')))
                     AS BIGINT) AS n_tokens,
-               CAST((CAST(regexp_extract(source, '(\\d+)', 1)
+               -- TRY_CAST: a digitless source extracts '' which CAST
+               -- errors on in DuckDB while Spark's cast yields NULL;
+               -- TRY_CAST restores identical NULL semantics
+               CAST((TRY_CAST(regexp_extract(source, '(\\d+)', 1)
                           AS BIGINT) % 5 + 1) * 40000 AS BIGINT)
                    AS target_ppm
         FROM documents
@@ -372,9 +375,13 @@ def _profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day2 = orders.filter(F.col("o_orderkey") % 11 != 0).select(
         "o_orderkey",
+        # +10.0 is a single IEEE add -- bit-identical in both engines.
+        # (ROUND(x * 1.1, 2) was not: Spark rounds the shortest decimal
+        # repr via BigDecimal HALF_UP, DuckDB rounds the binary double,
+        # and ~0.4% of values diverge -- a COUNT DISTINCT flake.)
         F.when(
             F.col("o_orderstatus") == "F",
-            F.round(F.col("o_totalprice") * 1.1, 2),
+            F.col("o_totalprice") + 10.0,
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
         F.when(
             F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string")
@@ -421,7 +428,7 @@ _PROFILE_DRIFT_ORACLE = """
     ), day2 AS (
         SELECT o_orderkey,
                CASE WHEN o_orderstatus = 'F'
-                    THEN ROUND(o_totalprice * 1.1, 2)
+                    THEN o_totalprice + 10.0
                     ELSE o_totalprice END AS o_totalprice,
                CASE WHEN o_orderkey % 7 = 0 THEN NULL
                     ELSE o_orderpriority END AS o_orderpriority,

@@ -105,15 +105,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   - round 8 (now): the 13 round-7 additions (named verbatim in the
 #     round-7 edition of this comment and in the round-7 verdict's
 #     item 1) rotate in; the 29 round-7-attested queries park in
-#     ROTATE_OUT. 21 pinned + 13 rotated + 8 round-8-new (registered
+#     ROTATE_OUT. 21 pinned + 13 rotated + 9 round-8-new (registered
 #     non-extended so they attest the round they ship:
 #     web_ingest_incremental_stats, preference_pairs_events,
 #     epoch_shuffle_manifest, mixture_epoch_plan,
 #     packed_attention_spans, chat_template_roundtrip,
-#     profile_drift_orders, dedup_cluster_size_histogram) = 42
-#     visible. After a green round-8 artifact EVERY registry query
-#     has a driver row; the round-9 window only needs to make room
-#     for round-9 additions (park any of the 13+8 above).
+#     profile_drift_orders, dedup_cluster_size_histogram,
+#     retrieval_negative_samples) = 43 visible. After a green
+#     round-8 artifact EVERY registry query has a driver row; the
+#     round-9 window only needs to make room for round-9 additions
+#     (park any of the 13+9 above).
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user

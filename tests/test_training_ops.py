@@ -244,3 +244,105 @@ class TestChatTemplate:
         )
         row = df.select(parse_chat("r").alias("p")).collect()[0]
         assert row.p.prompt == "" and row.p.response == ""
+
+
+class TestSampleNegatives:
+    def test_k_negatives_per_pair_and_no_positive(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            sample_negatives,
+        )
+
+        pool = spark.range(200).select(F.col("id").alias("doc_id"))
+        # q1 carries TWO positives: each pair must get its own k
+        # negatives (review fix: rank partitions by (query, positive))
+        qs = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)],
+            "query_id long, positive_id long",
+        )
+        rows = sample_negatives(qs, pool, k=3, n_buckets=8).collect()
+        by_pair = {}
+        for r in rows:
+            by_pair.setdefault((r.query_id, r.positive_id), []).append(r)
+        assert set(by_pair) == {(1, 10), (1, 11), (2, 20)}
+        for (q, p), rs in by_pair.items():
+            assert len(rs) == 3
+            assert sorted(r.neg_rank for r in rs) == [1, 2, 3]
+            assert all(r.neg_id != p for r in rs)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            sample_negatives,
+        )
+
+        pool = spark.range(500).select(F.col("id").alias("doc_id"))
+        qs = spark.createDataFrame(
+            [(i, i) for i in range(0, 100, 7)],
+            "query_id long, positive_id long",
+        )
+        a = sorted(map(tuple, sample_negatives(qs, pool, k=4).collect()))
+        b = sorted(map(tuple, sample_negatives(
+            qs.repartition(9), pool.repartition(11), k=4
+        ).collect()))
+        assert a == b and len(a) > 0
+
+
+class TestReviewRegressions:
+    def test_mixture_plan_zero_tokens_zero_target_is_zero_epochs(
+        self, spark
+    ):
+        """Review fix: 0 div 0 is NULL and least() skips nulls -- an
+        empty no-target stratum must report 0 epochs, not the cap."""
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            mixture_epoch_plan,
+            mixture_epoch_plan_sql,
+        )
+
+        strata = spark.createDataFrame(
+            [("empty", 0, 0), ("live", 1000, 1_000_000)],
+            "stratum string, n_tokens long, target_ppm long",
+        )
+        got = {
+            r.stratum: (r.epochs_ppm, r.capped)
+            for r in mixture_epoch_plan(
+                strata, token_budget=1000
+            ).collect()
+        }
+        assert got["empty"] == (0, 0)
+        sql = mixture_epoch_plan_sql(
+            "SELECT * FROM (VALUES ('empty', 0, 0),"
+            " ('live', 1000, 1000000))"
+            " AS t(stratum, n_tokens, target_ppm)",
+            token_budget=1000,
+        )
+        o = {r[0]: (r[4], r[7]) for r in duckdb.sql(sql).fetchall()}
+        assert o["empty"] == (0, 0)
+        assert o["live"] == got["live"]
+
+    def test_chat_roundtrip_with_multiline_content(self, spark):
+        """Review fix: '.' must match newlines (DOTALL) -- multi-line
+        prompts/responses are the norm in SFT data."""
+        from etl_on_weather_dataset_spark.operators.text import (
+            parse_chat,
+            render_chat,
+        )
+
+        df = spark.createDataFrame(
+            [("line one\nline two", "ans A\nans B\nans C")],
+            "prompt string, response string",
+        )
+        row = (
+            df.select("prompt", "response",
+                      render_chat("prompt", "response").alias("r"))
+            .select("prompt", "response", "r",
+                    parse_chat("r").alias("p"))
+            .collect()[0]
+        )
+        assert row.p.prompt == row.prompt
+        assert row.p.response == row.response
+        assert (
+            row.r[row.p.mask_start - 1:
+                  row.p.mask_start - 1 + row.p.mask_len]
+            == row.response
+        )
