@@ -468,3 +468,57 @@ def test_ewma_fold_matches_python(spark, rows):
         vm = house_round(v * 1_000_000)
         want[u] = vm if u not in want else (vm + want[u]) // 2
     assert got == want
+
+
+pref_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # prompt group
+        st.integers(min_value=0, max_value=10_000),  # candidate id
+        # eighths: v*1000 is an exact integer, so the Python-round
+        # reference below can never disagree with Spark's HALF_UP on
+        # a .0005 tie
+        st.integers(min_value=-400, max_value=400)
+        .map(lambda k: k / 8),                       # score
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[1],  # candidate ids unique
+)
+
+
+@given(rows=pref_rows)
+@SETTINGS
+def test_preference_pair_extremality_and_margin(spark, rows):
+    """chosen carries the group max score, rejected the min, margin =
+    scaled max-min, and both ids come from the group; single-candidate
+    groups emit nothing."""
+    from collections import defaultdict
+
+    from etl_on_weather_dataset_spark.operators.preference import (
+        preference_pairs,
+    )
+
+    df = spark.createDataFrame(rows, "g int, id long, score double")
+    got = {
+        r.g: r
+        for r in preference_pairs(df, ["g"], "id", "score",
+                                  scale=1000).collect()
+    }
+    groups = defaultdict(list)
+    for g, i, s in rows:
+        groups[g].append((round(s * 1000), i))
+    for g, members in groups.items():
+        if len(members) < 2:
+            assert g not in got
+            continue
+        r = got[g]
+        scores = sorted(v for v, _ in members)
+        ids = {i for _, i in members}
+        assert r.margin_scaled == scores[-1] - scores[0]
+        assert r.chosen_id in ids and r.rejected_id in ids
+        assert r.chosen_id != r.rejected_id
+        assert r.n_candidates == len(members)
+        # extremality: chosen has the max scaled score, rejected the min
+        by_id = {i: v for v, i in members}
+        assert by_id[r.chosen_id] == scores[-1]
+        assert by_id[r.rejected_id] == scores[0]
