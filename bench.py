@@ -43,10 +43,18 @@ if _REPO not in sys.path:
 
 N_RUNS = 5  # median + min over N; stated in the output JSON
 
-# Measured cross-session dispersion floor: SCALE.md's box-noise study
-# and the round-7 double-run (42.68 s vs 48.64 s, identical binaries)
-# both land at ~12-13%. The emitted noise_band_pct is never below it.
-CROSS_SESSION_NOISE_PCT = 12.0
+# Measured cross-session dispersion floor. Evidence trail:
+# - round-7 double-run, identical binaries: 42.68 s vs 48.64 s (13%);
+# - round-8 double-run, same day, idle box, untouched-query subtotal:
+#   45.87 s vs 52.35 s (14%); vs the r7 record the same untouched set
+#   read 42.03 s -> 52.35 s (24.6%), with isolated n=5 re-runs
+#   CONFIRMING the slow numbers on unchanged code (sub-second queries
+#   swung up to 3.4x: boilerplate_line_removal 0.39 s -> 1.31 s).
+# The box's cross-session spread is therefore ~25%, and a subtotal
+# delta inside it is dispersion. Real regressions are still visible:
+# they move ONE query's min consistently across sessions (see the
+# per-query detail), while box drift moves the whole set together.
+CROSS_SESSION_NOISE_PCT = 25.0
 
 
 def main() -> None:
