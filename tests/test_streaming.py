@@ -1094,3 +1094,107 @@ def test_stream_ordered_fold_equals_batch(spark, tmp_path):
     assert len(emitted) == 9  # 3 keys x 3 micro-batches
     assert final == batch
     assert all(v[0] == 40 for v in final.values())
+
+
+def test_streaming_day2_ingest_into_stores_with_replay(spark, tmp_path):
+    """The day-2 wiring end to end: a document STREAM drives
+    incremental_exact_dedup + incremental_rollup through foreachBatch
+    (batch_id = the streaming microbatch id), and a REPLAYED batch --
+    the at-least-once delivery case foreachBatch contractually has --
+    lands nothing twice: the dedup markers short-circuit and the
+    rollup batch ledger makes the merge a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_on_weather_dataset_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    from etl_on_weather_dataset_spark.operators.rollup_store import (
+        incremental_rollup,
+        read_rollup,
+    )
+    from etl_on_weather_dataset_spark.schemas import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src = str(tmp_path / "stream_src")
+    # plant cross-batch dups: every 4th doc re-submitted under id+1M
+    docs.unionAll(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "source",
+        )
+    ).write.parquet(src)
+
+    fp_store = str(tmp_path / "fp_store")
+    roll_store = str(tmp_path / "rollup")
+    out_base = str(tmp_path / "landed")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_id)
+        landed = incremental_exact_dedup(
+            spark, batch_df, fp_store, f"{out_base}/b{batch_id}"
+        )
+        incremental_rollup(
+            spark,
+            landed.select("source", F.length("text").alias("v")),
+            roll_store, batch_id=f"b{batch_id}",
+            key_cols=["source"], value_col="v", value_scale=1,
+        )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_day2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen, "stream never fired"
+
+    # REPLAY batch 0 exactly as an at-least-once driver would
+    first = spark.read.parquet(f"{out_base}/b{seen[0]}")
+    n_landed_before = sum(
+        spark.read.parquet(f"{out_base}/b{b}").count() for b in seen
+    )
+    store_before = spark.read.parquet(fp_store).select("fp").distinct()
+    n_fp_before = store_before.count()
+    _, _, v_before = read_rollup(spark, roll_store)
+    replay_batch = spark.read.parquet(src).join(
+        first.select("doc_id"), "doc_id", "left_semi"
+    )
+    replayed = incremental_exact_dedup(
+        spark, replay_batch, fp_store, f"{out_base}/b{seen[0]}"
+    )
+    incremental_rollup(
+        spark,
+        replayed.select("source", F.length("text").alias("v")),
+        roll_store, batch_id=f"b{seen[0]}",
+        key_cols=["source"], value_col="v", value_scale=1,
+    )
+    assert replayed.count() == first.count()  # landing untouched
+    assert (
+        spark.read.parquet(fp_store).select("fp").distinct().count()
+        == n_fp_before
+    )
+    _, _, v_after = read_rollup(spark, roll_store)
+    assert v_after == v_before  # ledger: replay created no version
+
+    # incremental across microbatches == one-shot over the whole stream
+    n_oneshot = (
+        spark.read.parquet(src)
+        .select(
+            F.md5(F.regexp_replace(F.lower(F.trim("text")),
+                                   r"\s+", " ")).alias("fp")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_fp_before == n_oneshot
+    assert n_landed_before == n_oneshot
