@@ -191,3 +191,33 @@ def test_scale_path_pointers_resolve():
             f"{name}.scale_path -> {target!r} is not a registered query"
         )
         assert target != name
+
+
+def test_rotation_exposes_every_never_attested_query():
+    """Rotation policy as a test: any registry query without a green
+    driver CORRECTNESS row in the committed artifacts MUST be
+    driver-visible in the current window -- otherwise it can never
+    earn one and the per-round rotation ledger silently leaks."""
+    import glob
+    import json
+
+    from etl_on_weather_dataset_spark.plans import registry
+
+    attested: set[str] = set()
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        try:
+            doc = json.loads(open(f).read())
+        except ValueError:
+            continue
+        attested |= {
+            name
+            for name, row in doc.items()
+            if isinstance(row, dict) and row.get("hash_match")
+        }
+    never = set(registry.all_queries()) - attested
+    visible = set(registry.queries())
+    leaked = sorted(never - visible)
+    assert not leaked, (
+        f"{len(leaked)} never-attested queries are hidden from the "
+        f"driver window and can never earn a CORRECTNESS row: {leaked}"
+    )
