@@ -205,8 +205,15 @@ def _current_round() -> int | None:
     """Current round number: max committed BENCH_r{N}.json + 1.
 
     The driver writes BENCH_r{N}.json at the END of round N, so while
-    round N is in progress the newest artifact is N-1's.
+    round N is in progress the newest artifact is N-1's. A local
+    re-run AFTER the driver commits BENCH_r{N}.json would infer N+1
+    and pre-seed the NEXT round's trend anchor with this round's
+    numbers (round-8 advice); SPARK_GRAFT_BENCH_ROUND pins the round
+    explicitly for that case.
     """
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env:
+        return int(env)
     rounds = [
         int(m.group(1))
         for p in Path(_REPO).glob("BENCH_r*.json")

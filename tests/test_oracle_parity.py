@@ -198,15 +198,16 @@ def test_rotation_exposes_every_never_attested_query():
     driver CORRECTNESS row in the committed artifacts MUST be
     driver-visible in the current window -- otherwise it can never
     earn one and the per-round rotation ledger silently leaks."""
-    import glob
     import json
+    import pathlib
 
     from etl_on_weather_dataset_spark.plans import registry
 
+    repo = pathlib.Path(__file__).resolve().parent.parent
     attested: set[str] = set()
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
         try:
-            doc = json.loads(open(f).read())
+            doc = json.loads(f.read_text())
         except ValueError:
             continue
         attested |= {
