@@ -45,6 +45,19 @@ def preference_pairs(
     (score_scaled, -id), rejected = MIN over (score_scaled, -id) --
     struct comparison is lexicographic in both engines, and negating
     the id flips the tie direction exactly where each side needs it.
+
+    Rounding precondition (round-8 advice): score * scale goes
+    through F.round / ROUND, and the two engines round HALF-cases
+    differently (Spark HALF_UP on the shortest decimal repr; DuckDB
+    on the binary double) -- the exact divergence class
+    profile_drift_orders documents. Cross-engine determinism at a
+    margin boundary therefore holds only when score * scale is
+    exactly representable in binary (e.g. scores that are multiples
+    of 1/8 with scale a power-of-two multiple, or integer scores).
+    The registered query and the property suite restrict inputs to
+    eighths for exactly this reason; callers with arbitrary float
+    scores should pre-scale to an integer score column instead of
+    relying on round parity.
     """
     v = F.round(F.col(score_col) * scale).cast("long")
     neg_id = (-F.col(id_col)).cast("long")

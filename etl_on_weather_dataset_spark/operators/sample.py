@@ -1167,11 +1167,22 @@ def mixture_epoch_plan(
     quota_waterfill_select feed on exactly this shape).
 
     Fail-loud: n_tokens <= 0 with a positive target is refused in
-    both engines (same discipline as quota_waterfill).
+    both engines (same discipline as quota_waterfill), and so is a
+    NULL target_ppm (round-8 advice): a NULL target makes ``wanted``
+    NULL, and since least() SKIPS NULLs in BOTH engines, epochs_ppm
+    would silently become the repetition cap with capped=1 -- parity
+    would hold, so the oracle could never catch it.
     """
     wanted = F.expr(f"{int(token_budget)} * target_ppm div 1000000")
     bad = (F.col("n_tokens") <= 0) & (F.col("target_ppm") > 0)
     epochs = F.when(
+        F.col("target_ppm").isNull(),
+        F.expr(
+            "raise_error('mixture_epoch_plan: NULL target_ppm --"
+            " least() skips NULLs, the plan would silently repeat"
+            " to the cap')"
+        ).cast("long"),
+    ).when(
         bad,
         F.expr(
             "raise_error('mixture_epoch_plan: stratum with target > 0"
@@ -1229,7 +1240,10 @@ def mixture_epoch_plan_sql(
             FROM ({strata_sql})
         ), e AS (
             SELECT *,
-                   CASE WHEN n_tokens <= 0 AND target_ppm > 0
+                   CASE WHEN target_ppm IS NULL
+                        THEN CAST(error('mixture_epoch_plan: NULL'
+                             || ' target_ppm') AS BIGINT)
+                        WHEN n_tokens <= 0 AND target_ppm > 0
                         THEN CAST(error('mixture_epoch_plan: stratum'
                              || ' with target > 0 has no tokens')
                              AS BIGINT)

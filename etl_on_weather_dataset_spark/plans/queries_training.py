@@ -118,10 +118,17 @@ def _mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("n_tokens"))
         .withColumn(
             "target_ppm",
+            # coalesce(.., 0): a digitless stratum name would extract
+            # '' -> NULL, and mixture_epoch_plan now fails loudly on
+            # NULL targets (round-8 advice); default such strata to
+            # the smallest share instead of erroring the whole plan
             (
                 (
-                    F.regexp_extract("stratum", r"(\d+)", 1)
-                    .cast("long") % 5
+                    F.coalesce(
+                        F.regexp_extract("stratum", r"(\d+)", 1)
+                        .cast("long"),
+                        F.lit(0),
+                    ) % 5
                     + 1
                 ) * 40_000
             ).cast("long"),
@@ -141,9 +148,12 @@ def _mixture_epochs_oracle() -> str:
                     AS BIGINT) AS n_tokens,
                -- TRY_CAST: a digitless source extracts '' which CAST
                -- errors on in DuckDB while Spark's cast yields NULL;
-               -- TRY_CAST restores identical NULL semantics
-               CAST((TRY_CAST(regexp_extract(source, '(\\d+)', 1)
-                          AS BIGINT) % 5 + 1) * 40000 AS BIGINT)
+               -- TRY_CAST restores identical NULL semantics, and
+               -- COALESCE(..,0) defaults such strata to the smallest
+               -- share (mixture_epoch_plan fails loudly on NULL)
+               CAST((COALESCE(TRY_CAST(regexp_extract(source,
+                          '(\\d+)', 1) AS BIGINT), 0) % 5 + 1)
+                    * 40000 AS BIGINT)
                    AS target_ppm
         FROM documents
         GROUP BY source

@@ -504,6 +504,29 @@ register(QuerySpec(
 # HDFS/S3 path. Driver-side .count() calls are O(1) scenario
 # coordination over already-landed parquet, not a data path.
 
+def count_rollup_mismatches(agg: DataFrame, recompute: DataFrame) -> int:
+    """Domains where the stored rollup disagrees with the recompute.
+
+    Null-SAFE equality (round-8 advice): with plain ==, a domain
+    present on only one side of the full_outer join yields NULL
+    comparisons, ~NULL is NULL, and the filter would DROP the row --
+    so disjoint store/recompute domain sets would count 0 mismatches,
+    defeating the invariant. eqNullSafe makes a one-sided domain
+    compare as unequal and count.
+    """
+    return (
+        agg.join(recompute, "domain", "full_outer")
+        .filter(
+            ~(
+                F.col("n_rows").eqNullSafe(F.col("r_n"))
+                & F.col("sum_c").eqNullSafe(F.col("r_s"))
+                & F.col("sum2_c").eqNullSafe(F.col("r_s2"))
+            )
+        )
+        .count()
+    )
+
+
 def _web_ingest_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -595,17 +618,7 @@ def _web_ingest_incremental(
                 .alias("r_s2"),
             )
         )
-        n_rollup_mismatch = (
-            agg.join(recompute, "domain", "full_outer")
-            .filter(
-                ~(
-                    (F.col("n_rows") == F.col("r_n"))
-                    & (F.col("sum_c") == F.col("r_s"))
-                    & (F.col("sum2_c") == F.col("r_s2"))
-                )
-            )
-            .count()
-        )
+        n_rollup_mismatch = count_rollup_mismatches(agg, recompute)
         row = (
             stats["n_raw_d1"], stats["n_landed_d1"],
             stats["n_quality_d1"],

@@ -157,6 +157,32 @@ class TestMixtureEpochPlan:
         with pytest.raises(Exception, match="has no tokens"):
             duckdb.sql(sql).fetchall()
 
+    def test_null_target_ppm_fails_loudly(self, spark):
+        """Round-8 advice: a NULL target_ppm made wanted NULL, and
+        least() skips NULLs in BOTH engines, so epochs_ppm silently
+        became the repetition cap with capped=1 -- parity held, so
+        the oracle could never catch it. Both twins now refuse."""
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            mixture_epoch_plan,
+            mixture_epoch_plan_sql,
+        )
+
+        strata = spark.createDataFrame(
+            [("web", 1000, None)],
+            "stratum string, n_tokens long, target_ppm long",
+        )
+        with pytest.raises(Exception, match="NULL target_ppm"):
+            mixture_epoch_plan(strata, token_budget=1000).collect()
+        sql = mixture_epoch_plan_sql(
+            "SELECT 'web' AS stratum, 1000 AS n_tokens,"
+            " CAST(NULL AS BIGINT) AS target_ppm",
+            token_budget=1000,
+        )
+        with pytest.raises(Exception, match="NULL target_ppm"):
+            duckdb.sql(sql).fetchall()
+
 
 class TestPackedAttentionSpans:
     def test_boundaries_and_cut_chunks(self, spark):

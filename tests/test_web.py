@@ -263,3 +263,35 @@ def test_crawl_frontier_composition(spark, tmp_path):
     )
     assert sorted(r.doc_id for r in replay.collect()) == \
         sorted(r.doc_id for r in landed2.collect())
+
+
+def test_rollup_mismatch_counts_one_sided_domains(spark):
+    """Round-8 advice (medium): a domain present on only ONE side of
+    the store-vs-recompute full_outer join must count as a mismatch.
+    With a plain == filter, ~NULL is NULL and one-sided rows were
+    silently dropped, so disjoint domain sets scored 0 mismatches."""
+    from etl_on_weather_dataset_spark.plans.queries_web import (
+        count_rollup_mismatches,
+    )
+
+    agg = spark.createDataFrame(
+        [("a.com", 2, 10, 60), ("b.com", 1, 5, 25)],
+        "domain string, n_rows long, sum_c long, sum2_c long",
+    )
+    same = spark.createDataFrame(
+        [("a.com", 2, 10, 60), ("b.com", 1, 5, 25)],
+        "domain string, r_n long, r_s long, r_s2 long",
+    )
+    assert count_rollup_mismatches(agg, same) == 0
+    # value drift on one domain
+    drift = spark.createDataFrame(
+        [("a.com", 2, 10, 61), ("b.com", 1, 5, 25)],
+        "domain string, r_n long, r_s long, r_s2 long",
+    )
+    assert count_rollup_mismatches(agg, drift) == 1
+    # DISJOINT domain sets: 2 store-only + 2 recompute-only = 4
+    disjoint = spark.createDataFrame(
+        [("c.com", 2, 10, 60), ("d.com", 1, 5, 25)],
+        "domain string, r_n long, r_s long, r_s2 long",
+    )
+    assert count_rollup_mismatches(agg, disjoint) == 4
