@@ -76,6 +76,34 @@ def _write_marker(spark, out_path: str, name: str) -> None:
     path.getFileSystem(conf).create(path, True).close()
 
 
+def batch_dedup_plan(
+    new_docs: DataFrame,
+    store_fps: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The UNEXECUTED survivor plan :func:`incremental_exact_dedup`
+    lands: fingerprint the batch (null text -> sentinel), keep the
+    min-id row per fingerprint within the batch, then anti-join the
+    persistent store's fingerprints (``store_fps``, a ``fp`` column;
+    None for the first batch). Exposed separately so the plan audit
+    (tools/plan_audit.py) can explain the scenario queries' inner
+    probe -- the shape that dominates at 100 TB -- instead of the
+    one-row summary frame they return (round-8 verdict item 3).
+    """
+    fresh = new_docs.withColumn(
+        "fp",
+        F.coalesce(
+            fingerprint(text_col), F.lit("__null_text_sentinel__")
+        ),
+    )
+    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    batch_unique = fresh.join(keep, ["fp", id_col], "left_semi")
+    if store_fps is None:
+        return batch_unique
+    return batch_unique.join(store_fps.select("fp"), "fp", "left_anti")
+
+
 def incremental_exact_dedup(
     spark,
     new_docs: DataFrame,
@@ -157,19 +185,13 @@ def incremental_exact_dedup(
         return landed.drop("fp")
     from pyspark.errors import AnalysisException
 
-    fresh = new_docs.withColumn(
-        "fp",
-        F.coalesce(
-            fingerprint(text_col), F.lit("__null_text_sentinel__")
-        ),
-    )
-    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    batch_unique = fresh.join(keep, ["fp", id_col], "left_semi")
     try:
         store = spark.read.parquet(store_path).select("fp")
-        survivors = batch_unique.join(store, "fp", "left_anti")
     except AnalysisException:  # first batch: no store yet
-        survivors = batch_unique
+        store = None
+    survivors = batch_dedup_plan(
+        new_docs, store, text_col=text_col, id_col=id_col
+    )
     survivors.write.mode("overwrite").parquet(out_path)
     _write_marker(spark, out_path, _MARK_LANDED)
     landed = spark.read.parquet(out_path)

@@ -110,6 +110,49 @@ def vacuum_rollup_store(
     return _vacuum(spark, store_path, keep_last)
 
 
+def rollup_merge_plan(
+    batch: DataFrame,
+    agg: DataFrame | None,
+    key_cols: Sequence[str],
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """The UNEXECUTED merge plan :func:`incremental_rollup` writes:
+    partial-aggregate the batch to one row per key (map-side combine,
+    the only event-grain shuffle), then full-outer merge into the
+    stored aggregate (``agg``; None for an empty store). Exposed
+    separately so the plan audit can explain the scenario queries'
+    inner merge shape (round-8 verdict item 3).
+    """
+    v_c = F.round(F.col(value_col) * value_scale).cast("long")
+    keys = list(key_cols)
+    part = batch.select(*keys, v_c.alias("v_c")).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v_c").alias("sum_c"),
+        F.sum(F.col("v_c") * F.col("v_c")).alias("sum2_c"),
+    )
+    if agg is None:
+        return part
+    a = agg.select(
+        *keys,
+        F.col("n_rows").alias("a_n"),
+        F.col("sum_c").alias("a_s"),
+        F.col("sum2_c").alias("a_s2"),
+    )
+    return (
+        a.join(part, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce("a_n", F.lit(0))
+             + F.coalesce("n_rows", F.lit(0))).alias("n_rows"),
+            (F.coalesce("a_s", F.lit(0))
+             + F.coalesce("sum_c", F.lit(0))).alias("sum_c"),
+            (F.coalesce("a_s2", F.lit(0))
+             + F.coalesce("sum2_c", F.lit(0))).alias("sum2_c"),
+        )
+    )
+
+
 def incremental_rollup(
     spark: SparkSession,
     batch: DataFrame,
@@ -137,35 +180,13 @@ def incremental_rollup(
     }:
         return agg  # replay: batch already folded in
 
-    v_c = F.round(F.col(value_col) * value_scale).cast("long")
-    keys = list(key_cols)
-    part = batch.select(*keys, v_c.alias("v_c")).groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("v_c").alias("sum_c"),
-        F.sum(F.col("v_c") * F.col("v_c")).alias("sum2_c"),
+    merged = rollup_merge_plan(
+        batch, agg, key_cols=key_cols, value_col=value_col,
+        value_scale=value_scale,
     )
-    if agg is None:
-        merged = part
+    if batches is None:
         applied = spark.createDataFrame([(batch_id,)], "batch_id string")
     else:
-        a = agg.select(
-            *keys,
-            F.col("n_rows").alias("a_n"),
-            F.col("sum_c").alias("a_s"),
-            F.col("sum2_c").alias("a_s2"),
-        )
-        merged = (
-            a.join(part, keys, "full_outer")
-            .select(
-                *keys,
-                (F.coalesce("a_n", F.lit(0))
-                 + F.coalesce("n_rows", F.lit(0))).alias("n_rows"),
-                (F.coalesce("a_s", F.lit(0))
-                 + F.coalesce("sum_c", F.lit(0))).alias("sum_c"),
-                (F.coalesce("a_s2", F.lit(0))
-                 + F.coalesce("sum2_c", F.lit(0))).alias("sum2_c"),
-            )
-        )
         applied = batches.select("batch_id").unionAll(
             spark.createDataFrame([(batch_id,)], "batch_id string")
         )

@@ -527,21 +527,11 @@ def count_rollup_mismatches(agg: DataFrame, recompute: DataFrame) -> int:
     )
 
 
-def _web_ingest_incremental(
+def _wi_batches(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import shutil
-    import tempfile
-
-    from ..operators.dedup import incremental_exact_dedup
-    from ..operators.rollup_store import incremental_rollup, read_rollup
-    from ..operators.text import fingerprint, token_count
-    from ..operators.urltools import (
-        canonical_url,
-        registered_domain,
-        url_host,
-    )
-
+) -> tuple[DataFrame, DataFrame]:
+    """The two deterministic crawl days (shared by the contract
+    query, its operator-cost bench form, and the plan provider)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_URL_SYNTH).alias("url"),
         F.expr(_HTML_SYNTH).alias("html"),
@@ -551,19 +541,44 @@ def _web_ingest_incremental(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "url", "html"
     )
     day2 = docs.filter(F.col("doc_id") % 3 == 0).unionAll(recrawl)
+    return day1, day2
 
-    def enrich(batch: DataFrame) -> DataFrame:
-        return batch.select(
-            "doc_id", "url", "html",
-            canonical_url("url").alias("canonical"),
-            registered_domain(url_host("url")).alias("domain"),
-        )
 
-    def quality(landed: DataFrame) -> DataFrame:
-        return landed.select(
-            "doc_id", "domain",
-            token_count(html_to_text("html")).alias("n_tokens"),
-        ).filter(F.col("n_tokens") >= _WI_MIN_TOKENS)
+def _wi_enrich(batch: DataFrame) -> DataFrame:
+    from ..operators.urltools import (
+        canonical_url,
+        registered_domain,
+        url_host,
+    )
+
+    return batch.select(
+        "doc_id", "url", "html",
+        canonical_url("url").alias("canonical"),
+        registered_domain(url_host("url")).alias("domain"),
+    )
+
+
+def _wi_quality(landed: DataFrame) -> DataFrame:
+    from ..operators.text import token_count
+
+    return landed.select(
+        "doc_id", "domain",
+        token_count(html_to_text("html")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= _WI_MIN_TOKENS)
+
+
+def _web_ingest_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_exact_dedup
+    from ..operators.rollup_store import incremental_rollup, read_rollup
+    from ..operators.text import fingerprint
+
+    day1, day2 = _wi_batches(spark, sf_dir)
+    enrich, quality = _wi_enrich, _wi_quality
 
     tmp = tempfile.mkdtemp(prefix="spark_web_incr_")
     try:
@@ -637,6 +652,109 @@ def _web_ingest_incremental(
         "n_oneshot long, n_fp_mismatch long, "
         "rollup_version long, n_domains long, n_rollup_mismatch long",
     )
+
+
+def _web_ingest_incremental_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operator-cost bench form (round-8 verdict item 3): the work a
+    daily crawl actually pays -- two landings through the REAL
+    fingerprint store (probe + land + append) and two rollup-store
+    merges -- WITHOUT the incremental==one-shot verification joins
+    and the six per-stage contract counts. BENCH_r{N} therefore
+    trends the operator, not the attestation harness; the full
+    contract stays driver-attested via spark_fn."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_exact_dedup
+    from ..operators.rollup_store import incremental_rollup, read_rollup
+
+    day1, day2 = _wi_batches(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="spark_web_bench_")
+    try:
+        fp_store = f"{tmp}/fp_store"
+        roll_store = f"{tmp}/rollup"
+        n_landed = {}
+        for day, batch in (("d1", day1), ("d2", day2)):
+            landed = incremental_exact_dedup(
+                spark, _wi_enrich(batch), fp_store, f"{tmp}/out_{day}",
+                text_col="canonical",
+            )
+            incremental_rollup(
+                spark, _wi_quality(landed), roll_store, batch_id=day,
+                key_cols=["domain"], value_col="n_tokens",
+                value_scale=1,
+            )
+            n_landed[day] = landed.count()
+        _, _, version = read_rollup(spark, roll_store)
+        row = (n_landed["d1"], n_landed["d2"], version)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "n_landed_d1 long, n_landed_d2 long, rollup_version long"
+    )
+
+
+def _web_ingest_incremental_plans(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Plan-audit provider (round-8 verdict item 3): materialize the
+    day-1 store state into a tempdir, then return the UNEXECUTED
+    day-2 plans -- the store probe (anti-join on fp), the rollup
+    merge (batch partial-agg + full-outer key merge), and the
+    incremental==one-shot fp verification join -- so PLANS.md shows
+    the scenario's real shuffle/join shapes instead of the one-row
+    summary's LocalTableScan."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import batch_dedup_plan, incremental_exact_dedup
+    from ..operators.rollup_store import (
+        incremental_rollup,
+        read_rollup,
+        rollup_merge_plan,
+    )
+    from ..operators.text import fingerprint
+
+    day1, day2 = _wi_batches(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="spark_web_planaudit_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    fp_store = f"{tmp}/fp_store"
+    roll_store = f"{tmp}/rollup"
+    landed1 = incremental_exact_dedup(
+        spark, _wi_enrich(day1), fp_store, f"{tmp}/out_d1",
+        text_col="canonical",
+    )
+    incremental_rollup(
+        spark, _wi_quality(landed1), roll_store, batch_id="d1",
+        key_cols=["domain"], value_col="n_tokens", value_scale=1,
+    )
+    store_fps = spark.read.parquet(fp_store)
+    agg, _, _ = read_rollup(spark, roll_store)
+    day2_probe = batch_dedup_plan(
+        _wi_enrich(day2), store_fps, text_col="canonical",
+        id_col="doc_id",
+    )
+    merge = rollup_merge_plan(
+        _wi_quality(day2_probe), agg, key_cols=["domain"],
+        value_col="n_tokens", value_scale=1,
+    )
+    oneshot_fps = (
+        _wi_enrich(day1.unionAll(day2))
+        .select(fingerprint("canonical").alias("fp"))
+        .distinct()
+    )
+    fp_verify = (
+        store_fps.select("fp").distinct()
+        .join(oneshot_fps, "fp", "left_anti")
+    )
+    return {
+        "day2_store_probe": day2_probe,
+        "rollup_merge": merge,
+        "fp_verify": fp_verify,
+    }
 
 
 def _web_ingest_incremental_oracle() -> str:
@@ -730,4 +848,9 @@ register(QuerySpec(
             "rollup-store", "incremental-equals-oneshot",
             "crawl-recrawl-dedup"),
     bench=True,  # THE daily-cadence shape a 100 TB crawl runs
+    # bench times the OPERATOR (probe + land + merge), not the
+    # contract's verification joins and six stage counts; the plan
+    # audit explains the scenario's inner plans (r8 verdict item 3)
+    bench_fn=_web_ingest_incremental_bench,
+    plan_fn=_web_ingest_incremental_plans,
 ))

@@ -59,6 +59,16 @@ class QuerySpec:
     # exact tier to diff against), bench_fn times the OPERATOR itself
     # so BENCH trend lines measure engine cost, not contract cost.
     bench_fn: SparkQuery | None = None
+    # Optional plan-audit override for SCENARIO queries (store-backed
+    # contract queries whose spark_fn executes inner jobs and returns
+    # a one-row summary -- the audit would otherwise see only a
+    # LocalTableScan, round-8 verdict item 3). Returns label ->
+    # UNEXECUTED inner DataFrame; tools/plan_audit.py explains each
+    # as its own "name:label" row. May materialize small fixture
+    # state (temp stores) to build the plans against.
+    plan_fn: (
+        Callable[[SparkSession, str], dict[str, DataFrame]] | None
+    ) = None
     # Name of the registry query that is this query's AT-SCALE variant
     # (round-7 verdict, "What's wrong" #3): some queries are the
     # oracle-exact small-scale form of an operator whose 100 TB path
@@ -304,3 +314,9 @@ def bench_queries() -> dict[str, SparkQuery]:
         for n, s in REGISTRY.items()
         if s.bench
     }
+
+
+def bench_specs() -> dict[str, QuerySpec]:
+    """Full specs of the bench queries (plan audit needs plan_fn)."""
+    _load_all()
+    return {n: s for n, s in REGISTRY.items() if s.bench}

@@ -824,7 +824,7 @@ class TestBenchPlansNoCartesian:
             release_all,
         )
         from etl_on_weather_dataset_spark.plans.registry import (
-            bench_queries,
+            bench_specs,
         )
 
         mode = (
@@ -833,17 +833,28 @@ class TestBenchPlansNoCartesian:
         )
         sf = "/root/testdata/sf0.001"
         offenders, audited = [], 0
-        for name, fn in sorted(bench_queries().items()):
+        for name, spec in sorted(bench_specs().items()):
             try:
-                df = fn(spark, sf)
-                plan = df._jdf.queryExecution().explainString(mode)
+                if spec.plan_fn is not None:
+                    # scenario query: audit the UNEXECUTED inner
+                    # probe/merge/verify plans, not the one-row
+                    # summary frame (round-8 verdict item 3)
+                    dfs = spec.plan_fn(spark, sf).items()
+                else:
+                    dfs = [(name, (spec.bench_fn or spec.spark_fn)(
+                        spark, sf))]
+                plans = [
+                    (lbl, df._jdf.queryExecution().explainString(mode))
+                    for lbl, df in dfs
+                ]
             except Exception:
                 continue  # scenario queries needing side dirs
             finally:
                 release_all()
             audited += 1
-            if audit_plan(plan)["cartesian"]:
-                offenders.append(name)
+            for lbl, plan in plans:
+                if audit_plan(plan)["cartesian"]:
+                    offenders.append(f"{name}:{lbl}")
         assert not offenders, offenders
         assert audited >= 40  # the audit actually covered the set
 
