@@ -239,18 +239,28 @@ def ivf_index_build(
     spark: SparkSession,
     vecs: DataFrame,
     store_path: str,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
     keep_versions: int | None = None,
+    target_cell_rows: int = 256,
 ) -> int:
     """Train the coarse quantizer on ``vecs`` (engine-exact Lloyd,
     operators/cluster.py), assign the build corpus, and publish v1
     (or v{current+1} -- a REBUILD on a drifted store). Returns the
     published version number.
+
+    ``k=None`` sizes the quantizer to the corpus (round-8 verdict
+    item 4): k = scaled_n_cells(count, target_cell_rows) -- cells
+    ~ N/target_cell_rows, so probe cost per query stays ~constant as
+    the store grows across rebuilds instead of cell sizes (and the
+    contained per-cell quadratic of any within-cell consumer)
+    growing with N. This is the rebuild-path home of the density
+    dial SF1.md documents: each drift-triggered rebuild re-derives
+    the cell count from the corpus it trains on.
 
     A rebuild RESETS the replay ledger (the new version's corpus is
     exactly ``vecs``; prior batch ids refer to state that no longer
@@ -258,6 +268,10 @@ def ivf_index_build(
     checkpoint after a rebuild -- re-using the old checkpoint would
     let a re-delivered batch that is already inside ``vecs`` be
     appended twice."""
+    if k is None:
+        from .similarity import scaled_n_cells
+
+        k = scaled_n_cells(vecs.count(), target_cell_rows)
     prepped = vecs.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )

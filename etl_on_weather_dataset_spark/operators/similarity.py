@@ -236,6 +236,36 @@ def cosine_topk_pandas(
     )
 
 
+def scaled_n_cells(
+    n_vectors: int,
+    target_cell_rows: int = 256,
+    min_cells: int = 8,
+    max_cells: int = 1 << 20,
+) -> int:
+    """Corpus-size-aware Voronoi cell count: ceil(N / target_cell_rows),
+    clamped to [min_cells, max_cells].
+
+    THE density dial (round-8 verdict item 4, SF1.md): every
+    cell-partitioned operator here (ivf_topk, semdedup, the IVF
+    store) contains its quadratic within cells, so cost per cell is
+    ~target_cell_rows^2 and total cost is LINEAR in N only if n_cells
+    grows ~N/target_cell_rows. A pinned n_cells makes cell size grow
+    with the corpus and the contained quadratic resurface -- measured
+    3.5-4.4x at 10x data in SF1.md. SemDeDup (Abbas et al. 2023) runs
+    50k clusters at LAION scale for exactly this reason.
+
+    Exact-integer ceil division (no floats), so the Spark query and
+    the DuckDB oracle derive the identical cell count from the same
+    corpus size.
+    """
+    if n_vectors <= 0:
+        return min_cells
+    return max(
+        min_cells,
+        min(max_cells, -(-int(n_vectors) // int(target_cell_rows))),
+    )
+
+
 def lsh_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure-python LCG so
     the exact same literals can be embedded in engine and oracle)."""
@@ -1072,11 +1102,12 @@ def lsh_topk_sql(
 def semdedup(
     df: DataFrame,
     threshold: float,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
+    target_cell_rows: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): drop semantic duplicates
     -- items whose embeddings are near-identical even when their bytes
@@ -1117,6 +1148,11 @@ def semdedup(
     """
     from .caching import persisted
 
+    if n_cells is None:
+        # corpus-size-aware default (round-8 verdict item 4): one
+        # count job, then cells ~ N/target_cell_rows so the per-cell
+        # quadratic stays bounded as the corpus grows
+        n_cells = scaled_n_cells(df.count(), target_cell_rows)
     centroids = lsh_hyperplanes(dim, n_cells, seed)
     cent_df = df.sparkSession.createDataFrame(
         [(centroids, 0)], "cents array<array<double>>, __k long"

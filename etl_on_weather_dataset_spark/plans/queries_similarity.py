@@ -678,6 +678,198 @@ register(QuerySpec(
 ))
 
 
+# --- ann_scaled_cells_recall: the density dial as code, attested ---------------
+#
+# Round-8 verdict item 4: SF1.md measured the cell-partitioned ANN
+# tier at 3.5-4.4x on 10x data because n_cells was pinned while the
+# corpus grew -- cell size, and the quadratic contained per cell,
+# grew with N. The dial is now CODE (operators/similarity.py
+# scaled_n_cells; semdedup n_cells=None; ivf_index_build k=None) and
+# this query attests it: same query set, same probe FRACTION
+# (n_cells/4), one arm at the historical pinned cell count and one
+# at cells ~ N/target -- recall and candidate cost of both arms
+# hash-pinned against exact brute-force top-k.
+#
+# Oracle without data-dependent SQL generation: the centroid plane
+# literals must be embedded per cell count at SQL-build time, so the
+# oracle can't "compute" the scaled count -- instead it generates an
+# arm for EVERY enumerable scaled value and keeps the one matching
+# the in-SQL corpus-count arithmetic. Enumerability comes from
+# snapping ceil(N/target) to the next power of two clamped to
+# [8, 64] -- a 4-value set {8,16,32,64} covering any attestation
+# corpus; the cap is an attestation-harness bound (the OPERATOR's
+# dial is unbounded), and the snap arithmetic is identical
+# exact-integer logic in both engines.
+
+_SC_TARGET = 64        # target rows/cell at attestation scales
+_SC_PINNED = _IVF_CELLS
+
+
+def _sc_probes(cells: int) -> int:
+    """Probe count at a constant 1/4 probe fraction across arms."""
+    return max(1, cells // 4)
+
+
+def _sc_snapped_cells(n_vectors: int) -> int:
+    """scaled_n_cells snapped to the next power of two in [8, 64]."""
+    from ..operators.similarity import scaled_n_cells
+
+    raw = scaled_n_cells(n_vectors, _SC_TARGET)
+    return min(64, max(8, 1 << (raw - 1).bit_length()))
+
+
+def _scaled_cells_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.caching import persisted
+    from ..operators.similarity import (
+        SIM_DECIMALS,
+        _as_double,
+        _centroid_argmax,
+        _probe_cells,
+        _with_constant_row,
+        dot,
+        lsh_hyperplanes,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = _sc_snapped_cells(emb.count())
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES)
+    exact = persisted(
+        cosine_topk(queries, emb, k=_K).select("query_id", "neighbor_id")
+    )
+    out: DataFrame | None = None
+    for arm, cells in (("pinned", _SC_PINNED), ("scaled", scaled)):
+        probes = _sc_probes(cells)
+        centroids = lsh_hyperplanes(64, cells, 7)
+        cent_df = spark.createDataFrame(
+            [(centroids, 0)], "cents array<array<double>>, __k long"
+        )
+        vecs = persisted(
+            _with_constant_row(
+                emb.select(
+                    F.col("vec_id").alias("id"),
+                    _as_double("embedding").alias("v"),
+                ),
+                cent_df,
+                "id",
+            )
+            .withColumn("n", norm(F.col("v")))
+            .withColumn(
+                "cell", _centroid_argmax(F.col("v"), F.col("cents"))
+            )
+            .withColumn(
+                "probes", _probe_cells(F.col("v"), F.col("cents"), probes)
+            )
+            .drop("cents")
+        )
+        q_probe = F.broadcast(
+            vecs.filter(F.col("id") < _RECALL_QUERIES).select(
+                F.col("id").alias("query_id"),
+                F.explode(F.col("probes")).alias("cell"),
+            )
+        )
+        corpus_cells = vecs.select(
+            F.col("id").alias("neighbor_id"), "cell"
+        )
+        cand = persisted(
+            q_probe.join(corpus_cells, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        q_side = F.broadcast(
+            vecs.filter(F.col("id") < _RECALL_QUERIES).select(
+                F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("n").alias("qn"),
+            )
+        )
+        c_side = vecs.select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+            F.col("n").alias("cn"),
+        )
+        sim = F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            SIM_DECIMALS,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        ann = (
+            cand.join(q_side, "query_id")
+            .join(c_side, "neighbor_id")
+            .select("query_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _K)
+            .select("query_id", "neighbor_id")
+        )
+        row = _recall_row(
+            exact, ann,
+            {"arm": arm, "n_cells": cells, "n_probe": probes},
+            cand=cand,
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _scaled_cells_recall_oracle() -> str:
+    from ..operators.similarity import ivf_candidates_sql, ivf_topk_sql
+
+    qf = f"id < {_RECALL_QUERIES}"
+    # the same snap arithmetic in-SQL: ceil(N/target) -> next pow2,
+    # clamped [8, 64]
+    sc = f"""(SELECT CASE WHEN COUNT(*) <= {8 * _SC_TARGET} THEN 8
+                          WHEN COUNT(*) <= {16 * _SC_TARGET} THEN 16
+                          WHEN COUNT(*) <= {32 * _SC_TARGET} THEN 32
+                          ELSE 64 END
+              FROM embeddings)"""
+    ctes = [f"exact AS ({cosine_topk_sql(k=_K, query_filter=qf)})"]
+    arm_rows = []
+    arms = [("pinned", _SC_PINNED, None)]
+    arms += [("scaled", c, c) for c in (8, 16, 32, 64)]
+    for arm, cells, gate in arms:
+        p = _sc_probes(cells)
+        tag = f"{arm}{cells}"
+        ctes.append(
+            f"ann_{tag} AS ({ivf_topk_sql(k=_K, n_cells=cells, n_probe=p, query_filter=qf)})"
+        )
+        ctes.append(
+            f"cand_{tag} AS ({ivf_candidates_sql(query_filter=qf, n_probe=p, n_cells=cells)})"
+        )
+        hits = (
+            f"SELECT COUNT(*) FROM exact e JOIN ann_{tag} a "
+            f"ON e.query_id = a.query_id "
+            f"AND e.neighbor_id = a.neighbor_id"
+        )
+        where = f"WHERE {sc} = {gate}" if gate is not None else ""
+        arm_rows.append(f"""
+            SELECT '{arm}' AS arm,
+                   CAST({cells} AS BIGINT) AS n_cells,
+                   CAST({p} AS BIGINT) AS n_probe,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
+                       AS n_exact,
+                   ({hits}) AS n_hits,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{tag})
+                       AS n_scored_pairs,
+                   ROUND(({hits}) * 1.0 /
+                         (SELECT COUNT(*) FROM exact), 6) AS recall_at_k
+            {where}
+        """)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(arm_rows) + ")"
+    )
+
+
+register(QuerySpec(
+    name="ann_scaled_cells_recall",
+    spark_fn=_scaled_cells_recall,
+    oracle=_scaled_cells_recall_oracle,
+    covers=("ann-density-dial", "scaled-n-cells",
+            "ivf-recall-parity"),
+))
+
+
 # --- IVF-PQ: product-quantized ANN (codes-only candidate shuffle) ------------
 #
 # The serving-index shape (IVF cells + PQ codes + ADC shortlist +
