@@ -112,28 +112,51 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     queries attested green in r6 parked in ROTATE_OUT: 50/50 green
 #     (CORRECTNESS_r07.json) -- after round 7 every pre-round-7
 #     registry query has earned a green driver row;
-#   - round 8 (now): the 13 round-7 additions (named verbatim in the
+#   - round 8: the 13 round-7 additions (named verbatim in the
 #     round-7 edition of this comment and in the round-7 verdict's
-#     item 1) rotate in; the 29 round-7-attested queries park in
-#     ROTATE_OUT. 21 pinned + 13 rotated + 9 round-8-new (registered
-#     non-extended so they attest the round they ship:
-#     web_ingest_incremental_stats, preference_pairs_events,
-#     epoch_shuffle_manifest, mixture_epoch_plan,
-#     packed_attention_spans, chat_template_roundtrip,
-#     profile_drift_orders, dedup_cluster_size_histogram,
-#     retrieval_negative_samples) = 43 visible. After a green
-#     round-8 artifact EVERY registry query has a driver row; the
-#     round-9 window only needs to make room for round-9 additions
-#     (park any of the 13+9 above).
+#     item 1) rotated in; the 29 round-7-attested queries parked in
+#     ROTATE_OUT. 21 pinned + 13 rotated + 9 round-8-new = 43
+#     visible, 43/43 green (CORRECTNESS_r08.json) -- after round 8
+#     EVERY registry query has a driver row (208/208);
+#   - round 9 (now): rotation debt is zero, so the window adopts the
+#     STALENESS-REFRESH policy (round-8 verdict item 5): spare slots
+#     are filled with the OLDEST-green queries (smallest most-recent
+#     green round, registration order as tie-break; computed by
+#     tools/rotation_plan.py). Rationale: the HUGEINT episode (r4/r5)
+#     proved the local harness can be blind to representation-level
+#     drift the driver's hash sees; a query last attested six rounds
+#     of code churn ago carries silent risk one idle slot re-buys for
+#     free. The 13 round-7 additions and the 9 round-8-new queries
+#     (all green in r8) park in ROTATE_OUT; ROTATE_IN takes the 28
+#     oldest-green (all last attested in round 2); round-9-new
+#     queries (ann_scaled_cells_recall, ...) stay visible by default.
+#     21 pinned + round-9-new + 28 refreshed <= 50.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
 # runs hourly.
 ROTATE_IN: frozenset[str] = frozenset({
-    # first attestation: the 13 round-7-added extended queries (the
-    # round-7 verdict's item 1 rotation, pytest-oracle-green every
-    # run) -- after this window every pre-round-8 registry query has
-    # earned a green driver row
+    # staleness refresh (round-9): the 28 oldest-green queries, all
+    # last driver-attested in round 2 -- six rounds of code churn
+    # ago (tools/rotation_plan.py output, oldest-first)
+    "forecast_revenue_change", "order_priority_semi_join",
+    "customers_without_orders", "rollup_returnflag_status",
+    "pivot_orders_status", "shipping_priority_counts",
+    "profit_by_nation_year", "orders_above_customer_avg",
+    "timestamp_coercion", "dedup_full_row", "dedup_subset_distinct",
+    "median_impute", "daily_join_fanout", "validation_counts",
+    "outlier_filter", "sink_reshape_rename", "set_ops_user_segments",
+    "json_props_extract", "streaming_tumbling_rollup",
+    "lang_id_confusion", "doc_fingerprints", "chunk_documents",
+    "embedding_label_stats", "distinct_users_per_type",
+    "approx_distinct_users", "cube_status_priority",
+    "normalize_per_user", "value_percentiles",
+})
+ROTATE_OUT: frozenset[str] = frozenset({
+    # parked after green driver rows in r1-r8 (every name here is
+    # attested green in some CORRECTNESS_r*.json and stays
+    # oracle-checked on every pytest run via all_queries())
+    # -- the 13 round-7 additions, attested green in r8:
     "point_in_time_store_enrichment", "ewma_user_value_chunked",
     "dedup_canonical_keep_best", "quota_waterfill_langs",
     "curriculum_interleave_order", "kmeans_silhouette_by_cluster",
@@ -141,11 +164,12 @@ ROTATE_IN: frozenset[str] = frozenset({
     "winsorized_value_stats", "dedup_containment_pairs",
     "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
     "embedding_drift_ks",
-})
-ROTATE_OUT: frozenset[str] = frozenset({
-    # parked after green driver rows in r1-r6 (every name here is
-    # attested green in some CORRECTNESS_r*.json and stays
-    # oracle-checked on every pytest run via all_queries())
+    # -- the 9 round-8-new queries, attested green in r8:
+    "web_ingest_incremental_stats", "preference_pairs_events",
+    "epoch_shuffle_manifest", "mixture_epoch_plan",
+    "packed_attention_spans", "chat_template_roundtrip",
+    "profile_drift_orders", "dedup_cluster_size_histogram",
+    "retrieval_negative_samples",
     # -- attested green in round 6 (the r6 ROTATE_IN window):
     "kmeans_cluster_stats", "record_linkage_summary", "dup_span_stats",
     "doc_vocab_classifier", "contrastive_triplets_emb", "ivf_store_scenario",
@@ -180,45 +204,33 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "rate_wilson_ci_by_type", "ks_value_drift",
     "point_in_time_enrichment",
     "ann_high_recall_preset", "ann_recall_at_k", "ann_recall_multi_table",
-    "approx_distinct_users", "approx_percentile_bound", "array_functions",
+    "approx_percentile_bound", "array_functions",
     "benchmark_decontamination", "bloom_filter_membership", "bm25_topk_docs",
-    "boilerplate_line_removal", "chunk_documents", "chunk_documents_udtf",
+    "boilerplate_line_removal", "chunk_documents_udtf",
     "cms_token_frequencies", "column_profile_lineitem",
     "conditional_aggregation", "corpus_mixture_sample",
     "corr_matrix_lineitem", "cosine_topk_ivf", "cosine_topk_ivf_pq",
     "cosine_topk_lsh_multi", "cosine_topk_pandas_udf",
-    "cube_status_priority", "curation_pipeline_stats",
-    "customer_order_distribution", "customers_without_orders",
-    "daily_join_fanout", "date_part_histogram", "date_scalar_functions",
-    "dedup_connected_groups", "dedup_full_row", "dedup_incremental_exact",
-    "dedup_incremental_simhash", "dedup_subset_distinct",
-    "disjunctive_brand_revenue", "distinct_users_per_type",
-    "doc_fingerprints", "doc_logprob_score", "doc_quality_classifier",
+    "curation_pipeline_stats",
+    "customer_order_distribution", "date_part_histogram", "date_scalar_functions",
+    "dedup_connected_groups", "dedup_incremental_exact",
+    "dedup_incremental_simhash", "disjunctive_brand_revenue", "doc_logprob_score", "doc_quality_classifier",
     "doc_repetition_stats", "dsir_weighted_selection", "dup_span_removal",
-    "embedding_label_stats", "embedding_pipeline_stats",
-    "event_time_tumbling_window", "forecast_revenue_change",
-    "funnel_view_click_purchase", "gap_filled_hourly", "graph_degree_stats",
+    "embedding_pipeline_stats",
+    "event_time_tumbling_window", "funnel_view_click_purchase", "gap_filled_hourly", "graph_degree_stats",
     "graph_pagerank_top", "graph_triangle_summary", "grouping_sets_revenue",
     "hash_split_counts", "hopping_window_rollup", "hybrid_rrf_topk",
     "importance_resample_dsir", "ivf_pq_recall", "ivf_recall_probes",
-    "json_map_explode", "json_props_extract", "lang_id_confusion",
-    "large_volume_orders", "logreg_trained_weights", "math_functions",
-    "median_impute", "monthly_mode_event_type", "national_market_share",
-    "normalize_per_user", "ohlc_daily_candles", "order_priority_semi_join",
-    "orders_above_customer_avg", "outlier_filter", "packed_bins",
-    "per_source_document_cap", "pii_redaction", "pivot_orders_status",
-    "profit_by_nation_year", "promo_revenue_share", "quality_filter_stats",
+    "json_map_explode", "large_volume_orders", "logreg_trained_weights", "math_functions",
+    "monthly_mode_event_type", "national_market_share",
+    "ohlc_daily_candles", "packed_bins",
+    "per_source_document_cap", "pii_redaction", "promo_revenue_share", "quality_filter_stats",
     "returned_item_customers", "rich_inactive_customers",
-    "rollup_incremental_daily", "rollup_returnflag_status",
-    "salted_skew_rollup", "scd2_user_history", "semdedup_embeddings",
-    "session_window_rollup", "set_ops_user_segments",
-    "shipping_priority_counts", "sink_reshape_rename",
-    "small_quantity_revenue", "stratified_sample_counts",
-    "streaming_interval_join", "streaming_tumbling_rollup",
-    "string_functions", "tfidf_top_terms", "time_bucket_rollup",
-    "timestamp_coercion", "top_supplier_revenue", "trained_ivf_recall",
-    "twap_daily", "validation_counts", "value_moments", "value_percentiles",
-    "volume_shipping", "weekly_cohort_retention", "weighted_sample_docs",
+    "rollup_incremental_daily", "salted_skew_rollup", "scd2_user_history", "semdedup_embeddings",
+    "session_window_rollup", "small_quantity_revenue", "stratified_sample_counts",
+    "streaming_interval_join", "string_functions", "tfidf_top_terms", "time_bucket_rollup",
+    "top_supplier_revenue", "trained_ivf_recall",
+    "twap_daily", "value_moments", "volume_shipping", "weekly_cohort_retention", "weighted_sample_docs",
     "window_function_breadth",
 })
 

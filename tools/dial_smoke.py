@@ -40,6 +40,7 @@ def main() -> None:
     from scale_smoke import generate_embeddings
 
     from etl_on_weather_dataset_spark.operators.similarity import (
+        ivf_pq_topk,
         ivf_topk,
         scaled_n_cells,
         semdedup,
@@ -64,6 +65,12 @@ def main() -> None:
         # registered constant
         ("ivf_topk_all",
          lambda df, c: ivf_topk(df, k=5, n_cells=c, n_probe=2).count(),
+         16),
+        # the cosine_topk_ivf_pq bench_fn serving shape: scaled cells,
+        # fixed probes, rerank 32 -- pinned 16 is the attested constant
+        ("ivf_pq_all",
+         lambda df, c: ivf_pq_topk(
+             df, k=5, n_cells=c, n_probe=2, rerank=32).count(),
          16),
     ]
     print(f"{'operator':<16} {'config':<12} {'sf0.1':>8} {'10x':>8} "

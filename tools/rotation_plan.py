@@ -11,6 +11,13 @@ paste, not an audit:
 - MUST-IN: queries with a RED row in the latest CORRECTNESS artifact
   (re-attest after fixing), then never-attested queries in
   registration order;
+- STALENESS REFRESH (round-8 verdict item 5): spare window slots are
+  filled with the OLDEST-green queries (smallest most-recent-green
+  round, registration order as tie-break). Rationale: the HUGEINT
+  episode (r4/r5) proved the local harness can be blind to
+  representation-level drift the driver's hash sees; a query last
+  driver-attested six rounds of code churn ago carries silent risk
+  that one idle window slot re-buys for free.
 - PARK: everything currently in ROTATE_IN that is not kept.
 
 Usage:  python tools/rotation_plan.py
@@ -38,12 +45,14 @@ def main() -> None:
         print("no CORRECTNESS artifacts; nothing to plan")
         return
     attested: set[str] = set()
+    last_green: dict[str, int] = {}  # query -> newest green round
     for p in artifacts:
         doc = json.loads(p.read_text())
-        attested |= {
-            n for n, row in doc.items()
-            if row.get("rows_match") and row.get("hash_match", True)
-        }
+        rnd = int(p.stem.split("_r")[-1])
+        for n, row in doc.items():
+            if row.get("rows_match") and row.get("hash_match", True):
+                attested.add(n)
+                last_green[n] = max(last_green.get(n, 0), rnd)
     latest = json.loads(artifacts[-1].read_text())
     red = [
         n for n, row in latest.items()
@@ -62,6 +71,17 @@ def main() -> None:
     slots = registry.DRIVER_CAP - len(pinned)
     rotate_in = red + never[: slots - len(red)]
     leftover = never[slots - len(red):]
+    # staleness refresh: spare slots -> oldest-green queries first
+    # (pinned queries re-attest every round anyway; skip them)
+    reg_order = {n: i for i, n in enumerate(all_q)}
+    stale = sorted(
+        (n for n in all_q
+         if n in last_green and n not in pinned
+         and n not in rotate_in),
+        key=lambda n: (last_green[n], reg_order[n]),
+    )
+    refresh = stale[: slots - len(rotate_in)]
+    rotate_in += refresh
     park = sorted(
         (registry.ROTATE_IN - set(rotate_in)) | registry.ROTATE_OUT
     )
@@ -70,7 +90,12 @@ def main() -> None:
     print(f"# latest artifact: {artifacts[-1].name}; red rows: {red}")
     print(f"\nROTATE_IN ({len(rotate_in)}):")
     for n in rotate_in:
-        tag = "re-attest RED" if n in red else "first attestation"
+        tag = (
+            "re-attest RED" if n in red
+            else f"staleness refresh (last green r{last_green[n]})"
+            if n in refresh
+            else "first attestation"
+        )
         print(f'    "{n}",  # {tag}')
     print(f"\nleftover backlog for the round after ({len(leftover)}):")
     for n in leftover:
