@@ -193,6 +193,29 @@ def test_scale_path_pointers_resolve():
         assert target != name
 
 
+def test_bench_fn_and_plan_fn_specs_are_consistent():
+    """bench_fn / plan_fn only make sense on benched queries: a
+    bench_fn on a non-bench spec would silently never run, and a
+    plan_fn is the audit view OF a bench entry (round-8 verdict
+    item 3). Also pins that the two scenario mechanisms exist --
+    losing them would quietly revert PLANS.md to zero rows."""
+    from etl_on_weather_dataset_spark.plans import registry
+
+    registry._load_all()
+    for n, s in registry.REGISTRY.items():
+        if s.bench_fn is not None or s.plan_fn is not None:
+            assert s.bench, (
+                f"{n} has bench_fn/plan_fn but bench=False -- "
+                "the override would never run"
+            )
+    assert any(
+        s.plan_fn is not None for s in registry.REGISTRY.values()
+    ), "no scenario query exposes inner plans to the audit"
+    assert any(
+        s.bench_fn is not None for s in registry.REGISTRY.values()
+    ), "no bench entry separates operator cost from contract cost"
+
+
 def test_rotation_exposes_every_never_attested_query():
     """Rotation policy as a test: any registry query without a green
     driver CORRECTNESS row in the committed artifacts MUST be
