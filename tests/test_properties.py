@@ -522,3 +522,62 @@ def test_preference_pair_extremality_and_margin(spark, rows):
         by_id = {i: v for v, i in members}
         assert by_id[r.chosen_id] == scores[-1]
         assert by_id[r.rejected_id] == scores[0]
+
+
+@given(
+    n=st.integers(min_value=-10, max_value=10**13),
+    target=st.integers(min_value=1, max_value=10**6),
+)
+@SETTINGS
+def test_scaled_n_cells_bounds_and_monotonicity(n, target):
+    """The ANN density dial: cells within clamps, cell size bounded
+    by target whenever the ceil-div is the binding term, and weakly
+    monotone in the corpus size."""
+    from etl_on_weather_dataset_spark.operators.similarity import (
+        scaled_n_cells,
+    )
+
+    c = scaled_n_cells(n, target)
+    assert 8 <= c <= 1 << 20
+    if n > 0 and 8 <= -(-n // target) <= 1 << 20:
+        # unclamped regime: cells * target covers N with < target slack
+        assert c * target >= n
+        assert (c - 1) * target < n
+    # weak monotonicity in n (one step of target rows)
+    assert scaled_n_cells(max(n, 0) + target, target) >= c
+
+
+@given(
+    store=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3),
+                  st.integers(0, 50), st.integers(0, 500)),
+        min_size=0, max_size=8, unique_by=lambda r: r[0],
+    ),
+    recompute=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3),
+                  st.integers(0, 50), st.integers(0, 500)),
+        min_size=0, max_size=8, unique_by=lambda r: r[0],
+    ),
+)
+@SETTINGS
+def test_rollup_mismatch_equals_python_model(spark, store, recompute):
+    """count_rollup_mismatches == the obvious dict-diff model,
+    INCLUDING one-sided domains (the round-8 advice null trap)."""
+    from etl_on_weather_dataset_spark.plans.queries_web import (
+        count_rollup_mismatches,
+    )
+
+    agg = spark.createDataFrame(
+        [(f"d{k}", a, b, c) for k, a, b, c in store],
+        "domain string, n_rows long, sum_c long, sum2_c long",
+    )
+    rec = spark.createDataFrame(
+        [(f"d{k}", a, b, c) for k, a, b, c in recompute],
+        "domain string, r_n long, r_s long, r_s2 long",
+    )
+    s = {f"d{k}": (a, b, c) for k, a, b, c in store}
+    r = {f"d{k}": (a, b, c) for k, a, b, c in recompute}
+    expected = sum(
+        1 for d in set(s) | set(r) if s.get(d) != r.get(d)
+    )
+    assert count_rollup_mismatches(agg, rec) == expected
