@@ -761,6 +761,161 @@ def canonical_survivors(
     return singletons.unionByName(winners)
 
 
+def _minhash_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_doc_freq: float | None,
+) -> DataFrame:
+    """Shared head of the minhash tier: (id, toks) with the optional
+    stop-shingle drop applied, persisted (scanned by signatures AND
+    the rescore join). Extracted so minhash_band_cost plans against
+    the exact shingle sets minhash_lsh_pairs will hash."""
+    from .caching import persisted
+
+    docs = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).filter(F.length("text") > 0)
+    # NB: shingle the RENAMED "text" column -- docs no longer carries
+    # the caller's text_col name (non-default callers would otherwise
+    # hit an unresolved-column AnalysisException)
+    shingled = docs.select(
+        "id", word_shingles("text", shingle_n).alias("toks")
+    )
+    if max_doc_freq is not None:
+        exploded = shingled.select(
+            "id", F.explode("toks").alias("shingle")
+        )
+        n_docs = shingled.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("doc_freq") > F.col("n_docs") * max_doc_freq)
+            .agg(F.collect_set("shingle").alias("hot_set"))
+        )
+        # fold the (tiny) hot set in as a broadcast scalar and strip it
+        # with a pure array expression -- no explode/re-agg shuffle
+        empty = F.array().cast("array<string>")
+        shingled = shingled.crossJoin(F.broadcast(hot)).select(
+            "id",
+            F.array_except(
+                "toks", F.coalesce(F.col("hot_set"), empty)
+            ).alias("toks"),
+        )
+    # persisted: scanned once for signatures and twice by the rescore
+    # join -- the materialize-the-index-once shape (see ngram tier)
+    return persisted(shingled.filter(F.size("toks") > 0))
+
+
+def _band_keys(
+    num_hash_tables: int, rows_per_band: int, seed: int
+) -> F.Column:
+    """array of ``num_hash_tables`` band keys over the ``toks``
+    column: each band keys on ``rows_per_band`` minhashes jointly."""
+    def _minhash(table: int) -> F.Column:
+        # per-table hash family: xxhash64(shingle, table, seed)
+        return F.array_min(
+            F.transform(
+                "toks",
+                lambda s: F.xxhash64(s, F.lit(table), F.lit(seed)),
+            )
+        )
+
+    n_hashes = num_hash_tables * rows_per_band
+    if rows_per_band == 1:
+        return F.array(*[_minhash(t) for t in range(n_hashes)])
+    # band b keys on its r minhashes JOINTLY: one 64-bit xxhash64
+    # over the r-signature slice (deterministic fn of the slice)
+    sig = F.array(*[_minhash(t) for t in range(n_hashes)])
+    return F.array(*[
+        F.xxhash64(
+            *[
+                F.element_at(sig, b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+            F.lit(b),
+        )
+        for b in range(num_hash_tables)
+    ])
+
+
+def minhash_band_cost(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    shingle_n: int = 3,
+    max_doc_freq: float | None = None,
+    rows_per_band_options: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Pre-flight EXACT collision budget of the banded minhash join,
+    per ``rows_per_band`` option, from bucket sizes alone: a
+    (band, key) bucket holding c ids contributes c*(c-1)/2 same-bucket
+    pairs, so summing that over buckets counts every (pair, band)
+    collision the join would produce WITHOUT forming one. This is the
+    advisor-pattern planner (operators/advisor.py) for THE minhash
+    dial: SCALE.md's 10x smoke measured the r=1 background quadratic
+    vs the r=2 AND-step crossover; this makes choosing r a measured
+    decision instead of a guess -- at 100 TB you run the |options|
+    bucket aggregates (shuffle of (band, key) ints at corpus grain,
+    same width as the join's build side) before committing to the
+    join whose bill is those collisions.
+
+    Output: one row per option,
+      (rows_per_band, n_buckets, n_collision_pairs)
+    where n_collision_pairs EXACTLY equals the (pair, band) collision
+    count of minhash_lsh_pairs' band join under the same corpus,
+    hashes and stop-shingle drop (distinct candidate PAIRS after the
+    join's dropDuplicates are <= this; the collision count is the
+    shuffle bill, which is what you budget).
+    """
+    sh = _minhash_shingles(df, text_col, id_col, shingle_n,
+                           max_doc_freq)
+    out: DataFrame | None = None
+    for r in rows_per_band_options:
+        buckets = (
+            sh.select(
+                F.posexplode(
+                    _band_keys(num_hash_tables, r, seed)
+                ).alias("band", "key")
+            )
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = buckets.agg(
+            F.lit(int(r)).cast("long").alias("rows_per_band"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
+            ).cast("long").alias("n_collision_pairs"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def choose_rows_per_band(
+    df: DataFrame,
+    budget_collisions: int,
+    **kwargs,
+) -> int:
+    """Smallest rows_per_band whose exact collision budget fits
+    ``budget_collisions``; the largest option if none does (the
+    honest fallback: max suppression, caller sees the budget still
+    exceeded in the returned plan if they re-run the cost). kwargs
+    pass through to :func:`minhash_band_cost`."""
+    rows = sorted(
+        minhash_band_cost(df, **kwargs).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    for r in rows:
+        if r.n_collision_pairs <= budget_collisions:
+            return int(r.rows_per_band)
+    return int(rows[-1].rows_per_band)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -821,71 +976,13 @@ def minhash_lsh_pairs(
     CANDIDATE ids only. Hot buckets (boilerplate shingle sets) split
     under AQE skew-join like every other equi-join here.
     """
-    from .caching import persisted
-
-    docs = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).filter(F.length("text") > 0)
-    # NB: shingle the RENAMED "text" column -- docs no longer carries
-    # the caller's text_col name (non-default callers would otherwise
-    # hit an unresolved-column AnalysisException)
-    shingled = docs.select(
-        "id", word_shingles("text", shingle_n).alias("toks")
-    )
-    if max_doc_freq is not None:
-        exploded = shingled.select(
-            "id", F.explode("toks").alias("shingle")
-        )
-        n_docs = shingled.agg(F.count(F.lit(1)).alias("n_docs"))
-        hot = (
-            exploded.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("doc_freq"))
-            .crossJoin(F.broadcast(n_docs))
-            .filter(F.col("doc_freq") > F.col("n_docs") * max_doc_freq)
-            .agg(F.collect_set("shingle").alias("hot_set"))
-        )
-        # fold the (tiny) hot set in as a broadcast scalar and strip it
-        # with a pure array expression -- no explode/re-agg shuffle
-        empty = F.array().cast("array<string>")
-        shingled = shingled.crossJoin(F.broadcast(hot)).select(
-            "id",
-            F.array_except(
-                "toks", F.coalesce(F.col("hot_set"), empty)
-            ).alias("toks"),
-        )
-    # persisted: scanned once for signatures and twice by the rescore
-    # join -- the materialize-the-index-once shape (see ngram tier)
-    sh = persisted(shingled.filter(F.size("toks") > 0))
-
-    def _minhash(table: int) -> F.Column:
-        # per-table hash family: xxhash64(shingle, table, seed)
-        return F.array_min(
-            F.transform(
-                "toks",
-                lambda s: F.xxhash64(s, F.lit(table), F.lit(seed)),
-            )
-        )
-
-    n_hashes = num_hash_tables * rows_per_band
-    if rows_per_band == 1:
-        band_keys = F.array(*[_minhash(t) for t in range(n_hashes)])
-    else:
-        # band b keys on its r minhashes JOINTLY: one 64-bit xxhash64
-        # over the r-signature slice (deterministic fn of the slice)
-        sig = F.array(*[_minhash(t) for t in range(n_hashes)])
-        band_keys = F.array(*[
-            F.xxhash64(
-                *[
-                    F.element_at(sig, b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ],
-                F.lit(b),
-            )
-            for b in range(num_hash_tables)
-        ])
+    sh = _minhash_shingles(df, text_col, id_col, shingle_n,
+                           max_doc_freq)
     bands = sh.select(
         "id",
-        F.posexplode(band_keys).alias("band", "key"),
+        F.posexplode(
+            _band_keys(num_hash_tables, rows_per_band, seed)
+        ).alias("band", "key"),
     )
     cand = (
         bands.alias("a")

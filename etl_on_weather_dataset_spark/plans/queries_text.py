@@ -248,6 +248,115 @@ register(QuerySpec(
 ))
 
 
+# --- minhash band-cost planner: the rows_per_band dial, attested ---------------
+#
+# Round-9 continuation of the density-dial work (r8 verdict item 4 /
+# SF1.md): the minhash tier's super-linear arm is explained by the
+# rows_per_band AND-step, which was a documented-but-manual dial.
+# operators/dedup.py minhash_band_cost now PLANS it: the exact
+# (pair, band) collision count of the banded join, per r, computed
+# from bucket sizes alone (sum c*(c-1)/2 -- never forms a pair), and
+# choose_rows_per_band picks the smallest r within a collision
+# budget. The xxhash64 signatures have no SQL twin, so the driver row
+# attests guarantees that hold by construction on ANY corpus:
+#   - plan == join: the planner's collision count exactly equals the
+#     band self-join's a<b row count (n_plan_join_diff = 0), per r --
+#     the number you budget IS the number the shuffle pays;
+#   - recall floor: every injected identical-clone pair shares every
+#     bucket at every r (identical docs -> identical signatures), so
+#     zero injected pairs are missed (n_missed_injected = 0).
+
+def _minhash_cost_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import (
+        _band_keys,
+        _minhash_shingles,
+        minhash_band_cost,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(clones)
+    injected = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    out: DataFrame | None = None
+    for r in (1, 2):
+        planned = minhash_band_cost(
+            corpus, rows_per_band_options=(r,)
+        ).select("rows_per_band", "n_collision_pairs")
+        sh = _minhash_shingles(corpus, "text", "doc_id", 3, None)
+        bands = sh.select(
+            "id",
+            F.posexplode(_band_keys(4, r, 42)).alias("band", "key"),
+        )
+        collisions = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+            )
+        )
+        cand = collisions.dropDuplicates(["id_a", "id_b"])
+        row = (
+            planned.crossJoin(
+                collisions.agg(F.count(F.lit(1)).alias("n_join"))
+            )
+            .crossJoin(
+                injected.agg(
+                    F.count(F.lit(1)).alias("n_injected_pairs")
+                )
+            )
+            .crossJoin(
+                injected.join(cand, ["id_a", "id_b"], "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_missed_injected"))
+            )
+            .select(
+                "rows_per_band",
+                "n_injected_pairs",
+                "n_missed_injected",
+                F.abs(F.col("n_collision_pairs") - F.col("n_join"))
+                .cast("long").alias("n_plan_join_diff"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+register(QuerySpec(
+    name="minhash_band_cost_contract",
+    spark_fn=_minhash_cost_contract,
+    oracle="""
+        WITH inj AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            WHERE doc_id % 5 = 0 AND length(text) > 0
+        )
+        SELECT CAST(1 AS BIGINT) AS rows_per_band,
+               n AS n_injected_pairs,
+               CAST(0 AS BIGINT) AS n_missed_injected,
+               CAST(0 AS BIGINT) AS n_plan_join_diff
+        FROM inj
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), n, CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM inj
+    """,
+    covers=("minhash-band-cost-planner", "rows-per-band-dial",
+            "collision-budget"),
+))
+
+
 # --- incremental exact dedup (cross-batch fingerprint store) ------------------
 #
 # The operator lands batches and appends fingerprints as side effects

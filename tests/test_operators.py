@@ -5071,3 +5071,72 @@ class TestScaledNCells:
         # leave a centroid empty, so cells with members may be fewer
         assert stats.n_vectors == 500
         assert 1 <= stats.n_cells <= 8
+
+
+class TestMinhashBandCostPlanner:
+    """The rows_per_band dial's planner (round-9): exact collision
+    budgets from bucket sizes, never forming a pair."""
+
+    def test_planner_matches_actual_join_collisions(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            _band_keys,
+            _minhash_shingles,
+            minhash_band_cost,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        cost = {
+            int(r.rows_per_band): r.n_collision_pairs
+            for r in minhash_band_cost(docs).collect()
+        }
+        for r in (1, 2):
+            sh = _minhash_shingles(docs, "text", "doc_id", 3, None)
+            bands = sh.select(
+                "id",
+                F.posexplode(_band_keys(4, r, 42)).alias("band", "key"),
+            )
+            actual = (
+                bands.alias("a")
+                .join(bands.alias("b"), ["band", "key"])
+                .filter(F.col("a.id") < F.col("b.id"))
+                .count()
+            )
+            assert cost[r] == actual, (r, cost[r], actual)
+        # the AND-step suppresses collisions
+        assert cost[2] < cost[1]
+
+    def test_choose_rows_per_band_budgets(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            choose_rows_per_band,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        # huge budget -> max-recall r=1; zero budget -> the honest
+        # fallback is the largest (most suppressive) option
+        assert choose_rows_per_band(docs, 10**12) == 1
+        assert choose_rows_per_band(docs, 0) == 2
+
+    def test_planner_never_forms_a_pair(self, spark):
+        """The plan must contain NO self-join of the bands relation:
+        one scan per option, aggregates only."""
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            minhash_band_cost,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        df = minhash_band_cost(docs)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        for join in ("SortMergeJoin", "ShuffledHashJoin",
+                     "BroadcastHashJoin", "CartesianProduct"):
+            assert join not in plan, plan[:2000]
