@@ -925,10 +925,20 @@ def minhash_lsh_pairs(
     seed: int = 42,
     shingle_n: int = 3,
     max_doc_freq: float | None = None,
-    rows_per_band: int = 1,
+    rows_per_band: int | None = 1,
+    collision_budget_per_doc: int = 50,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding, entirely in codegen
     (the 100 TB scale path).
+
+    ``rows_per_band=None`` auto-tunes: :func:`choose_rows_per_band`
+    prices each option's exact (pair, band) collision count and the
+    smallest r within ``collision_budget_per_doc * n_docs`` wins -- a
+    LINEAR budget, so the corpus that stays sub-quadratic keeps r=1's
+    maximum recall and the corpus whose background collisions go
+    quadratic (SCALE.md's 10x smoke: 99x collision growth on the
+    adversarial vocabulary) pays two planning aggregates instead of
+    the join bill. Explicit r skips the planning jobs entirely.
 
     Per doc: n-word shingles -> ``num_hash_tables`` minhash values,
     each ``array_min(transform(shingles, s -> xxhash64(s, table_id))
@@ -978,6 +988,13 @@ def minhash_lsh_pairs(
     """
     sh = _minhash_shingles(df, text_col, id_col, shingle_n,
                            max_doc_freq)
+    if rows_per_band is None:
+        rows_per_band = choose_rows_per_band(
+            df, collision_budget_per_doc * sh.count(),
+            text_col=text_col, id_col=id_col,
+            num_hash_tables=num_hash_tables, seed=seed,
+            shingle_n=shingle_n, max_doc_freq=max_doc_freq,
+        )
     bands = sh.select(
         "id",
         F.posexplode(

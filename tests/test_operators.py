@@ -5140,3 +5140,26 @@ class TestMinhashBandCostPlanner:
         for join in ("SortMergeJoin", "ShuffledHashJoin",
                      "BroadcastHashJoin", "CartesianProduct"):
             assert join not in plan, plan[:2000]
+
+    def test_auto_rows_per_band_matches_explicit(self, spark):
+        """rows_per_band=None must produce exactly the pairs of the
+        explicitly chosen option for the same budget."""
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            choose_rows_per_band,
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        # tight budget forces r=2 on this corpus (565 collisions at
+        # r=1, 116 at r=2; 500 shingled docs -> budget 0.5/doc = 250)
+        r = choose_rows_per_band(docs, 250)
+        assert r == 2
+        auto = minhash_lsh_pairs(
+            docs, rows_per_band=None, collision_budget_per_doc=0
+        )
+        explicit = minhash_lsh_pairs(docs, rows_per_band=2)
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, explicit.collect())
+        )
