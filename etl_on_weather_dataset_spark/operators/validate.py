@@ -115,6 +115,47 @@ def assert_observation(obs: Observation, timeout: Optional[float] = None) -> Non
         raise ValidationError(failures, {})
 
 
+def row_violations(expectations: list[Expectation]) -> Column:
+    """array<string> of the expectation names a ROW violates -- the
+    per-row face of the same Expectation objects the aggregate tier
+    (check / observed / contract_report) consumes. Pure codegen: one
+    array of when()s filtered for non-null, no shuffle, no UDF."""
+    return F.filter(
+        F.array(*[
+            F.when(
+                ~F.coalesce(e.predicate, F.lit(False)), F.lit(e.name)
+            )
+            for e in expectations
+        ]),
+        lambda x: x.isNotNull(),
+    )
+
+
+def quarantine_split(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing: (valid, quarantined) where quarantined
+    rows carry a ``reasons`` array naming every violated expectation.
+
+    The production shape between fail-fast (:func:`check`, which
+    aborts the load) and monitoring (:func:`contract_report`, which
+    only counts): a continuously-fed pipeline neither aborts on one
+    bad row nor silently drops it -- it routes the row plus WHY to a
+    quarantine sink for replay after the upstream fix. Both returned
+    frames derive from one row-level codegen column, so writing
+    valid and quarantined to their sinks costs the same scans the
+    writes themselves need; no extra validation job.
+
+    At 100 TB: the split is a filter on a computed column --
+    partition-local, no shuffle; the quarantine side is typically
+    tiny and compacts like any append sink.
+    """
+    tagged = df.withColumn("reasons", row_violations(expectations))
+    valid = tagged.filter(F.size("reasons") == 0).drop("reasons")
+    quarantined = tagged.filter(F.size("reasons") > 0)
+    return valid, quarantined
+
+
 def contract_report(
     df: DataFrame, expectations: list[Expectation]
 ) -> DataFrame:

@@ -648,6 +648,100 @@ register(QuerySpec(
 ))
 
 
+# --- quarantine / dead-letter routing (round-9) --------------------------------
+#
+# The production middle ground between fail-fast (check aborts the
+# load) and monitoring (contract_report counts): a continuously-fed
+# pipeline routes bad rows PLUS the reasons to a quarantine sink for
+# replay after the upstream fix. The query injects deterministic dirt
+# into orders (null custkey every 97th key, negative price every
+# 89th, unknown status every 83rd -- coprime moduli so reason
+# COMBINATIONS occur), splits with the same Expectation objects the
+# contract tier uses, and returns the reason-set histogram plus the
+# valid count -- the dashboard a quarantine sink feeds.
+
+def _quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import (
+        Expectation,
+        in_range,
+        not_null,
+        quarantine_split,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 83 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    exps = [
+        not_null(["o_custkey"]),
+        in_range("o_totalprice", 0, 600_000),
+        Expectation(
+            "domain:o_orderstatus",
+            F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+    ]
+    valid, quarantined = quarantine_split(dirty, exps)
+    hist = (
+        quarantined
+        .groupBy(
+            F.array_join(F.array_sort("reasons"), "|").alias("reasons")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return hist.unionByName(
+        valid.agg(
+            F.lit("__valid__").alias("reasons"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    ).orderBy("reasons")
+
+
+_QUAR_REASONS = """list_sort(list_filter([
+        CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE)
+             THEN 'not_null:o_custkey' END,
+        CASE WHEN NOT COALESCE(o_totalprice IS NULL
+                  OR o_totalprice BETWEEN 0 AND 600000, FALSE)
+             THEN 'in_range:o_totalprice' END,
+        CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)
+             THEN 'domain:o_orderstatus' END
+    ], x -> x IS NOT NULL))"""
+
+register(QuerySpec(
+    name="quarantine_split_orders",
+    spark_fn=_quarantine_orders,
+    oracle=f"""
+        WITH dirty AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS o_custkey,
+                   CASE WHEN o_orderkey % 89 = 0 THEN -1.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus
+            FROM orders
+        ), tagged AS (
+            SELECT {_QUAR_REASONS} AS reasons FROM dirty
+        )
+        SELECT array_to_string(reasons, '|') AS reasons,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM tagged WHERE len(reasons) > 0
+        GROUP BY 1
+        UNION ALL
+        SELECT '__valid__', CAST(COUNT(*) AS BIGINT)
+        FROM tagged WHERE len(reasons) = 0
+        ORDER BY reasons
+    """,
+    covers=("quarantine-split", "dead-letter-routing",
+            "row-level-reasons"),
+))
+
+
 # --- image near-dup: the hash-a-guarantee contract ------------------------------
 
 _IMG_P = 400  # docs sharing doc_id % _IMG_P get byte-identical BMPs

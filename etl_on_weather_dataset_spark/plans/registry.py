@@ -129,10 +129,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     free. The 13 round-7 additions and the 9 round-8-new queries
 #     (all green in r8) park in ROTATE_OUT; ROTATE_IN takes the 28
 #     oldest-green (all last attested in round 2); round-9-new
-#     queries (ann_scaled_cells_recall, minhash_band_cost_contract)
-#     stay visible by default. 21 pinned + 2 new + 27 refreshed = 50.
-#     Refresh backlog for round 10: value_percentiles (r2),
-#     salted_skew_rollup (r2), then the round-3-attested tier.
+#     queries (ann_scaled_cells_recall, minhash_band_cost_contract,
+#     quarantine_split_orders) stay visible by default. 21 pinned +
+#     3 new + 26 refreshed = 50. Refresh backlog for round 10:
+#     value_percentiles, normalize_per_user, salted_skew_rollup (all
+#     r2), then the round-3-attested tier.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
@@ -152,7 +153,6 @@ ROTATE_IN: frozenset[str] = frozenset({
     "lang_id_confusion", "doc_fingerprints", "chunk_documents",
     "embedding_label_stats", "distinct_users_per_type",
     "approx_distinct_users", "cube_status_priority",
-    "normalize_per_user",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -166,7 +166,7 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "winsorized_value_stats", "dedup_containment_pairs",
     "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
     "embedding_drift_ks",
-    "value_percentiles",  # r2-attested; r10 refresh backlog
+    "value_percentiles", "normalize_per_user",  # r2-attested; r10 refresh backlog
     # -- the 9 round-8-new queries, attested green in r8:
     "web_ingest_incremental_stats", "preference_pairs_events",
     "epoch_shuffle_manifest", "mixture_epoch_plan",

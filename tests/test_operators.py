@@ -5163,3 +5163,58 @@ class TestMinhashBandCostPlanner:
         assert sorted(map(tuple, auto.collect())) == sorted(
             map(tuple, explicit.collect())
         )
+
+
+class TestQuarantineSplit:
+    """Dead-letter routing (round-9): valid + quarantined partition
+    the input, reasons name exactly the violated expectations."""
+
+    def test_partition_and_reasons(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_on_weather_dataset_spark.operators.validate import (
+            Expectation,
+            in_range,
+            not_null,
+            quarantine_split,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, None, "a"), (3, -5.0, "b"),
+             (4, 999.0, None), (5, -1.0, None)],
+            "id long, price double, cat string",
+        )
+        exps = [
+            not_null(["cat"]),
+            in_range("price", 0, 100),
+        ]
+        valid, quarantined = quarantine_split(df, exps)
+        assert {r.id for r in valid.collect()} == {1, 2}  # null price passes in_range
+        got = {r.id: sorted(r.reasons) for r in quarantined.collect()}
+        assert got == {
+            3: ["in_range:price"],
+            4: ["in_range:price", "not_null:cat"],
+            5: ["in_range:price", "not_null:cat"],
+        }
+        # the split partitions the input exactly
+        assert valid.count() + quarantined.count() == df.count()
+        assert "reasons" not in valid.columns
+
+    def test_split_is_shuffle_free(self, spark):
+        from etl_on_weather_dataset_spark.operators.validate import (
+            in_range,
+            quarantine_split,
+        )
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        )
+        valid, quarantined = quarantine_split(
+            df, [in_range("o_totalprice", 0, 600_000)]
+        )
+        for frame in (valid, quarantined):
+            plan = frame._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            assert "Exchange" not in plan, plan[:1500]
