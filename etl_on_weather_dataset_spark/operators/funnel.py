@@ -475,3 +475,124 @@ def assemble_context_windows_sql(
                    len(turns)), ' -> ')) AS context_fp
         FROM per_session
     """
+
+
+# --- marketing-style touch attribution ----------------------------------------
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Credit each conversion to the user's LAST touch event strictly
+    before it and within ``lookback_seconds`` (last-touch attribution,
+    the default model of every web-analytics stack). Conversions with
+    no qualifying touch are credited to ``direct_label``.
+
+    Output: one row per channel with ``n_conversions`` (BIGINT),
+    ``value_cents`` (conversion value credited, cents BIGINT) and
+    ``sum_lag_us`` (total touch-to-conversion latency in micros; NULL
+    for the direct bucket).
+
+    Semantics are tie-order independent: "last" means the touch with
+    the greatest epoch-micros strictly below the conversion's; two
+    touches at the SAME microsecond break to the lexicographically
+    greatest channel name (struct max), so the result does not depend
+    on physical row order in either engine.
+
+    Scale shape: ONE shuffle, on ``user_col`` -- the attribution is a
+    window aggregate (``max(struct(us, channel))`` over a RANGE frame
+    ``[us - lookback, us - 1]``), never a touches x conversions join.
+    The naive self-join (which the DuckDB oracle runs) is O(touches x
+    conversions) per user and dies on whale users; the window pass is
+    O(user history) and partitions by user regardless of fan-in. The
+    final channel rollup is |channels| rows.
+    """
+    from pyspark.sql.window import Window
+
+    wanted = [conversion_type, *touch_types]
+    base = df.filter(F.col(type_col).isin(wanted)).select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(type_col).alias("et"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    touch = F.when(
+        F.col("et").isin(list(touch_types)),
+        F.struct(F.col("us").alias("tus"), F.col("et").alias("ch")),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("us")
+        .rangeBetween(-lookback_seconds * 1_000_000, -1)
+    )
+    attributed = (
+        base.withColumn("lt", F.max(touch).over(w))
+        .filter(F.col("et") == conversion_type)
+        .select(
+            F.coalesce(F.col("lt.ch"), F.lit(direct_label)).alias(
+                "channel"
+            ),
+            "cents",
+            (F.col("us") - F.col("lt.tus")).alias("lag_us"),
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("cents").alias("value_cents"),
+        F.sum("lag_us").alias("sum_lag_us"),
+    )
+
+
+def last_touch_attribution_sql(
+    table: str = "events",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    direct_label: str = "direct",
+    tiebreak_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`last_touch_attribution` as the naive
+    per-user touches-x-conversions join + pick-latest (ROW_NUMBER
+    ordered ``us DESC, ch DESC`` = the Spark struct-max tie rule).
+    The join form is the oracle precisely BECAUSE it is the shape the
+    engine refuses to run at scale -- equal answers attest the
+    window rewrite."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    lb_us = lookback_seconds * 1_000_000
+    return f"""
+        WITH conv AS (
+            SELECT {tiebreak_col} AS cid, {user_col} AS u,
+                   epoch_us({ts_col}) AS us,
+                   CAST(ROUND({value_col} * 100) AS BIGINT) AS cents
+            FROM {table} WHERE {type_col} = '{conversion_type}'
+        ), touch AS (
+            SELECT {user_col} AS u, epoch_us({ts_col}) AS tus,
+                   {type_col} AS ch
+            FROM {table} WHERE {type_col} IN ({touches})
+        ), ranked AS (
+            SELECT c.cid, c.cents, t.ch, c.us - t.tus AS lag_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cid
+                       ORDER BY t.tus DESC, t.ch DESC) AS rn
+            FROM conv c LEFT JOIN touch t
+              ON t.u = c.u AND t.tus >= c.us - {lb_us} AND t.tus < c.us
+        )
+        SELECT COALESCE(ch, '{direct_label}') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(cents) AS BIGINT) AS value_cents,
+               CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
+        FROM ranked WHERE rn = 1
+        GROUP BY 1
+    """

@@ -1836,3 +1836,36 @@ register(QuerySpec(
             "store-time-travel", "versioned-dimension"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- last-touch attribution (round-9) -------------------------------------------
+#
+# The missing member of the product-analytics family (funnel, cohort,
+# sessionize, transition matrix): credit each conversion to the last
+# qualifying touch strictly before it within a lookback window. The
+# engine shape is ONE window pass partitioned by user (max(struct)
+# over a RANGE frame); the oracle deliberately runs the naive
+# touches x conversions join the window rewrite replaces -- equal
+# answers attest the rewrite, and the tie rule (same-microsecond
+# touches break to the lexicographically greatest channel) makes the
+# result physical-order independent in both engines.
+
+def _attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import last_touch_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(events).orderBy("channel")
+
+
+def _attribution_oracle() -> str:
+    from ..operators.funnel import last_touch_attribution_sql
+
+    return last_touch_attribution_sql() + " ORDER BY channel"
+
+
+register(QuerySpec(
+    name="attribution_last_touch",
+    spark_fn=_attribution_last_touch,
+    oracle=_attribution_oracle,
+    covers=("last-touch-attribution", "window-over-join-rewrite"),
+))

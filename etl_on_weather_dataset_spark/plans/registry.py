@@ -130,10 +130,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     (all green in r8) park in ROTATE_OUT; ROTATE_IN takes the 28
 #     oldest-green (all last attested in round 2); round-9-new
 #     queries (ann_scaled_cells_recall, minhash_band_cost_contract,
-#     quarantine_split_orders) stay visible by default. 21 pinned +
-#     3 new + 26 refreshed = 50. Refresh backlog for round 10:
-#     value_percentiles, normalize_per_user, salted_skew_rollup (all
-#     r2), then the round-3-attested tier.
+#     quarantine_split_orders, attribution_last_touch) stay visible
+#     by default. 21 pinned + 4 new + 25 refreshed = 50. Refresh
+#     backlog for round 10: value_percentiles, normalize_per_user,
+#     cube_status_priority, salted_skew_rollup (all r2), then the
+#     round-3-attested tier.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
@@ -152,7 +153,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "json_props_extract", "streaming_tumbling_rollup",
     "lang_id_confusion", "doc_fingerprints", "chunk_documents",
     "embedding_label_stats", "distinct_users_per_type",
-    "approx_distinct_users", "cube_status_priority",
+    "approx_distinct_users",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -167,6 +168,7 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
     "embedding_drift_ks",
     "value_percentiles", "normalize_per_user",  # r2-attested; r10 refresh backlog
+    "cube_status_priority",  # r2-attested; slot ceded to the r9-new tier
     # -- the 9 round-8-new queries, attested green in r8:
     "web_ingest_incremental_stats", "preference_pairs_events",
     "epoch_shuffle_manifest", "mixture_epoch_plan",

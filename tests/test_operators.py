@@ -5218,3 +5218,82 @@ class TestQuarantineSplit:
                 .fromString("formatted")
             )
             assert "Exchange" not in plan, plan[:1500]
+
+
+class TestLastTouchAttribution:
+    """Semantics of operators.funnel.last_touch_attribution on
+    constructed histories: strict-before, lookback cutoff, the
+    same-microsecond tie rule, and the direct bucket."""
+
+    def _run(self, spark, rows):
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            last_touch_attribution,
+        )
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, "
+                  "value double",
+        )
+        return {
+            r.channel: (r.n_conversions, r.value_cents, r.sum_lag_us)
+            for r in last_touch_attribution(
+                df, lookback_seconds=3600
+            ).collect()
+        }
+
+    def test_last_strictly_before_wins(self, spark):
+        from datetime import datetime as dt
+
+        got = self._run(spark, [
+            (1, dt(2024, 1, 1, 10, 0, 0), "view", 0.0),
+            (1, dt(2024, 1, 1, 10, 30, 0), "click", 0.0),
+            # conversion at 10:45 -> last touch = the 10:30 click
+            (1, dt(2024, 1, 1, 10, 45, 0), "purchase", 5.0),
+        ])
+        assert got == {"click": (1, 500, 15 * 60 * 1_000_000)}
+
+    def test_same_microsecond_touch_does_not_count(self, spark):
+        from datetime import datetime as dt
+
+        t = dt(2024, 1, 1, 10, 0, 0)
+        got = self._run(spark, [
+            (1, t, "click", 0.0),  # simultaneous: NOT strictly before
+            (1, t, "purchase", 2.0),
+        ])
+        assert got == {"direct": (1, 200, None)}
+
+    def test_lookback_cutoff_is_inclusive_at_edge(self, spark):
+        from datetime import datetime as dt
+
+        got = self._run(spark, [
+            # exactly 3600s before: tus == cus - L -> inside window
+            (1, dt(2024, 1, 1, 9, 0, 0), "view", 0.0),
+            (1, dt(2024, 1, 1, 10, 0, 0), "purchase", 1.0),
+            # one micro past the lookback -> direct
+            (2, dt(2024, 1, 1, 8, 59, 59, 999999), "view", 0.0),
+            (2, dt(2024, 1, 1, 10, 0, 0), "purchase", 1.0),
+        ])
+        assert got["view"] == (1, 100, 3600 * 1_000_000)
+        assert got["direct"] == (1, 100, None)
+
+    def test_same_microsecond_touch_tie_breaks_to_max_channel(
+        self, spark
+    ):
+        from datetime import datetime as dt
+
+        t = dt(2024, 1, 1, 10, 0, 0)
+        got = self._run(spark, [
+            (1, t, "click", 0.0),
+            (1, t, "view", 0.0),  # 'view' > 'click' lexicographically
+            (1, dt(2024, 1, 1, 10, 5, 0), "purchase", 3.0),
+        ])
+        assert got == {"view": (1, 300, 5 * 60 * 1_000_000)}
+
+    def test_touches_from_other_users_never_credit(self, spark):
+        from datetime import datetime as dt
+
+        got = self._run(spark, [
+            (1, dt(2024, 1, 1, 9, 59, 0), "click", 0.0),
+            (2, dt(2024, 1, 1, 10, 0, 0), "purchase", 4.0),
+        ])
+        assert got == {"direct": (1, 400, None)}

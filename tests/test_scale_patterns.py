@@ -986,3 +986,36 @@ class TestRound8PlanShapes:
         assert "WindowGroupLimit" in plan, plan[:2000]
         assert "CartesianProduct" not in plan, plan[:2000]
         assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+class TestRound9PlanShapes:
+    """Plan assertions for the round-9 extension tier."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan_of(self, df):
+        return df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")
+        )
+
+    def test_attribution_is_window_not_join(self, spark):
+        """last_touch_attribution must compile to ONE window pass on
+        user (plus the tiny channel rollup) -- never the touches x
+        conversions join the oracle runs; the event-type filter must
+        reach the parquet scan."""
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            last_touch_attribution,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        ev = load_table(spark, self.SF, "events")
+        plan = self._plan_of(last_touch_attribution(ev))
+        assert "Join" not in plan, plan[:2000]
+        assert plan.count("(1) Scan parquet") == 1
+        assert "PushedFilters: [In(event_type" in plan, plan[:2000]
+        import re
+
+        # user shuffle + partial/final channel agg: <= 2 exchanges
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, \
+            plan[:2000]
