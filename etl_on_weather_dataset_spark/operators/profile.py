@@ -262,3 +262,128 @@ def corr_matrix_sql(
         f"WITH one AS (SELECT {', '.join(sel)} FROM {table}) "
         + " UNION ALL ".join(parts)
     )
+
+
+# --- functional-dependency / candidate-key audit --------------------------------
+
+
+def fd_audit(
+    df: DataFrame,
+    fds: list[tuple[tuple[str, ...], str | None]],
+) -> DataFrame:
+    """Audit candidate functional dependencies ``lhs -> rhs`` (and,
+    with ``rhs=None``, candidate KEYS: "lhs determines the row").
+
+    One output row per candidate:
+      - ``fd``: ``"a,b->c"`` (or ``"a,b->*"`` for a key check),
+      - ``n_rows``: table rows,
+      - ``n_groups``: distinct LHS combinations,
+      - ``n_violating_groups``: LHS groups with >1 distinct RHS value
+        (for keys: groups with >1 row),
+      - ``g3_delete_rows``: the classical g3 error -- the MINIMUM
+        number of rows to delete so the FD holds exactly (0 iff the
+        FD holds): ``n_rows - sum over groups of max per-RHS count``
+        (for keys: ``n_rows - n_groups``),
+      - ``holds``: ``g3_delete_rows == 0``.
+
+    NULL discipline: NULL is one more RHS value (two groups
+    ``(x, NULL)`` and ``(x, 1)`` violate), which both engines express
+    identically through GROUP BY equality -- no null-safe-compare
+    traps (the round-8 full-outer lesson).
+
+    Scale shape: each FD is ONE two-level aggregate -- groupBy(lhs,
+    rhs) with map-side combine, then groupBy(lhs), then a 1-row
+    summary -- over a scan pruned to exactly lhs+rhs columns. Jobs
+    union |fds| one-row frames; nothing collects, nothing joins. At
+    100 TB each audit costs one shuffle whose key is the LHS (the
+    same shuffle the table's natural grouping would cost); auditing
+    k FDs is k independent jobs, not k passes of one widening plan.
+    """
+    if not fds:
+        raise ValueError("fd_audit needs at least one candidate")
+    out: DataFrame | None = None
+    for lhs, rhs in fds:
+        if not lhs:
+            raise ValueError("FD needs a non-empty LHS")
+        label = ",".join(lhs) + "->" + (rhs if rhs else "*")
+        if rhs is None:
+            per_group = df.groupBy(*lhs).agg(
+                F.count(F.lit(1)).alias("n_in_group")
+            )
+            summary = per_group.agg(
+                F.lit(label).alias("fd"),
+                F.sum("n_in_group").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(
+                    F.when(F.col("n_in_group") > 1, 1).otherwise(0)
+                ).cast("long").alias("n_violating_groups"),
+                (F.sum("n_in_group") - F.count(F.lit(1)))
+                .cast("long").alias("g3_delete_rows"),
+            )
+        else:
+            per_value = df.groupBy(
+                *lhs, F.col(rhs).alias("_rhs")
+            ).agg(F.count(F.lit(1)).alias("n_rv"))
+            per_group = per_value.groupBy(*lhs).agg(
+                F.sum("n_rv").alias("n_in_group"),
+                F.count(F.lit(1)).alias("n_rhs"),
+                F.max("n_rv").alias("max_rv"),
+            )
+            summary = per_group.agg(
+                F.lit(label).alias("fd"),
+                F.sum("n_in_group").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(
+                    F.when(F.col("n_rhs") > 1, 1).otherwise(0)
+                ).cast("long").alias("n_violating_groups"),
+                (F.sum("n_in_group") - F.sum("max_rv"))
+                .cast("long").alias("g3_delete_rows"),
+            )
+        summary = summary.withColumn(
+            "holds", F.col("g3_delete_rows") == 0
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+def fd_audit_sql(
+    table: str,
+    fds: list[tuple[tuple[str, ...], str | None]],
+) -> str:
+    """DuckDB twin of :func:`fd_audit` (same two-level aggregates,
+    BIGINT casts to dodge HUGEINT promotion)."""
+    parts = []
+    for lhs, rhs in fds:
+        cols = ", ".join(lhs)
+        label = ",".join(lhs) + "->" + (rhs if rhs else "*")
+        if rhs is None:
+            parts.append(f"""
+                SELECT '{label}' AS fd,
+                       CAST(SUM(n_in_group) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_groups,
+                       CAST(SUM(CASE WHEN n_in_group > 1 THEN 1
+                                     ELSE 0 END) AS BIGINT)
+                           AS n_violating_groups,
+                       CAST(SUM(n_in_group) - COUNT(*) AS BIGINT)
+                           AS g3_delete_rows,
+                       SUM(n_in_group) - COUNT(*) = 0 AS holds
+                FROM (SELECT COUNT(*) AS n_in_group
+                      FROM {table} GROUP BY {cols})""")
+        else:
+            parts.append(f"""
+                SELECT '{label}' AS fd,
+                       CAST(SUM(n_in_group) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_groups,
+                       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1
+                                     ELSE 0 END) AS BIGINT)
+                           AS n_violating_groups,
+                       CAST(SUM(n_in_group) - SUM(max_rv) AS BIGINT)
+                           AS g3_delete_rows,
+                       SUM(n_in_group) - SUM(max_rv) = 0 AS holds
+                FROM (SELECT SUM(n_rv) AS n_in_group,
+                             COUNT(*) AS n_rhs,
+                             MAX(n_rv) AS max_rv
+                      FROM (SELECT {cols}, COUNT(*) AS n_rv
+                            FROM {table} GROUP BY {cols}, {rhs})
+                      GROUP BY {cols})""")
+    return " UNION ALL ".join(parts)

@@ -1869,3 +1869,59 @@ register(QuerySpec(
     oracle=_attribution_oracle,
     covers=("last-touch-attribution", "window-over-join-rewrite"),
 ))
+
+
+# --- functional-dependency / candidate-key audit (round-9) ----------------------
+#
+# The profiler (column_profile_lineitem) answers "what's in each
+# column"; this answers the next question a data engineer asks: "what
+# IDENTIFIES a row, and which cross-column rules actually hold?" --
+# candidate keys and functional dependencies with the classical g3
+# error (minimum deletions to make the FD exact). Mixed on purpose:
+# two hold (o_orderkey is a key and determines o_custkey) and three
+# fail -- including (l_orderkey, l_linenumber), which TPC-H declares
+# a primary key but this synthetic generator does not enforce (the
+# audit catching a "documented key" that is not one is exactly its
+# job) -- so the query attests both verdict directions and exact g3.
+
+def _fd_audit_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import fd_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    audit_o = fd_audit(orders, [
+        (("o_orderkey",), None),
+        (("o_orderkey",), "o_custkey"),
+        (("o_custkey",), "o_orderpriority"),
+    ])
+    audit_l = fd_audit(li, [
+        (("l_orderkey", "l_linenumber"), None),
+        (("l_partkey",), "l_suppkey"),
+    ])
+    return audit_o.unionByName(audit_l).orderBy("fd")
+
+
+def _fd_audit_oracle() -> str:
+    from ..operators.profile import fd_audit_sql
+
+    o = fd_audit_sql("orders", [
+        (("o_orderkey",), None),
+        (("o_orderkey",), "o_custkey"),
+        (("o_custkey",), "o_orderpriority"),
+    ])
+    li = fd_audit_sql("lineitem", [
+        (("l_orderkey", "l_linenumber"), None),
+        (("l_partkey",), "l_suppkey"),
+    ])
+    return f"{o} UNION ALL {li} ORDER BY fd"
+
+
+register(QuerySpec(
+    name="fd_audit_orders_lineitem",
+    spark_fn=_fd_audit_orders_lineitem,
+    oracle=_fd_audit_oracle,
+    covers=("functional-dependency-audit", "candidate-key-audit",
+            "g3-error"),
+))

@@ -127,22 +127,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     drift the driver's hash sees; a query last attested six rounds
 #     of code churn ago carries silent risk one idle slot re-buys for
 #     free. The 13 round-7 additions and the 9 round-8-new queries
-#     (all green in r8) park in ROTATE_OUT; ROTATE_IN takes the 28
-#     oldest-green (all last attested in round 2); round-9-new
+#     (all green in r8) park in ROTATE_OUT; ROTATE_IN takes the
+#     oldest-green refresh set (all last attested in round 2),
+#     shrunk as round-9-new queries claim slots; round-9-new
 #     queries (ann_scaled_cells_recall, minhash_band_cost_contract,
-#     quarantine_split_orders, attribution_last_touch) stay visible
-#     by default. 21 pinned + 4 new + 25 refreshed = 50. Refresh
-#     backlog for round 10: value_percentiles, normalize_per_user,
-#     cube_status_priority, salted_skew_rollup (all r2), then the
+#     quarantine_split_orders, attribution_last_touch,
+#     fd_audit_orders_lineitem) stay visible by default. 21 pinned +
+#     5 new + 24 refreshed = 50. Refresh backlog for round 10:
+#     value_percentiles, normalize_per_user, cube_status_priority,
+#     distinct_users_per_type, salted_skew_rollup (all r2), then the
 #     round-3-attested tier.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
 # runs hourly.
 ROTATE_IN: frozenset[str] = frozenset({
-    # staleness refresh (round-9): the 28 oldest-green queries, all
+    # staleness refresh (round-9): the oldest-green queries, all
     # last driver-attested in round 2 -- six rounds of code churn
-    # ago (tools/rotation_plan.py output, oldest-first)
+    # ago (tools/rotation_plan.py output, oldest-first; tail slots
+    # ceded to round-9-new queries, see the r10 backlog below)
     "forecast_revenue_change", "order_priority_semi_join",
     "customers_without_orders", "rollup_returnflag_status",
     "pivot_orders_status", "shipping_priority_counts",
@@ -152,7 +155,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "outlier_filter", "sink_reshape_rename", "set_ops_user_segments",
     "json_props_extract", "streaming_tumbling_rollup",
     "lang_id_confusion", "doc_fingerprints", "chunk_documents",
-    "embedding_label_stats", "distinct_users_per_type",
+    "embedding_label_stats",
     "approx_distinct_users",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
@@ -168,7 +171,8 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
     "embedding_drift_ks",
     "value_percentiles", "normalize_per_user",  # r2-attested; r10 refresh backlog
-    "cube_status_priority",  # r2-attested; slot ceded to the r9-new tier
+    # r2-attested; slots ceded to the r9-new tier:
+    "cube_status_priority", "distinct_users_per_type",
     # -- the 9 round-8-new queries, attested green in r8:
     "web_ingest_incremental_stats", "preference_pairs_events",
     "epoch_shuffle_manifest", "mixture_epoch_plan",

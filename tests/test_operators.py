@@ -5297,3 +5297,66 @@ class TestLastTouchAttribution:
             (2, dt(2024, 1, 1, 10, 0, 0), "purchase", 4.0),
         ])
         assert got == {"direct": (1, 400, None)}
+
+
+class TestFdAudit:
+    """operators.profile.fd_audit: g3 semantics, NULL-as-a-value,
+    key checks."""
+
+    def test_g3_and_verdicts(self, spark):
+        from etl_on_weather_dataset_spark.operators.profile import (
+            fd_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (1, "a", 11), (2, "b", 10), (2, "c", 10),
+             (2, "c", 12), (3, "d", 13)],
+            "k long, v string, w long",
+        )
+        got = {
+            r.fd: (r.n_rows, r.n_groups, r.n_violating_groups,
+                   r.g3_delete_rows, r.holds)
+            for r in fd_audit(df, [
+                (("k",), "v"),   # k=2 maps to b and c -> g3 = 1
+                (("k",), None),  # k repeats -> not a key
+                (("k", "v"), None),  # (k,v) repeats for (1,a),(2,c)
+                (("v",), "k"),   # each v has one k -> holds
+            ]).collect()
+        }
+        assert got["k->v"] == (6, 3, 1, 1, False)
+        assert got["k->*"] == (6, 3, 2, 3, False)
+        assert got["k,v->*"] == (6, 4, 2, 2, False)
+        assert got["v->k"] == (6, 4, 0, 0, True)
+
+    def test_null_rhs_is_one_more_value(self, spark):
+        from etl_on_weather_dataset_spark.operators.profile import (
+            fd_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, None), (2, None), (2, None)],
+            "k long, v string",
+        )
+        got = {
+            r.fd: (r.n_violating_groups, r.g3_delete_rows, r.holds)
+            for r in fd_audit(df, [(("k",), "v")]).collect()
+        }
+        # k=1 has {a, NULL} -> violating, delete 1; k=2 has {NULL} only
+        assert got["k->v"] == (1, 1, False)
+
+    def test_fd_scan_is_column_pruned_and_join_free(self, spark):
+        from etl_on_weather_dataset_spark.operators.profile import (
+            fd_audit,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        plan = fd_audit(
+            df, [(("o_orderkey",), "o_custkey")]
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        assert "Join" not in plan
+        assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" \
+            in plan, plan[:2000]
+        assert "partial_count" in plan  # map-side combine
