@@ -1261,3 +1261,85 @@ def mixture_epoch_plan_sql(
                    AS capped
         FROM e
     """
+
+
+# --- Neyman (variance-optimal) stratified allocation ----------------------------
+
+
+def neyman_weights(
+    df: DataFrame,
+    stratum_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Per-stratum Neyman allocation weights: ``weight_h`` =
+    ``floor(N_h * sigma_h)`` -- the optimal sampling weight that
+    minimizes the variance of the stratified mean estimator under a
+    fixed budget (Neyman 1934). Feed the output straight into
+    :func:`quota_waterfill` (same (stratum, n_avail, weight) shape)
+    to get the exact capped integer allocation, then
+    :func:`quota_waterfill_select` to draw it.
+
+    Exact-integer discipline: with the population variance
+    ``sigma_h^2 = (N*sum(x^2) - sum(x)^2) / N^2``, the product
+    ``N_h * sigma_h`` collapses to ``sqrt(var_num_h)`` where
+    ``var_num_h = N_h*sum(x^2) - sum(x)^2`` is a plain BIGINT of
+    integer inputs -- so the only float op is one IEEE-754 sqrt of
+    the SAME integer in both engines (correctly rounded by hardware,
+    bit-identical), floored back to BIGINT. A fail-loud guard
+    refuses inputs where ``var_num`` exceeds 2^53 (the exactness
+    ceiling of the double sqrt); at that scale pre-aggregate to
+    DECIMAL upstream.
+
+    ``metric_col`` must be integral (lengths, token counts, cents).
+    Zero-variance strata get weight 0 -- textbook Neyman samples
+    them zero times (their mean is already exact); callers who must
+    visit every stratum union them back with a floor allocation.
+
+    Scale: one map-side-combinable aggregate to |strata| rows.
+    """
+    x = F.col(metric_col).cast("long")
+    agg = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_avail"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+    )
+    var_num = F.col("n_avail") * F.col("s2") - F.col("s1") * F.col("s1")
+    guarded = F.when(
+        var_num <= F.lit(2**53),
+        var_num,
+    ).otherwise(
+        F.expr(
+            "raise_error('neyman_weights: N*sum(x^2) exceeds 2^53 --"
+            " the double sqrt is no longer exact; pre-aggregate to"
+            " DECIMAL')"
+        ).cast("long")
+    )
+    return agg.select(
+        "stratum",
+        "n_avail",
+        F.floor(F.sqrt(guarded)).cast("long").alias("weight"),
+    )
+
+
+def neyman_weights_sql(
+    table_sql: str,
+    stratum_col: str,
+    metric_col: str,
+) -> str:
+    """DuckDB twin of :func:`neyman_weights` (same integer variance
+    numerator, same single IEEE sqrt)."""
+    return f"""
+        SELECT stratum, n_avail,
+               CAST(FLOOR(SQRT(CAST(n_avail * s2 - s1 * s1
+                                    AS BIGINT))) AS BIGINT) AS weight
+        FROM (
+            SELECT {stratum_col} AS stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_avail,
+                   CAST(SUM(CAST({metric_col} AS BIGINT)) AS BIGINT)
+                       AS s1,
+                   CAST(SUM(CAST({metric_col} AS BIGINT)
+                            * CAST({metric_col} AS BIGINT)) AS BIGINT)
+                       AS s2
+            FROM ({table_sql}) GROUP BY 1
+        )
+    """

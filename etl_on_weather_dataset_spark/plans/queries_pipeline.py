@@ -2116,3 +2116,112 @@ register(QuerySpec(
     covers=("dedup-governance", "cluster-size-histogram",
             "count-of-counts"),
 ))
+
+
+# --- Neyman (variance-optimal) stratified allocation (round-9) -------------------
+#
+# The waterfill family allocates a budget over GIVEN weights; Neyman
+# closes the loop by deriving the optimal weights from the data
+# itself: weight_h = N_h * sigma_h minimizes the variance of the
+# stratified mean under a fixed labeling/eval budget (the allocation
+# every "which strata deserve the annotation budget" decision should
+# use, instead of proportional-to-size). The exact-integer trick:
+# N_h * sigma_h == sqrt(N_h*sum(x^2) - sum(x)^2) -- one IEEE sqrt of
+# the same BIGINT in both engines, floored. The full chain
+# (weights -> capped waterfill -> md5-ranked draw) is attested in one
+# row per stratum including a fingerprint of the exact drawn set.
+
+_NEYMAN_BUDGET = 120
+
+
+def _neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import (
+        neyman_weights,
+        quota_waterfill,
+        quota_waterfill_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = neyman_weights(docs, "source", "n_chars")
+    plan = quota_waterfill(
+        weights.filter(F.col("weight") > 0), _NEYMAN_BUDGET
+    )
+    drawn = quota_waterfill_select(
+        docs.select("source", "doc_id"), plan, "source", "doc_id",
+        salt="neyman",
+    )
+    per_stratum = drawn.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_drawn"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sample_fp"),
+    )
+    allocated = plan.select(
+        F.col("stratum").alias("source"),
+        "n_avail", "weight", "capped", "alloc",
+    ).join(per_stratum, "source", "left")
+    zero = weights.filter(F.col("weight") == 0).select(
+        F.col("stratum").alias("source"),
+        "n_avail", "weight",
+        F.lit(0).cast("long").alias("capped"),
+        F.lit(0).cast("long").alias("alloc"),
+        F.lit(None).cast("long").alias("n_drawn"),
+        F.lit(None).cast("string").alias("sample_fp"),
+    )
+    return allocated.unionByName(zero).orderBy("source")
+
+
+def _neyman_allocation_oracle() -> str:
+    from ..operators.sample import (
+        neyman_weights_sql,
+        quota_waterfill_select_sql,
+        quota_waterfill_sql,
+    )
+
+    weights = neyman_weights_sql(
+        "SELECT * FROM documents", "source", "n_chars"
+    )
+    plan = quota_waterfill_sql(
+        f"SELECT stratum, n_avail, weight FROM ({weights})"
+        " WHERE weight > 0",
+        _NEYMAN_BUDGET,
+    )
+    sel = quota_waterfill_select_sql(
+        "SELECT source, doc_id FROM documents",
+        plan, "source", "doc_id", salt="neyman",
+        select="source, doc_id",
+    )
+    return f"""
+        WITH plan AS ({plan}), drawn AS ({sel}),
+        per_stratum AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_drawn,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS sample_fp
+            FROM drawn GROUP BY 1
+        ), weights AS ({weights})
+        SELECT p.stratum AS source, p.n_avail, p.weight, p.capped,
+               p.alloc, s.n_drawn, s.sample_fp
+        FROM plan p LEFT JOIN per_stratum s ON s.source = p.stratum
+        UNION ALL
+        SELECT stratum AS source, n_avail, weight,
+               CAST(0 AS BIGINT) AS capped, CAST(0 AS BIGINT) AS alloc,
+               CAST(NULL AS BIGINT) AS n_drawn,
+               CAST(NULL AS VARCHAR) AS sample_fp
+        FROM weights WHERE weight = 0
+        ORDER BY source
+    """
+
+
+register(QuerySpec(
+    name="neyman_allocation_sample",
+    spark_fn=_neyman_allocation,
+    oracle=_neyman_allocation_oracle,
+    covers=("neyman-allocation", "variance-optimal-sampling",
+            "budget-exact-stratified-draw"),
+))

@@ -5360,3 +5360,82 @@ class TestFdAudit:
         assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" \
             in plan, plan[:2000]
         assert "partial_count" in plan  # map-side combine
+
+
+class TestNeymanWeights:
+    """operators.sample.neyman_weights: exact N_h*sigma_h weights."""
+
+    def test_weight_is_floor_of_n_sigma(self, spark):
+        import math
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            neyman_weights,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 3), ("a", 5),
+             ("b", 4), ("b", 4), ("b", 4),
+             ("c", 10), ("c", 20)],
+            "s string, x long",
+        )
+        got = {
+            r.stratum: (r.n_avail, r.weight)
+            for r in neyman_weights(df, "s", "x").collect()
+        }
+        # a: var_num = 3*35 - 81 = 24; floor(sqrt(24)) = 4
+        assert got["a"] == (3, math.isqrt(3 * 35 - 9 * 9))
+        # b: zero variance -> weight 0
+        assert got["b"] == (3, 0)
+        # c: var_num = 2*500 - 900 = 100 -> exactly 10
+        assert got["c"] == (2, 10)
+
+    def test_overflow_guard_fails_loud(self, spark):
+        import pytest
+        from pyspark.errors.exceptions.captured import (
+            SparkRuntimeException,
+        )
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            neyman_weights,
+        )
+
+        # var_num ~ 3.6e16 > 2^53 while every intermediate product
+        # still fits a long (beyond long, Spark's ANSI overflow is
+        # the fail-loud path instead)
+        big = 2**27
+        df = spark.createDataFrame(
+            [("a", big), ("a", big - 1_000_000), ("a", 1)],
+            "s string, x long",
+        )
+        with pytest.raises(SparkRuntimeException, match="2\\^53"):
+            neyman_weights(df, "s", "x").collect()
+
+    def test_weights_equal_oracle_on_documents(self, spark):
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            neyman_weights,
+            neyman_weights_sql,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        got = {
+            r.stratum: (r.n_avail, r.weight)
+            for r in neyman_weights(docs, "source", "n_chars").collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = {
+            s: (n, w)
+            for s, n, w in con.execute(
+                neyman_weights_sql(
+                    "SELECT * FROM documents", "source", "n_chars"
+                )
+            ).fetchall()
+        }
+        assert got == want
