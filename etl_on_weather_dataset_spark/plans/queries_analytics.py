@@ -1925,3 +1925,96 @@ register(QuerySpec(
     covers=("functional-dependency-audit", "candidate-key-audit",
             "g3-error"),
 ))
+
+
+# --- heavy hitters: the guarantee-flag contract (round-9) ------------------------
+#
+# Completes the sketch family (HLL "how many distinct", CMS "how
+# often is X", histogram "how spread"): WHICH items dominate, from a
+# mergeable Misra-Gries sketch whose estimates depend on batching but
+# whose GUARANTEES do not. The contract reports, for every item whose
+# exact count exceeds the worst-case bound N/(k+1) (an engine-
+# invariant threshold, tested by integer cross-multiplication):
+# the exact count plus three flags that must hold under ANY
+# partitioning -- present among candidates, est <= exact, and
+# exact - est within the sketch's accumulated error bound (itself
+# <= N/(k+1)). The item column is a deterministic 75/25 head/tail
+# mix so the head is heavy at every sf.
+
+_HH_K = 64
+
+
+def _hh_items(sf_dir_df: DataFrame) -> DataFrame:
+    return sf_dir_df.select(
+        F.when(
+            F.col("event_id") % 4 < 3, F.col("event_type")
+        ).otherwise(
+            F.concat(F.lit("tail_"), F.col("event_id").cast("string"))
+        ).alias("item")
+    )
+
+
+def _heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk_sketch import heavy_hitters
+
+    items = _hh_items(load_table(spark, sf_dir, "events"))
+    hh = heavy_hitters(items, "item", _HH_K)
+    exact = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    tot = exact.agg(
+        F.sum("exact_n").cast("long").alias("n_total")
+    )
+    true_hh = (
+        exact.crossJoin(F.broadcast(tot))
+        # exact > N/(k+1), integer-exact via cross-multiplication
+        .filter(F.col("exact_n") * (_HH_K + 1) > F.col("n_total"))
+    )
+    return (
+        true_hh.join(hh, "item", "left")
+        .select(
+            "item",
+            "exact_n",
+            F.col("est_lo").isNotNull().alias("present"),
+            F.coalesce(
+                F.col("est_lo") <= F.col("exact_n"), F.lit(False)
+            ).alias("est_le_exact"),
+            F.coalesce(
+                (F.col("exact_n") - F.col("est_lo"))
+                <= F.col("err_bound"),
+                F.lit(False),
+            ).alias("within_bound"),
+            # err_bound * (k+1) <= N: the worst-case bound holds
+            F.coalesce(
+                F.col("err_bound") * (_HH_K + 1) <= F.col("n_total"),
+                F.lit(False),
+            ).alias("bound_le_worstcase"),
+        )
+        .orderBy("item")
+    )
+
+
+register(QuerySpec(
+    name="heavy_hitters_events",
+    spark_fn=_heavy_hitters_events,
+    oracle=f"""
+        WITH items AS (
+            SELECT CASE WHEN event_id % 4 < 3 THEN event_type
+                        ELSE 'tail_' || CAST(event_id AS VARCHAR)
+                   END AS item
+            FROM events
+        ), exact AS (
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM items GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(exact_n) AS BIGINT) AS n_total FROM exact
+        )
+        SELECT item, exact_n,
+               TRUE AS present, TRUE AS est_le_exact,
+               TRUE AS within_bound, TRUE AS bound_le_worstcase
+        FROM exact, tot
+        WHERE exact_n * {_HH_K + 1} > n_total
+        ORDER BY item
+    """,
+    covers=("heavy-hitters", "misra-gries", "mergeable-topk-sketch"),
+))

@@ -5439,3 +5439,68 @@ class TestNeymanWeights:
             ).fetchall()
         }
         assert got == want
+
+
+class TestHeavyHitters:
+    """operators.topk_sketch: Misra-Gries compress exactness and the
+    partitioning-invariant merge guarantees."""
+
+    def test_small_cardinality_is_exact(self, spark):
+        from etl_on_weather_dataset_spark.operators.topk_sketch import (
+            heavy_hitters,
+        )
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+        df = spark.createDataFrame(rows, "item string").coalesce(1)
+        got = {
+            r.item: (r.est_lo, r.err_bound)
+            for r in heavy_hitters(df, "item", k=8).collect()
+        }
+        # <= k distinct per batch: no deduction anywhere
+        assert got == {"a": (5, 0), "b": (3, 0), "c": (2, 0)}
+
+    def test_guarantees_hold_under_any_partitioning(self, spark):
+        from collections import Counter
+
+        from etl_on_weather_dataset_spark.operators.topk_sketch import (
+            heavy_hitters,
+        )
+
+        # 3 heavy items + a long tail, deterministic
+        raw = (["hot1"] * 300 + ["hot2"] * 250 + ["hot3"] * 200
+               + [f"t{i % 97}" for i in range(450)])
+        truth = Counter(raw)
+        n = len(raw)
+        k = 16
+        for parts in (1, 3, 11):
+            df = spark.createDataFrame(
+                [(x,) for x in raw], "item string"
+            ).repartition(parts)
+            got = {
+                r.item: (r.est_lo, r.err_bound)
+                for r in heavy_hitters(df, "item", k=k).collect()
+            }
+            errs = {e for _, e in got.values()}
+            assert len(errs) == 1
+            bound = errs.pop()
+            assert bound * (k + 1) <= n  # worst-case N/(k+1)
+            for item, true_n in truth.items():
+                if true_n * (k + 1) > n:
+                    assert item in got, (parts, item)
+                est = got.get(item, (0,))[0]
+                assert est <= true_n
+                assert true_n - est <= bound, (parts, item)
+
+    def test_null_items_are_ignored(self, spark):
+        from etl_on_weather_dataset_spark.operators.topk_sketch import (
+            heavy_hitters,
+        )
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("a",), (None,)], "item string"
+        )
+        got = {
+            r.item: r.est_lo
+            for r in heavy_hitters(df, "item", k=4).collect()
+        }
+        assert got == {"a": 2}
