@@ -427,3 +427,173 @@ def time_weighted_avg_sql(
         ) seg
         GROUP BY key, bucket
     """
+
+
+# --- CUSUM change-point detection ------------------------------------------------
+
+
+def cusum_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    burn_in_days: int = 10,
+    slack_ppm: int = 250_000,
+    h_mult: int = 2,
+) -> DataFrame:
+    """Two-sided CUSUM over daily totals: WHEN did the level shift?
+
+    The drift tier (KS, KL, rolling z-score) answers "are these two
+    windows different"; CUSUM localizes the change-point by
+    accumulating deviations from a burn-in baseline:
+
+        spos_t = max(0, spos_{t-1} + s_t*1e6 - n_t*(mu + k))
+        sneg_t = max(0, sneg_{t-1} + n_t*(mu - k) - s_t*1e6)
+
+    with ``mu = (burn-in cents)*1e6 div (burn-in events)`` (micro-
+    cents per event), slack ``k = mu*slack_ppm div 1e6`` and alarm
+    threshold ``h_mult * mu * (burn-in events div burn_in_days)``
+    (h_mult average burn-in days' worth of deviation). Every quantity
+    is a BIGINT derived by truncating division -- identical in Spark
+    (``div``) and DuckDB (``//``) -- so the recursion is exact in
+    both engines: the Spark fold (``F.aggregate`` over the day-sorted
+    array) and the oracle's recursive CTE cannot disagree.
+
+    Output per day: (day, n_events, sum_cents, cusum_pos, cusum_neg,
+    alarm_pos, alarm_neg), ordered by day.
+
+    Scale shape: the heavy lift is the daily rollup -- one map-side-
+    combinable aggregate from event grain to |days| rows. The
+    non-associative CUSUM recursion then runs over the |days|-row
+    series folded INSIDE one array on one row (bounded coordination:
+    ten years of days is 3.7k structs, same discipline as the
+    ordered-fold/EWMA tier); nothing at event grain ever sorts or
+    collects. Overflow ceiling: s_t*1e6 must fit a BIGINT, i.e.
+    daily totals below ~9e12 cents -- ANSI mode fails loud past it.
+    """
+    day = F.col(ts_col).cast("date")
+    daily = df.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(cents_col).cast("long")).cast("long").alias("s"),
+    )
+    rn_w = Window.orderBy("day")
+    ranked = daily.withColumn("rn", F.row_number().over(rn_w))
+    params = (
+        ranked.filter(F.col("rn") <= burn_in_days)
+        .agg(
+            F.sum("s").cast("long").alias("g"),
+            F.sum("n").cast("long").alias("d"),
+        )
+        .select(
+            F.expr("g * 1000000 div d").alias("mu"),
+            F.expr(
+                f"(g * 1000000 div d) * {slack_ppm} div 1000000"
+            ).alias("k"),
+            F.expr(
+                f"{h_mult} * (g * 1000000 div d)"
+                f" * (d div {burn_in_days})"
+            ).alias("thresh"),
+        )
+    )
+    one = (
+        daily.crossJoin(F.broadcast(params))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("day", "n", "s"))
+            ).alias("days"),
+            F.first("mu").alias("mu"),
+            F.first("k").alias("k"),
+            F.first("thresh").alias("thresh"),
+        )
+    )
+    acc_t = (
+        "array<struct<day:date,n:bigint,s:bigint,"
+        "spos:bigint,sneg:bigint>>"
+    )
+    folded = one.select(
+        "thresh",
+        F.expr(f"""
+            aggregate(
+                days,
+                cast(array() as {acc_t}),
+                (acc, e) -> array_append(acc, named_struct(
+                    'day', e.day, 'n', e.n, 's', e.s,
+                    'spos', greatest(cast(0 as bigint),
+                        (case when size(acc) = 0 then cast(0 as bigint)
+                              else element_at(acc, size(acc)).spos end)
+                        + e.s * 1000000 - e.n * (mu + k)),
+                    'sneg', greatest(cast(0 as bigint),
+                        (case when size(acc) = 0 then cast(0 as bigint)
+                              else element_at(acc, size(acc)).sneg end)
+                        + e.n * (mu - k) - e.s * 1000000)))
+            )
+        """).alias("series"),
+    )
+    row = folded.select("thresh", F.explode("series").alias("e"))
+    return row.select(
+        F.col("e.day").alias("day"),
+        F.col("e.n").alias("n_events"),
+        F.col("e.s").alias("sum_cents"),
+        F.col("e.spos").alias("cusum_pos"),
+        F.col("e.sneg").alias("cusum_neg"),
+        (F.col("e.spos") > F.col("thresh")).alias("alarm_pos"),
+        (F.col("e.sneg") > F.col("thresh")).alias("alarm_neg"),
+    ).orderBy("day")
+
+
+def cusum_daily_sql(
+    table_sql: str,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    burn_in_days: int = 10,
+    slack_ppm: int = 250_000,
+    h_mult: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cusum_daily` -- the same integer
+    recursion as a recursive CTE over the day index."""
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT CAST({ts_col} AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST({cents_col} AS BIGINT)) AS BIGINT)
+                       AS s
+            FROM ({table_sql}) GROUP BY 1
+        ), ranked AS (
+            SELECT day, n, s,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM daily
+        ), params AS (
+            SELECT (g * 1000000 // d) AS mu,
+                   (g * 1000000 // d) * {slack_ppm} // 1000000 AS k,
+                   {h_mult} * (g * 1000000 // d)
+                       * (d // {burn_in_days}) AS thresh
+            FROM (SELECT CAST(SUM(s) AS BIGINT) AS g,
+                         CAST(SUM(n) AS BIGINT) AS d
+                  FROM ranked WHERE rn <= {burn_in_days})
+        ), cusum AS (
+            SELECT r.rn, r.day, r.n, r.s,
+                   GREATEST(CAST(0 AS BIGINT),
+                            r.s * 1000000 - r.n * (p.mu + p.k))
+                       AS spos,
+                   GREATEST(CAST(0 AS BIGINT),
+                            r.n * (p.mu - p.k) - r.s * 1000000)
+                       AS sneg
+            FROM ranked r, params p WHERE r.rn = 1
+            UNION ALL
+            SELECT r.rn, r.day, r.n, r.s,
+                   GREATEST(CAST(0 AS BIGINT),
+                            c.spos + r.s * 1000000
+                            - r.n * (p.mu + p.k)) AS spos,
+                   GREATEST(CAST(0 AS BIGINT),
+                            c.sneg + r.n * (p.mu - p.k)
+                            - r.s * 1000000) AS sneg
+            FROM cusum c
+            JOIN ranked r ON r.rn = c.rn + 1
+            CROSS JOIN params p
+        )
+        SELECT c.day, c.n AS n_events, c.s AS sum_cents,
+               c.spos AS cusum_pos, c.sneg AS cusum_neg,
+               c.spos > p.thresh AS alarm_pos,
+               c.sneg > p.thresh AS alarm_neg
+        FROM cusum c, params p
+        ORDER BY day
+    """

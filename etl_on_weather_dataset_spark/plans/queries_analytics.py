@@ -2018,3 +2018,69 @@ register(QuerySpec(
     """,
     covers=("heavy-hitters", "misra-gries", "mergeable-topk-sketch"),
 ))
+
+
+# --- CUSUM change-point localization (round-9) -----------------------------------
+#
+# The drift monitors (ks_value_drift, source_drift_kl,
+# rolling_zscore_anomalies) answer "are these windows different";
+# CUSUM answers the on-call question: WHEN did the level shift, and
+# has it persisted? The query injects a deterministic +4000-cent
+# shift from Jan 21 (both engines add the same integer after the
+# cents rounding, so no float crosses the boundary) and attests the
+# full alarm trajectory: quiet through the burn-in baseline, rising
+# cusum_pos after the shift, alarm latched within days -- the exact
+# integer recursion (Spark F.aggregate fold vs DuckDB recursive CTE)
+# hashes identically.
+
+_CUSUM_SHIFT_DAY = "2024-01-21"
+_CUSUM_BOOST_CENTS = 4000
+_CUSUM_SLACK_PPM = 100_000
+_CUSUM_BURN_IN = 10
+
+
+def _cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    shifted = ev.select(
+        "ts",
+        (
+            F.round(F.col("value") * 100).cast("long")
+            + F.when(
+                F.col("ts").cast("date") >= F.lit(_CUSUM_SHIFT_DAY),
+                F.lit(_CUSUM_BOOST_CENTS),
+            ).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    return cusum_daily(
+        shifted,
+        burn_in_days=_CUSUM_BURN_IN,
+        slack_ppm=_CUSUM_SLACK_PPM,
+    )
+
+
+def _cusum_events_oracle() -> str:
+    from ..operators.timeseries import cusum_daily_sql
+
+    inner = f"""
+        SELECT ts,
+               CAST(ROUND(value * 100) AS BIGINT)
+               + CASE WHEN CAST(ts AS DATE) >= DATE '{_CUSUM_SHIFT_DAY}'
+                      THEN {_CUSUM_BOOST_CENTS} ELSE 0 END AS cents
+        FROM events
+    """
+    return cusum_daily_sql(
+        inner,
+        burn_in_days=_CUSUM_BURN_IN,
+        slack_ppm=_CUSUM_SLACK_PPM,
+    )
+
+
+register(QuerySpec(
+    name="cusum_changepoint_events",
+    spark_fn=_cusum_events,
+    oracle=_cusum_events_oracle,
+    covers=("cusum-changepoint", "drift-localization",
+            "ordered-integer-fold"),
+))

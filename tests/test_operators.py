@@ -5504,3 +5504,85 @@ class TestHeavyHitters:
             for r in heavy_hitters(df, "item", k=4).collect()
         }
         assert got == {"a": 2}
+
+
+class TestCusumDaily:
+    """operators.timeseries.cusum_daily: hand-checked recursion,
+    max(0,.) reset, and alarm latching on a constructed series."""
+
+    def test_recursion_matches_hand_computation(self, spark):
+        from datetime import datetime as dt
+
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            cusum_daily,
+        )
+
+        # 2 burn-in days at 100 cents/event, then a +100% day and a
+        # -100%-ish day: burn-in mu = 100e6 micro-cents/event,
+        # slack 10% -> k = 10e6, thresh = 2 * 100e6 * (4 div 2)
+        rows = []
+        for d, cents in [(1, 100), (2, 100), (3, 200), (4, 10)]:
+            rows += [(dt(2024, 1, d, 12, 0, 0), cents)] * 2
+        df = spark.createDataFrame(rows, "ts timestamp, cents long")
+        got = {
+            str(r.day): (r.cusum_pos, r.cusum_neg, r.alarm_pos,
+                         r.alarm_neg)
+            for r in cusum_daily(
+                df, burn_in_days=2, slack_ppm=100_000, h_mult=2
+            ).collect()
+        }
+        mu, k = 100_000_000, 10_000_000
+        # day1/2: dev_pos = 200e6 - 2*(mu+k) = -20e6 -> clipped to 0;
+        # dev_neg = 2*(mu-k) - 200e6 = -20e6 -> clipped to 0
+        assert got["2024-01-01"] == (0, 0, False, False)
+        assert got["2024-01-02"] == (0, 0, False, False)
+        # day3: 400e6 - 2*110e6 = 180e6 positive; neg stays 0
+        assert got["2024-01-03"] == (180_000_000, 0, False, False)
+        # day4: pos 180e6 + (20e6 - 220e6) = -20e6 -> reset to 0;
+        # neg 0 + (180e6 - 20e6) = 160e6
+        assert got["2024-01-04"] == (0, 160_000_000, False, False)
+
+    def test_sustained_shift_latches_alarm(self, spark):
+        from datetime import datetime as dt
+
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            cusum_daily,
+        )
+
+        rows = []
+        for d in range(1, 11):
+            cents = 100 if d <= 4 else 300  # shift at day 5
+            rows += [(dt(2024, 1, d, 8, 0, 0), cents)] * 3
+        df = spark.createDataFrame(rows, "ts timestamp, cents long")
+        out = cusum_daily(
+            df, burn_in_days=4, slack_ppm=100_000, h_mult=2
+        ).collect()
+        alarms = [str(r.day) for r in out if r.alarm_pos]
+        # surplus/day = 3*(300e6 - 110e6) = 570e6;
+        # thresh = 2 * 100e6 * (12 div 4) = 600e6 -> latch on day 6
+        assert alarms == [f"2024-01-{d:02d}" for d in range(6, 11)]
+        assert not any(r.alarm_neg for r in out)
+
+    def test_event_grain_is_never_sorted_or_windowed(self, spark):
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            cusum_daily,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        df = ev.select(
+            "ts", F.round(F.col("value") * 100).cast("long")
+            .alias("cents")
+        )
+        plan = cusum_daily(df)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        # the daily rollup must partial-aggregate map-side, and the
+        # only Window is the burn-in rank at |days| grain -- never a
+        # window ordered over raw event timestamps
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan  # the |days|-grain burn-in rank
+        assert "windowspecdefinition(ts" not in plan
