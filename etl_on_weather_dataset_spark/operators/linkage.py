@@ -56,35 +56,21 @@ def _char_qgrams_sql(name_sql: str, q: int = 3) -> str:
     )
 
 
-def qgram_blocked_pairs(
+def qgram_candidate_pairs(
     clean: DataFrame,
     dirty: DataFrame,
     name_col: str = "name",
     id_col: str = "id",
     q: int = 3,
     max_rel_freq: float = 0.05,
-    max_dist: int = 2,
     min_keep_count: int = 5,
     max_abs_count: int | None = None,
 ) -> DataFrame:
-    """Verified links (id_a, id_b, dist) between two record sets.
-
-    ``id_a``/``name_a`` come from ``clean``, ``id_b``/``name_b`` from
-    ``dirty``. Only pairs sharing >= 1 sufficiently-rare q-gram are
-    ever scored. The hot-gram cutoff is
-    ``greatest(max_rel_freq * n_records, min_keep_count)`` -- the
-    absolute floor keeps small corpora from dropping every gram
-    (0.05 * 7 records would otherwise ban even singletons).
-
-    ``max_abs_count`` additionally CAPS the cutoff with an absolute
-    block-size bound. A relative cutoff alone lets block sizes (and
-    so candidate pairs, quadratic per block) grow linearly with the
-    corpus -- measured: the 10x scale smoke on a dense digit-name
-    space went 179x in wall time before this cap existed. Real
-    deployments always bound block size absolutely; recall then
-    degrades gracefully on pathological key spaces instead of the job
-    going quadratic.
-    """
+    """Blocking stage only: distinct candidate ``(id_a, id_b)`` pairs
+    sharing >= 1 sufficiently-rare q-gram (steps 1-3 of the module
+    pipeline, no verification). Exposed separately so blocking
+    QUALITY can be audited against the same candidate set the
+    verifier scores (:func:`blocking_quality`)."""
     a = clean.select(
         F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
     )
@@ -130,11 +116,52 @@ def qgram_blocked_pairs(
         )
         .select("gram")
     )
-    cand = (
+    return (
         ga.join(keep, "gram")
         .join(gb.join(keep, "gram"), "gram")
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def qgram_blocked_pairs(
+    clean: DataFrame,
+    dirty: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+    max_abs_count: int | None = None,
+) -> DataFrame:
+    """Verified links (id_a, id_b, dist) between two record sets.
+
+    ``id_a``/``name_a`` come from ``clean``, ``id_b``/``name_b`` from
+    ``dirty``. Only pairs sharing >= 1 sufficiently-rare q-gram are
+    ever scored (:func:`qgram_candidate_pairs`). The hot-gram cutoff
+    is ``greatest(max_rel_freq * n_records, min_keep_count)`` -- the
+    absolute floor keeps small corpora from dropping every gram
+    (0.05 * 7 records would otherwise ban even singletons).
+
+    ``max_abs_count`` additionally CAPS the cutoff with an absolute
+    block-size bound. A relative cutoff alone lets block sizes (and
+    so candidate pairs, quadratic per block) grow linearly with the
+    corpus -- measured: the 10x scale smoke on a dense digit-name
+    space went 179x in wall time before this cap existed. Real
+    deployments always bound block size absolutely; recall then
+    degrades gracefully on pathological key spaces instead of the job
+    going quadratic.
+    """
+    a = clean.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
+    )
+    b = dirty.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b")
+    )
+    cand = qgram_candidate_pairs(
+        clean, dirty, name_col, id_col, q, max_rel_freq,
+        min_keep_count, max_abs_count,
     )
     return (
         cand.join(a, "id_a")
@@ -166,14 +193,39 @@ def qgram_blocked_pairs_sql(
 ) -> str:
     """DuckDB twin of qgram_blocked_pairs. ``clean_sql``/``dirty_sql``
     are subqueries yielding (id, name) under the given column names."""
+    ctes = _qgram_cand_ctes(
+        clean_sql, dirty_sql, name_col, id_col, q, max_rel_freq,
+        min_keep_count, max_abs_count,
+    )
+    return f"""
+        WITH {ctes}
+        SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
+        FROM cand JOIN a USING (id_a) JOIN b USING (id_b)
+        WHERE abs(length(name_a) - length(name_b)) <= {max_dist}
+          AND levenshtein(name_a, name_b) <= {max_dist}
+    """
+
+
+def _qgram_cand_ctes(
+    clean_sql: str,
+    dirty_sql: str,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    min_keep_count: int = 5,
+    max_abs_count: int | None = None,
+) -> str:
+    """Shared CTE body (a, b, ga, gb, totals, keep, cand) -- the
+    DuckDB twin of :func:`qgram_candidate_pairs`, embedded by both
+    the verified-pairs and blocking-quality builders."""
     cutoff = (
         f"greatest({max_rel_freq!r} * n_records,"
         f" {float(min_keep_count)!r})"
     )
     if max_abs_count is not None:
         cutoff = f"least({cutoff}, {float(max_abs_count)!r})"
-    return f"""
-        WITH a AS (SELECT {id_col} AS id_a, {name_col} AS name_a
+    return f"""a AS (SELECT {id_col} AS id_a, {name_col} AS name_a
                    FROM ({clean_sql})),
         b AS (SELECT {id_col} AS id_b, {name_col} AS name_b
               FROM ({dirty_sql})),
@@ -199,12 +251,7 @@ def qgram_blocked_pairs_sql(
             FROM (SELECT * FROM ga JOIN keep USING (gram)) x
             JOIN (SELECT * FROM gb JOIN keep USING (gram)) y
                 USING (gram)
-        )
-        SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
-        FROM cand JOIN a USING (id_a) JOIN b USING (id_b)
-        WHERE abs(length(name_a) - length(name_b)) <= {max_dist}
-          AND levenshtein(name_a, name_b) <= {max_dist}
-    """
+        )"""
 
 
 def linkage_summary(
@@ -408,4 +455,174 @@ def golden_records_sql(
                CAST(g.golden_name != c.{name_col} AS INTEGER)
                    AS changed
         FROM golden g JOIN ({clean_sql}) c ON c.{id_col} = g.id
+    """
+
+
+# --- blocking-quality audit ------------------------------------------------------
+
+
+def blocking_quality(
+    clean: DataFrame,
+    dirty: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+    max_abs_count: int | None = None,
+    panel_ppm: int = 40_000,
+    salt: str = "bq",
+) -> DataFrame:
+    """One-row audit of the BLOCKING stage itself -- the two numbers
+    every linkage deployment tunes on (Christen, "Data Matching",
+    ch. 7): how much work blocking saved, and how many true matches
+    it can still reach.
+
+    - ``reduction_ppm`` = 1e6 - candidate_pairs*1e6 div (n_a*n_b):
+      the fraction of the full cross product the verifier never sees.
+    - ``completeness_ppm``: pairs completeness measured on a PANEL --
+      an md5-chosen ~``panel_ppm``/1e6 fraction of ids selected with
+      the SAME salt on both sides (so a record and its counterpart
+      enter together). The panel's ground truth is computed
+      EXHAUSTIVELY (length gate + levenshtein <= max_dist over
+      panel_a x panel_b -- the one deliberate bounded brute-force
+      arm, O((panel fraction)^2 * n_a*n_b), the standard estimator
+      when the full cross product is unpayable); completeness = the
+      share of true panel matches whose pair survives blocking.
+      ``completeness_ppm`` is 1e6 when the panel holds no true match
+      (vacuously complete; ``panel_true_matches`` disambiguates).
+
+    Every output is BIGINT (counts and ppm by truncating division) --
+    md5 selection, levenshtein and integer arithmetic are identical
+    in both engines, so the DuckDB twin is exact.
+
+    Scale: blocking cost is the candidate join (bounded by the
+    hot-gram/abs-count guards); the audit adds one grams-free
+    aggregate per side plus the panel brute arm, whose size the
+    caller dials with ``panel_ppm`` independently of corpus growth.
+    """
+    from .sample import hash_bucket
+
+    a = clean.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
+    )
+    b = dirty.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b")
+    )
+    cand = qgram_candidate_pairs(
+        clean, dirty, name_col, id_col, q, max_rel_freq,
+        min_keep_count, max_abs_count,
+    )
+    counts = (
+        a.agg(F.count("*").cast("long").alias("n_a"))
+        .crossJoin(b.agg(F.count("*").cast("long").alias("n_b")))
+        .crossJoin(
+            cand.agg(
+                F.count("*").cast("long").alias("candidate_pairs")
+            )
+        )
+    )
+    pa = a.filter(hash_bucket("id_a", salt=salt) < panel_ppm)
+    pb = b.filter(hash_bucket("id_b", salt=salt) < panel_ppm)
+    truth = (
+        pa.crossJoin(pb)
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+        .select("id_a", "id_b")
+    )
+    found = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    panel = (
+        pa.agg(F.count("*").cast("long").alias("panel_a_n"))
+        .crossJoin(pb.agg(F.count("*").cast("long").alias("panel_b_n")))
+        .crossJoin(
+            truth.agg(
+                F.count("*").cast("long").alias("panel_true_matches")
+            )
+        )
+        .crossJoin(
+            found.agg(
+                F.count("*").cast("long").alias("panel_found")
+            )
+        )
+    )
+    return counts.crossJoin(panel).select(
+        "n_a", "n_b", "candidate_pairs",
+        F.expr(
+            "CASE WHEN n_a * n_b = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(1000000 AS BIGINT)"
+            " - candidate_pairs * CAST(1000000 AS BIGINT)"
+            " div (n_a * n_b) END"
+        ).alias("reduction_ppm"),
+        "panel_a_n", "panel_b_n", "panel_true_matches", "panel_found",
+        F.expr(
+            "CASE WHEN panel_true_matches = 0"
+            " THEN CAST(1000000 AS BIGINT) "
+            "ELSE panel_found * CAST(1000000 AS BIGINT)"
+            " div panel_true_matches END"
+        ).alias("completeness_ppm"),
+    )
+
+
+def blocking_quality_sql(
+    clean_sql: str,
+    dirty_sql: str,
+    name_col: str = "name",
+    id_col: str = "id",
+    q: int = 3,
+    max_rel_freq: float = 0.05,
+    max_dist: int = 2,
+    min_keep_count: int = 5,
+    max_abs_count: int | None = None,
+    panel_ppm: int = 40_000,
+    salt: str = "bq",
+) -> str:
+    """DuckDB twin of :func:`blocking_quality`."""
+    from .sample import hash_bucket_sql
+
+    ctes = _qgram_cand_ctes(
+        clean_sql, dirty_sql, name_col, id_col, q, max_rel_freq,
+        min_keep_count, max_abs_count,
+    )
+    sel_a = hash_bucket_sql("id_a", salt=salt)
+    sel_b = hash_bucket_sql("id_b", salt=salt)
+    return f"""
+        WITH {ctes},
+        pa AS (SELECT * FROM a WHERE {sel_a} < {panel_ppm}),
+        pb AS (SELECT * FROM b WHERE {sel_b} < {panel_ppm}),
+        truth AS (
+            SELECT id_a, id_b FROM pa CROSS JOIN pb
+            WHERE abs(length(name_a) - length(name_b)) <= {max_dist}
+              AND levenshtein(name_a, name_b) <= {max_dist}
+        ),
+        found AS (
+            SELECT t.id_a, t.id_b FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.id_a = t.id_a AND c.id_b = t.id_b)
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+                AS candidate_pairs,
+            CAST(CASE WHEN (SELECT COUNT(*) FROM a)
+                          * (SELECT COUNT(*) FROM b) = 0 THEN 0
+                 ELSE 1000000
+                      - (SELECT COUNT(*) FROM cand) * 1000000
+                        // ((SELECT COUNT(*) FROM a)
+                            * (SELECT COUNT(*) FROM b))
+                 END AS BIGINT) AS reduction_ppm,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM pa) AS panel_a_n,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM pb) AS panel_b_n,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+                AS panel_true_matches,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM found)
+                AS panel_found,
+            CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0
+                 THEN 1000000
+                 ELSE (SELECT COUNT(*) FROM found) * 1000000
+                      // (SELECT COUNT(*) FROM truth)
+                 END AS BIGINT) AS completeness_ppm
     """

@@ -2021,3 +2021,50 @@ register(QuerySpec(
             "deterministic-resampling"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- blocking-quality audit (round-9) -------------------------------------------
+#
+# record_linkage_summary reports structural recall of the VERIFIED
+# links against the planted truth; this audits the BLOCKING stage
+# itself on the same fixture and dials: reduction ratio (how much of
+# the n_a x n_b cross product the verifier never sees) and pairs
+# completeness on an md5-chosen panel whose ground truth is computed
+# exhaustively (the one deliberate, bounded brute arm -- the standard
+# estimator when the full cross product is unpayable).
+
+def _linkage_blocking_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.linkage import blocking_quality
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return blocking_quality(
+        clean, _linkage_dirty_names(cust),
+        q=_LINKAGE_Q,
+        max_rel_freq=_LINKAGE_REL_FREQ,
+        max_abs_count=_LINKAGE_ABS_CAP,
+    )
+
+
+def _linkage_blocking_quality_oracle() -> str:
+    from ..operators.linkage import blocking_quality_sql
+
+    return blocking_quality_sql(
+        _LINKAGE_CLEAN_SQL, _LINKAGE_DIRTY_SQL,
+        q=_LINKAGE_Q,
+        max_rel_freq=_LINKAGE_REL_FREQ,
+        max_abs_count=_LINKAGE_ABS_CAP,
+    )
+
+
+register(QuerySpec(
+    name="linkage_blocking_quality",
+    spark_fn=_linkage_blocking_quality,
+    oracle=_linkage_blocking_quality_oracle,
+    covers=("blocking-quality", "reduction-ratio",
+            "pairs-completeness-panel"),
+))

@@ -5586,3 +5586,55 @@ class TestCusumDaily:
         assert "CartesianProduct" not in plan
         assert "Window" in plan  # the |days|-grain burn-in rank
         assert "windowspecdefinition(ts" not in plan
+
+
+class TestBlockingQuality:
+    """operators.linkage.blocking_quality on a constructed corpus
+    with known blocking behavior."""
+
+    def test_counts_and_ratios(self, spark):
+        from etl_on_weather_dataset_spark.operators.linkage import (
+            blocking_quality,
+        )
+
+        # clean/dirty share ids; names engineered so blocking (q=3,
+        # generous cutoffs) finds everything -- completeness 1e6
+        rows = [(i, f"record-{i:04d}") for i in range(40)]
+        clean = spark.createDataFrame(rows, "id long, name string")
+        dirty = spark.createDataFrame(
+            [(i, n[:-1]) for i, n in rows], "id long, name string"
+        )
+        r = blocking_quality(
+            clean, dirty, q=3, max_rel_freq=1.0, max_dist=2,
+            min_keep_count=5, panel_ppm=1_000_000,  # full panel
+        ).collect()[0]
+        assert (r.n_a, r.n_b) == (40, 40)
+        assert r.panel_a_n == 40 and r.panel_b_n == 40
+        # every id's counterpart is within dist 1 and shares grams
+        assert r.panel_true_matches >= 40
+        assert r.panel_found == r.panel_true_matches
+        assert r.completeness_ppm == 1_000_000
+        # blocking found SOME structure: fewer candidates than the
+        # cross product (the shared 'record-' prefix is kept at
+        # rel_freq=1.0, so candidates = all pairs here -> reduction 0;
+        # assert the arithmetic instead)
+        assert r.reduction_ppm == (
+            1_000_000 - r.candidate_pairs * 1_000_000 // (40 * 40)
+        )
+
+    def test_empty_panel_is_vacuously_complete(self, spark):
+        from etl_on_weather_dataset_spark.operators.linkage import (
+            blocking_quality,
+        )
+
+        clean = spark.createDataFrame(
+            [(1, "alpha")], "id long, name string"
+        )
+        dirty = spark.createDataFrame(
+            [(2, "zzzzzzz")], "id long, name string"
+        )
+        r = blocking_quality(
+            clean, dirty, panel_ppm=1_000_000
+        ).collect()[0]
+        assert r.panel_true_matches == 0
+        assert r.completeness_ppm == 1_000_000
