@@ -1,0 +1,189 @@
+"""Incremental connected-components maintenance through a persistent
+store -- the day-2 shape of near-dup GROUP resolution.
+
+``dedup_components`` resolves one batch's pair graph; a continuously
+ingested corpus instead accumulates edges forever, and recomputing
+components over every edge ever seen is O(history) per day. The
+store makes each merge O(batch + affected):
+
+- The store holds one row per node: ``(id, component, bucket)``,
+  parquet-partitioned by ``bucket = crc32(component) % n_buckets``.
+- Invariant (the whole trick): the stored labeling is a STAR-GRAPH
+  spanning structure of the true component graph -- edges
+  ``(id, component)`` reconnect exactly the components of every edge
+  ever merged, so components(store-stars UNION new-edges) ==
+  components(all edges ever). No raw edge is ever retained.
+- A merge therefore: (1) finds the components TOUCHED by the new
+  batch's endpoints, (2) pulls only their members, (3) runs the
+  batch-grade label propagation on members' stars + new edges, and
+  (4) rewrites only the parquet buckets those components (old and
+  new labels) live in -- explicit bucket-directory replace (delete +
+  append; see the in-code note on why dynamic partition overwrite
+  cannot express "this bucket is now empty"); untouched buckets are
+  never read or written. ``_BUCKETS`` trades rewrite granularity
+  against file count -- size it so bucket ~ a rewrite unit your
+  store's object sizes like (16 here; thousands at 100 TB).
+
+Labels are canonical (component = min reachable id), so the
+incremental result is BIT-EQUAL to the one-shot recompute -- which is
+exactly what the registered scenario attests against the DuckDB
+recursive-CTE oracle over the union of all batches' edges.
+
+Atomicity: the delete+append bucket replace is not transactional
+across buckets. Production wraps each merge in the repo's versioned-store
+commit protocol (operators/versioned.py -- write v+1, commit marker,
+readers pin a version) exactly as the rollup store does; the merge
+here is the data plane those versions snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import dedup_components
+
+_BUCKETS = 16
+
+
+def _bucket(component) -> F.Column:
+    return F.crc32(F.col(component).cast("string")) % _BUCKETS
+
+
+def read_component_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame | None:
+    """The store's (id, component) rows, or None before first merge."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path).select("id", "component")
+    except AnalysisException:
+        return None
+
+
+def merge_component_batch(
+    spark: SparkSession,
+    new_pairs: DataFrame,
+    store_path: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Merge one batch of near-dup pairs into the component store and
+    return the post-merge (id, component) rows of the AFFECTED
+    subgraph (new nodes + every member of every touched component).
+
+    Cost: O(batch + affected members), never O(store). The members
+    pull is an equi-semi-join on component; the rewrite touches only
+    the buckets hosting touched components' old or new labels.
+    """
+    pairs = new_pairs.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+    )
+    store = read_component_store(spark, store_path)
+    if store is None:
+        labels = dedup_components(pairs)
+        out = labels.withColumn("bucket", _bucket("component"))
+        # one task (= one file) per bucket: the bucket is the store's
+        # unit of rewrite, so file count stays n_buckets regardless of
+        # write parallelism upstream (64 x shuffle_partitions tiny
+        # files measured 4x slower to write and reread)
+        out.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(store_path)
+        return spark.read.parquet(store_path).select("id", "component")
+
+    endpoints = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    touched = (
+        store.join(endpoints, "id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    members = store.join(touched, "component", "left_semi")
+    # star edges reconnect each touched component exactly; adding the
+    # batch pairs yields the merged truth on the affected subgraph
+    graph = members.select(
+        F.col("id").alias("id_a"), F.col("component").alias("id_b")
+    ).unionAll(pairs)
+    labels = dedup_components(graph).localCheckpoint(eager=True)
+
+    new_rows = labels.withColumn("bucket", _bucket("component"))
+    affected_buckets = (
+        touched.select(_bucket("component").alias("bucket"))
+        .unionAll(new_rows.select("bucket"))
+        .distinct()
+    )
+    # rows sharing an affected bucket but belonging to untouched
+    # components must be carried over (the whole bucket directory is
+    # replaced below)
+    carried = (
+        store.withColumn("bucket", _bucket("component"))
+        .join(affected_buckets, "bucket", "left_semi")
+        .join(touched, "component", "left_anti")
+        .select("id", "component", "bucket")
+        # MUST materialize before the delete+append below: carried
+        # reads the same parquet path the rewrite replaces, and Spark
+        # re-lists files at action time -- an unpinned plan would race
+        # its own rewrite (labels is checkpointed for the same reason,
+        # plus reuse)
+        .localCheckpoint(eager=True)
+    )
+    # Replace affected buckets EXPLICITLY: dynamic partition overwrite
+    # only clears partitions that appear in the written rows, and a
+    # bucket whose every component was relabeled AWAY contributes no
+    # output row -- its stale files would silently survive (observed:
+    # a 2-batch chain merge kept both labelings). Deleting the <=
+    # n_buckets affected directories is bounded driver coordination
+    # (one value per bucket, never data).
+    from .versioned import fs_for
+
+    fs, _, jvm = fs_for(spark, store_path)
+    for (b,) in affected_buckets.collect():
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{store_path}/bucket={b}"
+        ), True)
+    (
+        new_rows.select("id", "component", "bucket")
+        .unionByName(carried)
+        .repartition("bucket")  # one file per rewritten bucket
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(store_path)
+    )
+    return labels
+
+
+def component_store_summary(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """One-row audit of the store: nodes, components, largest
+    component, and exact integer checksums of the full labeling (sum
+    of ids and of labels) -- a drift hash the one-shot recompute must
+    reproduce bit-for-bit."""
+    store = spark.read.parquet(store_path)
+    per = store.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        store.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("id").cast("long").alias("sum_ids"),
+            F.sum("component").cast("long").alias("sum_labels"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_components"),
+                    F.max("sz").cast("long").alias("max_component"),
+                )
+            )
+        )
+        .select(
+            "n_nodes", "n_components", "max_component",
+            "sum_ids", "sum_labels",
+        )
+    )

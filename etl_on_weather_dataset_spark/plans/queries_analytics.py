@@ -1868,6 +1868,7 @@ register(QuerySpec(
     spark_fn=_attribution_last_touch,
     oracle=_attribution_oracle,
     covers=("last-touch-attribution", "window-over-join-rewrite"),
+    bench=True,
 ))
 
 
@@ -1924,6 +1925,7 @@ register(QuerySpec(
     oracle=_fd_audit_oracle,
     covers=("functional-dependency-audit", "candidate-key-audit",
             "g3-error"),
+    bench=True,
 ))
 
 
@@ -2017,6 +2019,7 @@ register(QuerySpec(
         ORDER BY item
     """,
     covers=("heavy-hitters", "misra-gries", "mergeable-topk-sketch"),
+    bench=True,
 ))
 
 
@@ -2083,4 +2086,5 @@ register(QuerySpec(
     oracle=_cusum_events_oracle,
     covers=("cusum-changepoint", "drift-localization",
             "ordered-integer-fold"),
+    bench=True,
 ))

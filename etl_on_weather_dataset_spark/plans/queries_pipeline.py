@@ -2142,10 +2142,17 @@ def _neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    weights = neyman_weights(docs, "source", "n_chars")
+    # eager localCheckpoint: the |strata|-row weights frame feeds the
+    # waterfill (which references its input several times), the
+    # zero-weight arm and the draw join -- without pinning it, every
+    # reference re-runs the corpus-grain aggregate (~10 scans in the
+    # audited plan; 1 after)
+    weights = neyman_weights(docs, "source", "n_chars").localCheckpoint(
+        eager=True
+    )
     plan = quota_waterfill(
         weights.filter(F.col("weight") > 0), _NEYMAN_BUDGET
-    )
+    ).localCheckpoint(eager=True)
     drawn = quota_waterfill_select(
         docs.select("source", "doc_id"), plan, "source", "doc_id",
         salt="neyman",
@@ -2224,4 +2231,175 @@ register(QuerySpec(
     oracle=_neyman_allocation_oracle,
     covers=("neyman-allocation", "variance-optimal-sampling",
             "budget-exact-stratified-draw"),
+    bench=True,
+))
+
+
+# --- incremental connected components through the store (round-9) ----------------
+#
+# The dedup tiers find PAIRS; dedup_components resolves one batch's
+# pairs into groups; this is the day-2 shape: a persistent
+# (id, component) store, bucket-partitioned by component hash, merged
+# with each day's new pairs in O(batch + affected members) -- the
+# stored labeling is a star-graph spanning structure, so
+# components(store-stars UNION new-edges) == components(all edges
+# ever), and only the buckets hosting touched components rewrite.
+# Labels are canonical (min reachable id), so the scenario attests
+# incremental-through-the-store == one-shot recompute BIT-FOR-BIT:
+# the oracle runs the recursive CTE over the union of both days'
+# edges and must reproduce the store summary exactly.
+
+def _cs_day1_edges(orders: DataFrame) -> DataFrame:
+    base = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    return base.select(
+        F.col("k").alias("id_a"), (F.col("k") + 1).alias("id_b")
+    ).unionAll(
+        base.select(
+            (F.col("k") + 2).alias("id_a"),
+            (F.col("k") + 3).alias("id_b"),
+        )
+    )
+
+
+def _cs_day2_edges(orders: DataFrame) -> DataFrame:
+    merges = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        (F.col("o_orderkey") + 1).alias("id_a"),
+        (F.col("o_orderkey") + 2).alias("id_b"),
+    )
+    fresh = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        (F.col("o_orderkey") + 5).alias("id_a"),
+        (F.col("o_orderkey") + 6).alias("id_b"),
+    )
+    return merges.unionAll(fresh)
+
+
+_CS_EDGES_SQL = """
+    SELECT o_orderkey AS id_a, o_orderkey + 1 AS id_b
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 2, o_orderkey + 3
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 1, o_orderkey + 2
+    FROM orders WHERE o_orderkey % 20 = 0
+    UNION ALL
+    SELECT o_orderkey + 5, o_orderkey + 6
+    FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+def _component_store_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.component_store import (
+        component_store_summary,
+        merge_component_batch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="spark_cstore_")
+    try:
+        store = f"{tmp}/components"
+        merge_component_batch(spark, _cs_day1_edges(orders), store)
+        merge_component_batch(spark, _cs_day2_edges(orders), store)
+        # pin the one-row summary before the tempdir vanishes
+        return component_store_summary(spark, store).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _component_store_plans(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Plan-audit provider: materialize the day-1 store into a
+    tempdir, then return the UNEXECUTED day-2 inner shapes -- the
+    touched-members pull, one label-propagation round over the
+    affected subgraph, and the carried-rows rewrite leg."""
+    import tempfile
+
+    from ..operators.component_store import (
+        _bucket,
+        merge_component_batch,
+        read_component_store,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="spark_cstore_audit_")
+    store_path = f"{tmp}/components"
+    merge_component_batch(spark, _cs_day1_edges(orders), store_path)
+    store = read_component_store(spark, store_path)
+    pairs = _cs_day2_edges(orders)
+    endpoints = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    touched = (
+        store.join(endpoints, "id", "left_semi")
+        .select("component").distinct()
+    )
+    members = store.join(touched, "component", "left_semi")
+    graph = members.select(
+        F.col("id").alias("id_a"), F.col("component").alias("id_b")
+    ).unionAll(pairs)
+    sym = graph.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        graph.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels0 = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    one_round = (
+        sym.join(labels0, sym.src == labels0.id)
+        .groupBy("dst").agg(F.min("label").alias("label"))
+    )
+    carried = (
+        store.withColumn("bucket", _bucket("component"))
+        .join(
+            touched.select(_bucket("component").alias("bucket")),
+            "bucket", "left_semi",
+        )
+        .join(touched, "component", "left_anti")
+    )
+    return {
+        "members_pull": members,
+        "prop_round": one_round,
+        "carried_rewrite": carried,
+    }
+
+
+def _component_store_oracle() -> str:
+    from ..operators.dedup import dedup_components_ctes
+
+    return f"""
+        WITH RECURSIVE {dedup_components_ctes(_CS_EDGES_SQL)}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(COUNT(DISTINCT component) AS BIGINT)
+                   AS n_components,
+               CAST((SELECT MAX(sz) FROM (
+                   SELECT COUNT(*) AS sz FROM components
+                   GROUP BY component
+               )) AS BIGINT) AS max_component,
+               CAST(SUM(id) AS BIGINT) AS sum_ids,
+               CAST(SUM(component) AS BIGINT) AS sum_labels
+        FROM components
+    """
+
+
+register(QuerySpec(
+    name="component_store_incremental",
+    spark_fn=_component_store_incremental,
+    oracle=_component_store_oracle,
+    covers=("incremental-connected-components", "component-store",
+            "day2-dedup-groups"),
+    bench=True,
+    plan_fn=_component_store_plans,
 ))

@@ -5638,3 +5638,81 @@ class TestBlockingQuality:
         ).collect()[0]
         assert r.panel_true_matches == 0
         assert r.completeness_ppm == 1_000_000
+
+
+class TestComponentStore:
+    """operators.component_store: incremental merges through the
+    bucket-partitioned store equal the one-shot recompute."""
+
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, "id_a long, id_b long")
+
+    def test_merge_then_merge_equals_oneshot(self, spark, tmp_path):
+        from etl_on_weather_dataset_spark.operators.component_store import (
+            merge_component_batch,
+            read_component_store,
+        )
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            dedup_components,
+        )
+
+        day1 = [(1, 2), (3, 4), (7, 8)]
+        day2 = [(2, 3), (10, 11)]  # merges {1,2}+{3,4}; new {10,11}
+        store = str(tmp_path / "cstore")
+        merge_component_batch(spark, self._pairs(spark, day1), store)
+        merge_component_batch(spark, self._pairs(spark, day2), store)
+        got = {
+            r.id: r.component
+            for r in read_component_store(spark, store).collect()
+        }
+        want = {
+            r.id: r.component
+            for r in dedup_components(
+                self._pairs(spark, day1 + day2)
+            ).collect()
+        }
+        assert got == want
+        assert got[4] == 1 and got[7] == 7 and got[11] == 10
+
+    def test_untouched_components_keep_their_rows(self, spark, tmp_path):
+        from etl_on_weather_dataset_spark.operators.component_store import (
+            merge_component_batch,
+            read_component_store,
+        )
+
+        store = str(tmp_path / "cstore")
+        merge_component_batch(
+            spark, self._pairs(spark, [(1, 2), (50, 51)]), store
+        )
+        # second batch touches only {1,2}; {50,51} must survive the
+        # bucket rewrite byte-for-byte
+        merge_component_batch(spark, self._pairs(spark, [(2, 5)]), store)
+        got = {
+            r.id: r.component
+            for r in read_component_store(spark, store).collect()
+        }
+        assert got == {1: 1, 2: 1, 5: 1, 50: 50, 51: 50}
+
+    def test_three_batches_chain_merge(self, spark, tmp_path):
+        from etl_on_weather_dataset_spark.operators.component_store import (
+            merge_component_batch,
+            read_component_store,
+        )
+
+        store = str(tmp_path / "cstore")
+        # chains that only connect across batches, forcing the merge
+        # to relabel previously-separate stored components repeatedly
+        merge_component_batch(
+            spark, self._pairs(spark, [(10, 20), (30, 40)]), store
+        )
+        merge_component_batch(
+            spark, self._pairs(spark, [(20, 30)]), store
+        )
+        merge_component_batch(
+            spark, self._pairs(spark, [(40, 5)]), store
+        )
+        got = {
+            r.id: r.component
+            for r in read_component_store(spark, store).collect()
+        }
+        assert got == {5: 5, 10: 5, 20: 5, 30: 5, 40: 5}
