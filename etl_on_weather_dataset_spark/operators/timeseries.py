@@ -475,6 +475,23 @@ def cusum_daily(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col(cents_col).cast("long")).cast("long").alias("s"),
     )
+    return cusum_from_daily(
+        daily, burn_in_days=burn_in_days, slack_ppm=slack_ppm,
+        h_mult=h_mult,
+    )
+
+
+def cusum_from_daily(
+    daily: DataFrame,
+    burn_in_days: int = 10,
+    slack_ppm: int = 250_000,
+    h_mult: int = 2,
+) -> DataFrame:
+    """The CUSUM recursion over an ALREADY-ROLLED-UP daily frame
+    ``(day, n, s)`` -- exposed separately so day-2 pipelines can feed
+    it from the persistent rollup store (daily batches landed by
+    ``incremental_rollup``) instead of re-scanning event grain; same
+    exact-integer semantics as :func:`cusum_daily`."""
     rn_w = Window.orderBy("day")
     ranked = daily.withColumn("rn", F.row_number().over(rn_w))
     params = (

@@ -2088,3 +2088,106 @@ register(QuerySpec(
             "ordered-integer-fold"),
     bench=True,
 ))
+
+
+# --- CUSUM fed by the persistent rollup store (round-9) ---------------------------
+#
+# The day-2 twin of cusum_changepoint_events: daily batches land
+# through the REAL versioned rollup store (incremental_rollup, exact
+# scaled-integer sums, batch-id replay ledger), and the monitor reads
+# the store -- never re-scanning event grain -- before running the
+# same integer CUSUM recursion. The deterministic +4000-cent shift is
+# applied to the STORED integer sums (sum_c + 4000*n_rows on
+# post-cutoff days), so no rounding happens twice. The oracle is the
+# SAME SQL as the batch query: the driver hash attests
+# store-incremental == batch bit-for-bit, including the replayed
+# batch being folded exactly once.
+
+def _cusum_store_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.rollup_store import incremental_rollup
+    from ..operators.timeseries import cusum_from_daily
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    halves = [
+        ev.filter(F.col("day") <= F.lit("2024-01-15")),
+        ev.filter(F.col("day") > F.lit("2024-01-15")),
+    ]
+    tmp = tempfile.mkdtemp(prefix="spark_cusum_store_")
+    try:
+        store = f"{tmp}/daily"
+        for i, batch in enumerate(halves):
+            incremental_rollup(
+                spark, batch, store, batch_id=f"half{i}",
+                key_cols=["day"], value_col="value",
+            )
+        # replay of the last batch: the ledger must fold it ONCE
+        agg = incremental_rollup(
+            spark, halves[1], store, batch_id="half1",
+            key_cols=["day"], value_col="value",
+        )
+        daily = agg.select(
+            "day",
+            F.col("n_rows").alias("n"),
+            (
+                F.col("sum_c")
+                + F.when(
+                    F.col("day") >= F.lit(_CUSUM_SHIFT_DAY),
+                    F.lit(_CUSUM_BOOST_CENTS) * F.col("n_rows"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("s"),
+        )
+        return cusum_from_daily(
+            daily, burn_in_days=_CUSUM_BURN_IN,
+            slack_ppm=_CUSUM_SLACK_PPM,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cusum_store_plans(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Plan-audit provider: the store-merge shape (partial aggregate
+    + full-outer fold into the stored agg) and the store-fed CUSUM."""
+    from ..operators.rollup_store import rollup_merge_plan
+    from ..operators.timeseries import cusum_from_daily
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    day1 = ev.filter(F.col("day") <= F.lit("2024-01-15"))
+    fake_agg = day1.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("value") * 100)).cast("long").alias("sum_c"),
+        F.lit(0).cast("long").alias("sum2_c"),
+    )
+    merge = rollup_merge_plan(
+        ev.filter(F.col("day") > F.lit("2024-01-15")),
+        fake_agg, key_cols=["day"], value_col="value",
+    )
+    monitor = cusum_from_daily(
+        fake_agg.select(
+            "day", F.col("n_rows").alias("n"),
+            F.col("sum_c").alias("s"),
+        ),
+        burn_in_days=_CUSUM_BURN_IN, slack_ppm=_CUSUM_SLACK_PPM,
+    )
+    return {"store_merge": merge, "monitor": monitor}
+
+
+register(QuerySpec(
+    name="cusum_store_incremental",
+    spark_fn=_cusum_store_incremental,
+    oracle=_cusum_events_oracle,
+    covers=("day2-drift-monitor", "rollup-store-cusum",
+            "exactly-once-replay"),
+    bench=True,
+    plan_fn=_cusum_store_plans,
+))

@@ -134,14 +134,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     quarantine_split_orders, attribution_last_touch,
 #     fd_audit_orders_lineitem, neyman_allocation_sample,
 #     heavy_hitters_events, cusum_changepoint_events,
-#     linkage_blocking_quality, component_store_incremental) stay
-#     visible by default. 21 pinned + 10 new + 19 refreshed = 50.
-#     Refresh backlog for round 10: value_percentiles,
-#     normalize_per_user, cube_status_priority,
+#     linkage_blocking_quality, component_store_incremental,
+#     cusum_store_incremental) stay visible by default. 21 pinned +
+#     11 new + 18 refreshed = 50. Refresh backlog for round 10:
+#     value_percentiles, normalize_per_user, cube_status_priority,
 #     distinct_users_per_type, embedding_label_stats,
 #     approx_distinct_users, chunk_documents, doc_fingerprints,
-#     lang_id_confusion, salted_skew_rollup (all r2), then the
-#     round-3-attested tier.
+#     lang_id_confusion, set_ops_user_segments, salted_skew_rollup
+#     (all r2), then the round-3-attested tier.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
@@ -157,7 +157,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "profit_by_nation_year", "orders_above_customer_avg",
     "timestamp_coercion", "dedup_full_row", "dedup_subset_distinct",
     "median_impute", "daily_join_fanout", "validation_counts",
-    "outlier_filter", "sink_reshape_rename", "set_ops_user_segments",
+    "outlier_filter", "sink_reshape_rename",
     "json_props_extract", "streaming_tumbling_rollup",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
@@ -177,6 +177,7 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "cube_status_priority", "distinct_users_per_type",
     "embedding_label_stats", "approx_distinct_users",
     "chunk_documents", "doc_fingerprints", "lang_id_confusion",
+    "set_ops_user_segments",
     # -- the 9 round-8-new queries, attested green in r8:
     "web_ingest_incremental_stats", "preference_pairs_events",
     "epoch_shuffle_manifest", "mixture_epoch_plan",
