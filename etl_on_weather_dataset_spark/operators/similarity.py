@@ -1845,3 +1845,260 @@ def ivf_pq_topk_sql(
             FROM scored
         ) WHERE rk <= {k}
     """
+
+
+# --- MMR: diversity-aware top-k (maximal marginal relevance) --------------------
+
+
+def _mmr_fold_expr(k: int, lam_ppm: int) -> str:
+    """The greedy MMR selection as ONE Spark SQL expression over the
+    in-row candidate array ``cands`` (structs ``pos:int, id:bigint,
+    rel:bigint, sims:array<bigint>`` with ``sims`` indexed by
+    candidate pos). All-integer scoring:
+
+        score(c) = lam_ppm*rel(c) - (1e6-lam_ppm)*max_{p in sel} sims_c[p]
+
+    (max over the empty selection is 0, so the first pick is the
+    max-relevance candidate -- the standard MMR base case). Ties break
+    to the smaller id. The chosen candidate is evaluated once via the
+    transform-over-singleton-array trick."""
+    comp = 1_000_000 - lam_ppm
+    score = (
+        f"({lam_ppm} * c.rel - {comp} * "
+        "(case when size(acc.sel) = 0 then cast(0 as bigint) "
+        "else array_max(transform(acc.sel, "
+        "p -> element_at(c.sims, p))) end))"
+    )
+    best = f"""
+        aggregate(
+            filter(cands, c -> NOT array_contains(acc.sel, c.pos)),
+            named_struct(
+                'pos', -1, 'id', cast(-1 as bigint),
+                'score', cast(-9223372036854775808 as bigint)),
+            (b, c) -> case
+                when {score} > b.score
+                  or ({score} = b.score and (b.pos = -1 or c.id < b.id))
+                then named_struct(
+                    'pos', c.pos, 'id', c.id, 'score', {score})
+                else b end)
+    """
+    return f"""
+        aggregate(
+            sequence(1, {k}),
+            named_struct(
+                'sel', cast(array() as array<int>),
+                'out', cast(array() as
+                    array<struct<id:bigint,score:bigint>>)),
+            (acc, step) -> case
+                when size(acc.sel) >= size(cands) then acc
+                else element_at(transform(array({best}), b ->
+                    named_struct(
+                        'sel', array_append(acc.sel, b.pos),
+                        'out', array_append(acc.out, named_struct(
+                            'id', b.id, 'score', b.score)))), 1)
+                end
+        ).out
+    """
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    shortlist: int = 8,
+    lam_ppm: int = 700_000,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-aware top-k (Carbonell & Goldstein 1998, maximal
+    marginal relevance): greedily pick ``k`` of the ``shortlist``
+    nearest candidates, each step maximizing relevance minus the
+    worst redundancy against what is already picked -- the standard
+    answer to "my nearest neighbors are near-duplicates of each
+    other" in retrieval, few-shot example selection and eval-set
+    construction.
+
+    Exactness: candidate relevances and candidate-candidate
+    similarities are the tier's snapped cosines scaled to micro
+    integers, so the greedy recursion (argmax + tie-break) is pure
+    BIGINT arithmetic -- engines cannot disagree on a pick.
+
+    Output: ``(query_id, rank, neighbor_id, mmr_score)`` with rank
+    1..k in selection order and ``mmr_score`` the integer objective
+    at pick time (monotone non-increasing down the ranks only for
+    the relevance term; the redundancy term can re-order).
+
+    Scale shape: stage 1 is the existing shortlist operator (swap in
+    the IVF/LSH arm at scale -- this is a rescoring layer, not a
+    search strategy: scale_path = cosine_topk_ivf); stage 2 is the
+    C^2-per-query candidate-pair self-join (C = ``shortlist``,
+    compile-time bounded); stage 3 folds the greedy selection
+    IN-ROW over a C-element array -- no iteration ever leaves the
+    row, no driver loop, no UDF.
+    """
+    if k > shortlist:
+        raise ValueError("mmr_topk needs k <= shortlist")
+    short = cosine_topk(
+        queries, corpus, k=shortlist,
+        query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+    )
+    cvec = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    cand = short.join(cvec, "neighbor_id").select(
+        "query_id",
+        F.col("rk").alias("pos"),
+        F.col("neighbor_id").alias("id"),
+        F.round(F.col("sim") * 1_000_000).cast("long").alias("rel"),
+        "cv", "cn",
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_sim = F.round(
+        F.round(
+            dot(F.col("a.cv"), F.col("b.cv"))
+            / (F.col("a.cn") * F.col("b.cn")),
+            SIM_DECIMALS,
+        ) * 1_000_000
+    ).cast("long")
+    pairs = (
+        a.join(b, F.col("a.query_id") == F.col("b.query_id"))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.pos").alias("pos"),
+            F.col("b.pos").alias("pj"),
+            pair_sim.alias("s"),
+        )
+    )
+    with_sims = (
+        pairs.groupBy("query_id", "pos")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pj", "s"))),
+                lambda e: e.s,
+            ).alias("sims")
+        )
+        .join(
+            cand.select("query_id", "pos", "id", "rel"),
+            ["query_id", "pos"],
+        )
+    )
+    per_query = with_sims.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "id", "rel", "sims"))
+        ).alias("cands")
+    )
+    out = per_query.select(
+        "query_id",
+        F.posexplode(
+            F.expr(_mmr_fold_expr(k, lam_ppm))
+        ).alias("rank0", "pick"),
+    )
+    return out.select(
+        "query_id",
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+        F.col("pick.id").alias("neighbor_id"),
+        F.col("pick.score").alias("mmr_score"),
+    )
+
+
+def mmr_topk_sql(
+    k: int = 4,
+    shortlist: int = 8,
+    lam_ppm: int = 700_000,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "TRUE",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`mmr_topk`: same snapped-cosine micro
+    integers, same greedy fold (list_reduce over k identical init
+    structs -- DuckDB's list_reduce takes no initial value, so the
+    init is prepended as the first element and each of the k lambda
+    applications ignores its element, mirroring the Spark fold that
+    ignores ``step``)."""
+    comp = 1_000_000 - lam_ppm
+    short = cosine_topk_sql(
+        k=shortlist, table=table, id_col=id_col, vec_col=vec_col,
+        query_filter=query_filter, dim=dim,
+    )
+    score = (
+        f"{lam_ppm} * c.rel - {comp} * "
+        "(CASE WHEN len(acc.sel) = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE list_max(list_transform(acc.sel, p -> c.sims[p])) END)"
+    )
+    init_best = (
+        "{'pos': -1, 'id': CAST(-1 AS BIGINT), "
+        "'score': CAST(-9223372036854775808 AS BIGINT)}"
+    )
+    best = f"""
+        list_reduce(
+            list_prepend({init_best},
+                list_transform(
+                    list_filter(cands,
+                        c -> NOT list_contains(acc.sel, c.pos)),
+                    c -> {{'pos': c.pos, 'id': c.id,
+                          'score': {score}}})),
+            (b, x) -> CASE WHEN x.score > b.score
+                        OR (x.score = b.score
+                            AND (b.pos = -1 OR x.id < b.id))
+                      THEN x ELSE b END)
+    """
+    init_acc = (
+        "{'sel': []::INTEGER[], "
+        "'out': []::STRUCT(id BIGINT, score BIGINT)[]}"
+    )
+    fold = f"""
+        list_reduce(
+            list_prepend({init_acc},
+                list_transform(range(1, {k} + 1), i -> {init_acc})),
+            (acc, stepv) -> CASE
+                WHEN len(acc.sel) >= len(cands) THEN acc
+                ELSE list_transform([{best}], b ->
+                    {{'sel': list_append(acc.sel, b.pos),
+                      'out': list_append(acc.out,
+                          {{'id': b.id, 'score': b.score}})}})[1]
+                END
+        ).out
+    """
+    return f"""
+        WITH short AS ({short}),
+        vecs AS (
+            SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), cand AS (
+            SELECT s.query_id, s.rk AS pos, s.neighbor_id AS id,
+                   CAST(ROUND(s.sim * 1000000) AS BIGINT) AS rel,
+                   e.v AS cv,
+                   sqrt({dot_sql('e.v', 'e.v', dim)}) AS cn
+            FROM short s JOIN vecs e ON e.id = s.neighbor_id
+        ), pairs AS (
+            SELECT a.query_id, a.pos AS pos, b.pos AS pj,
+                   CAST(ROUND(ROUND(
+                       {dot_sql('a.cv', 'b.cv', dim)} / (a.cn * b.cn),
+                       {SIM_DECIMALS}) * 1000000) AS BIGINT) AS s
+            FROM cand a JOIN cand b USING (query_id)
+        ), with_sims AS (
+            SELECT query_id, pos,
+                   list_transform(
+                       list_sort(list({{'pj': pj, 's': s}})),
+                       e -> e.s) AS sims
+            FROM pairs GROUP BY 1, 2
+        ), per_query AS (
+            SELECT w.query_id,
+                   list_sort(list({{'pos': c.pos, 'id': c.id,
+                                   'rel': c.rel,
+                                   'sims': w.sims}})) AS cands
+            FROM with_sims w
+            JOIN cand c USING (query_id, pos)
+            GROUP BY 1
+        ), picked AS (
+            SELECT query_id, {fold} AS picks FROM per_query
+        )
+        SELECT query_id, CAST(r AS INTEGER) AS rank,
+               picks[r].id AS neighbor_id,
+               picks[r].score AS mmr_score
+        FROM picked, UNNEST(range(1, len(picks) + 1)) u(r)
+    """

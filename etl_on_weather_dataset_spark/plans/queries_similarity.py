@@ -2007,3 +2007,50 @@ register(QuerySpec(
             "distance-distribution-monitor"),
     extended=True,  # round-8 rotation (registry.py)
 ))
+
+
+# --- MMR diversity-aware top-k (round-9) -----------------------------------------
+#
+# "My nearest neighbors are near-duplicates of each other" is the
+# serving-side complaint the dedup tier can't fix -- MMR rescoring
+# answers it at query time: greedily pick k of the shortlist
+# maximizing relevance minus worst redundancy against the picks so
+# far (Carbonell & Goldstein 1998). The attested arm shortlists with
+# the exact brute tier (this is a RESCORING layer -- swap the IVF/LSH
+# arm in at scale, scale_path below); every score is a snapped-cosine
+# micro BIGINT, so the greedy argmax + tie-break is integer-exact in
+# both engines, fold vs list_reduce.
+
+_MMR_K = 4
+_MMR_SHORTLIST = 8
+_MMR_LAM_PPM = 700_000
+_MMR_NQ = 16
+
+
+def _mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb.filter(F.col("vec_id") < _MMR_NQ), emb,
+        k=_MMR_K, shortlist=_MMR_SHORTLIST, lam_ppm=_MMR_LAM_PPM,
+    ).orderBy("query_id", "rank")
+
+
+def _mmr_diverse_topk_oracle() -> str:
+    from ..operators.similarity import mmr_topk_sql
+
+    return mmr_topk_sql(
+        k=_MMR_K, shortlist=_MMR_SHORTLIST, lam_ppm=_MMR_LAM_PPM,
+        query_filter=f"id < {_MMR_NQ}",
+    ) + " ORDER BY query_id, rank"
+
+
+register(QuerySpec(
+    name="mmr_diverse_topk",
+    spark_fn=_mmr_diverse_topk,
+    oracle=_mmr_diverse_topk_oracle,
+    covers=("mmr-rescoring", "diversity-aware-topk",
+            "integer-greedy-fold"),
+    scale_path="cosine_topk_ivf",
+))

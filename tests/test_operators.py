@@ -5716,3 +5716,83 @@ class TestComponentStore:
             for r in read_component_store(spark, store).collect()
         }
         assert got == {5: 5, 10: 5, 20: 5, 30: 5, 40: 5}
+
+
+class TestMmrTopk:
+    """operators.similarity.mmr_topk: the greedy selection on a
+    constructed embedding set with a planted redundant cluster."""
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_mmr_skips_the_redundant_twin(self, spark):
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            mmr_topk,
+        )
+
+        # query q; a/b nearly identical high-relevance twins; c a bit
+        # less relevant but orthogonal to a -- pure relevance ranks
+        # (a, b); MMR must pick a then c (b is redundant with a)
+        d = 8
+        def v(*spec):
+            out = [0.0] * d
+            for i, x in spec:
+                out[i] = x
+            return out
+        rows = [
+            (0, v((0, 1.0))),                       # query
+            (1, v((0, 0.95), (1, 0.30))),           # a
+            (2, v((0, 0.94), (1, 0.32))),           # b ~ a
+            (3, v((0, 0.80), (2, 0.60))),           # c, orthogonal-ish
+        ]
+        got = [
+            (r.rank, r.neighbor_id)
+            for r in mmr_topk(
+                self._emb(spark, rows).filter("vec_id = 0"),
+                self._emb(spark, rows),
+                k=2, shortlist=3, lam_ppm=500_000,
+            ).orderBy("rank").collect()
+        ]
+        assert got == [(1, 1), (2, 3)]
+
+    def test_first_pick_is_pure_relevance_and_k_caps_at_shortlist(
+        self, spark
+    ):
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            cosine_topk,
+            mmr_topk,
+        )
+
+        emb = self._emb(spark, [
+            (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(12)
+        ])
+        q = emb.filter("vec_id < 2")
+        top1 = {
+            r.query_id: r.neighbor_id
+            for r in cosine_topk(q, emb, k=1).collect()
+        }
+        out = mmr_topk(q, emb, k=6, shortlist=6).collect()
+        first = {
+            r.query_id: r.neighbor_id for r in out if r.rank == 1
+        }
+        assert first == top1
+        # k == shortlist: every candidate picked exactly once
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        for ids in per_q.values():
+            assert len(ids) == 6 and len(set(ids)) == 6
+
+    def test_k_above_shortlist_fails_loud(self, spark):
+        import pytest
+
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            mmr_topk,
+        )
+
+        emb = self._emb(spark, [(0, [1.0] * 8)])
+        with pytest.raises(ValueError, match="k <= shortlist"):
+            mmr_topk(emb, emb, k=9, shortlist=8)
