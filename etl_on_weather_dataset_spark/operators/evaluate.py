@@ -980,3 +980,146 @@ def bootstrap_mean_ci_sql(
         SELECT p.*, c.ci_lo_e, c.ci_hi_e, c.n_boot_used
         FROM point p JOIN ci c USING ({keys})
     """
+
+
+# --- isotonic calibration (pool adjacent violators) ------------------------------
+
+
+def isotonic_fit(
+    bins: DataFrame,
+    n_bins: int,
+    bin_col: str = "bin",
+    n_col: str = "n_rows",
+    pos_col: str = "n_pos",
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of binned
+    positive rates by pool-adjacent-violators (PAV -- Ayer et al.
+    1955; the fit behind sklearn's IsotonicRegression and the
+    standard probability-calibration step after Platt scaling fell
+    out of favor). Consumes :func:`calibration_bins` output.
+
+    Exact-integer discipline: pools carry (n, s) count sums and the
+    violation test compares pool MEANS by cross-multiplication
+    (``s_top * n_prev < s_prev * n_top``) -- no division until the
+    final ppm rate, so the merge sequence is bit-identical in both
+    engines. Equal means do NOT merge (the fitted step function is
+    identical either way; keeping the boundary makes the pool list
+    deterministic).
+
+    Output: one row per pool -- ``pool`` (1-based index),
+    ``bin_lo``/``bin_hi`` (inclusive bin range), ``n_rows``,
+    ``n_pos``, ``iso_ppm`` (the calibrated monotone rate). Empty
+    input bins simply don't exist (absent bins are not zero-rate
+    evidence).
+
+    Scale shape: the data-grain work already happened in
+    calibration_bins (one map-side aggregate); PAV itself folds
+    |bins| structs IN-ROW with an inner bounded cascade (sequence of
+    ``n_bins`` no-op-or-merge steps -- total work O(n_bins^2), and
+    n_bins is a compile-time constant). Nothing leaves the row, no
+    driver loop, no UDF.
+    """
+    pool_t = "array<struct<lo:bigint,hi:bigint,n:bigint,s:bigint>>"
+    top = "element_at(st2, size(st2))"
+    prev = "element_at(st2, size(st2) - 1)"
+    merged = (
+        f"array_append(slice(st2, 1, size(st2) - 2), named_struct("
+        f"'lo', {prev}.lo, 'hi', {top}.hi, "
+        f"'n', {prev}.n + {top}.n, 's', {prev}.s + {top}.s))"
+    )
+    fold = f"""
+        aggregate(
+            bs,
+            cast(array() as {pool_t}),
+            (st, e) -> aggregate(
+                sequence(1, {n_bins}),
+                array_append(st, named_struct(
+                    'lo', e.bin, 'hi', e.bin, 'n', e.n, 's', e.s)),
+                (st2, i) -> case
+                    when size(st2) >= 2
+                     and {top}.s * {prev}.n < {prev}.s * {top}.n
+                    then {merged}
+                    else st2 end))
+    """
+    one = bins.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(bin_col).cast("long").alias("bin"),
+                    F.col(n_col).cast("long").alias("n"),
+                    F.col(pos_col).cast("long").alias("s"),
+                )
+            )
+        ).alias("bs")
+    )
+    out = one.select(
+        F.posexplode(F.expr(fold)).alias("pool0", "p")
+    )
+    return out.select(
+        (F.col("pool0") + 1).cast("long").alias("pool"),
+        F.col("p.lo").alias("bin_lo"),
+        F.col("p.hi").alias("bin_hi"),
+        F.col("p.n").alias("n_rows"),
+        F.col("p.s").alias("n_pos"),
+        F.expr("p.s * 1000000 div p.n").alias("iso_ppm"),
+    )
+
+
+def isotonic_fit_sql(
+    bins_sql: str,
+    n_bins: int,
+    bin_col: str = "bin",
+    n_col: str = "n_rows",
+    pos_col: str = "n_pos",
+) -> str:
+    """DuckDB twin of :func:`isotonic_fit`: a recursive CTE walks the
+    bins in order carrying the pool stack as a LIST column; the
+    per-bin merge cascade is the same bounded ``n_bins``-step fold
+    (list_reduce with the prepend-init trick)."""
+    top = "st2[len(st2)]"
+    prev = "st2[len(st2) - 1]"
+    merged = (
+        f"list_append(st2[1:len(st2) - 2], "
+        f"{{'lo': {prev}.lo, 'hi': {top}.hi, "
+        f"'n': {prev}.n + {top}.n, 's': {prev}.s + {top}.s}})"
+    )
+    cascade = f"""
+        list_reduce(
+            list_prepend(l.ap,
+                list_transform(range(1, {n_bins} + 1), i -> l.ap)),
+            (st2, xx) -> CASE
+                WHEN len(st2) >= 2
+                 AND {top}.s * {prev}.n < {prev}.s * {top}.n
+                THEN {merged}
+                ELSE st2 END)
+    """
+    new_pool = (
+        "{'lo': b.bin, 'hi': b.bin, 'n': b.n, 's': b.s}"
+    )
+    return f"""
+        WITH RECURSIVE binsrc AS (
+            SELECT CAST({bin_col} AS BIGINT) AS bin,
+                   CAST({n_col} AS BIGINT) AS n,
+                   CAST({pos_col} AS BIGINT) AS s,
+                   ROW_NUMBER() OVER (ORDER BY {bin_col}) AS rn
+            FROM ({bins_sql})
+        ), pav AS (
+            SELECT rn,
+                   [{{'lo': bin, 'hi': bin, 'n': n, 's': s}}] AS st
+            FROM binsrc WHERE rn = 1
+            UNION ALL
+            SELECT b.rn, {cascade}
+            FROM pav p
+            JOIN binsrc b ON b.rn = p.rn + 1
+            CROSS JOIN LATERAL (
+                SELECT list_append(p.st, {new_pool}) AS ap
+            ) l
+        ), final AS (
+            SELECT st FROM pav ORDER BY rn DESC LIMIT 1
+        )
+        SELECT CAST(r AS BIGINT) AS pool,
+               st[r].lo AS bin_lo, st[r].hi AS bin_hi,
+               st[r].n AS n_rows, st[r].s AS n_pos,
+               st[r].s * 1000000 // st[r].n AS iso_ppm
+        FROM final, UNNEST(range(1, len(st) + 1)) u(r)
+    """

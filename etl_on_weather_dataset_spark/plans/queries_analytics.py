@@ -2191,3 +2191,55 @@ register(QuerySpec(
     bench=True,
     plan_fn=_cusum_store_plans,
 ))
+
+
+# --- isotonic calibration of the classifier (round-9) -----------------------------
+#
+# score_calibration_bins draws the reliability diagram; this FITS it:
+# pool-adjacent-violators over the same bins yields the monotone
+# calibrated rate a production scorer actually serves (sklearn's
+# IsotonicRegression, re-expressed as an exact-integer in-row fold --
+# pool means compared by cross-multiplication, so the merge sequence
+# is bit-identical between the Spark aggregate() fold and the DuckDB
+# recursive CTE).
+
+def _isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import hashed_linear_score
+    from ..operators.evaluate import calibration_bins, isotonic_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        ),
+        "id",
+    )
+    bins = calibration_bins(
+        scored.select("y", F.col("logit_milli").alias("score")),
+        _CAL_LO, _CAL_HI, _CAL_BINS,
+    )
+    return isotonic_fit(bins, _CAL_BINS).orderBy("pool")
+
+
+def _isotonic_calibration_oracle() -> str:
+    from ..operators.classify import hashed_linear_score_sql
+    from ..operators.evaluate import calibration_bins_sql, isotonic_fit_sql
+
+    scored = f"""
+        SELECT s.logit_milli AS score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM ({hashed_linear_score_sql('documents')}) s
+        JOIN documents d ON s.id = d.doc_id
+    """
+    bins = calibration_bins_sql(scored, _CAL_LO, _CAL_HI, _CAL_BINS)
+    return isotonic_fit_sql(bins, _CAL_BINS) + " ORDER BY pool"
+
+
+register(QuerySpec(
+    name="isotonic_calibration",
+    spark_fn=_isotonic_calibration,
+    oracle=_isotonic_calibration_oracle,
+    covers=("isotonic-calibration", "pool-adjacent-violators",
+            "monotone-fit"),
+))

@@ -5796,3 +5796,51 @@ class TestMmrTopk:
         emb = self._emb(spark, [(0, [1.0] * 8)])
         with pytest.raises(ValueError, match="k <= shortlist"):
             mmr_topk(emb, emb, k=9, shortlist=8)
+
+
+class TestIsotonicFit:
+    """operators.evaluate.isotonic_fit: PAV semantics on constructed
+    bins -- cascading merges, monotone output, equal-mean boundary."""
+
+    def _fit(self, spark, rows, n_bins):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            isotonic_fit,
+        )
+
+        df = spark.createDataFrame(
+            rows, "bin long, n_rows long, n_pos long"
+        )
+        return [
+            (r.bin_lo, r.bin_hi, r.n_rows, r.n_pos, r.iso_ppm)
+            for r in isotonic_fit(df, n_bins).orderBy("pool").collect()
+        ]
+
+    def test_violating_prefix_merges_and_cascades(self, spark):
+        # rates 0.5, 0.2, 0.4, 0.8: (0.5,0.2) pool to 0.35; 0.4 and
+        # 0.8 stand -- and the output is monotone
+        got = self._fit(
+            spark, [(0, 10, 5), (1, 10, 2), (2, 10, 4), (3, 10, 8)], 4
+        )
+        assert got == [
+            (0, 1, 20, 7, 350_000),
+            (2, 2, 10, 4, 400_000),
+            (3, 3, 10, 8, 800_000),
+        ]
+        rates = [g[4] for g in got]
+        assert rates == sorted(rates)
+
+    def test_strictly_decreasing_input_pools_to_one(self, spark):
+        got = self._fit(
+            spark, [(0, 5, 5), (1, 5, 3), (2, 5, 1), (3, 5, 0)], 4
+        )
+        assert got == [(0, 3, 20, 9, 450_000)]
+
+    def test_equal_means_stay_separate_pools(self, spark):
+        got = self._fit(spark, [(0, 10, 3), (1, 20, 6)], 2)
+        assert got == [(0, 0, 10, 3, 300_000), (1, 1, 20, 6, 300_000)]
+
+    def test_sparse_bins_keep_their_ids(self, spark):
+        # absent bins are not zero-rate evidence: pools span the
+        # PRESENT bin ids only
+        got = self._fit(spark, [(2, 10, 6), (7, 10, 2)], 10)
+        assert got == [(2, 7, 20, 8, 400_000)]
