@@ -581,3 +581,74 @@ def test_rollup_mismatch_equals_python_model(spark, store, recompute):
         1 for d in set(s) | set(r) if s.get(d) != r.get(d)
     )
     assert count_rollup_mismatches(agg, rec) == expected
+
+
+# --- round-9 second-session tier -------------------------------------------------
+
+
+@given(
+    bins=st.lists(
+        st.tuples(
+            st.integers(0, 11),            # bin id
+            st.integers(1, 30),            # n_rows
+        ),
+        min_size=1, max_size=10, unique_by=lambda r: r[0],
+    ),
+    pos=st.data(),
+)
+@SETTINGS
+def test_isotonic_fit_is_monotone_and_mass_conserving(spark, bins, pos):
+    """PAV invariants for ANY binned input: rates non-decreasing,
+    pools partition the present bins in order, and (n, s) mass is
+    conserved exactly."""
+    from etl_on_weather_dataset_spark.operators.evaluate import (
+        isotonic_fit,
+    )
+
+    rows = [
+        (b, n, pos.draw(st.integers(0, n), label=f"pos{b}"))
+        for b, n in bins
+    ]
+    df = spark.createDataFrame(rows, "bin long, n_rows long, n_pos long")
+    out = isotonic_fit(df, 12).orderBy("pool").collect()
+    rates = [r.iso_ppm for r in out]
+    assert rates == sorted(rates)
+    assert sum(r.n_rows for r in out) == sum(n for _, n, _ in rows)
+    assert sum(r.n_pos for r in out) == sum(s for _, _, s in rows)
+    present = sorted(b for b, _, _ in rows)
+    spans = [(r.bin_lo, r.bin_hi) for r in out]
+    # pools tile the present bins in order, no overlap, no gap
+    covered = [
+        b for lo, hi in spans for b in present if lo <= b <= hi
+    ]
+    assert covered == present
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1, max_size=30,
+    ),
+)
+@SETTINGS
+def test_neyman_weight_is_exact_integer_sqrt(spark, xs):
+    """weight == isqrt(N*sum(x^2) - sum(x)^2) exactly, per stratum."""
+    import math
+    from collections import defaultdict
+
+    from etl_on_weather_dataset_spark.operators.sample import (
+        neyman_weights,
+    )
+
+    df = spark.createDataFrame(xs, "s long, x long")
+    got = {
+        r.stratum: (r.n_avail, r.weight)
+        for r in neyman_weights(df, "s", "x").collect()
+    }
+    groups = defaultdict(list)
+    for s, x in xs:
+        groups[s].append(x)
+    for s, vals in groups.items():
+        var_num = len(vals) * sum(v * v for v in vals) - sum(vals) ** 2
+        assert got[s] == (len(vals), math.isqrt(var_num)), (s, vals)
