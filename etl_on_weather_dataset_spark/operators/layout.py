@@ -328,3 +328,37 @@ def shard_manifest_sql(
         FROM ({ordered_sql})
         GROUP BY shard ORDER BY shard
     """
+
+
+# --- integer-exact Z-order (attestable twin of morton_key) ------------------------
+
+
+def morton_grid_expr(
+    c: str, lo: str, hi: str, bits: int, div: str = "div"
+) -> str:
+    """Order-preserving integer grid cell in [0, 2^bits) as a SQL
+    expression: ``(c - lo) * (2^bits - 1) div (hi - lo)`` -- pure
+    BIGINT arithmetic (no doubles, no rounding), exact in any engine.
+    ``div`` is the integer-division spelling (Spark ``div``, DuckDB
+    ``//`` -- both truncate toward zero, and the operand here is
+    non-negative anyway). Degenerate ranges collapse to cell 0."""
+    cells = (1 << bits) - 1
+    return (
+        f"(CASE WHEN ({hi}) = ({lo}) THEN 0 "
+        f"ELSE (({c}) - ({lo})) * {cells} {div} (({hi}) - ({lo})) "
+        f"END)"
+    )
+
+
+def interleave_bits_expr(g_cols: list[str], bits: int) -> str:
+    """SQL expression interleaving the bit patterns of pre-computed
+    grid columns (bit i of dimension d lands at i*dims + d) --
+    valid in BOTH Spark SQL and DuckDB (shiftleft/shiftright/& are
+    `<<`/`>>`/`&` in each)."""
+    dims = len(g_cols)
+    terms = [
+        f"((({g} >> {i}) & 1) << {i * dims + d})"
+        for d, g in enumerate(g_cols)
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"

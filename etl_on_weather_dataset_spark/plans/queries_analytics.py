@@ -2243,3 +2243,158 @@ register(QuerySpec(
     covers=("isotonic-calibration", "pool-adjacent-violators",
             "monotone-fit"),
 ))
+
+
+# --- Z-order layout pruning (round-9) ----------------------------------------------
+#
+# The layout tier (morton_key / write_zordered / file_span_stats) was
+# pytest-only; this puts data-skipping on the driver-attested
+# surface, fully in-engine and integer-exact: rows map to grid cells
+# via cross-multiplied integer division (no doubles, no rounding),
+# the Morton key interleaves grid bits with plain shift/and/or, and
+# "files" are fixed-width KEY ranges (a pure projection -- the
+# attestation arm needs no global sort; the write path's
+# repartitionByRange is the scale twin). Per layout (z-order vs
+# linear-on-partkey) and per probe (a partkey-only box, a
+# suppkey-only box, and their 2-d intersection), the query reports
+# how many files a min/max-pruning reader must touch. The expected
+# physics falls out of the numbers: the linear layout prunes the
+# partkey probe perfectly and the suppkey probe not at all; z-order
+# prunes BOTH partially -- the whole reason lakehouses Z-order.
+
+_ZO_BITS = 8
+_ZO_FILES = 16
+
+
+def _zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import interleave_bits_expr, morton_grid_expr
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("p"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    )
+    b = li.agg(
+        F.min("p").alias("plo"), F.max("p").alias("phi"),
+        F.min("s").alias("slo"), F.max("s").alias("shi"),
+    )
+    rows = li.crossJoin(F.broadcast(b))
+    gp = morton_grid_expr("p", "plo", "phi", _ZO_BITS, div="div")
+    gs = morton_grid_expr("s", "slo", "shi", _ZO_BITS, div="div")
+    zkey = interleave_bits_expr(["gp", "gs"], _ZO_BITS)
+    max_z = (1 << (2 * _ZO_BITS)) - 1
+    keyed = rows.selectExpr(
+        "p", "s", "plo", "phi", "slo", "shi",
+        f"{gp} AS gp", f"{gs} AS gs",
+    ).selectExpr(
+        "p", "s", "plo", "phi", "slo", "shi",
+        f"CAST({zkey} * {_ZO_FILES} div {max_z + 1} AS BIGINT)"
+        " AS file_z",
+        f"CAST(gp * {_ZO_FILES} div {(1 << _ZO_BITS)} AS BIGINT)"
+        " AS file_linear",
+    )
+    # probe boxes at fixed fractions of each range (integer-exact)
+    probes = (
+        "p_box", "plo + (phi - plo) * 2 div 5",
+        "plo + (phi - plo) * 9 div 20",
+        "s_box", "slo + (shi - slo) * 2 div 5",
+        "slo + (shi - slo) * 9 div 20",
+    )
+    out = None
+    for layout in ("z", "linear"):
+        per_file = (
+            keyed.groupBy(F.col(f"file_{layout}").alias("file"))
+            .agg(
+                F.min("p").alias("pmin"), F.max("p").alias("pmax"),
+                F.min("s").alias("smin"), F.max("s").alias("smax"),
+                F.first("plo").alias("plo"), F.first("phi").alias("phi"),
+                F.first("slo").alias("slo"), F.first("shi").alias("shi"),
+            )
+            .selectExpr(
+                "file", "pmin", "pmax", "smin", "smax",
+                f"{probes[1]} AS pb_lo", f"{probes[2]} AS pb_hi",
+                f"{probes[4]} AS sb_lo", f"{probes[5]} AS sb_hi",
+            )
+        )
+        summary = per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(
+                ((F.col("pmin") <= F.col("pb_hi"))
+                 & (F.col("pmax") >= F.col("pb_lo"))).cast("long")
+            ).alias("part_probe_files"),
+            F.sum(
+                ((F.col("smin") <= F.col("sb_hi"))
+                 & (F.col("smax") >= F.col("sb_lo"))).cast("long")
+            ).alias("supp_probe_files"),
+            F.sum(
+                ((F.col("pmin") <= F.col("pb_hi"))
+                 & (F.col("pmax") >= F.col("pb_lo"))
+                 & (F.col("smin") <= F.col("sb_hi"))
+                 & (F.col("smax") >= F.col("sb_lo"))).cast("long")
+            ).alias("box_probe_files"),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out.orderBy("layout")
+
+
+def _zorder_layout_pruning_oracle() -> str:
+    from ..operators.layout import interleave_bits_expr, morton_grid_expr
+
+    gp = morton_grid_expr("p", "plo", "phi", _ZO_BITS, div="//")
+    gs = morton_grid_expr("s", "slo", "shi", _ZO_BITS, div="//")
+    zkey = interleave_bits_expr(["gp", "gs"], _ZO_BITS)
+    max_z = (1 << (2 * _ZO_BITS)) - 1
+    parts = []
+    for layout, file_expr in (
+        ("z", f"CAST({zkey} * {_ZO_FILES} // {max_z + 1} AS BIGINT)"),
+        ("linear",
+         f"CAST(gp * {_ZO_FILES} // {1 << _ZO_BITS} AS BIGINT)"),
+    ):
+        parts.append(f"""
+            SELECT '{layout}' AS layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(CASE WHEN pmin <= pb_hi AND pmax >= pb_lo
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS part_probe_files,
+                   CAST(SUM(CASE WHEN smin <= sb_hi AND smax >= sb_lo
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS supp_probe_files,
+                   CAST(SUM(CASE WHEN pmin <= pb_hi AND pmax >= pb_lo
+                             AND smin <= sb_hi AND smax >= sb_lo
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS box_probe_files
+            FROM (
+                SELECT {file_expr} AS file,
+                       MIN(p) AS pmin, MAX(p) AS pmax,
+                       MIN(s) AS smin, MAX(s) AS smax,
+                       MIN(plo + (phi - plo) * 2 // 5) AS pb_lo,
+                       MIN(plo + (phi - plo) * 9 // 20) AS pb_hi,
+                       MIN(slo + (shi - slo) * 2 // 5) AS sb_lo,
+                       MIN(slo + (shi - slo) * 9 // 20) AS sb_hi
+                FROM keyed GROUP BY 1
+            )""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH base AS (
+            SELECT CAST(l_partkey AS BIGINT) AS p,
+                   CAST(l_suppkey AS BIGINT) AS s
+            FROM lineitem
+        ), bounds AS (
+            SELECT MIN(p) AS plo, MAX(p) AS phi,
+                   MIN(s) AS slo, MAX(s) AS shi
+            FROM base
+        ), keyed AS (
+            SELECT p, s, plo, phi, slo, shi, {gp} AS gp, {gs} AS gs
+            FROM base CROSS JOIN bounds
+        )
+        {union}
+        ORDER BY layout
+    """
+
+
+register(QuerySpec(
+    name="zorder_layout_pruning",
+    spark_fn=_zorder_layout_pruning,
+    oracle=_zorder_layout_pruning_oracle,
+    covers=("zorder-clustering", "data-skipping", "min-max-pruning"),
+))

@@ -136,14 +136,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     heavy_hitters_events, cusum_changepoint_events,
 #     linkage_blocking_quality, component_store_incremental,
 #     cusum_store_incremental, mmr_diverse_topk,
-#     isotonic_calibration) stay visible by default. 21 pinned +
-#     13 new + 16 refreshed = 50. Refresh backlog for round 10:
-#     value_percentiles, normalize_per_user, cube_status_priority,
-#     distinct_users_per_type, embedding_label_stats,
-#     approx_distinct_users, chunk_documents, doc_fingerprints,
-#     lang_id_confusion, set_ops_user_segments, json_props_extract,
-#     streaming_tumbling_rollup, salted_skew_rollup (all r2), then
-#     the round-3-attested tier.
+#     isotonic_calibration, zorder_layout_pruning) stay visible by
+#     default. 21 pinned + 14 new + 15 refreshed = 50. Refresh
+#     backlog for round 10: value_percentiles, normalize_per_user,
+#     cube_status_priority, distinct_users_per_type,
+#     embedding_label_stats, approx_distinct_users, chunk_documents,
+#     doc_fingerprints, lang_id_confusion, set_ops_user_segments,
+#     json_props_extract, streaming_tumbling_rollup, outlier_filter,
+#     salted_skew_rollup (all r2), then the round-3-attested tier.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
@@ -159,7 +159,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "profit_by_nation_year", "orders_above_customer_avg",
     "timestamp_coercion", "dedup_full_row", "dedup_subset_distinct",
     "median_impute", "daily_join_fanout", "validation_counts",
-    "outlier_filter", "sink_reshape_rename",
+    "sink_reshape_rename",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -179,7 +179,7 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "embedding_label_stats", "approx_distinct_users",
     "chunk_documents", "doc_fingerprints", "lang_id_confusion",
     "set_ops_user_segments", "json_props_extract",
-    "streaming_tumbling_rollup",
+    "streaming_tumbling_rollup", "outlier_filter",
     # -- the 9 round-8-new queries, attested green in r8:
     "web_ingest_incremental_stats", "preference_pairs_events",
     "epoch_shuffle_manifest", "mixture_epoch_plan",

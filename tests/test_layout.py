@@ -168,3 +168,53 @@ def test_export_training_shards_order_and_pruning(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(shard" in plan
+
+
+class TestZorderPruningQuery:
+    """The attested z-order data-skipping physics: z-order bounds BOTH
+    single-dimension probes while linear clustering prunes only its
+    own dimension."""
+
+    def test_pruning_physics_invariants(self, spark):
+        from etl_on_weather_dataset_spark.plans.registry import (
+            all_queries,
+        )
+
+        rows = {
+            r.layout: r
+            for r in all_queries()["zorder_layout_pruning"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        lin, z = rows["linear"], rows["z"]
+        # linear-on-partkey: partkey probe prunes hard, suppkey probe
+        # touches every file (suppkey is uncorrelated with the order)
+        assert lin.part_probe_files < lin.n_files // 2
+        assert lin.supp_probe_files == lin.n_files
+        # z-order: BOTH single-dim probes prune below all-files, and
+        # the 2-d box prunes at least as hard as either dimension
+        assert z.part_probe_files < z.n_files
+        assert z.supp_probe_files < z.n_files
+        assert z.box_probe_files <= min(
+            z.part_probe_files, z.supp_probe_files
+        )
+        # the trade: z gives up some single-dim sharpness vs the
+        # layout clustered ON that dimension...
+        assert z.part_probe_files >= lin.part_probe_files
+        # ...and wins everywhere the linear layout cannot prune
+        assert z.supp_probe_files < lin.supp_probe_files
+
+    def test_morton_grid_expr_is_integer_exact(self, spark):
+        from etl_on_weather_dataset_spark.operators.layout import (
+            morton_grid_expr,
+        )
+
+        df = spark.createDataFrame(
+            [(0,), (50,), (100,)], "x long"
+        ).selectExpr(
+            "x",
+            morton_grid_expr("x", "0", "100", 4, div="div") + " AS g",
+        )
+        got = {r.x: r.g for r in df.collect()}
+        # (x - 0) * 15 div 100
+        assert got == {0: 0, 50: 7, 100: 15}
