@@ -131,12 +131,26 @@ def main() -> None:
     # never be clobbered by a later local run of a different round.
     # Only at the driver's bench scale (sf0.1) -- a local sf0.001
     # smoke run must not become the round's trend anchor.
+    # Clobber guard (round-9 verdict item 7): a re-run must never
+    # silently overwrite an existing round anchor -- the first write
+    # of round N wins unless SPARK_GRAFT_BENCH_FORCE=1 (the driver's
+    # own post-commit refresh sets it; a stray local run doesn't).
     rnd = _current_round()
     if rnd is not None and sf == 0.1:
         detail_r = {"round": rnd, **detail}
-        (Path(_REPO) / f"BENCH_DETAIL_r{rnd:02d}.json").write_text(
-            json.dumps(detail_r)
-        )
+        anchor = Path(_REPO) / f"BENCH_DETAIL_r{rnd:02d}.json"
+        if anchor.exists() and not os.environ.get(
+            "SPARK_GRAFT_BENCH_FORCE"
+        ):
+            print(
+                f"bench.py: {anchor.name} already exists -- NOT "
+                "overwriting the round anchor (set "
+                "SPARK_GRAFT_BENCH_FORCE=1 to force, or "
+                "SPARK_GRAFT_BENCH_ROUND to pin a different round)",
+                file=sys.stderr,
+            )
+        else:
+            anchor.write_text(json.dumps(detail_r))
     print(json.dumps(detail))
     out = {
         "metric": "headline_queries_total_sec",

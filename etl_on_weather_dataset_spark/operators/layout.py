@@ -350,15 +350,32 @@ def morton_grid_expr(
     )
 
 
-def interleave_bits_expr(g_cols: list[str], bits: int) -> str:
+def interleave_bits_expr(
+    g_cols: list[str], bits: int, shift: str = "fn"
+) -> str:
     """SQL expression interleaving the bit patterns of pre-computed
-    grid columns (bit i of dimension d lands at i*dims + d) --
-    valid in BOTH Spark SQL and DuckDB (shiftleft/shiftright/& are
-    `<<`/`>>`/`&` in each)."""
+    grid columns (bit i of dimension d lands at i*dims + d).
+
+    ``shift`` picks the bit-shift spelling, mirroring
+    :func:`morton_grid_expr`'s ``div`` parameter: ``"fn"`` emits
+    ``shiftleft()``/``shiftright()`` (the Spark arm -- the `<<`/`>>`
+    operators only parse on Spark >= 4.0, below the declared
+    pyspark>=3.5 floor, while the functions exist since 1.5);
+    ``"op"`` emits `<<`/`>>` (the DuckDB arm, which has the
+    operators but not the functions)."""
     dims = len(g_cols)
-    terms = [
-        f"((({g} >> {i}) & 1) << {i * dims + d})"
-        for d, g in enumerate(g_cols)
-        for i in range(bits)
-    ]
+    if shift == "fn":
+        terms = [
+            f"shiftleft(shiftright({g}, {i}) & 1, {i * dims + d})"
+            for d, g in enumerate(g_cols)
+            for i in range(bits)
+        ]
+    elif shift == "op":
+        terms = [
+            f"((({g} >> {i}) & 1) << {i * dims + d})"
+            for d, g in enumerate(g_cols)
+            for i in range(bits)
+        ]
+    else:
+        raise ValueError(f"shift must be 'fn' or 'op', got {shift!r}")
     return "(" + " | ".join(terms) + ")"

@@ -1286,9 +1286,17 @@ def neyman_weights(
     integer inputs -- so the only float op is one IEEE-754 sqrt of
     the SAME integer in both engines (correctly rounded by hardware,
     bit-identical), floored back to BIGINT. A fail-loud guard
-    refuses inputs where ``var_num`` exceeds 2^53 (the exactness
-    ceiling of the double sqrt); at that scale pre-aggregate to
-    DECIMAL upstream.
+    refuses inputs where ``var_num`` reaches 2^52: beyond that the
+    double no longer represents every integer gap the sqrt needs, so
+    ``floor(sqrt(double(n)))`` can exceed ``isqrt(n)`` (first
+    counterexample family: n = k^2 - 1 with k > 2^26, e.g.
+    67108865^2 - 1 <= 2^53 rounds UP to 67108865.0 exactly and
+    floors to k instead of k-1). Below 2^52 the relative rounding
+    error of the cast (<= 2^-53) cannot move sqrt(n) across an
+    integer boundary because adjacent squares are > 2*sqrt(n) apart
+    and sqrt(n) <= 2^26. At larger scale pre-aggregate to DECIMAL
+    upstream. The same guard is mirrored in
+    :func:`neyman_weights_sql` so both engines fail identically.
 
     ``metric_col`` must be integral (lengths, token counts, cents).
     Zero-variance strata get weight 0 -- textbook Neyman samples
@@ -1305,12 +1313,13 @@ def neyman_weights(
     )
     var_num = F.col("n_avail") * F.col("s2") - F.col("s1") * F.col("s1")
     guarded = F.when(
-        var_num <= F.lit(2**53),
+        var_num < F.lit(2**52),
         var_num,
     ).otherwise(
         F.expr(
-            "raise_error('neyman_weights: N*sum(x^2) exceeds 2^53 --"
-            " the double sqrt is no longer exact; pre-aggregate to"
+            "raise_error('neyman_weights: variance numerator"
+            " N*sum(x^2) - sum(x)^2 reaches 2^52 -- floor of the"
+            " double sqrt can diverge from isqrt; pre-aggregate to"
             " DECIMAL')"
         ).cast("long")
     )
@@ -1327,11 +1336,19 @@ def neyman_weights_sql(
     metric_col: str,
 ) -> str:
     """DuckDB twin of :func:`neyman_weights` (same integer variance
-    numerator, same single IEEE sqrt)."""
+    numerator, same single IEEE sqrt, same < 2^52 fail-loud guard --
+    the floor-of-double-sqrt == isqrt bound documented there)."""
     return f"""
         SELECT stratum, n_avail,
-               CAST(FLOOR(SQRT(CAST(n_avail * s2 - s1 * s1
-                                    AS BIGINT))) AS BIGINT) AS weight
+               CAST(FLOOR(SQRT(CASE
+                   WHEN CAST(n_avail * s2 - s1 * s1 AS BIGINT)
+                        < CAST(2251799813685248 AS BIGINT)
+                   THEN CAST(n_avail * s2 - s1 * s1 AS BIGINT)
+                   ELSE CAST(error('neyman_weights_sql: variance'
+                        ' numerator reaches 2^52 -- floor of the'
+                        ' double sqrt can diverge from isqrt')
+                        AS BIGINT)
+               END)) AS BIGINT) AS weight
         FROM (
             SELECT {stratum_col} AS stratum,
                    CAST(COUNT(*) AS BIGINT) AS n_avail,

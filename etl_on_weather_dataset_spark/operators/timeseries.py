@@ -491,14 +491,40 @@ def cusum_from_daily(
     ``(day, n, s)`` -- exposed separately so day-2 pipelines can feed
     it from the persistent rollup store (daily batches landed by
     ``incremental_rollup``) instead of re-scanning event grain; same
-    exact-integer semantics as :func:`cusum_daily`."""
+    exact-integer semantics as :func:`cusum_daily`.
+
+    Fail-loud degenerate-input guard: the burn-in window must carry
+    at least ``burn_in_days`` events in total. An empty frame would
+    hit ``g * 1e6 div NULL`` and silently null out the series; a
+    burn-in with fewer events than days makes ``d div burn_in_days``
+    zero, so ``thresh = 0`` and EVERY positive deviation alarms --
+    both are caller errors, rejected with a clear message instead
+    (module fail-loud discipline; same pattern as
+    ``neyman_weights``'s 2^52 guard)."""
     rn_w = Window.orderBy("day")
     ranked = daily.withColumn("rn", F.row_number().over(rn_w))
     params = (
         ranked.filter(F.col("rn") <= burn_in_days)
         .agg(
             F.sum("s").cast("long").alias("g"),
-            F.sum("n").cast("long").alias("d"),
+            F.sum("n").cast("long").alias("d_raw"),
+        )
+        .select(
+            "g",
+            F.when(
+                F.col("d_raw").isNotNull()
+                & (F.col("d_raw") >= burn_in_days),
+                F.col("d_raw"),
+            ).otherwise(
+                F.expr(
+                    "raise_error('cusum_from_daily: burn-in window"
+                    " has fewer events than burn_in_days (empty"
+                    " frame, or < 1 event/day on average) -- mu and"
+                    " thresh would be degenerate (thresh=0 alarms on"
+                    " every positive deviation); feed a longer"
+                    " burn-in or lower burn_in_days')"
+                ).cast("long")
+            ).alias("d"),
         )
         .select(
             F.expr("g * 1000000 div d").alias("mu"),
@@ -566,7 +592,10 @@ def cusum_daily_sql(
     h_mult: int = 2,
 ) -> str:
     """DuckDB twin of :func:`cusum_daily` -- the same integer
-    recursion as a recursive CTE over the day index."""
+    recursion as a recursive CTE over the day index. Assumes the
+    same valid-input contract the engine arm enforces (burn-in
+    events >= burn_in_days); on degenerate input the engine arm
+    raises before the oracle would ever be consulted."""
     return f"""
         WITH RECURSIVE daily AS (
             SELECT CAST({ts_col} AS DATE) AS day,

@@ -2151,6 +2151,94 @@ def _cusum_store_incremental(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Pristine half-0 rollup store for the bench_fn, keyed by sf_dir --
+# same pattern as queries_pipeline._cs_pristine_store (round-9
+# verdict item 2): the day-1 store build is fixture cost paid once
+# per process; each timed run restores it by filesystem copy.
+_CUSUM_BENCH_CACHE: dict[str, str] = {}
+
+
+def _cusum_pristine_store(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.rollup_store import incremental_rollup
+
+    if sf_dir not in _CUSUM_BENCH_CACHE:
+        tmp = tempfile.mkdtemp(prefix="spark_cusum_bench_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.col("ts").cast("date")
+        )
+        incremental_rollup(
+            spark, ev.filter(F.col("day") <= F.lit("2024-01-15")),
+            f"{tmp}/daily", batch_id="half0",
+            key_cols=["day"], value_col="value",
+        )
+        _CUSUM_BENCH_CACHE[sf_dir] = f"{tmp}/daily"
+    return _CUSUM_BENCH_CACHE[sf_dir]
+
+
+def _cusum_store_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-cost bench form (round-9 verdict item 2): the day-2
+    work the store-fed monitor pays daily -- ONE rollup-store merge
+    of the new batch + the |days|-grain CUSUM read off the store --
+    without the day-1 store build (restored from a per-process
+    pristine copy) and without the exactly-once replay leg, which
+    stays driver-attested via spark_fn."""
+    import shutil
+    import tempfile
+
+    from ..operators.rollup_store import incremental_rollup
+    from ..operators.timeseries import cusum_from_daily
+
+    pristine = _cusum_pristine_store(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_cusum_bench_run_")
+    try:
+        store = f"{tmp}/daily"
+        shutil.copytree(pristine, store)
+        agg = incremental_rollup(
+            spark, ev.filter(F.col("day") > F.lit("2024-01-15")),
+            store, batch_id="half1",
+            key_cols=["day"], value_col="value",
+        )
+        daily = agg.select(
+            "day",
+            F.col("n_rows").alias("n"),
+            (
+                F.col("sum_c")
+                + F.when(
+                    F.col("day") >= F.lit(_CUSUM_SHIFT_DAY),
+                    F.lit(_CUSUM_BOOST_CENTS) * F.col("n_rows"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("s"),
+        )
+        [row] = (
+            cusum_from_daily(
+                daily, burn_in_days=_CUSUM_BURN_IN,
+                slack_ppm=_CUSUM_SLACK_PPM,
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.sum(F.col("alarm_pos").cast("long"))
+                .cast("long").alias("n_alarm_pos"),
+                F.sum(F.col("alarm_neg").cast("long"))
+                .cast("long").alias("n_alarm_neg"),
+            )
+            .collect()
+        )
+        vals = tuple(row)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [vals], "n_days long, n_alarm_pos long, n_alarm_neg long"
+    )
+
+
 def _cusum_store_plans(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
@@ -2189,6 +2277,10 @@ register(QuerySpec(
     covers=("day2-drift-monitor", "rollup-store-cusum",
             "exactly-once-replay"),
     bench=True,
+    # bench times one store merge + the store-fed monitor against a
+    # restored pristine store (r9 verdict item 2); the replay ledger
+    # and full scenario stay driver-attested via spark_fn
+    bench_fn=_cusum_store_bench,
     plan_fn=_cusum_store_plans,
 ))
 
@@ -2342,7 +2434,7 @@ def _zorder_layout_pruning_oracle() -> str:
 
     gp = morton_grid_expr("p", "plo", "phi", _ZO_BITS, div="//")
     gs = morton_grid_expr("s", "slo", "shi", _ZO_BITS, div="//")
-    zkey = interleave_bits_expr(["gp", "gs"], _ZO_BITS)
+    zkey = interleave_bits_expr(["gp", "gs"], _ZO_BITS, shift="op")
     max_z = (1 << (2 * _ZO_BITS)) - 1
     parts = []
     for layout, file_expr in (

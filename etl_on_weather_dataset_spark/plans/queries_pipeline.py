@@ -2315,13 +2315,84 @@ def _component_store_incremental(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Pristine day-1 component stores for the bench_fn, keyed by sf_dir:
+# built once per process (fixture cost), restored by a cheap
+# filesystem copy per timed run so the bench times the DAY-2 merge --
+# the operator a 100 TB pipeline pays daily -- not the one-shot
+# day-1 labeling it pays once (round-9 verdict item 2).
+_CS_BENCH_CACHE: dict[str, str] = {}
+
+
+def _cs_pristine_store(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.component_store import merge_component_batch
+
+    if sf_dir not in _CS_BENCH_CACHE:
+        tmp = tempfile.mkdtemp(prefix="spark_cstore_bench_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        merge_component_batch(
+            spark, _cs_day1_edges(orders), f"{tmp}/day1"
+        )
+        _CS_BENCH_CACHE[sf_dir] = f"{tmp}/day1"
+    return _CS_BENCH_CACHE[sf_dir]
+
+
+def _component_store_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operator-cost bench form (round-9 verdict item 2, precedent
+    ``_web_ingest_incremental_bench``): ONE day-2 merge through the
+    REAL bucket-partitioned store + the store summary -- without the
+    day-1 one-shot labeling (restored from a per-process pristine
+    copy; a filesystem copy, no Spark job) and without the
+    equals-one-shot verification, which lives in the driver oracle.
+    BENCH_r{N} therefore trends the O(batch + affected) merge the
+    pipeline pays daily; the full scenario stays driver-attested via
+    spark_fn."""
+    import shutil
+    import tempfile
+
+    from ..operators.component_store import (
+        component_store_summary,
+        merge_component_batch,
+    )
+
+    pristine = _cs_pristine_store(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="spark_cstore_bench_run_")
+    try:
+        store = f"{tmp}/components"
+        shutil.copytree(pristine, store)
+        merge_component_batch(spark, _cs_day2_edges(orders), store)
+        [row] = component_store_summary(spark, store).collect()
+        vals = tuple(row)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [vals],
+        "n_nodes long, n_components long, max_component long, "
+        "sum_ids long, sum_labels long",
+    )
+
+
 def _component_store_plans(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
     """Plan-audit provider: materialize the day-1 store into a
     tempdir, then return the UNEXECUTED day-2 inner shapes -- the
     touched-members pull, one label-propagation round over the
-    affected subgraph, and the carried-rows rewrite leg."""
+    affected subgraph, and the carried-rows rewrite leg.
+
+    The returned plans read the materialized store, so the tempdir
+    must outlive this call (the audit explains/executes them later);
+    cleanup is deferred to interpreter exit via atexit instead of a
+    ``finally`` rmtree (which would yield plans over deleted files)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..operators.component_store import (
@@ -2332,6 +2403,7 @@ def _component_store_plans(
 
     orders = load_table(spark, sf_dir, "orders")
     tmp = tempfile.mkdtemp(prefix="spark_cstore_audit_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     store_path = f"{tmp}/components"
     merge_component_batch(spark, _cs_day1_edges(orders), store_path)
     store = read_component_store(spark, store_path)
@@ -2401,5 +2473,9 @@ register(QuerySpec(
     covers=("incremental-connected-components", "component-store",
             "day2-dedup-groups"),
     bench=True,
+    # bench times the day-2 merge + summary against a restored
+    # pristine store, not the scenario's day-1 build (r9 verdict
+    # item 2); the full contract stays driver-attested via spark_fn
+    bench_fn=_component_store_bench,
     plan_fn=_component_store_plans,
 ))

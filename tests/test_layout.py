@@ -204,6 +204,48 @@ class TestZorderPruningQuery:
         # ...and wins everywhere the linear layout cannot prune
         assert z.supp_probe_files < lin.supp_probe_files
 
+    def test_interleave_spellings_agree_across_engines(self, spark):
+        """The Spark arm uses shiftleft()/shiftright() (the `<<`/`>>`
+        operators only parse on Spark >= 4.0, below the declared
+        pyspark>=3.5 floor); the DuckDB arm uses the operators.
+        Both spell the same interleave."""
+        import duckdb
+        import pytest
+
+        from etl_on_weather_dataset_spark.operators.layout import (
+            interleave_bits_expr,
+        )
+
+        vals = [(0, 0), (1, 0), (0, 1), (5, 3), (255, 170)]
+        fn = interleave_bits_expr(["a", "b"], 8, shift="fn")
+        op = interleave_bits_expr(["a", "b"], 8, shift="op")
+        got_spark = [
+            r.z
+            for r in spark.createDataFrame(vals, "a long, b long")
+            .selectExpr("a", "b", f"{fn} AS z")
+            .orderBy("a", "b")
+            .collect()
+        ]
+        con = duckdb.connect()
+        rows = ", ".join(f"({a}, {b})" for a, b in vals)
+        got_duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {op} AS z FROM (VALUES {rows}) v(a, b) "
+                "ORDER BY a, b"
+            ).fetchall()
+        ]
+        assert got_spark == got_duck
+        # reference value: interleave(5=101b, 3=011b), bit i of dim d
+        # at position i*2+d: a=5 lands 1<<0 + 0<<2 + 1<<4 = 17,
+        # b=3 lands 1<<1 + 1<<3 + 0<<5 = 10 -> 27 = 0b11011
+        one = spark.sql(
+            "SELECT " + interleave_bits_expr(["5", "3"], 3) + " AS z"
+        ).collect()[0].z
+        assert one == 0b11011
+        with pytest.raises(ValueError, match="shift"):
+            interleave_bits_expr(["a"], 2, shift="nope")
+
     def test_morton_grid_expr_is_integer_exact(self, spark):
         from etl_on_weather_dataset_spark.operators.layout import (
             morton_grid_expr,

@@ -5399,7 +5399,7 @@ class TestNeymanWeights:
             neyman_weights,
         )
 
-        # var_num ~ 3.6e16 > 2^53 while every intermediate product
+        # var_num ~ 3.6e16 > 2^52 while every intermediate product
         # still fits a long (beyond long, Spark's ANSI overflow is
         # the fail-loud path instead)
         big = 2**27
@@ -5407,8 +5407,65 @@ class TestNeymanWeights:
             [("a", big), ("a", big - 1_000_000), ("a", 1)],
             "s string, x long",
         )
-        with pytest.raises(SparkRuntimeException, match="2\\^53"):
+        with pytest.raises(SparkRuntimeException, match="2\\^52"):
             neyman_weights(df, "s", "x").collect()
+
+    def test_guard_covers_floor_sqrt_isqrt_divergence(self, spark):
+        """The guard bound is 2^52, not 2^53: for var_num in
+        (2^52, 2^53] floor(IEEE sqrt) can exceed isqrt (e.g.
+        67108865^2 - 1 <= 2^53 sqrts to exactly 67108865.0), so a
+        2^53 guard would pass silently-wrong weights. Construct
+        var_num = k^2 - 1 via n=2 rows {0, x}: var_num = 2*x^2 - x^2
+        = x^2 ... need k^2-1, so use rows {a, b}: var_num =
+        2(a^2+b^2) - (a+b)^2 = (a-b)^2 -- always a perfect square.
+        Instead assert directly: the guard refuses ANY var_num >=
+        2^52, including the first divergent family."""
+        import math
+
+        import pytest
+        from pyspark.errors.exceptions.captured import (
+            SparkRuntimeException,
+        )
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            neyman_weights,
+        )
+
+        k = 2**26 + 1
+        bad = k * k - 1  # <= 2^53 yet floor(sqrt) == k != isqrt == k-1
+        assert bad <= 2**53
+        assert math.floor(math.sqrt(bad)) != math.isqrt(bad)
+        # two-row stratum {0, x} has var_num = (x-0)^2 = x^2; pick
+        # x = 2^26 so var_num = 2^52 exactly -- the first refused value
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 2**26)], "s string, x long"
+        )
+        with pytest.raises(SparkRuntimeException, match="2\\^52"):
+            neyman_weights(df, "s", "x").collect()
+        # and 2^52 - 1 (one below the bound) still passes exactly
+        ok = spark.createDataFrame(
+            [("a", 0), ("a", 2**26 - 1)], "s string, x long"
+        )
+        [row] = neyman_weights(ok, "s", "x").collect()
+        assert row.weight == math.isqrt((2**26 - 1) ** 2)
+
+    def test_sql_twin_guard_fails_loud(self):
+        import duckdb
+        import pytest
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            neyman_weights_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW t AS SELECT 'a' AS s, x FROM (VALUES "
+            f"(CAST(0 AS BIGINT)), (CAST({2**26} AS BIGINT))) v(x)"
+        )
+        with pytest.raises(Exception, match="2\\^52"):
+            con.execute(
+                neyman_weights_sql("SELECT * FROM t", "s", "x")
+            ).fetchall()
 
     def test_weights_equal_oracle_on_documents(self, spark):
         import duckdb
@@ -5587,6 +5644,43 @@ class TestCusumDaily:
         assert "Window" in plan  # the |days|-grain burn-in rank
         assert "windowspecdefinition(ts" not in plan
 
+    def test_degenerate_burn_in_fails_loud(self, spark):
+        """Empty frames and burn-ins with fewer events than days are
+        rejected (otherwise mu nulls out / thresh=0 alarms on every
+        positive deviation -- round-9 ADVICE)."""
+        import pytest
+        from pyspark.errors.exceptions.captured import (
+            SparkRuntimeException,
+        )
+
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            cusum_from_daily,
+        )
+
+        empty = spark.createDataFrame(
+            [], "day date, n long, s long"
+        )
+        with pytest.raises(SparkRuntimeException, match="burn-in"):
+            cusum_from_daily(empty, burn_in_days=5).collect()
+
+        # 3 days x 1 event with burn_in_days=5: d=3 < 5 -> refuse
+        # (previously thresh = mu * (3 div 5) = 0)
+        from datetime import date
+
+        sparse = spark.createDataFrame(
+            [(date(2024, 1, d), 1, 100) for d in range(1, 4)],
+            "day date, n long, s long",
+        )
+        with pytest.raises(SparkRuntimeException, match="burn-in"):
+            cusum_from_daily(sparse, burn_in_days=5).collect()
+
+        # exactly burn_in_days events across the burn-in still passes
+        ok = spark.createDataFrame(
+            [(date(2024, 1, d), 1, 100) for d in range(1, 7)],
+            "day date, n long, s long",
+        )
+        assert len(cusum_from_daily(ok, burn_in_days=5).collect()) == 6
+
 
 class TestBlockingQuality:
     """operators.linkage.blocking_quality on a constructed corpus
@@ -5716,6 +5810,36 @@ class TestComponentStore:
             for r in read_component_store(spark, store).collect()
         }
         assert got == {5: 5, 10: 5, 20: 5, 30: 5, 40: 5}
+
+    def test_bench_fn_reproduces_scenario_summary(self, spark):
+        """The operator-cost bench form (pristine-store restore + one
+        day-2 merge) must land on EXACTLY the scenario's store
+        summary -- the bench can never drift from what the driver
+        attests (round-9 verdict item 2)."""
+        from etl_on_weather_dataset_spark.plans.queries_pipeline import (
+            _component_store_bench,
+            _component_store_incremental,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        [bench] = _component_store_bench(spark, sf).collect()
+        [scenario] = _component_store_incremental(spark, sf).collect()
+        assert tuple(bench) == tuple(scenario)
+
+    def test_cusum_bench_fn_matches_scenario_alarms(self, spark):
+        """Same drift-guard for the cusum store bench form: its
+        day-count and alarm totals must equal the scenario's."""
+        from etl_on_weather_dataset_spark.plans.queries_analytics import (
+            _cusum_store_bench,
+            _cusum_store_incremental,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        [bench] = _cusum_store_bench(spark, sf).collect()
+        rows = _cusum_store_incremental(spark, sf).collect()
+        assert bench.n_days == len(rows)
+        assert bench.n_alarm_pos == sum(r.alarm_pos for r in rows)
+        assert bench.n_alarm_neg == sum(r.alarm_neg for r in rows)
 
 
 class TestMmrTopk:
