@@ -137,29 +137,37 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     linkage_blocking_quality, component_store_incremental,
 #     cusum_store_incremental, mmr_diverse_topk,
 #     isotonic_calibration, zorder_layout_pruning) stay visible by
-#     default. 21 pinned + 14 new + 15 refreshed = 50. Refresh
-#     backlog for round 10: value_percentiles, normalize_per_user,
-#     cube_status_priority, distinct_users_per_type,
-#     embedding_label_stats, approx_distinct_users, chunk_documents,
-#     doc_fingerprints, lang_id_confusion, set_ops_user_segments,
-#     json_props_extract, streaming_tumbling_rollup, outlier_filter,
-#     salted_skew_rollup (all r2), then the round-3-attested tier.
+#     default. 21 pinned + 14 new + 15 refreshed = 50. 50/50 green
+#     (CORRECTNESS_r09.json);
+#   - round 10 (now): the r9-new 14 and the r9-refreshed 15 (all
+#     green in r9) park in ROTATE_OUT; ROTATE_IN drains the ENTIRE
+#     r2 staleness backlog (the 14 named in the round-9 edition of
+#     this comment -- after this round no registry query is older
+#     than r3-attested) plus the oldest r3-attested queries
+#     (tools/rotation_plan.py order), with tail r3 slots ceded to
+#     round-10-new queries as they register.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
 # runs hourly.
 ROTATE_IN: frozenset[str] = frozenset({
-    # staleness refresh (round-9): the oldest-green queries, all
-    # last driver-attested in round 2 -- six rounds of code churn
-    # ago (tools/rotation_plan.py output, oldest-first; tail slots
-    # ceded to round-9-new queries, see the r10 backlog below)
-    "forecast_revenue_change", "order_priority_semi_join",
-    "customers_without_orders", "rollup_returnflag_status",
-    "pivot_orders_status", "shipping_priority_counts",
-    "profit_by_nation_year", "orders_above_customer_avg",
-    "timestamp_coercion", "dedup_full_row", "dedup_subset_distinct",
-    "median_impute", "daily_join_fanout", "validation_counts",
-    "sink_reshape_rename",
+    # round-10 staleness refresh, tier 1: the full r2 backlog
+    # (last driver-attested round 2 -- seven rounds of churn ago)
+    "outlier_filter", "set_ops_user_segments", "json_props_extract",
+    "streaming_tumbling_rollup", "lang_id_confusion",
+    "doc_fingerprints", "chunk_documents", "embedding_label_stats",
+    "distinct_users_per_type", "approx_distinct_users",
+    "cube_status_priority", "normalize_per_user",
+    "value_percentiles", "salted_skew_rollup",
+    # tier 2: the oldest r3-attested queries (rotation_plan.py
+    # order); this tail shrinks as round-10-new queries claim slots
+    "monthly_mode_event_type", "date_part_histogram",
+    "event_time_tumbling_window", "cosine_topk_pandas_udf",
+    "cosine_topk_ivf", "conditional_aggregation", "array_functions",
+    "value_moments", "scd2_user_history", "chunk_documents_udtf",
+    "json_map_explode", "string_functions",
+    "window_function_breadth", "date_scalar_functions",
+    "math_functions",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -173,13 +181,22 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "winsorized_value_stats", "dedup_containment_pairs",
     "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
     "embedding_drift_ks",
-    "value_percentiles", "normalize_per_user",  # r2-attested; r10 refresh backlog
-    # r2-attested; slots ceded to the r9-new tier:
-    "cube_status_priority", "distinct_users_per_type",
-    "embedding_label_stats", "approx_distinct_users",
-    "chunk_documents", "doc_fingerprints", "lang_id_confusion",
-    "set_ops_user_segments", "json_props_extract",
-    "streaming_tumbling_rollup", "outlier_filter",
+    # -- the 15 round-9 staleness refreshes, attested green in r9:
+    "forecast_revenue_change", "order_priority_semi_join",
+    "customers_without_orders", "rollup_returnflag_status",
+    "pivot_orders_status", "shipping_priority_counts",
+    "profit_by_nation_year", "orders_above_customer_avg",
+    "timestamp_coercion", "dedup_full_row", "dedup_subset_distinct",
+    "median_impute", "daily_join_fanout", "validation_counts",
+    "sink_reshape_rename",
+    # -- the 14 round-9-new queries, attested green in r9:
+    "ann_scaled_cells_recall", "minhash_band_cost_contract",
+    "quarantine_split_orders", "attribution_last_touch",
+    "fd_audit_orders_lineitem", "neyman_allocation_sample",
+    "heavy_hitters_events", "cusum_changepoint_events",
+    "linkage_blocking_quality", "component_store_incremental",
+    "cusum_store_incremental", "mmr_diverse_topk",
+    "isotonic_calibration", "zorder_layout_pruning",
     # -- the 9 round-8-new queries, attested green in r8:
     "web_ingest_incremental_stats", "preference_pairs_events",
     "epoch_shuffle_manifest", "mixture_epoch_plan",
@@ -220,35 +237,28 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "rate_wilson_ci_by_type", "ks_value_drift",
     "point_in_time_enrichment",
     "ann_high_recall_preset", "ann_recall_at_k", "ann_recall_multi_table",
-    "approx_percentile_bound", "array_functions",
-    "benchmark_decontamination", "bloom_filter_membership", "bm25_topk_docs",
-    "boilerplate_line_removal", "chunk_documents_udtf",
-    "cms_token_frequencies", "column_profile_lineitem",
-    "conditional_aggregation", "corpus_mixture_sample",
-    "corr_matrix_lineitem", "cosine_topk_ivf", "cosine_topk_ivf_pq",
-    "cosine_topk_lsh_multi", "cosine_topk_pandas_udf",
-    "curation_pipeline_stats",
-    "customer_order_distribution", "date_part_histogram", "date_scalar_functions",
-    "dedup_connected_groups", "dedup_incremental_exact",
+    "approx_percentile_bound", "benchmark_decontamination", "bloom_filter_membership", "bm25_topk_docs",
+    "boilerplate_line_removal", "cms_token_frequencies", "column_profile_lineitem",
+    "corpus_mixture_sample",
+    "corr_matrix_lineitem", "cosine_topk_ivf_pq",
+    "cosine_topk_lsh_multi", "curation_pipeline_stats",
+    "customer_order_distribution", "dedup_connected_groups", "dedup_incremental_exact",
     "dedup_incremental_simhash", "disjunctive_brand_revenue", "doc_logprob_score", "doc_quality_classifier",
     "doc_repetition_stats", "dsir_weighted_selection", "dup_span_removal",
     "embedding_pipeline_stats",
-    "event_time_tumbling_window", "funnel_view_click_purchase", "gap_filled_hourly", "graph_degree_stats",
+    "funnel_view_click_purchase", "gap_filled_hourly", "graph_degree_stats",
     "graph_pagerank_top", "graph_triangle_summary", "grouping_sets_revenue",
     "hash_split_counts", "hopping_window_rollup", "hybrid_rrf_topk",
     "importance_resample_dsir", "ivf_pq_recall", "ivf_recall_probes",
-    "json_map_explode", "large_volume_orders", "logreg_trained_weights", "math_functions",
-    "monthly_mode_event_type", "national_market_share",
+    "large_volume_orders", "logreg_trained_weights", "national_market_share",
     "ohlc_daily_candles", "packed_bins",
     "per_source_document_cap", "pii_redaction", "promo_revenue_share", "quality_filter_stats",
     "returned_item_customers", "rich_inactive_customers",
-    "rollup_incremental_daily", "salted_skew_rollup", "scd2_user_history", "semdedup_embeddings",
+    "rollup_incremental_daily", "semdedup_embeddings",
     "session_window_rollup", "small_quantity_revenue", "stratified_sample_counts",
-    "streaming_interval_join", "string_functions", "tfidf_top_terms", "time_bucket_rollup",
+    "streaming_interval_join", "tfidf_top_terms", "time_bucket_rollup",
     "top_supplier_revenue", "trained_ivf_recall",
-    "twap_daily", "value_moments", "volume_shipping", "weekly_cohort_retention", "weighted_sample_docs",
-    "window_function_breadth",
-})
+    "twap_daily", "volume_shipping", "weekly_cohort_retention", "weighted_sample_docs",})
 
 
 def register(spec: QuerySpec) -> None:
