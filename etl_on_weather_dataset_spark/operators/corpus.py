@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from .dedup import word_shingles
 from .text import tokens
 
+PPM = 1_000_000
+
 
 # --- intra-document repetition (Gopher repetition filters) --------------------
 
@@ -1248,4 +1250,209 @@ def packed_attention_spans_sql(
                    AS boundary_md5
         FROM ({packed_sql})
         GROUP BY shard, bin_id
+    """
+
+
+# --- PMI phrase mining (word2phrase-style collocations) ----------------------------
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information -- the
+    word2phrase step (Mikolov et al. 2013) a tokenizer-prep pipeline
+    runs to promote "new york"-style bigrams to single units before
+    vocabulary induction:
+
+        pmi(a, b) = ln( N * c_ab / (c_a * c_b) )
+
+    with ``N`` total bigram occurrences, ``c_ab`` the bigram count
+    and ``c_a``/``c_b`` the left-context / right-context unigram
+    occurrence counts derived from the SAME bigram relation (so the
+    marginals sum to N exactly). ``min_count`` suppresses the
+    low-count noise PMI is notorious for.
+
+    Exactness discipline: counts are BIGINTs; the single float op is
+    one IEEE ln of the same integer ratio in both engines, snapped to
+    micro-nats (same discipline as ``bigram_logprob``). Determinism:
+    output ordered by (pmi_micro DESC, a, b) with row_number cutting
+    exactly top_k.
+
+    Scale shape: one bigram explode -> groupBy(pair) map-side
+    combinable count; marginals derive from the pair-count relation
+    (vocabulary-bounded, far smaller than the corpus); the final
+    ordering runs on the min_count-filtered collocation relation.
+    """
+    toks = tokens(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    left = bi.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    right = bi.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    tot = bi.agg(F.sum("c_ab").cast("long").alias("n_total"))
+    scored = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", "c_ab",
+            F.round(
+                F.log(
+                    F.col("n_total").cast("double") * F.col("c_ab")
+                    / (F.col("c_a") * F.col("c_b"))
+                ) * 1e6
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("pmi_micro").desc(), F.col("a"), F.col("b")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("a", "b", "c_ab", "pmi_micro")
+    )
+
+
+def pmi_bigrams_sql(
+    table: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`pmi_bigrams` (same marginals from the
+    same bigram relation, same micro-nat ln, same tiebreak)."""
+    return f"""
+        WITH t AS (
+            SELECT regexp_split_to_array({text_col}, ' +') AS toks
+            FROM {table}
+        ), bi AS (
+            SELECT u.a AS a, u.b AS b, COUNT(*) AS c_ab
+            FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                        i -> {{'a': toks[i], 'b': toks[i + 1]}})
+                ELSE [] END) AS u
+                FROM t
+            )
+            GROUP BY 1, 2
+        ), l AS (SELECT a, SUM(c_ab) AS c_a FROM bi GROUP BY a),
+        r AS (SELECT b, SUM(c_ab) AS c_b FROM bi GROUP BY b),
+        tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_total FROM bi),
+        scored AS (
+            SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+                   CAST(ROUND(ln(CAST(n_total AS DOUBLE) * c_ab
+                        / (c_a * c_b)) * 1000000) AS BIGINT)
+                       AS pmi_micro
+            FROM bi JOIN l USING (a) JOIN r USING (b), tot
+            WHERE c_ab >= {min_count}
+        )
+        SELECT a, b, c_ab, pmi_micro FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY pmi_micro DESC, a, b) AS rk
+            FROM scored
+        ) WHERE rk <= {top_k}
+    """
+
+
+# --- cross-source n-gram novelty ----------------------------------------------------
+
+def ngram_novelty_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-source n-gram novelty: of a source's distinct word
+    n-grams, what fraction appears in NO other source? The
+    cross-source contamination dial a corpus-mixing pipeline reads
+    before weighting sources -- near-zero novelty means the source
+    re-serves text the mix already has (mirrors, scrapes of scrapes);
+    benchmark-decontamination answers the same question against a
+    fixed eval set, this answers it between training sources.
+
+    Output per source: n_ngrams (distinct), n_exclusive (appearing
+    in this source only), novelty_ppm = n_exclusive * 1e6 div
+    n_ngrams -- all exact BIGINT counts.
+
+    Scale shape: explode to (source, ngram) -> distinct (the ONE
+    data-grain shuffle, map-side combinable); the per-ngram source
+    count then runs on the |distinct ngrams| relation and joins back
+    by ngram. Nothing pairs sources against each other -- cost is
+    linear in corpus n-grams, not quadratic in sources.
+    """
+    pairs = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(_all_shingles(text_col, n)).alias("g"),
+        )
+        .distinct()
+    )
+    per_gram = pairs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        pairs.join(per_gram, "g")
+        .groupBy(F.col("src").alias(source_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(
+                (F.col("n_sources") == 1).cast("long")
+            ).cast("long").alias("n_exclusive"),
+        )
+        .select(
+            source_col, "n_ngrams", "n_exclusive",
+            F.expr(f"n_exclusive * {PPM} div n_ngrams")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+def ngram_novelty_by_source_sql(
+    table: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`ngram_novelty_by_source` (same shingle
+    construction incl. the short-doc whole-text fallback)."""
+    return f"""
+        WITH t AS (
+            SELECT {source_col} AS src,
+                   regexp_split_to_array({text_col}, ' +') AS toks
+            FROM {table}
+        ), pairs AS (
+            SELECT DISTINCT src,
+                   unnest(CASE WHEN len(toks) >= {n} THEN
+                       list_transform(range(1, len(toks) - {n} + 2),
+                           i -> array_to_string(toks[i:i+{n}-1], ' '))
+                   ELSE [array_to_string(toks, ' ')] END) AS g
+            FROM t
+        ), per_gram AS (
+            SELECT g, COUNT(*) AS n_sources FROM pairs GROUP BY g
+        )
+        SELECT src AS {source_col},
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exclusive,
+               CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+                    * {PPM} // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM pairs JOIN per_gram USING (g)
+        GROUP BY src
     """

@@ -1123,3 +1123,252 @@ def isotonic_fit_sql(
                st[r].s * 1000000 // st[r].n AS iso_ppm
         FROM final, UNNEST(range(1, len(st) + 1)) u(r)
     """
+
+
+# --- inter-annotator agreement (Cohen's kappa) -------------------------------------
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Chance-corrected agreement between two categorical labelers
+    (Cohen 1960): the statistic a labeling pipeline reports when two
+    annotators -- or a heuristic and a gold column -- label the same
+    rows. Raw accuracy flatters skewed label distributions; kappa
+    subtracts the agreement two independent raters with the same
+    marginals would reach by chance:
+
+        kappa = (p_o - p_e) / (1 - p_e)
+              = (N * agree - sum_k row_k * col_k)
+                / (N^2 - sum_k row_k * col_k)
+
+    Exact-integer discipline: numerator and denominator are plain
+    BIGINTs of counts, so both engines compute the identical
+    fraction; ``kappa_ppm`` is emitted via sign-split truncating
+    division (Spark ``div`` truncates toward zero while DuckDB ``//``
+    floors -- they differ on NEGATIVE numerators, and kappa < 0 is
+    legal, so the quotient is computed on |num| and re-signed).
+
+    Output (one row): n, n_agree, po_ppm, pe_ppm, kappa_ppm.
+
+    Scale shape: one groupBy((a, b)) map-side-combinable aggregate to
+    the |categories|^2 confusion relation, then marginals and the
+    one-row fold on that tiny relation. Rows where either label is
+    NULL are excluded (both raters must have voted).
+    """
+    a, b = F.col(rater_a), F.col(rater_b)
+    conf = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("la"), b.alias("lb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rows = conf.groupBy("la").agg(F.sum("c").alias("row_n"))
+    cols = conf.groupBy("lb").agg(F.sum("c").alias("col_n"))
+    chance = (
+        rows.join(cols, rows.la == cols.lb)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("row_n") * F.col("col_n")), F.lit(0)
+            ).cast("long").alias("chance_num")
+        )
+    )
+    totals = conf.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("la") == F.col("lb"), F.col("c"))),
+            F.lit(0),
+        ).cast("long").alias("n_agree"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(chance))
+        .select(
+            "n", "n_agree",
+            F.expr(f"n_agree * {PPM} div n").alias("po_ppm"),
+            F.expr(f"chance_num * {PPM} div (n * n)").alias("pe_ppm"),
+            F.expr(f"""
+                CASE WHEN n * n = chance_num THEN NULL
+                     ELSE sign(n * n_agree - chance_num)
+                          * (abs(n * n_agree - chance_num) * {PPM}
+                             div (n * n - chance_num))
+                END
+            """).cast("long").alias("kappa_ppm"),
+        )
+    )
+
+
+def cohens_kappa_sql(
+    table_sql: str,
+    rater_a: str,
+    rater_b: str,
+) -> str:
+    """DuckDB twin of :func:`cohens_kappa` -- identical integer
+    confusion counts and the same sign-split truncating division."""
+    return f"""
+        WITH conf AS (
+            SELECT {rater_a} AS la, {rater_b} AS lb,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM ({table_sql})
+            WHERE {rater_a} IS NOT NULL AND {rater_b} IS NOT NULL
+            GROUP BY 1, 2
+        ), marg AS (
+            SELECT CAST(COALESCE(SUM(row_n * col_n), 0) AS BIGINT)
+                       AS chance_num
+            FROM (SELECT la, SUM(c) AS row_n FROM conf GROUP BY la) r
+            JOIN (SELECT lb, SUM(c) AS col_n FROM conf GROUP BY lb) co
+              ON r.la = co.lb
+        ), tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(CASE WHEN la = lb THEN c END), 0)
+                        AS BIGINT) AS n_agree
+            FROM conf
+        )
+        SELECT n, n_agree,
+               n_agree * {PPM} // n AS po_ppm,
+               chance_num * {PPM} // (n * n) AS pe_ppm,
+               CAST(CASE WHEN n * n = chance_num THEN NULL
+                    ELSE CAST(sign(n * n_agree - chance_num) AS BIGINT)
+                         * (abs(n * n_agree - chance_num) * {PPM}
+                            // (n * n - chance_num))
+               END AS BIGINT) AS kappa_ppm
+        FROM tot, marg
+    """
+
+
+# --- split-conformal calibration -----------------------------------------------
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    alpha_ppm: int = 100_000,
+    cal_frac_ppm: int = 500_000,
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split-conformal one-sided threshold + held-out coverage (Vovk
+    et al.; Angelopoulos & Bates 2023 tutorial form): calibrate a
+    nonconformity threshold ``q_hat`` on a deterministic md5 split,
+    then measure empirical coverage on the complement. The marginal
+    guarantee P(score <= q_hat) >= 1 - alpha needs q_hat = the
+    ceil((n_cal + 1) * (1 - alpha))-th smallest calibration score --
+    an exact order statistic, NOT a quantile estimate.
+
+    Exact-integer discipline: the rank k = ceil((n_cal + 1) *
+    (1 - alpha)) is computed as (n_cal + 1) * (1e6 - alpha_ppm)
+    ceil-divided by 1e6 in BIGINTs; the order statistic is row_number
+    over (score, id) -- the id tiebreak makes the statistic
+    deterministic under ties; coverage is a ppm ratio of counts. If
+    k > n_cal (alpha too small for the calibration size) the
+    guarantee is vacuous: q_hat = +infinity is represented by NULL
+    and coverage_ppm = 1e6 by construction -- callers see it, loudly.
+
+    Output (one row): n_cal, n_eval, k_rank, q_hat,
+    coverage_ppm, target_ppm.
+
+    Scale shape: the split is a stateless md5 filter (no shuffle);
+    the order statistic needs the k-th smallest of the calibration
+    set -- computed with ONE unpartitioned window over the
+    calibration rows. At 100 TB, replace with the two-pass
+    bounded-memory selection (histogram sketch to bracket, exact
+    scan within bracket); at driver scales the window is the exact,
+    attestable form.
+    """
+    from .sample import hash_bucket
+
+    s, i = F.col(score_col).cast("long"), F.col(id_col)
+    base = df.select(
+        s.alias("score"), i.alias("id"),
+        (hash_bucket(i, salt=salt) < F.lit(cal_frac_ppm)).alias(
+            "is_cal"
+        ),
+    )
+    cal = base.filter("is_cal")
+    ev = base.filter(~F.col("is_cal"))
+    w = Window.orderBy("score", "id")
+    ranked = cal.select(
+        "score", F.row_number().over(w).alias("rn")
+    )
+    # ceil division via the all-POSITIVE idiom (num + den - 1) div
+    # den: Spark `div` and DuckDB `//` both truncate toward zero, so
+    # the negate-and-divide ceil trick (which assumes floor
+    # semantics) silently yields floor here -- one rank too low,
+    # breaking the >= 1 - alpha guarantee
+    n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    k = n_cal.select(
+        "n_cal",
+        F.expr(
+            f"cast(((n_cal + 1) * ({PPM} - {alpha_ppm})"
+            f" + {PPM} - 1) div {PPM} as bigint)"
+        ).alias("k_rank"),
+    )
+    qhat = (
+        k.join(ranked, ranked.rn == k.k_rank, "left")
+        .select(
+            "n_cal", "k_rank", F.col("score").alias("q_hat")
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.first("k_rank").alias("k_rank"),
+            F.first("q_hat").alias("q_hat"),
+            F.expr(f"""
+                coalesce(
+                    sum(cast(score <= q_hat as bigint)) * {PPM}
+                    div count(1),
+                    {PPM}
+                )
+            """).cast("long").alias("coverage_ppm"),
+            F.lit(PPM - alpha_ppm).cast("long").alias("target_ppm"),
+        )
+    )
+
+
+def conformal_threshold_sql(
+    table_sql: str,
+    score_col: str,
+    id_col: str,
+    alpha_ppm: int = 100_000,
+    cal_frac_ppm: int = 500_000,
+    salt: str = "conformal",
+) -> str:
+    """DuckDB twin of :func:`conformal_threshold` (same md5 split,
+    same ceil-division rank, same (score, id) tiebreak)."""
+    from .sample import hash_bucket_sql
+
+    bucket = hash_bucket_sql(id_col, salt=salt)
+    return f"""
+        WITH base AS (
+            SELECT CAST({score_col} AS BIGINT) AS score,
+                   {id_col} AS id,
+                   {bucket} < {cal_frac_ppm} AS is_cal
+            FROM ({table_sql})
+        ), cal AS (
+            SELECT score,
+                   ROW_NUMBER() OVER (ORDER BY score, id) AS rn
+            FROM base WHERE is_cal
+        ), k AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                   CAST(((COUNT(*) + 1) * ({PPM} - {alpha_ppm})
+                        + {PPM} - 1) // {PPM} AS BIGINT) AS k_rank
+            FROM base WHERE is_cal
+        ), q AS (
+            SELECT n_cal, k_rank, cal.score AS q_hat
+            FROM k LEFT JOIN cal ON cal.rn = k.k_rank
+        )
+        SELECT q.n_cal AS n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               q.k_rank AS k_rank,
+               q.q_hat AS q_hat,
+               CAST(COALESCE(
+                   SUM(CAST(score <= q_hat AS BIGINT)) * {PPM}
+                   // COUNT(*), {PPM}) AS BIGINT) AS coverage_ppm,
+               CAST({PPM - alpha_ppm} AS BIGINT) AS target_ppm
+        FROM base, q
+        WHERE NOT is_cal
+        GROUP BY q.n_cal, q.k_rank, q.q_hat
+    """

@@ -596,3 +596,177 @@ def last_touch_attribution_sql(
         FROM ranked WHERE rn = 1
         GROUP BY 1
     """
+
+
+# --- time-decay (multi-touch) attribution ------------------------------------------
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: every
+    touch in the ``lookback_days`` window before a conversion earns
+    credit proportional to ``2^-age_days`` (credit halves per day of
+    age -- the standard time-decay model, here with day-granular
+    integer weights so the split is EXACT, not float).
+
+    Per conversion, channel ``c``'s share is
+
+        share_ppm(c) = wsum_c * 1e6 div sum_c' wsum_c',
+        wsum_c = sum_d 2^(lookback_days - 1 - d) * touches(c, age d)
+
+    -- all BIGINTs, identical in both engines. Conversions with no
+    in-window touch land in ``direct_label`` with full 1e6 credit.
+
+    Output per channel: n_touched (conversions where the channel
+    earned credit), share_ppm_sum (total ppm credit -- sums to
+    ~1e6 * n_conversions across channels, short only truncation
+    remainders), value_micro (cents * share_ppm, micro-cent credit).
+
+    Scale shape: ONE shuffle on ``user_col``; the per-conversion
+    per-channel weighted touch counts are ``lookback_days`` RANGE
+    frames over the user's event stream (day-bucketed ages), so the
+    engine never materializes the touches x conversions pair relation
+    the DuckDB oracle deliberately runs. |channels| x |days| window
+    aggregates share one sort; the rollup is |channels| rows.
+    """
+    from pyspark.sql.window import Window
+
+    wanted = [conversion_type, *touch_types]
+    base = df.filter(F.col(type_col).isin(wanted)).select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(type_col).alias("et"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    win = Window.partitionBy("u").orderBy("us")
+    cnt_cols = {}
+    for d in range(lookback_days):
+        # age-day bucket d = touches with floor((us-tus)/day) == d,
+        # strictly before the conversion: tus in
+        # (us-(d+1)*day, us-d*day], i.e. offsets [-(d+1)*day+1,
+        # -d*day] with the d=0 upper bound capped at -1 (same
+        # microsecond excluded). A closed lower bound at
+        # -(d+1)*day would claim the exact (d+1)-day-old touch for
+        # bucket d while the oracle's floor-division age puts it in
+        # bucket d+1 -- and the lookback boundary touch (age ==
+        # lookback_days exactly) must be OUT in both engines.
+        frame = win.rangeBetween(
+            -(d + 1) * _DAY_US + 1,
+            -d * _DAY_US if d > 0 else -1,
+        )
+        for c in touch_types:
+            cnt_cols[f"n_{c}_{d}"] = F.sum(
+                F.when(F.col("et") == c, F.lit(1)).otherwise(F.lit(0))
+            ).over(frame)
+    conv = (
+        base.select("*", *[v.alias(k) for k, v in cnt_cols.items()])
+        .filter(F.col("et") == conversion_type)
+    )
+    wsums = {
+        c: sum(
+            (
+                F.coalesce(F.col(f"n_{c}_{d}"), F.lit(0))
+                * F.lit(1 << (lookback_days - 1 - d))
+            )
+            for d in range(lookback_days)
+        ).cast("long")
+        for c in touch_types
+    }
+    conv = conv.select(
+        "cents", *[w.alias(f"w_{c}") for c, w in wsums.items()]
+    )
+    total = sum(F.col(f"w_{c}") for c in touch_types).cast("long")
+    conv = conv.withColumn("w_total", total)
+    per_channel = [
+        conv.filter(F.col(f"w_{c}") > 0).select(
+            F.lit(c).alias("channel"),
+            F.expr(f"w_{c} * 1000000 div w_total").alias("share_ppm"),
+            "cents",
+        )
+        for c in touch_types
+    ]
+    direct = conv.filter(F.col("w_total") == 0).select(
+        F.lit(direct_label).alias("channel"),
+        F.lit(1_000_000).cast("long").alias("share_ppm"),
+        "cents",
+    )
+    credits = direct
+    for p in per_channel:
+        credits = credits.unionByName(p)
+    return credits.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touched"),
+        F.sum("share_ppm").cast("long").alias("share_ppm_sum"),
+        F.sum(F.col("cents") * F.col("share_ppm"))
+        .cast("long").alias("value_micro"),
+    )
+
+
+def time_decay_attribution_sql(
+    table: str = "events",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    direct_label: str = "direct",
+    tiebreak_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`time_decay_attribution` as the explicit
+    touches-x-conversions pair join with the same day-bucketed
+    integer weights -- the shape the engine's window rewrite exists
+    to avoid; equal answers attest the rewrite."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    lb_us = lookback_days * _DAY_US
+    return f"""
+        WITH conv AS (
+            SELECT {tiebreak_col} AS cid, {user_col} AS u,
+                   epoch_us({ts_col}) AS us,
+                   CAST(ROUND({value_col} * 100) AS BIGINT) AS cents
+            FROM {table} WHERE {type_col} = '{conversion_type}'
+        ), touch AS (
+            SELECT {user_col} AS u, epoch_us({ts_col}) AS tus,
+                   {type_col} AS ch
+            FROM {table} WHERE {type_col} IN ({touches})
+        ), pair AS (
+            SELECT c.cid, c.cents, t.ch,
+                   CAST(1 AS BIGINT) << ({lookback_days} - 1
+                       - CAST((c.us - t.tus) // {_DAY_US} AS BIGINT))
+                       AS w
+            FROM conv c JOIN touch t
+              ON t.u = c.u AND t.tus > c.us - {lb_us}
+                 AND t.tus < c.us
+        ), per_conv_channel AS (
+            SELECT cid, ANY_VALUE(cents) AS cents, ch,
+                   CAST(SUM(w) AS BIGINT) AS w_ch
+            FROM pair GROUP BY cid, ch
+        ), per_conv AS (
+            SELECT cid, CAST(SUM(w_ch) AS BIGINT) AS w_total
+            FROM per_conv_channel GROUP BY cid
+        ), credits AS (
+            SELECT pc.ch AS channel,
+                   pc.w_ch * 1000000 // t.w_total AS share_ppm,
+                   pc.cents
+            FROM per_conv_channel pc JOIN per_conv t USING (cid)
+            UNION ALL
+            SELECT '{direct_label}', CAST(1000000 AS BIGINT), cents
+            FROM conv WHERE cid NOT IN (SELECT cid FROM per_conv)
+        )
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touched,
+               CAST(SUM(share_ppm) AS BIGINT) AS share_ppm_sum,
+               CAST(SUM(cents * share_ppm) AS BIGINT) AS value_micro
+        FROM credits GROUP BY channel
+    """

@@ -406,3 +406,101 @@ def sample_negatives_sql(
             WHERE t.neg_id != q.positive_id
         ) WHERE neg_rank <= {k}
     """
+
+
+# --- Borda-count rank aggregation ---------------------------------------------------
+
+def borda_fuse(
+    df: DataFrame,
+    id_col: str,
+    signals: dict[str, str],
+    k: int = 20,
+) -> DataFrame:
+    """Fuse several quality signals by Borda count (de Borda 1781;
+    the rank-aggregation baseline of ensemble curation): each signal
+    ranks every row (competition rank, best = 1, ties share a rank),
+    each row earns ``N - rank`` points per signal, and the fused
+    score is the point sum -- scale-free, so kilobyte lengths and
+    0/1 flags vote with equal weight.
+
+    ``signals`` maps an integer column to ``"desc"`` (bigger is
+    better) or ``"asc"``. Output: top-``k`` rows by (borda DESC, id)
+    with the fused score and each signal's rank.
+
+    Exactness: ranks and points are BIGINTs; competition rank depends
+    only on VALUES (ties share a rank), never on physical row order,
+    so both engines agree without a tiebreak column.
+
+    Scale shape: the naive form (the DuckDB oracle) is one global
+    RANK() window per signal -- a full sort of the corpus each. The
+    engine instead derives each rank from the signal's VALUE-COUNT
+    relation: groupBy(value) count (map-side combinable), ONE window
+    cumulative sum over the |distinct values| relation (bounded by
+    the value domain, not the corpus -- same trick as the exact-AUC
+    fold in operators/evaluate.py), then a broadcastable join back.
+    Data-grain work is shuffle-only; no corpus-wide sort.
+    """
+    n_total = df.count()  # one job; |signals| plans reuse it as a literal
+    fused = df.select(F.col(id_col).alias("id"), *signals.keys())
+    for sig, direction in signals.items():
+        desc = direction == "desc"
+        vc = (
+            df.groupBy(F.col(sig).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        w = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranks = vc.select(
+            "v",
+            (F.sum("c").over(w) - F.col("c") + 1).alias(f"rk_{sig}"),
+        )
+        fused = (
+            fused.join(
+                F.broadcast(ranks), fused[sig] == ranks.v, "left"
+            )
+            .drop("v")
+        )
+    borda = sum(
+        (F.lit(n_total) - F.col(f"rk_{s}")) for s in signals
+    ).cast("long")
+    out = fused.select(
+        "id",
+        borda.alias("borda"),
+        *[F.col(f"rk_{s}").cast("long").alias(f"rk_{s}")
+          for s in signals],
+    )
+    return (
+        out.orderBy(F.col("borda").desc(), F.col("id")).limit(k)
+    )
+
+
+def borda_fuse_sql(
+    table_sql: str,
+    id_col: str,
+    signals: dict[str, str],
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`borda_fuse` in the naive global-window
+    form (one RANK() per signal) -- the shape the engine's
+    value-count rewrite avoids; equal answers attest the rewrite."""
+    rank_exprs = ", ".join(
+        f"RANK() OVER (ORDER BY {s}"
+        f" {'DESC' if d == 'desc' else 'ASC'}) AS rk_{s}"
+        for s, d in signals.items()
+    )
+    borda = " + ".join(f"(n_total - rk_{s})" for s in signals)
+    rk_cols = ", ".join(f"CAST(rk_{s} AS BIGINT) AS rk_{s}"
+                        for s in signals)
+    return f"""
+        WITH ranked AS (
+            SELECT {id_col} AS id, {rank_exprs},
+                   COUNT(*) OVER () AS n_total
+            FROM ({table_sql})
+        )
+        SELECT id, CAST({borda} AS BIGINT) AS borda, {rk_cols}
+        FROM ranked
+        ORDER BY borda DESC, id
+        LIMIT {k}
+    """

@@ -15,7 +15,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = " +"
@@ -496,3 +496,116 @@ def parse_chat_sql(rendered_sql: str) -> dict[str, str]:
         ),
         "mask_len": f"CAST(length({response}) AS BIGINT)",
     }
+
+
+# --- readability (Flesch reading-ease, integer-milli form) --------------------------
+
+READ_SENT_RE = "[.!?]+"
+READ_VOWEL_RE = "[aeiou]+"
+
+
+def readability_counts(text: Column | str) -> list[Column]:
+    """Per-doc readability raw counts: words, sentences (runs of
+    sentence-ending punctuation, floored at 1 so an unpunctuated doc
+    counts as one sentence), and vowel groups (the classic
+    syllable-count proxy: one syllable nucleus per maximal vowel
+    run). These are the SUFFICIENT STATISTICS for Flesch reading
+    ease -- keep them additive and compute the score on the
+    aggregate, never average per-doc scores."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        token_count(c).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(c, F.lit(READ_SENT_RE), F.lit(0))),
+        ).cast("long").alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower(c), F.lit(READ_VOWEL_RE), F.lit(0))
+        ).cast("long").alias("n_syllables"),
+    ]
+
+
+def readability_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading ease per group, exact-integer milli form
+    (Flesch 1948: 206.835 - 1.015 * words/sentence - 84.6 *
+    syllables/word). A corpus-quality dial: sources whose score
+    collapses are word salad or boilerplate, not prose.
+
+    Exactness discipline: each doc contributes three BIGINT counts
+    (one map-side-combinable aggregate, no floats at data grain);
+    the score is computed from the group SUMS with truncating
+    integer division in milli units -- identical in Spark (``div``)
+    and DuckDB (``//``) since every intermediate ratio is
+    non-negative (the final score is a pure subtraction and may go
+    negative, which both engines represent identically).
+
+    Output per group: n_docs, n_words, n_sentences, n_syllables,
+    words_per_sentence_milli, syllables_per_word_milli,
+    flesch_milli.
+    """
+    per_doc = df.select(
+        F.col(group_col).alias("grp"), *readability_counts(text_col)
+    )
+    agg = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_sentences").cast("long").alias("n_sentences"),
+        F.sum("n_syllables").cast("long").alias("n_syllables"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs", "n_words", "n_sentences", "n_syllables",
+        F.expr("n_words * 1000 div n_sentences")
+        .alias("words_per_sentence_milli"),
+        F.expr("n_syllables * 1000 div n_words")
+        .alias("syllables_per_word_milli"),
+        F.expr(
+            "206835 - (1015 * (n_words * 1000 div n_sentences))"
+            " div 1000"
+            " - (84600 * (n_syllables * 1000 div n_words)) div 1000"
+        ).cast("long").alias("flesch_milli"),
+    )
+
+
+def readability_by_group_sql(
+    table: str,
+    group_col: str,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`readability_by_group` (same counts,
+    same milli integer divisions)."""
+    return f"""
+        WITH per_doc AS (
+            SELECT {group_col} AS grp,
+                   CAST(len(regexp_split_to_array({text_col}, ' +'))
+                        AS BIGINT) AS n_words,
+                   CAST(GREATEST(1, len(regexp_extract_all(
+                        {text_col}, '{READ_SENT_RE}'))) AS BIGINT)
+                       AS n_sentences,
+                   CAST(len(regexp_extract_all(lower({text_col}),
+                        '{READ_VOWEL_RE}')) AS BIGINT) AS n_syllables
+            FROM {table}
+        ), agg AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
+                   CAST(SUM(n_syllables) AS BIGINT) AS n_syllables
+            FROM per_doc GROUP BY grp
+        )
+        SELECT grp AS {group_col},
+               n_docs, n_words, n_sentences, n_syllables,
+               n_words * 1000 // n_sentences
+                   AS words_per_sentence_milli,
+               n_syllables * 1000 // n_words
+                   AS syllables_per_word_milli,
+               CAST(206835
+                    - (1015 * (n_words * 1000 // n_sentences)) // 1000
+                    - (84600 * (n_syllables * 1000 // n_words)) // 1000
+                    AS BIGINT) AS flesch_milli
+        FROM agg
+    """

@@ -2490,3 +2490,74 @@ register(QuerySpec(
     oracle=_zorder_layout_pruning_oracle,
     covers=("zorder-clustering", "data-skipping", "min-max-pruning"),
 ))
+
+
+# --- split-conformal calibration of event values (round-10) -----------------------
+#
+# The eval tier's distribution-free guarantee: calibrate the
+# 90%-coverage one-sided threshold for event value cents on a
+# deterministic md5 half-split, then attest the held-out coverage.
+# The threshold is an exact order statistic (ceil((n+1)(1-alpha))-th
+# smallest calibration score, (score, id) tiebreak), not a quantile
+# estimate -- operators/evaluate.py conformal_threshold.
+
+def _conformal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import conformal_threshold
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return conformal_threshold(ev, "cents", "event_id")
+
+
+def _conformal_events_oracle() -> str:
+    from ..operators.evaluate import conformal_threshold_sql
+
+    return conformal_threshold_sql(
+        "SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents"
+        " FROM events",
+        "cents", "event_id",
+    )
+
+
+register(QuerySpec(
+    name="conformal_coverage_events",
+    spark_fn=_conformal_events,
+    oracle=_conformal_events_oracle,
+    covers=("split-conformal", "coverage-guarantee",
+            "exact-order-statistic"),
+))
+
+
+# --- multi-touch time-decay attribution (round-10) ---------------------------------
+#
+# attribution_last_touch credits the single latest touch; this is the
+# multi-touch complement: every in-window touch earns 2^-age_days
+# credit, split exactly in integer ppm (operators/funnel.py
+# time_decay_attribution). The engine runs |lookback_days| RANGE
+# frames over ONE user-partitioned sort; the oracle deliberately runs
+# the touches x conversions pair join the window shape avoids.
+
+def _attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.funnel import time_decay_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_decay_attribution(ev)
+
+
+def _attribution_time_decay_oracle() -> str:
+    from ..operators.funnel import time_decay_attribution_sql
+
+    return time_decay_attribution_sql("events")
+
+
+register(QuerySpec(
+    name="attribution_time_decay",
+    spark_fn=_attribution_time_decay,
+    oracle=_attribution_time_decay_oracle,
+    covers=("time-decay-attribution", "multi-touch-credit",
+            "window-not-join"),
+))

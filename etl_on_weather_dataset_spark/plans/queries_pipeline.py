@@ -2479,3 +2479,270 @@ register(QuerySpec(
     bench_fn=_component_store_bench,
     plan_fn=_component_store_plans,
 ))
+
+
+# --- auto-tuned curation flagship (round-10, r9 verdict stretch item 8) ------------
+#
+# The two self-tuning dials shipped in round 9 -- the minhash
+# banding-cost planner (dedup.py plan: choose the smallest
+# rows_per_band whose EXACT collision bill fits a linear budget) and
+# the ANN density dial (similarity.py scaled_n_cells) -- attested
+# IN COMPOSITION: one day-2-shaped flagship that (a) plans the band
+# shape from signature stats, (b) runs the banded join at the chosen
+# r, (c) scales semdedup's Voronoi cell count to the corpus. The
+# xxhash64 signatures have no SQL twin, so the driver row follows the
+# heavy_hitters guarantee-flag pattern: engine-variable values
+# (chosen r, collision bills) are validated by flags that hold by
+# construction, while every corpus count and the scaled cell count
+# itself (pure integer arithmetic on COUNT(*)) hash against exact
+# oracle arithmetic. The planner-chosen band shape is visible in the
+# plan audit (the band_join label carries r) and in pytest.
+
+_AT_BUDGET_PER_DOC = 50
+_AT_SEM_THRESHOLD = 0.9
+_AT_TARGET_CELL_ROWS = 256
+_AT_DIM = 64
+
+
+def _at_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(clones)
+
+
+def _at_valid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.filter(
+        v.isNotNull()
+        & (F.size(v) == _AT_DIM)
+        & (dot(v.cast("array<double>"), v.cast("array<double>")) > 0)
+    ).select("vec_id", "embedding")
+
+
+def _at_plan_and_run(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared scenario body: plan the band shape, run the banded join
+    at the chosen r, scale semdedup's cells. Returns the raw pieces;
+    spark_fn adds the verification legs, bench_fn times this body."""
+    from ..operators.dedup import (
+        _band_keys,
+        _minhash_shingles,
+        minhash_band_cost,
+    )
+    from ..operators.similarity import scaled_n_cells, semdedup
+
+    corpus = _at_corpus(spark, sf_dir)
+    sh = _minhash_shingles(corpus, "text", "doc_id", 3, None)
+    n_docs = sh.count()
+    budget = _AT_BUDGET_PER_DOC * n_docs
+    cost = sorted(
+        minhash_band_cost(
+            corpus, rows_per_band_options=(1, 2)
+        ).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    chosen = next(
+        (r for r in cost if r.n_collision_pairs <= budget), cost[-1]
+    )
+    bands = sh.select(
+        "id",
+        F.posexplode(
+            _band_keys(4, int(chosen.rows_per_band), 42)
+        ).alias("band", "key"),
+    )
+    collisions = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+    )
+    valid = _at_valid_vectors(spark, sf_dir)
+    n_valid = valid.count()
+    cells = scaled_n_cells(n_valid, _AT_TARGET_CELL_ROWS)
+    sem = semdedup(
+        valid, _AT_SEM_THRESHOLD, n_cells=cells,
+        id_col="vec_id", vec_col="embedding", dim=_AT_DIM,
+    )
+    return {
+        "n_docs": n_docs,
+        "budget": budget,
+        "cost": cost,
+        "chosen": chosen,
+        "collisions": collisions,
+        "n_valid": n_valid,
+        "cells": cells,
+        "sem": sem,
+    }
+
+
+def _autotuned_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _at_plan_and_run(spark, sf_dir)
+    chosen, cost = s["chosen"], s["cost"]
+    # guarantee legs (engine-side verification, flags by construction)
+    n_join = s["collisions"].count()
+    plan_join_diff = abs(int(chosen.n_collision_pairs) - n_join)
+    within = (
+        int(chosen.n_collision_pairs) <= s["budget"]
+        or int(chosen.rows_per_band) == int(cost[-1].rows_per_band)
+    )
+    smallest = all(
+        r.n_collision_pairs > s["budget"]
+        for r in cost
+        if r.rows_per_band < chosen.rows_per_band
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") > 0)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    cand = s["collisions"].dropDuplicates(["id_a", "id_b"])
+    n_injected = injected.count()
+    n_missed = injected.join(cand, ["id_a", "id_b"], "left_anti").count()
+    n_keep = s["sem"].filter(F.col("keep")).count()
+    rows = [
+        ("n_docs", int(s["n_docs"])),
+        ("n_injected_pairs", int(n_injected)),
+        ("n_missed_injected", int(n_missed)),
+        ("n_plan_join_diff", int(plan_join_diff)),
+        ("band_within_budget", int(within)),
+        ("band_smallest_within_budget", int(smallest)),
+        ("n_valid_vectors", int(s["n_valid"])),
+        ("n_cells_scaled", int(s["cells"])),
+        ("sem_keep_le_valid", int(n_keep <= s["n_valid"])),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long")
+
+
+def _autotuned_curation_oracle() -> str:
+    from ..operators.similarity import dot_sql
+
+    dd = dot_sql(
+        "(CAST(embedding AS DOUBLE[]))", "(CAST(embedding AS DOUBLE[]))"
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 5 = 0
+        ), nonempty AS (
+            SELECT * FROM corpus WHERE length(text) > 0
+        ), valid AS (
+            SELECT vec_id FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(embedding) = {_AT_DIM}
+              AND {dd} > 0
+        )
+        SELECT 'n_docs' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n FROM nonempty
+        UNION ALL
+        SELECT 'n_injected_pairs', CAST(COUNT(*) AS BIGINT)
+        FROM documents WHERE doc_id % 5 = 0 AND length(text) > 0
+        UNION ALL
+        SELECT 'n_missed_injected', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'n_plan_join_diff', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'band_within_budget', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'band_smallest_within_budget', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'n_valid_vectors', CAST(COUNT(*) AS BIGINT) FROM valid
+        UNION ALL
+        SELECT 'n_cells_scaled',
+               CAST(GREATEST(8, LEAST(1048576,
+                    -((-COUNT(*)) // {_AT_TARGET_CELL_ROWS})))
+                    AS BIGINT)
+        FROM valid
+        UNION ALL
+        SELECT 'sem_keep_le_valid', CAST(1 AS BIGINT)
+    """
+
+
+def _autotuned_curation_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operator-cost bench form: planning aggregates + banded join at
+    the chosen r + scaled-cell semdedup -- without the verification
+    legs (injected-pair recall, plan==join recount)."""
+    s = _at_plan_and_run(spark, sf_dir)
+    n_pairs = s["collisions"].dropDuplicates(["id_a", "id_b"]).count()
+    n_keep = s["sem"].filter(F.col("keep")).count()
+    return spark.createDataFrame(
+        [(
+            int(s["chosen"].rows_per_band), n_pairs,
+            int(s["cells"]), n_keep,
+        )],
+        "chosen_r long, n_candidate_pairs long, "
+        "n_cells long, n_sem_keep long",
+    )
+
+
+def _autotuned_curation_plans(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Plan-audit provider: the planner's bucket-cost aggregate, the
+    banded self-join AT THE PLANNER-CHOSEN r (label carries the band
+    shape), and the scaled-cell semdedup."""
+    from ..operators.dedup import (
+        _band_keys,
+        _minhash_shingles,
+        minhash_band_cost,
+    )
+    from ..operators.similarity import scaled_n_cells, semdedup
+
+    corpus = _at_corpus(spark, sf_dir)
+    sh = _minhash_shingles(corpus, "text", "doc_id", 3, None)
+    budget = _AT_BUDGET_PER_DOC * sh.count()
+    cost = sorted(
+        minhash_band_cost(
+            corpus, rows_per_band_options=(1, 2)
+        ).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    chosen = next(
+        (r for r in cost if r.n_collision_pairs <= budget), cost[-1]
+    )
+    r = int(chosen.rows_per_band)
+    bands = sh.select(
+        "id", F.posexplode(_band_keys(4, r, 42)).alias("band", "key")
+    )
+    band_join = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+    valid = _at_valid_vectors(spark, sf_dir)
+    cells = scaled_n_cells(valid.count(), _AT_TARGET_CELL_ROWS)
+    return {
+        "band_cost_plan": minhash_band_cost(
+            corpus, rows_per_band_options=(1, 2)
+        ),
+        f"band_join_r{r}": band_join,
+        f"semdedup_cells{cells}": semdedup(
+            valid, _AT_SEM_THRESHOLD, n_cells=cells,
+            id_col="vec_id", vec_col="embedding", dim=_AT_DIM,
+        ),
+    }
+
+
+register(QuerySpec(
+    name="autotuned_curation_stats",
+    spark_fn=_autotuned_curation,
+    oracle=_autotuned_curation_oracle,
+    covers=("banding-cost-planner-composed", "density-dial-composed",
+            "day2-autotuned-flagship"),
+    bench=True,
+    bench_fn=_autotuned_curation_bench,
+    plan_fn=_autotuned_curation_plans,
+))

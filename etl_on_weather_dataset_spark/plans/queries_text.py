@@ -885,3 +885,155 @@ register(QuerySpec(
     covers=("dedup-threshold-calibration", "jaccard-deciles"),
     extended=True,  # round-7 rotation (registry.py)
 ))
+
+
+# --- inter-annotator agreement: heuristic lang-ID vs gold labels (round-10) -------
+#
+# lang_id_confusion draws the confusion matrix; this scores it with
+# the statistic an annotation pipeline actually reports: Cohen's
+# kappa, the chance-corrected agreement between the n-gram lang-ID
+# heuristic and the gold `lang` column. Raw accuracy flatters the
+# skewed label mix; kappa subtracts the agreement the two raters'
+# marginals would produce by chance (exact integer confusion counts,
+# sign-split ppm division -- operators/evaluate.py).
+
+def _lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.col("lang"), T.lang_id("text").alias("lang_pred")
+    )
+    return cohens_kappa(rated, "lang", "lang_pred")
+
+
+def _lang_id_kappa_oracle() -> str:
+    from ..operators.evaluate import cohens_kappa_sql
+
+    return cohens_kappa_sql(
+        f"SELECT lang, {T.lang_id_sql('text')} AS lang_pred"
+        " FROM documents",
+        "lang", "lang_pred",
+    )
+
+
+register(QuerySpec(
+    name="lang_id_kappa",
+    spark_fn=_lang_id_kappa,
+    oracle=_lang_id_kappa_oracle,
+    covers=("cohens-kappa", "inter-annotator-agreement",
+            "lang-id-scoring"),
+))
+
+
+# --- PMI collocations (round-10) ---------------------------------------------------
+
+def _pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pmi_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, min_count=5, top_k=50)
+
+
+def _pmi_phrases_oracle() -> str:
+    from ..operators.corpus import pmi_bigrams_sql
+
+    return pmi_bigrams_sql("documents", min_count=5, top_k=50)
+
+
+register(QuerySpec(
+    name="pmi_bigram_phrases",
+    spark_fn=_pmi_phrases,
+    oracle=_pmi_phrases_oracle,
+    covers=("pmi-collocations", "word2phrase", "tokenizer-prep"),
+))
+
+
+# --- readability by source (round-10) ----------------------------------------------
+
+def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.readability_by_group(docs, "source")
+
+
+register(QuerySpec(
+    name="readability_by_source",
+    spark_fn=_readability,
+    oracle=lambda: T.readability_by_group_sql("documents", "source"),
+    covers=("flesch-readability", "quality-scoring",
+            "sufficient-statistics-agg"),
+))
+
+
+# --- Borda-count quality ensemble (round-10) ----------------------------------------
+#
+# hybrid_rrf_topk fuses two RANKED retrieval lists; this is the
+# curation-side sibling: fuse three scale-free quality signals over
+# the WHOLE corpus by Borda count (operators/retrieval.py
+# borda_fuse). The engine derives each signal's competition rank from
+# its value-count relation (|distinct values| window, no corpus-wide
+# sort); the oracle runs the naive global RANK() windows.
+
+_BORDA_SIGNALS = {
+    "n_chars": "desc", "n_tokens": "desc", "n_distinct": "desc",
+}
+_BORDA_INNER_SQL = """
+    SELECT doc_id, n_chars,
+           CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(text, ' +')))
+               AS BIGINT) AS n_distinct
+    FROM documents
+"""
+
+
+def _borda_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import borda_fuse
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.distinct_token_count("text").cast("long").alias("n_distinct"),
+    )
+    return borda_fuse(docs, "doc_id", _BORDA_SIGNALS, k=20)
+
+
+def _borda_quality_oracle() -> str:
+    from ..operators.retrieval import borda_fuse_sql
+
+    return borda_fuse_sql(
+        _BORDA_INNER_SQL, "doc_id", _BORDA_SIGNALS, k=20
+    )
+
+
+register(QuerySpec(
+    name="borda_quality_fuse",
+    spark_fn=_borda_quality,
+    oracle=_borda_quality_oracle,
+    covers=("borda-rank-aggregation", "quality-ensemble",
+            "rank-from-value-counts"),
+))
+
+
+# --- cross-source n-gram novelty (round-10) ----------------------------------------
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import ngram_novelty_by_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty_by_source(docs, n=3)
+
+
+def _ngram_novelty_oracle() -> str:
+    from ..operators.corpus import ngram_novelty_by_source_sql
+
+    return ngram_novelty_by_source_sql("documents", n=3)
+
+
+register(QuerySpec(
+    name="ngram_novelty_by_source",
+    spark_fn=_ngram_novelty,
+    oracle=_ngram_novelty_oracle,
+    covers=("cross-source-novelty", "ngram-contamination",
+            "mixing-prep"),
+))

@@ -160,14 +160,18 @@ ROTATE_IN: frozenset[str] = frozenset({
     "cube_status_priority", "normalize_per_user",
     "value_percentiles", "salted_skew_rollup",
     # tier 2: the oldest r3-attested queries (rotation_plan.py
-    # order); this tail shrinks as round-10-new queries claim slots
+    # order); 8 tail slots ceded to the round-10-new queries
+    # (lang_id_kappa, conformal_coverage_events, pmi_bigram_phrases,
+    # readability_by_source, attribution_time_decay,
+    # borda_quality_fuse, ngram_novelty_by_source,
+    # autotuned_curation_stats); the ceded r3 names (value_moments,
+    # scd2_user_history, chunk_documents_udtf, json_map_explode,
+    # string_functions, window_function_breadth,
+    # date_scalar_functions, math_functions) lead the r11 refresh
+    # backlog, followed by the rest of the r3 tier
     "monthly_mode_event_type", "date_part_histogram",
     "event_time_tumbling_window", "cosine_topk_pandas_udf",
     "cosine_topk_ivf", "conditional_aggregation", "array_functions",
-    "value_moments", "scd2_user_history", "chunk_documents_udtf",
-    "json_map_explode", "string_functions",
-    "window_function_breadth", "date_scalar_functions",
-    "math_functions",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -181,6 +185,12 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "winsorized_value_stats", "dedup_containment_pairs",
     "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
     "embedding_drift_ks",
+    # -- r3-attested; ceded round-10 refresh slots to the 8 new
+    # queries; they lead the r11 refresh backlog:
+    "value_moments", "scd2_user_history", "chunk_documents_udtf",
+    "json_map_explode", "string_functions",
+    "window_function_breadth", "date_scalar_functions",
+    "math_functions",
     # -- the 15 round-9 staleness refreshes, attested green in r9:
     "forecast_revenue_change", "order_priority_semi_join",
     "customers_without_orders", "rollup_returnflag_status",

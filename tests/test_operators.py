@@ -5968,3 +5968,329 @@ class TestIsotonicFit:
         # PRESENT bin ids only
         got = self._fit(spark, [(2, 10, 6), (7, 10, 2)], 10)
         assert got == [(2, 7, 20, 8, 400_000)]
+
+
+class TestCohensKappa:
+    """operators.evaluate.cohens_kappa: hand-checked confusion
+    matrices, the negative-kappa sign rule, and self-agreement."""
+
+    def test_textbook_example(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            cohens_kappa,
+        )
+
+        # classic 2x2: raters agree on 20 yes + 15 no of 50;
+        # marginals a: 25 yes / 25 no, b: 30 yes / 20 no
+        rows = (
+            [("y", "y")] * 20 + [("n", "n")] * 15
+            + [("y", "n")] * 5 + [("n", "y")] * 10
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        [r] = cohens_kappa(df, "a", "b").collect()
+        assert (r.n, r.n_agree) == (50, 35)
+        # p_o = 0.7, p_e = (25*30 + 25*20)/2500 = 0.5 -> kappa = 0.4
+        assert r.po_ppm == 700_000
+        assert r.pe_ppm == 500_000
+        assert r.kappa_ppm == 400_000
+
+    def test_negative_kappa_sign_split(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            cohens_kappa,
+        )
+
+        # systematic DISagreement: below-chance -> kappa < 0, where
+        # Spark div (trunc) and DuckDB // (floor) would diverge
+        # without the sign-split
+        rows = [("y", "n")] * 3 + [("n", "y")] * 3 + [("y", "y")] * 1
+        df = spark.createDataFrame(rows, "a string, b string")
+        [r] = cohens_kappa(df, "a", "b").collect()
+        # n=7, agree=1; marginals a: y=4, n=3; b: y=4, n=3
+        # chance_num = 4*4 + 3*3 = 25
+        # kappa = (7*1 - 25) / (49 - 25) = -18/24 = -0.75
+        assert r.kappa_ppm == -750_000
+
+    def test_null_votes_excluded(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            cohens_kappa,
+        )
+
+        df = spark.createDataFrame(
+            [("y", "y"), ("y", None), (None, "n"), ("n", "n")],
+            "a string, b string",
+        )
+        [r] = cohens_kappa(df, "a", "b").collect()
+        assert r.n == 2 and r.n_agree == 2
+
+    def test_degenerate_single_category_is_null(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            cohens_kappa,
+        )
+
+        # both raters always say "y": pe = 1, kappa undefined -> NULL
+        df = spark.createDataFrame(
+            [("y", "y")] * 4, "a string, b string"
+        )
+        [r] = cohens_kappa(df, "a", "b").collect()
+        assert r.kappa_ppm is None and r.po_ppm == 1_000_000
+
+
+class TestConformalThreshold:
+    """operators.evaluate.conformal_threshold: the exact order
+    statistic, the vacuous-guarantee path, and coverage accounting."""
+
+    def test_rank_is_exact_order_statistic(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            conformal_threshold,
+        )
+
+        # force EVERYTHING into calibration via cal_frac_ppm=1e6,
+        # then alpha such that k is interior... need eval rows too:
+        # instead craft ids whose md5 split is known by running the
+        # operator and checking internal consistency: k_rank =
+        # ceil((n_cal+1) * 0.9) and q_hat = k-th smallest score.
+        rows = [(i, i * 10) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, "id long, score long")
+        [r] = conformal_threshold(
+            df, "score", "id", alpha_ppm=100_000
+        ).collect()
+        assert r.n_cal + r.n_eval == 100
+        k_expected = -(-(r.n_cal + 1) * 900_000 // 1_000_000)
+        assert r.k_rank == k_expected
+        assert r.target_ppm == 900_000
+
+    def test_vacuous_alpha_yields_null_qhat_full_coverage(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            conformal_threshold,
+        )
+
+        # alpha so small that k > n_cal: q_hat = NULL (infinity),
+        # coverage 1e6 by construction
+        rows = [(i, i) for i in range(1, 21)]
+        df = spark.createDataFrame(rows, "id long, score long")
+        [r] = conformal_threshold(
+            df, "score", "id", alpha_ppm=1
+        ).collect()
+        assert r.q_hat is None
+        assert r.coverage_ppm == 1_000_000
+
+
+class TestPmiBigrams:
+    """operators.corpus.pmi_bigrams on a corpus with one true
+    collocation."""
+
+    def test_collocation_outscores_background(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            pmi_bigrams,
+        )
+
+        # "san francisco the" is a fixed run (its two transitions tie
+        # on PMI); "the w%d" transitions occur once each -> suppressed
+        docs = [("san francisco " + "the w%d " % i) for i in range(8)]
+        df = spark.createDataFrame(
+            [(d.strip(),) for d in docs], "text string"
+        )
+        out = pmi_bigrams(df, min_count=2, top_k=5).collect()
+        # exact PMI for both: ln(N * 8 / (8 * 8)), N = 24 transitions
+        import math
+
+        want = round(math.log(24 * 8 / (8 * 8)) * 1e6)
+        assert [(r.a, r.b, r.pmi_micro) for r in out] == [
+            # equal scores break ties lexicographically on (a, b)
+            ("francisco", "the", want),
+            ("san", "francisco", want),
+        ]
+
+    def test_min_count_suppresses_noise(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            pmi_bigrams,
+        )
+
+        df = spark.createDataFrame(
+            [("a b",), ("a b",), ("c d",)], "text string"
+        )
+        got = {(r.a, r.b) for r in
+               pmi_bigrams(df, min_count=2, top_k=10).collect()}
+        assert got == {("a", "b")}  # "c d" occurs once -> suppressed
+
+
+class TestReadability:
+    """operators.text.readability_by_group: hand-checked Flesch on a
+    tiny controlled group."""
+
+    def test_hand_checked_flesch(self, spark):
+        from etl_on_weather_dataset_spark.operators.text import (
+            readability_by_group,
+        )
+
+        # "go now." -> 2 words, 1 sentence run, 2 vowel groups
+        # "we see a tree." -> 4 words, 1 sentence, 4 vowel groups
+        df = spark.createDataFrame(
+            [("g", "go now."), ("g", "we see a tree.")],
+            "grp string, text string",
+        )
+        [r] = readability_by_group(df, "grp").collect()
+        assert (r.n_docs, r.n_words, r.n_sentences) == (2, 6, 2)
+        assert r.n_syllables == 6  # o, o(w? no: 'o' in now) ...
+        # words/sentence = 3.0, syllables/word = 1.0
+        assert r.words_per_sentence_milli == 3000
+        assert r.syllables_per_word_milli == 1000
+        # 206835 - 1015*3 - 84600*1/1 = 206835 - 3045 - 84600
+        assert r.flesch_milli == 206835 - 3045 - 84600
+
+    def test_unpunctuated_doc_counts_one_sentence(self, spark):
+        from etl_on_weather_dataset_spark.operators.text import (
+            readability_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [("g", "no punctuation here at all")],
+            "grp string, text string",
+        )
+        [r] = readability_by_group(df, "grp").collect()
+        assert r.n_sentences == 1
+
+
+class TestTimeDecayAttribution:
+    """operators.funnel.time_decay_attribution: hand-checked integer
+    credit split and the direct bucket."""
+
+    def test_hand_checked_split(self, spark):
+        from datetime import datetime as dt
+
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            time_decay_attribution,
+        )
+
+        # user 1: view 2 days before, click 1 day before a 10.00
+        # conversion. weights: view 2^(6-2)=16, click 2^(6-1)=32
+        # -> click 666666 ppm, view 333333 ppm
+        rows = [
+            (1, dt(2024, 1, 8, 12, 0, 0), "purchase", 10.0),
+            (1, dt(2024, 1, 7, 11, 0, 0), "click", 0.0),
+            (1, dt(2024, 1, 6, 11, 0, 0), "view", 0.0),
+            # user 2: conversion with no touch -> direct
+            (2, dt(2024, 1, 8, 12, 0, 0), "purchase", 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string,"
+            " value double",
+        )
+        got = {
+            r.channel: (r.n_touched, r.share_ppm_sum, r.value_micro)
+            for r in time_decay_attribution(df).collect()
+        }
+        assert got["click"] == (1, 666_666, 1000 * 666_666)
+        assert got["view"] == (1, 333_333, 1000 * 333_333)
+        assert got["direct"] == (1, 1_000_000, 500 * 1_000_000)
+
+    def test_touch_on_window_edge_excluded(self, spark):
+        from datetime import datetime as dt
+
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            time_decay_attribution,
+        )
+
+        # touch exactly lookback_days before (age == 7 days) is OUT;
+        # touch at the conversion microsecond is OUT (strictly before)
+        rows = [
+            (1, dt(2024, 1, 8, 12, 0, 0), "purchase", 1.0),
+            (1, dt(2024, 1, 1, 12, 0, 0), "view", 0.0),
+            (1, dt(2024, 1, 8, 12, 0, 0), "click", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string,"
+            " value double",
+        )
+        got = {r.channel for r in time_decay_attribution(df).collect()}
+        assert got == {"direct"}
+
+
+class TestBordaFuse:
+    """operators.retrieval.borda_fuse: competition-rank points and
+    tie handling."""
+
+    def test_hand_checked_points(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            borda_fuse,
+        )
+
+        # N=3. s1: a=30 > b=20 > c=10; s2: b=9 > a=5 > c=1
+        df = spark.createDataFrame(
+            [("a", 30, 5), ("b", 20, 9), ("c", 10, 1)],
+            "id string, s1 long, s2 long",
+        )
+        got = {
+            r.id: (r.borda, r.rk_s1, r.rk_s2)
+            for r in borda_fuse(
+                df, "id", {"s1": "desc", "s2": "desc"}, k=3
+            ).collect()
+        }
+        # a: (3-1) + (3-2) = 3; b: (3-2) + (3-1) = 3; c: 0
+        assert got["a"] == (3, 1, 2)
+        assert got["b"] == (3, 2, 1)
+        assert got["c"] == (0, 3, 3)
+
+    def test_ties_share_competition_rank(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            borda_fuse,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5), ("b", 5), ("c", 1)], "id string, s long"
+        )
+        got = {
+            r.id: r.rk_s
+            for r in borda_fuse(df, "id", {"s": "desc"}, k=3).collect()
+        }
+        assert got == {"a": 1, "b": 1, "c": 3}
+
+    def test_asc_direction(self, spark):
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            borda_fuse,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5), ("b", 1)], "id string, s long"
+        )
+        got = {
+            r.id: r.rk_s
+            for r in borda_fuse(df, "id", {"s": "asc"}, k=2).collect()
+        }
+        assert got == {"b": 1, "a": 2}
+
+
+class TestNgramNovelty:
+    """operators.corpus.ngram_novelty_by_source on a constructed
+    two-source corpus with known overlap."""
+
+    def test_hand_checked_novelty(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            ngram_novelty_by_source,
+        )
+
+        rows = [
+            ("s1", "a b c d"),      # trigrams: "a b c", "b c d"
+            ("s2", "a b c x"),      # trigrams: "a b c", "b c x"
+            ("s2", "p q r"),        # trigram:  "p q r"
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            r.source: (r.n_ngrams, r.n_exclusive, r.novelty_ppm)
+            for r in ngram_novelty_by_source(df, n=3).collect()
+        }
+        assert got["s1"] == (2, 1, 500_000)   # "b c d" exclusive
+        assert got["s2"] == (3, 2, 666_666)   # "b c x", "p q r"
+
+    def test_short_doc_falls_back_to_whole_text(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            ngram_novelty_by_source,
+        )
+
+        df = spark.createDataFrame(
+            [("s1", "hi"), ("s2", "hi")], "source string, text string"
+        )
+        got = {
+            r.source: r.novelty_ppm
+            for r in ngram_novelty_by_source(df, n=3).collect()
+        }
+        assert got == {"s1": 0, "s2": 0}  # shared whole-text gram
