@@ -1848,3 +1848,130 @@ def ngram_containment_pairs_sql(
         FROM directed
         WHERE inter * 1000000 // n_contained >= {threshold_ppm}
     """
+
+
+# --- pairwise quality of the dedup CLUSTERING --------------------------------------
+
+def cluster_pairwise_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    link_threshold: float = 0.5,
+    gold_threshold: float = 0.2,
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of the dedup CLUSTERING itself --
+    the eval the dedup tiers never run on themselves: cluster at the
+    strict ``link_threshold`` (edges -> connected components ->
+    every intra-cluster pair is a predicted duplicate pair, the
+    standard pairwise clustering metric), score against the exact
+    Jaccard >= ``gold_threshold`` pair set.
+
+    Both directions are informative: transitive closure PREDICTS
+    pairs no edge supports (a-b and b-c linked, a-c maybe dissimilar
+    -- precision names the chaining inflation), while clustering at
+    the stricter threshold MISSES weak gold pairs unless transitivity
+    re-covers them (recall names the cost of the strict link dial).
+
+    Output (one row): n_gold_pairs, n_pred_pairs, n_common,
+    precision_ppm, recall_ppm, f1_ppm (F1 = 2C * 1e6 div (G + P) --
+    one truncating division, no float P/R composition).
+
+    Scale shape: ONE inverted-index pair aggregate serves both the
+    gold set (filter at gold_threshold) and the link edges (filter at
+    link_threshold); components run on the edge relation; predicted
+    pairs enumerate per-cluster C(size, 2) via an equi-self-join on
+    the component label -- bounded by near-dup group sizes, never the
+    corpus. The common count is an equi-join of two pair relations.
+    """
+    from .caching import persisted
+
+    base = persisted(
+        ngram_jaccard_pairs(
+            df, text_col, id_col, n=n, threshold=gold_threshold,
+            max_doc_freq=max_doc_freq,
+        )
+    )
+    gold = base.select("id_a", "id_b")
+    edges = base.filter(
+        F.col("jaccard") >= link_threshold
+    ).select("id_a", "id_b")
+    comps = dedup_components(edges)
+    pred = (
+        comps.alias("x")
+        .join(comps.alias("y"), "component")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+        )
+    )
+    n_gold = gold.count()
+    n_pred = pred.count()
+    n_common = gold.join(pred, ["id_a", "id_b"], "left_semi").count()
+    ppm = 1_000_000
+    rows = [(
+        n_gold, n_pred, n_common,
+        (n_common * ppm) // n_pred if n_pred else ppm,
+        (n_common * ppm) // n_gold if n_gold else ppm,
+        (2 * n_common * ppm) // (n_gold + n_pred)
+        if (n_gold + n_pred) else ppm,
+    )]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "n_gold_pairs long, n_pred_pairs long, n_common long, "
+        "precision_ppm long, recall_ppm long, f1_ppm long",
+    )
+
+
+def cluster_pairwise_eval_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    link_threshold: float = 0.5,
+    gold_threshold: float = 0.2,
+    max_doc_freq: float | None = None,
+) -> str:
+    """DuckDB twin of :func:`cluster_pairwise_eval` (same shared pair
+    relation, recursive-CTE components over the link edges)."""
+    base = ngram_jaccard_pairs_sql(
+        table, text_col, id_col, n, gold_threshold, max_doc_freq
+    )
+    edges = f"""
+        SELECT id_a, id_b FROM base_pairs
+        WHERE jaccard >= {link_threshold}
+    """
+    return f"""
+        WITH RECURSIVE base_pairs AS (
+            {base}
+        ), {dedup_components_ctes(edges)},
+        pred AS (
+            SELECT x.id AS id_a, y.id AS id_b
+            FROM components x JOIN components y USING (component)
+            WHERE x.id < y.id
+        ), counts AS (
+            SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM base_pairs)
+                    AS n_gold_pairs,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM pred)
+                    AS n_pred_pairs,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM pred p
+                 WHERE EXISTS (SELECT 1 FROM base_pairs g
+                               WHERE g.id_a = p.id_a
+                                 AND g.id_b = p.id_b)) AS n_common
+        )
+        SELECT n_gold_pairs, n_pred_pairs, n_common,
+               CAST(CASE WHEN n_pred_pairs = 0 THEN 1000000
+                    ELSE n_common * 1000000 // n_pred_pairs END
+                    AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN n_gold_pairs = 0 THEN 1000000
+                    ELSE n_common * 1000000 // n_gold_pairs END
+                    AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN n_gold_pairs + n_pred_pairs = 0
+                    THEN 1000000
+                    ELSE 2 * n_common * 1000000
+                         // (n_gold_pairs + n_pred_pairs) END
+                    AS BIGINT) AS f1_ppm
+        FROM counts
+    """

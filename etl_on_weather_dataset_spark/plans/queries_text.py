@@ -1037,3 +1037,38 @@ register(QuerySpec(
     covers=("cross-source-novelty", "ngram-contamination",
             "mixing-prep"),
 ))
+
+
+# --- pairwise quality of the dedup clustering (round-10) ---------------------------
+#
+# The dedup tiers report PAIRS; nothing evaluated the CLUSTERING they
+# induce. cluster_pairwise_eval scores components-at-a-strict-link
+# threshold against the exact Jaccard >= 0.8 gold pair set (the
+# corpus's planted near-dups live at 0.89-0.99, so link 0.97
+# genuinely splits them): precision names transitive-chaining
+# inflation, recall names the weak pairs the strict dial loses.
+
+def _dedup_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cluster_pairwise_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_pairwise_eval(
+        docs, n=3, link_threshold=0.97, gold_threshold=0.8
+    )
+
+
+def _dedup_cluster_eval_oracle() -> str:
+    from ..operators.dedup import cluster_pairwise_eval_sql
+
+    return cluster_pairwise_eval_sql(
+        "documents", n=3, link_threshold=0.97, gold_threshold=0.8
+    )
+
+
+register(QuerySpec(
+    name="dedup_cluster_pairwise_eval",
+    spark_fn=_dedup_cluster_eval,
+    oracle=_dedup_cluster_eval_oracle,
+    covers=("dedup-clustering-eval", "pairwise-precision-recall",
+            "transitivity-inflation"),
+))

@@ -160,18 +160,19 @@ ROTATE_IN: frozenset[str] = frozenset({
     "cube_status_priority", "normalize_per_user",
     "value_percentiles", "salted_skew_rollup",
     # tier 2: the oldest r3-attested queries (rotation_plan.py
-    # order); 8 tail slots ceded to the round-10-new queries
+    # order); 9 tail slots ceded to the round-10-new queries
     # (lang_id_kappa, conformal_coverage_events, pmi_bigram_phrases,
     # readability_by_source, attribution_time_decay,
     # borda_quality_fuse, ngram_novelty_by_source,
-    # autotuned_curation_stats); the ceded r3 names (value_moments,
-    # scd2_user_history, chunk_documents_udtf, json_map_explode,
-    # string_functions, window_function_breadth,
-    # date_scalar_functions, math_functions) lead the r11 refresh
+    # autotuned_curation_stats, dedup_cluster_pairwise_eval); the
+    # ceded r3 names (value_moments, scd2_user_history,
+    # chunk_documents_udtf, json_map_explode, string_functions,
+    # window_function_breadth, date_scalar_functions,
+    # math_functions, array_functions) lead the r11 refresh
     # backlog, followed by the rest of the r3 tier
     "monthly_mode_event_type", "date_part_histogram",
     "event_time_tumbling_window", "cosine_topk_pandas_udf",
-    "cosine_topk_ivf", "conditional_aggregation", "array_functions",
+    "cosine_topk_ivf", "conditional_aggregation",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -187,6 +188,7 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "embedding_drift_ks",
     # -- r3-attested; ceded round-10 refresh slots to the 8 new
     # queries; they lead the r11 refresh backlog:
+    "array_functions",
     "value_moments", "scd2_user_history", "chunk_documents_udtf",
     "json_map_explode", "string_functions",
     "window_function_breadth", "date_scalar_functions",

@@ -6294,3 +6294,64 @@ class TestNgramNovelty:
             for r in ngram_novelty_by_source(df, n=3).collect()
         }
         assert got == {"s1": 0, "s2": 0}  # shared whole-text gram
+
+
+class TestClusterPairwiseEval:
+    """operators.dedup.cluster_pairwise_eval: hand-checked P/R on a
+    constructed chain and the trivial all-covered case."""
+
+    def test_chaining_inflation_and_strict_link_recall(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            cluster_pairwise_eval,
+        )
+
+        # Chain a-b-c with 1-gram shingles:
+        #   a = {w1..w8, x}, b = {w1..w8, y}: J(a,b) = 8/10 = 0.8
+        #   c = {w1..w6, y, p, q}: J(b,c) = 7/11 ~ 0.636
+        #   J(a,c) = 6/12 = 0.5
+        mk = lambda ws: " ".join(ws)
+        w = [f"w{i}" for i in range(1, 9)]
+        rows = [
+            (1, mk(w + ["x"])),
+            (2, mk(w + ["y"])),
+            (3, mk(w[:6] + ["y", "p", "q"])),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # gold >= 0.5: all three pairs. link >= 0.6: (a,b) and (b,c)
+        # -> one cluster {a,b,c} -> pred = all three pairs
+        [r] = cluster_pairwise_eval(
+            df, n=1, link_threshold=0.6, gold_threshold=0.5
+        ).collect()
+        assert (r.n_gold_pairs, r.n_pred_pairs, r.n_common) == (3, 3, 3)
+        # gold >= 0.4 (same 3 pairs), link >= 0.75: only (a,b) links
+        # -> cluster {a,b} -> pred = 1 pair -> recall 1/3
+        [r2] = cluster_pairwise_eval(
+            df, n=1, link_threshold=0.75, gold_threshold=0.4
+        ).collect()
+        assert (r2.n_gold_pairs, r2.n_pred_pairs, r2.n_common) == (3, 1, 1)
+        assert r2.precision_ppm == 1_000_000
+        assert r2.recall_ppm == 333_333
+        assert r2.f1_ppm == 2 * 1_000_000 // 4
+
+    def test_chaining_adds_unsupported_pair(self, spark):
+        from etl_on_weather_dataset_spark.operators.dedup import (
+            cluster_pairwise_eval,
+        )
+
+        # same chain, gold >= 0.55 (pairs ab, bc), link >= 0.6
+        # (edges ab, bc) -> cluster {a,b,c} predicts ac too:
+        # precision 2/3, recall 1
+        mk = lambda ws: " ".join(ws)
+        w = [f"w{i}" for i in range(1, 9)]
+        rows = [
+            (1, mk(w + ["x"])),
+            (2, mk(w + ["y"])),
+            (3, mk(w[:6] + ["y", "p", "q"])),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        [r] = cluster_pairwise_eval(
+            df, n=1, link_threshold=0.6, gold_threshold=0.55
+        ).collect()
+        assert (r.n_gold_pairs, r.n_pred_pairs, r.n_common) == (2, 3, 2)
+        assert r.precision_ppm == 666_666
+        assert r.recall_ppm == 1_000_000
