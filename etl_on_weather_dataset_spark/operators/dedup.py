@@ -601,6 +601,19 @@ def dedup_components(
     # plan is typically an expensive join (inverted-index or banded) --
     # without this it executes twice in that one materialization
     pairs = persisted(pairs.select(id_a, id_b))
+    # Empty-graph short-circuit: a clean corpus (or a no-edge
+    # threshold) reaches here with ZERO pairs, and every propagation
+    # round would be a scheduled no-op job -- measured 2.5-8 s of
+    # pure fixed overhead inside semdedup on the sf0.1 embeddings
+    # (round-10 flagship profile: keep == n, empty edge set). The
+    # isEmpty() action materializes the persisted pair relation the
+    # first round would have materialized anyway, so the check is
+    # free on non-empty graphs.
+    if pairs.isEmpty():
+        return (
+            pairs.select(F.col(id_a).alias("id"))
+            .withColumn("component", F.col("id"))
+        )
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionAll(
