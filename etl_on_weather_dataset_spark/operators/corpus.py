@@ -1456,3 +1456,105 @@ def ngram_novelty_by_source_sql(
         FROM pairs JOIN per_gram USING (g)
         GROUP BY src
     """
+
+
+# --- per-source unigram entropy ------------------------------------------------------
+
+def unigram_entropy_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Shannon entropy of the unigram distribution, in
+    micro-nats: H = -sum_w p_w ln p_w over each source's own token
+    counts. The corpus-diversity dial next to Heaps' law
+    (vocab_growth_curve) and the KL drift tier: a source whose
+    entropy collapses is template spam regardless of volume.
+
+    Exactness discipline: per (source, token), the log-probability is
+    snapped to micro-nat longs (round(ln(cnt/total) * 1e6), one IEEE
+    ln of the same integer ratio in both engines -- the
+    bigram_logprob rule), weighted by the exact count, summed as
+    BIGINTs and divided by the exact total: H_micro = -(sum cnt *
+    lp_micro) div total, truncating division in both engines.
+
+    Output per source: n_tokens, n_distinct, entropy_micro.
+
+    Scale shape: one explode -> (source, token) count (map-side
+    combinable, THE data-grain shuffle), then per-source totals
+    derived from the count relation (vocabulary-bounded) and one
+    join back at count grain.
+    """
+    tok = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(text_col)).alias("w"),
+        )
+        .groupBy("src", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = tok.groupBy("src").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return (
+        tok.join(totals, "src")
+        .select(
+            "src", "total", "n_distinct",
+            (
+                F.col("cnt")
+                * F.round(
+                    F.log(
+                        F.col("cnt").cast("double") / F.col("total")
+                    ) * 1e6
+                ).cast("long")
+            ).alias("term"),
+        )
+        .groupBy(F.col("src").alias(source_col))
+        .agg(
+            F.first("total").alias("n_tokens"),
+            F.first("n_distinct").alias("n_distinct"),
+            (-(F.sum("term"))).alias("_num"),
+            F.first("total").alias("_den"),
+        )
+        .select(
+            source_col, "n_tokens", "n_distinct",
+            F.expr("_num div _den").cast("long")
+            .alias("entropy_micro"),
+        )
+    )
+
+
+def unigram_entropy_by_source_sql(
+    table: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`unigram_entropy_by_source` (same
+    micro-nat snapping before the weighted sum)."""
+    return f"""
+        WITH tok AS (
+            SELECT {source_col} AS src, u.w AS w,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT {source_col},
+                       unnest(regexp_split_to_array({text_col}, ' +'))
+                           AS w
+                FROM {table}
+            ) u({source_col}, w)
+            GROUP BY 1, 2
+        ), totals AS (
+            SELECT src, CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM tok GROUP BY src
+        )
+        SELECT t.src AS {source_col},
+               ANY_VALUE(o.total) AS n_tokens,
+               ANY_VALUE(o.n_distinct) AS n_distinct,
+               CAST(-SUM(t.cnt * CAST(ROUND(
+                   ln(CAST(t.cnt AS DOUBLE) / o.total) * 1000000)
+                   AS BIGINT)) // ANY_VALUE(o.total) AS BIGINT)
+                   AS entropy_micro
+        FROM tok t JOIN totals o USING (src)
+        GROUP BY t.src
+    """

@@ -1372,3 +1372,234 @@ def conformal_threshold_sql(
         WHERE NOT is_cal
         GROUP BY q.n_cal, q.k_rank, q.q_hat
     """
+
+
+# --- Murphy decomposition of the Brier score ---------------------------------------
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+    label_col: str = "y",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reliability / resolution / uncertainty decomposition of the
+    Brier score (Murphy 1973) over the SAME fixed-width integer bins
+    as :func:`calibration_bins` -- the one-row summary of what the
+    reliability diagram shows: REL (how far bin forecasts sit from
+    bin outcomes -- lower is better-calibrated), RES (how far bin
+    outcomes spread from the base rate -- higher is more
+    discriminative), UNC (base-rate variance, the no-skill floor).
+
+    Exact-integer discipline: per bin, forecast_ppm = the bin's mean
+    score mapped linearly from [lo, hi) to [0, 1e6] and outcome_ppm =
+    positives ppm, both by truncating division; REL = sum_k n_k *
+    (f_k - o_k)^2 div N and RES = sum_k n_k * (o_k - base)^2 div N in
+    ppm^2 units; UNC = base * (1e6 - base), also ppm^2. Each output
+    is independently deterministic in both engines (the classical
+    identity Brier = REL - RES + UNC holds only up to the truncation
+    remainders, so it is NOT hashed). Overflow: n_k * (1e6)^2 needs
+    n_k < ~9.2e6 per bin at BIGINT -- far above driver scales; at
+    100 TB pre-aggregate per stratum.
+
+    Scale shape: the data-grain work is calibration_bins' ONE
+    aggregation pass; everything here folds the |bins| relation.
+    """
+    bins = calibration_bins(
+        scored, lo, hi, n_bins=n_bins,
+        label_col=label_col, score_col=score_col,
+    )
+    span = hi - lo
+    per = bins.select(
+        "n_rows", "n_pos",
+        F.expr(
+            f"least({PPM}, greatest(0,"
+            f" ((score_sum div n_rows) - {lo}) * {PPM} div {span}))"
+        ).alias("f_ppm"),
+        F.col("pos_rate_ppm").alias("o_ppm"),
+    )
+    return (
+        per.agg(
+            F.sum("n_rows").cast("long").alias("n"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum(
+                F.col("n_rows")
+                * (F.col("f_ppm") - F.col("o_ppm"))
+                * (F.col("f_ppm") - F.col("o_ppm"))
+            ).alias("_rel_num"),
+            F.collect_list(
+                F.struct("n_rows", "o_ppm")
+            ).alias("_bins"),
+        )
+        .select(
+            "n", "n_pos",
+            F.expr(f"n_pos * {PPM} div n").alias("base_ppm"),
+            F.expr("_rel_num div n").cast("long").alias("rel_ppm2"),
+            F.expr(f"""
+                aggregate(
+                    _bins, cast(0 as bigint),
+                    (acc, b) -> acc + b.n_rows
+                        * (b.o_ppm - n_pos * {PPM} div n)
+                        * (b.o_ppm - n_pos * {PPM} div n)
+                ) div n
+            """).cast("long").alias("res_ppm2"),
+            F.expr(
+                f"(n_pos * {PPM} div n)"
+                f" * ({PPM} - n_pos * {PPM} div n)"
+            ).cast("long").alias("unc_ppm2"),
+        )
+    )
+
+
+def brier_decomposition_sql(
+    scored_sql: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+    label_col: str = "y",
+    score_col: str = "score",
+) -> str:
+    """DuckDB twin of :func:`brier_decomposition` (same bins, same
+    truncating-division ppm forecasts, same ppm^2 sums)."""
+    bins = calibration_bins_sql(
+        scored_sql, lo, hi, n_bins=n_bins,
+        label_col=label_col, score_col=score_col,
+    )
+    span = hi - lo
+    return f"""
+        WITH bins AS ({bins}),
+        per AS (
+            SELECT n_rows, n_pos,
+                   LEAST({PPM}, GREATEST(0,
+                       ((score_sum // n_rows) - {lo}) * {PPM} // {span}
+                   )) AS f_ppm,
+                   pos_rate_ppm AS o_ppm
+            FROM bins
+        ), tot AS (
+            SELECT CAST(SUM(n_rows) AS BIGINT) AS n,
+                   CAST(SUM(n_pos) AS BIGINT) AS n_pos
+            FROM per
+        )
+        SELECT t.n AS n, t.n_pos AS n_pos,
+               t.n_pos * {PPM} // t.n AS base_ppm,
+               CAST(SUM(p.n_rows * (p.f_ppm - p.o_ppm)
+                        * (p.f_ppm - p.o_ppm)) // t.n AS BIGINT)
+                   AS rel_ppm2,
+               CAST(SUM(p.n_rows
+                    * (p.o_ppm - t.n_pos * {PPM} // t.n)
+                    * (p.o_ppm - t.n_pos * {PPM} // t.n)) // t.n
+                    AS BIGINT) AS res_ppm2,
+               CAST((t.n_pos * {PPM} // t.n)
+                    * ({PPM} - t.n_pos * {PPM} // t.n) AS BIGINT)
+                   AS unc_ppm2
+        FROM per p, tot t
+        GROUP BY t.n, t.n_pos
+    """
+
+
+# --- decile lift / gains table ------------------------------------------------------
+
+
+def decile_lift(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "score",
+    id_col: str = "id",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Gains table: rank rows by score (ties broken by id so the
+    tiling is a deterministic total order), split into ``n_tiles``
+    equal-count tiles, and report per tile the exact positive counts
+    plus cumulative lift -- the marketing/eval-standard "how much
+    better than random is the top k%".
+
+    lift_ppm(tile t) = (cum_pos_t * N * 1e6) div (cum_n_t * P):
+    pure BIGINT cross-multiplication, one truncating division.
+    NTILE semantics (equal row counts, earlier tiles get the
+    remainder) are identical in Spark and DuckDB given the same
+    total order.
+
+    Scale shape: the tiling is ONE unpartitioned NTILE window -- the
+    exact, attestable form at driver scales; at 100 TB derive tile
+    boundaries from the score value-count relation (the exact-AUC /
+    borda_fuse trick) and assign by range join instead.
+    """
+    w = Window.orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    tiled = scored.select(
+        F.col(label_col).cast("long").alias("y"),
+        F.ntile(n_tiles).over(w).alias("tile"),
+    )
+    per = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    cum = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.select(
+            "tile", "n_rows", "n_pos",
+            F.sum("n_rows").over(cum).cast("long").alias("cum_n"),
+            F.sum("n_pos").over(cum).cast("long").alias("cum_pos"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per.agg(
+                    F.sum("n_rows").cast("long").alias("n_total"),
+                    F.sum("n_pos").cast("long").alias("pos_total"),
+                )
+            )
+        )
+        .select(
+            "tile", "n_rows", "n_pos", "cum_n", "cum_pos",
+            F.expr(
+                f"cum_pos * n_total * {PPM} div (cum_n * pos_total)"
+            ).cast("long").alias("cum_lift_ppm"),
+        )
+        .orderBy("tile")
+    )
+
+
+def decile_lift_sql(
+    scored_sql: str,
+    label_col: str = "y",
+    score_col: str = "score",
+    id_col: str = "id",
+    n_tiles: int = 10,
+) -> str:
+    """DuckDB twin of :func:`decile_lift` (same NTILE total order,
+    same cross-multiplied lift)."""
+    return f"""
+        WITH tiled AS (
+            SELECT CAST({label_col} AS BIGINT) AS y,
+                   NTILE({n_tiles}) OVER (
+                       ORDER BY {score_col} DESC, {id_col} ASC
+                   ) AS tile
+            FROM ({scored_sql})
+        ), per AS (
+            SELECT tile,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM tiled GROUP BY tile
+        ), cum AS (
+            SELECT tile, n_rows, n_pos,
+                   CAST(SUM(n_rows) OVER (ORDER BY tile) AS BIGINT)
+                       AS cum_n,
+                   CAST(SUM(n_pos) OVER (ORDER BY tile) AS BIGINT)
+                       AS cum_pos
+            FROM per
+        ), tot AS (
+            SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+                   CAST(SUM(n_pos) AS BIGINT) AS pos_total
+            FROM per
+        )
+        SELECT tile, n_rows, n_pos, cum_n, cum_pos,
+               cum_pos * n_total * {PPM} // (cum_n * pos_total)
+                   AS cum_lift_ppm
+        FROM cum, tot
+        ORDER BY tile
+    """

@@ -130,3 +130,108 @@ def fanout_join_daily(
     # no hint. AQE picks a shuffled-hash join building the tiny
     # aggregate side at runtime, which is the plan we want.
     return daily_agg.join(right, on=date_col, how="left")
+
+
+# --- within-group co-occurrence (co-purchase affinity) ------------------------------
+
+def cooccurrence_topk(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 20,
+    max_group_items: int | None = None,
+) -> DataFrame:
+    """Top item PAIRS by within-group co-occurrence -- the
+    co-purchase / co-visitation affinity table (the classic
+    market-basket count, the input to lift/PMI recommenders).
+
+    Pairs enumerate per group as an equi-self-join on the group key
+    over the DISTINCT (group, item) relation with ``item_a <
+    item_b``; the count then aggregates by pair. A group with m
+    distinct items contributes C(m, 2) pairs, so the quadratic is
+    bounded by the largest basket -- pass ``max_group_items`` to
+    fail loud when a whale group would blow that bound (the hot-key
+    guard: at 100 TB a single pathological basket of 10^5 items is
+    5e9 pairs; cap it or pre-split upstream). Determinism: output is
+    top-``k`` by (n_groups DESC, item_a, item_b) via row_number.
+
+    Scale shape: distinct -> self-join on the group key (equi-join,
+    AQE-skew-splittable) -> pair count (map-side combinable) -> one
+    TakeOrderedAndProject. Nothing shuffles at pair grain beyond the
+    baskets' own C(m, 2) mass.
+    """
+    from pyspark.sql import Window
+
+    gi = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("i")
+        )
+        .distinct()
+    )
+    if max_group_items is not None:
+        # the guard lives in a FILTER predicate, not a projected
+        # column: Catalyst prunes unused projections (a dropped
+        # raise_error column never evaluates), but filter conditions
+        # always run
+        sizes = gi.groupBy("g").agg(F.count(F.lit(1)).alias("m"))
+        gi = (
+            gi.join(F.broadcast(sizes), "g")
+            .filter(
+                F.when(
+                    F.col("m") <= max_group_items, F.lit(True)
+                ).otherwise(
+                    F.expr(
+                        f"raise_error(concat('cooccurrence_topk:"
+                        f" group ', cast(g as string), ' has more"
+                        f" than {max_group_items} distinct items --"
+                        f" C(m,2) pair fan-out would exceed the"
+                        f" bound; cap or pre-split upstream'))"
+                    ).cast("boolean")
+                )
+            )
+            .drop("m")
+        )
+    pairs = (
+        gi.alias("a")
+        .join(gi.alias("b"), "g")
+        .filter(F.col("a.i") < F.col("b.i"))
+        .groupBy(
+            F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    )
+    w = Window.orderBy(
+        F.col("n_groups").desc(), F.col("item_a"), F.col("item_b")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("item_a", "item_b", "n_groups")
+    )
+
+
+def cooccurrence_topk_sql(
+    table_sql: str,
+    group_col: str,
+    item_col: str,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`cooccurrence_topk` (same distinct pair
+    join, same tiebreak)."""
+    return f"""
+        WITH gi AS (
+            SELECT DISTINCT {group_col} AS g, {item_col} AS i
+            FROM ({table_sql})
+        ), pairs AS (
+            SELECT a.i AS item_a, b.i AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM gi a JOIN gi b USING (g)
+            WHERE a.i < b.i
+            GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, n_groups FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY n_groups DESC, item_a, item_b) AS rk
+            FROM pairs
+        ) WHERE rk <= {k}
+    """

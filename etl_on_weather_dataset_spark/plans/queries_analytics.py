@@ -2561,3 +2561,70 @@ register(QuerySpec(
     covers=("time-decay-attribution", "multi-touch-credit",
             "window-not-join"),
 ))
+
+
+# --- Murphy decomposition + gains table (round-10, extended tier) ------------------
+#
+# score_calibration_bins draws the reliability diagram and
+# isotonic_calibration fits it; brier_decomposition SUMMARIZES it
+# (REL / RES / UNC in exact ppm^2), and decile_lift is the
+# business-facing gains table over the same scored frame. Both run
+# on the deterministic cents-vs-purchase fixture the classifier eval
+# tier uses.
+
+_BRIER_INNER_SQL = (
+    "SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS score,"
+    " CAST(event_type = 'purchase' AS BIGINT) AS y FROM events"
+)
+
+
+def _brier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+
+
+def _brier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import brier_decomposition
+
+    return brier_decomposition(_brier_scored(spark, sf_dir), 0, 10000)
+
+
+def _brier_events_oracle() -> str:
+    from ..operators.evaluate import brier_decomposition_sql
+
+    return brier_decomposition_sql(_BRIER_INNER_SQL, 0, 10000)
+
+
+register(QuerySpec(
+    name="brier_decomposition_events",
+    spark_fn=_brier_events,
+    oracle=_brier_events_oracle,
+    covers=("brier-murphy-decomposition", "reliability-resolution",
+            "calibration-summary"),
+    extended=True,  # r11 rotation candidate
+))
+
+
+def _decile_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluate import decile_lift
+
+    return decile_lift(_brier_scored(spark, sf_dir), id_col="event_id")
+
+
+def _decile_lift_oracle() -> str:
+    from ..operators.evaluate import decile_lift_sql
+
+    return decile_lift_sql(_BRIER_INNER_SQL, id_col="event_id")
+
+
+register(QuerySpec(
+    name="decile_lift_events",
+    spark_fn=_decile_lift_events,
+    oracle=_decile_lift_oracle,
+    covers=("gains-table", "decile-lift", "deterministic-ntile"),
+    extended=True,  # r11 rotation candidate
+))

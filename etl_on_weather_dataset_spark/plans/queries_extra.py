@@ -2068,3 +2068,38 @@ register(QuerySpec(
     covers=("blocking-quality", "reduction-ratio",
             "pairs-completeness-panel"),
 ))
+
+
+# --- co-purchase affinity (round-10, extended tier) ---------------------------------
+#
+# The market-basket count: top part pairs by within-order
+# co-occurrence over lineitem. The quadratic is bounded by basket
+# size (TPC-H orders carry <= 7 lines; the operator's
+# max_group_items guard fails loud on whale baskets at scale).
+
+def _copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import cooccurrence_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=20, max_group_items=1000
+    )
+
+
+def _copurchase_oracle() -> str:
+    from ..operators.joins import cooccurrence_topk_sql
+
+    return cooccurrence_topk_sql(
+        "SELECT l_orderkey, l_partkey FROM lineitem",
+        "l_orderkey", "l_partkey", k=20,
+    )
+
+
+register(QuerySpec(
+    name="copurchase_affinity_lineitem",
+    spark_fn=_copurchase,
+    oracle=_copurchase_oracle,
+    covers=("market-basket", "cooccurrence-topk",
+            "bounded-basket-quadratic"),
+    extended=True,  # r11 rotation candidate
+))

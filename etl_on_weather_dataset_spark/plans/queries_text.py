@@ -1072,3 +1072,27 @@ register(QuerySpec(
     covers=("dedup-clustering-eval", "pairwise-precision-recall",
             "transitivity-inflation"),
 ))
+
+
+# --- per-source unigram entropy (round-10, extended tier) --------------------------
+
+def _unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import unigram_entropy_by_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_entropy_by_source(docs)
+
+
+def _unigram_entropy_oracle() -> str:
+    from ..operators.corpus import unigram_entropy_by_source_sql
+
+    return unigram_entropy_by_source_sql("documents")
+
+
+register(QuerySpec(
+    name="unigram_entropy_by_source",
+    spark_fn=_unigram_entropy,
+    oracle=_unigram_entropy_oracle,
+    covers=("shannon-entropy", "corpus-diversity", "template-spam"),
+    extended=True,  # r11 rotation candidate
+))

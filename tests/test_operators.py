@@ -6355,3 +6355,145 @@ class TestClusterPairwiseEval:
         assert (r.n_gold_pairs, r.n_pred_pairs, r.n_common) == (2, 3, 2)
         assert r.precision_ppm == 666_666
         assert r.recall_ppm == 1_000_000
+
+
+class TestBrierDecomposition:
+    """operators.evaluate.brier_decomposition: hand-checked REL/RES/
+    UNC on a two-bin construction."""
+
+    def test_hand_checked_two_bins(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            brier_decomposition,
+        )
+
+        # scores in [0, 100), 2 bins of width 50.
+        # bin 0: 4 rows at score 10, 1 positive -> o=250000,
+        #        f = (10 - 0) * 1e6 div 100 = 100000
+        # bin 1: 4 rows at score 90, 3 positives -> o=750000, f=900000
+        rows = (
+            [(i, 10, 1 if i == 0 else 0) for i in range(4)]
+            + [(i + 4, 90, 1 if i else 0) for i in range(4)]
+        )
+        df = spark.createDataFrame(rows, "id long, score long, y long")
+        [r] = brier_decomposition(df, 0, 100, n_bins=2).collect()
+        assert (r.n, r.n_pos, r.base_ppm) == (8, 4, 500_000)
+        # REL = (4*(100000-250000)^2 + 4*(900000-750000)^2) / 8
+        assert r.rel_ppm2 == (4 * 150_000**2 + 4 * 150_000**2) // 8
+        # RES = (4*(250000-500000)^2 + 4*(750000-500000)^2) / 8
+        assert r.res_ppm2 == (4 * 250_000**2 + 4 * 250_000**2) // 8
+        assert r.unc_ppm2 == 500_000 * 500_000
+
+    def test_perfectly_calibrated_has_zero_rel(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            brier_decomposition,
+        )
+
+        # one bin whose mean score in ppm equals its positive rate:
+        # scores 250 of 1000 -> f = 250000; 1 of 4 positive -> o=250000
+        rows = [(i, 250, 1 if i == 0 else 0) for i in range(4)]
+        df = spark.createDataFrame(rows, "id long, score long, y long")
+        [r] = brier_decomposition(df, 0, 1000, n_bins=1).collect()
+        assert r.rel_ppm2 == 0
+
+
+class TestDecileLift:
+    """operators.evaluate.decile_lift: exact cumulative lift and the
+    deterministic tiling."""
+
+    def test_top_tile_lift(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            decile_lift,
+        )
+
+        # 20 rows, scores 20..1; positives are exactly the top 5
+        rows = [(i, 20 - i, 1 if i < 5 else 0) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, score long, y long")
+        out = {r.tile: r for r in decile_lift(df, n_tiles=4).collect()}
+        # tile 1 = top 5 rows = all 5 positives:
+        # lift = (5 * 20 * 1e6) div (5 * 5) = 4e6
+        assert out[1].cum_lift_ppm == 4_000_000
+        assert out[4].cum_lift_ppm == 1_000_000  # full population
+        assert out[4].cum_pos == 5 and out[4].cum_n == 20
+
+    def test_ties_break_by_id(self, spark):
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            decile_lift,
+        )
+
+        # all scores equal: order is by id; positives at low ids land
+        # in tile 1 deterministically
+        rows = [(i, 7, 1 if i < 2 else 0) for i in range(4)]
+        df = spark.createDataFrame(rows, "id long, score long, y long")
+        out = {r.tile: r for r in decile_lift(df, n_tiles=2).collect()}
+        assert out[1].n_pos == 2 and out[2].n_pos == 0
+
+
+class TestUnigramEntropy:
+    """operators.corpus.unigram_entropy_by_source hand checks."""
+
+    def test_uniform_two_tokens(self, spark):
+        import math
+
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            unigram_entropy_by_source,
+        )
+
+        df = spark.createDataFrame(
+            [("s", "a b a b")], "source string, text string"
+        )
+        [r] = unigram_entropy_by_source(df).collect()
+        assert (r.n_tokens, r.n_distinct) == (4, 2)
+        # H = ln 2; per-term lp_micro = round(ln(0.5)*1e6) = -693147
+        want = -(2 * -693147 + 2 * -693147) // 4
+        assert r.entropy_micro == want
+        assert abs(r.entropy_micro - round(math.log(2) * 1e6)) <= 1
+
+    def test_degenerate_single_token_is_zero(self, spark):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            unigram_entropy_by_source,
+        )
+
+        df = spark.createDataFrame(
+            [("s", "a a a")], "source string, text string"
+        )
+        [r] = unigram_entropy_by_source(df).collect()
+        assert r.entropy_micro == 0
+
+
+class TestCooccurrenceTopk:
+    """operators.joins.cooccurrence_topk: pair counts, dedup within
+    group, the whale guard."""
+
+    def test_hand_checked_counts(self, spark):
+        from etl_on_weather_dataset_spark.operators.joins import (
+            cooccurrence_topk,
+        )
+
+        rows = [
+            (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (3, "b"),  # duplicate item collapses
+        ]
+        df = spark.createDataFrame(rows, "g long, i string")
+        got = {
+            (r.item_a, r.item_b): r.n_groups
+            for r in cooccurrence_topk(df, "g", "i", k=10).collect()
+        }
+        assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_whale_guard_fails_loud(self, spark):
+        import pytest
+
+        from etl_on_weather_dataset_spark.operators.joins import (
+            cooccurrence_topk,
+        )
+
+        rows = [(1, f"i{j}") for j in range(10)] + [(2, "x")]
+        df = spark.createDataFrame(rows, "g long, i string")
+        # AQE can materialize both join sides concurrently and wrap
+        # the USER_RAISED_EXCEPTION in a multi-failure SparkException,
+        # so match on the message, not the exception class
+        with pytest.raises(Exception, match="more than 5 distinct"):
+            cooccurrence_topk(
+                df, "g", "i", k=5, max_group_items=5
+            ).collect()
