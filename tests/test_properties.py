@@ -652,3 +652,156 @@ def test_neyman_weight_is_exact_integer_sqrt(spark, xs):
     for s, vals in groups.items():
         var_num = len(vals) * sum(v * v for v in vals) - sum(vals) ** 2
         assert got[s] == (len(vals), math.isqrt(var_num)), (s, vals)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+@SETTINGS
+def test_kappa_bounds_and_perfect_agreement(spark, rows):
+    """kappa_ppm in [-1e6, 1e6] (or NULL when pe == 1); po/pe exact;
+    kappa == 1e6 iff po == 1e6 with pe < 1."""
+    from etl_on_weather_dataset_spark.operators.evaluate import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cohens_kappa(df, "a", "b").collect()
+    assert r.n == len(rows)
+    assert r.n_agree == sum(1 for a, b in rows if a == b)
+    assert 0 <= r.po_ppm <= 1_000_000
+    assert 0 <= r.pe_ppm <= 1_000_000
+    if r.kappa_ppm is not None:
+        assert -1_000_000 <= r.kappa_ppm <= 1_000_000
+        if r.po_ppm == 1_000_000:
+            assert r.kappa_ppm == 1_000_000
+
+
+@given(
+    scores=st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=20, max_size=60, unique=True,
+    ),
+)
+@SETTINGS
+def test_conformal_rank_and_marginal_guarantee(spark, scores):
+    """The exact-order-statistic contract: k = ceil((n_cal+1)(1-a));
+    q_hat = the k-th smallest calibration score (or NULL past n_cal),
+    recomputed in plain Python from the same md5 split."""
+    import hashlib
+    import math
+
+    from etl_on_weather_dataset_spark.operators.evaluate import (
+        conformal_threshold,
+    )
+
+    rows = [(i, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "id long, score long")
+    [r] = conformal_threshold(
+        df, "score", "id", alpha_ppm=200_000, salt="conformal"
+    ).collect()
+
+    def bucket(i):
+        h = hashlib.md5(f"{i}conformal".encode()).hexdigest()[:8]
+        return int(h, 16) % 1_000_000
+
+    cal = sorted(
+        (s, i) for i, s in rows if bucket(i) < 500_000
+    )
+    assert r.n_cal == len(cal)
+    k = math.ceil((len(cal) + 1) * 0.8)
+    assert r.k_rank == k
+    if k <= len(cal):
+        assert r.q_hat == cal[k - 1][0]
+        # empirical check of the accounting, not the probabilistic
+        # statement: coverage_ppm == exact eval fraction under q_hat
+        ev = [s for i, s in rows if bucket(i) >= 500_000]
+        want = (
+            sum(1 for s in ev if s <= r.q_hat) * 1_000_000 // len(ev)
+            if ev else 1_000_000
+        )
+        assert r.coverage_ppm == want
+    else:
+        assert r.q_hat is None and r.coverage_ppm == 1_000_000
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=10**6),  # us offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+@SETTINGS
+def test_time_decay_shares_never_exceed_unit(spark, rows):
+    """Per-channel ppm credit sums stay within 1e6 * conversions
+    (truncation only loses credit, never invents it), and the direct
+    bucket is exactly the uncredited conversions."""
+    from datetime import datetime, timedelta
+
+    from etl_on_weather_dataset_spark.operators.funnel import (
+        time_decay_attribution,
+    )
+
+    base = datetime(2024, 1, 10)
+    data = [
+        (u, base + timedelta(microseconds=us), et, 1.0)
+        for u, us, et in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    out = {r.channel: r for r in time_decay_attribution(df).collect()}
+    n_conv = sum(1 for _, _, et in rows if et == "purchase")
+    credited = sum(
+        r.share_ppm_sum for c, r in out.items() if c != "direct"
+    )
+    n_direct = out["direct"].n_touched if "direct" in out else 0
+    touched_conv = n_conv - n_direct
+    assert credited <= touched_conv * 1_000_000
+    # truncation loses at most (channels - 1) ppm per conversion
+    assert credited >= touched_conv * (1_000_000 - 2)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+@SETTINGS
+def test_borda_points_bounds_and_rank_domain(spark, vals):
+    """Every rank in [1, N]; borda in [0, signals * (N - 1)]; ties
+    share ranks (same value -> same rank)."""
+    from etl_on_weather_dataset_spark.operators.retrieval import (
+        borda_fuse,
+    )
+
+    rows = [(str(i), a, b) for i, (a, b) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id string, s1 long, s2 long")
+    n = len(rows)
+    out = borda_fuse(
+        df, "id", {"s1": "desc", "s2": "asc"}, k=n
+    ).collect()
+    assert len(out) == n
+    by_id = {r.id: r for r in out}
+    for r in out:
+        assert 1 <= r.rk_s1 <= n and 1 <= r.rk_s2 <= n
+        assert 0 <= r.borda <= 2 * (n - 1)
+    for i, (a1, b1) in enumerate(vals):
+        for j, (a2, b2) in enumerate(vals):
+            if a1 == a2:
+                assert by_id[str(i)].rk_s1 == by_id[str(j)].rk_s1
