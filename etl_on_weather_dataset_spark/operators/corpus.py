@@ -1558,3 +1558,180 @@ def unigram_entropy_by_source_sql(
         FROM tok t JOIN totals o USING (src)
         GROUP BY t.src
     """
+
+
+# --- pairwise Jensen-Shannon drift matrix -------------------------------------------
+
+def js_divergence_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions -- the bounded (<= ln 2), SYMMETRIC
+    complement of ``source_unigram_drift``'s KL-vs-pool: the drift
+    MATRIX a mixing pipeline clusters sources by.
+
+    Algebra that avoids per-pair full-outer joins: tokens exclusive
+    to one side contribute exactly 0.5 * ln2 * p_w (the other side's
+    probability is 0), so
+
+        JSD(P, Q) = sum_shared 0.5*(p ln(2p/(p+q)) + q ln(2q/(p+q)))
+                    + 0.5 * ln2 * (excl_mass_P + excl_mass_Q)
+
+    and only SHARED tokens need the equi-join; exclusive mass falls
+    out of per-pair shared-count sums vs the source totals. Shared
+    terms are snapped to micro-nats before the sum (the KL/logprob
+    discipline); the one closing term is a single rounded expression
+    of the same integers in both engines.
+
+    Output per (source_a < source_b): n_shared_tokens, js_micro.
+
+    Scale shape: ONE (source, token) count shuffle at data grain;
+    the pair join runs on the vocabulary-sized count relation keyed
+    by token (|sources|^2 output rows, each a sum over its shared
+    vocabulary -- never a corpus-grain pair join).
+    """
+    from .caching import persisted
+    from .text import tokens
+
+    st = persisted(
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = st.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    a = st.join(tot, "source").select(
+        F.col("source").alias("sa"), "token",
+        F.col("n").alias("na"), F.col("t").alias("ta"),
+    )
+    b = st.join(tot, "source").select(
+        F.col("source").alias("sb"), "token",
+        F.col("n").alias("nb"), F.col("t").alias("tb"),
+    )
+    p = F.col("na").cast("double") / F.col("ta").cast("double")
+    q = F.col("nb").cast("double") / F.col("tb").cast("double")
+    contrib = F.round(
+        (
+            p * F.log(2 * p / (p + q)) + q * F.log(2 * q / (p + q))
+        ) * 0.5 * 1e6
+    ).cast("long")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_tokens"),
+            F.sum(contrib).cast("long").alias("shared_micro"),
+            F.sum("na").cast("long").alias("sh_a"),
+            F.sum("nb").cast("long").alias("sh_b"),
+        )
+    )
+    # the full pair universe from the |sources|-row totals relation:
+    # FULLY-DISJOINT pairs share no token, never survive the inner
+    # join above, and must still report js = ln 2 (all mass exclusive)
+    pairs = (
+        tot.select(
+            F.col("source").alias("sa"), F.col("t").alias("ta")
+        )
+        .crossJoin(
+            tot.select(
+                F.col("source").alias("sb"), F.col("t").alias("tb")
+            )
+        )
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    full = pairs.join(shared, ["sa", "sb"], "left").select(
+        "sa", "sb", "ta", "tb",
+        F.coalesce("n_shared_tokens", F.lit(0).cast("long")).alias(
+            "n_shared_tokens"
+        ),
+        F.coalesce("shared_micro", F.lit(0).cast("long")).alias(
+            "shared_micro"
+        ),
+        F.coalesce("sh_a", F.lit(0).cast("long")).alias("sh_a"),
+        F.coalesce("sh_b", F.lit(0).cast("long")).alias("sh_b"),
+    )
+    excl = (
+        (F.col("ta") - F.col("sh_a")).cast("double") / F.col("ta")
+        + (F.col("tb") - F.col("sh_b")).cast("double") / F.col("tb")
+    )
+    return full.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_shared_tokens",
+        (
+            F.col("shared_micro")
+            + F.round(F.log(F.lit(2.0)) * 0.5 * excl * 1e6)
+            .cast("long")
+        ).alias("js_micro"),
+    )
+
+
+def js_divergence_matrix_sql(
+    table: str,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`js_divergence_matrix` (same shared-token
+    algebra, same micro-nat snapping, same closing exclusive term)."""
+    return f"""
+        WITH st AS (
+            SELECT {source_col} AS source, u.token AS token,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT {source_col},
+                       unnest(regexp_split_to_array({text_col}, ' +'))
+                           AS token
+                FROM {table}
+            ) u({source_col}, token)
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT source, CAST(SUM(n) AS BIGINT) AS t
+            FROM st GROUP BY source
+        ), sides AS (
+            SELECT st.source, st.token, st.n, tot.t
+            FROM st JOIN tot USING (source)
+        ), shared AS (
+            SELECT a.source AS sa, b.source AS sb,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_tokens,
+                   CAST(SUM(CAST(ROUND((
+                       (CAST(a.n AS DOUBLE) / a.t)
+                         * ln(2 * (CAST(a.n AS DOUBLE) / a.t)
+                              / ((CAST(a.n AS DOUBLE) / a.t)
+                                 + (CAST(b.n AS DOUBLE) / b.t)))
+                       + (CAST(b.n AS DOUBLE) / b.t)
+                         * ln(2 * (CAST(b.n AS DOUBLE) / b.t)
+                              / ((CAST(a.n AS DOUBLE) / a.t)
+                                 + (CAST(b.n AS DOUBLE) / b.t)))
+                   ) * 0.5 * 1000000) AS BIGINT)) AS BIGINT)
+                       AS shared_micro,
+                   CAST(SUM(a.n) AS BIGINT) AS sh_a,
+                   CAST(SUM(b.n) AS BIGINT) AS sh_b
+            FROM sides a JOIN sides b USING (token)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.source AS sa, a.t AS ta,
+                   b.source AS sb, b.t AS tb
+            FROM tot a, tot b WHERE a.source < b.source
+        ), allpairs AS (
+            SELECT p.sa, p.sb, p.ta, p.tb,
+                   COALESCE(s.n_shared_tokens, 0) AS n_shared_tokens,
+                   COALESCE(s.shared_micro, 0) AS shared_micro,
+                   COALESCE(s.sh_a, 0) AS sh_a,
+                   COALESCE(s.sh_b, 0) AS sh_b
+            FROM pairs p LEFT JOIN shared s
+              ON p.sa = s.sa AND p.sb = s.sb
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               CAST(n_shared_tokens AS BIGINT) AS n_shared_tokens,
+               CAST(shared_micro + CAST(ROUND(ln(2.0) * 0.5
+                    * ((CAST(ta - sh_a AS DOUBLE) / ta)
+                       + (CAST(tb - sh_b AS DOUBLE) / tb))
+                    * 1000000) AS BIGINT) AS BIGINT) AS js_micro
+        FROM allpairs
+    """

@@ -643,3 +643,112 @@ def cusum_daily_sql(
         FROM cusum c, params p
         ORDER BY day
     """
+
+
+# --- per-key OLS trend slope --------------------------------------------------------
+
+
+def trend_slope_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of daily totals: the
+    "is this series drifting up or down, and how fast" number a
+    monitoring dashboard puts next to the CUSUM alarm (CUSUM
+    localizes WHEN; the slope quantifies HOW FAST).
+
+    Exact-integer discipline: with x = day index RECENTERED to each
+    key's first day (keeps every cross-moment small: x <= series
+    length, so n * sum(x^2) stays far from the BIGINT edge) and
+    y = exact daily cent totals,
+
+        slope_num = n * sum(xy) - sum(x) * sum(y)      -- cents/day
+        slope_den = n * sum(x^2) - sum(x)^2
+
+    both plain BIGINTs; slope_milli_cents_per_day = sign-split
+    truncating division of 1000 * num by den (negative slopes are
+    legal, so the quotient is computed on |num| and re-signed --
+    the cohens_kappa rule). Keys with a single day have den = 0:
+    slope NULL (undefined, loudly visible), not 0 (flat is a claim).
+
+    Scale shape: one map-side-combinable rollup to (key, day) grain,
+    one second aggregate to |keys| rows carrying the five cross
+    moments. No window, no sort.
+    """
+    day = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = (
+        df.groupBy(F.col(key_col).alias("key"), day.alias("d"))
+        .agg(F.sum(F.col(cents_col).cast("long")).alias("y"))
+    )
+    base = daily.groupBy("key").agg(F.min("d").alias("d0"))
+    m = (
+        daily.join(base, "key")
+        .select("key", (F.col("d") - F.col("d0")).alias("x"), "y")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    return m.select(
+        F.col("key").alias(key_col),
+        "n_days",
+        F.expr("n_days * sxy - sx * sy").alias("slope_num"),
+        F.expr("n_days * sxx - sx * sx").alias("slope_den"),
+        F.expr("""
+            CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                 ELSE sign(n_days * sxy - sx * sy)
+                      * (abs(n_days * sxy - sx * sy) * 1000
+                         div (n_days * sxx - sx * sx))
+            END
+        """).cast("long").alias("slope_milli_cents_per_day"),
+    )
+
+
+def trend_slope_by_key_sql(
+    table: str,
+    key_col: str,
+    ts_col: str = "ts",
+    cents_expr: str = "cents",
+) -> str:
+    """DuckDB twin of :func:`trend_slope_by_key` (same recentered
+    cross moments, same sign-split division)."""
+    return f"""
+        WITH daily AS (
+            SELECT {key_col} AS key,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                        CAST({ts_col} AS DATE)) AS BIGINT) AS d,
+                   CAST(SUM(CAST({cents_expr} AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM ({table})
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT key,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(d - d0) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM((d - d0) * y) AS BIGINT) AS sxy,
+                   CAST(SUM((d - d0) * (d - d0)) AS BIGINT) AS sxx
+            FROM (
+                SELECT *, MIN(d) OVER (PARTITION BY key) AS d0
+                FROM daily
+            )
+            GROUP BY key
+        )
+        SELECT key AS {key_col}, n_days,
+               n_days * sxy - sx * sy AS slope_num,
+               n_days * sxx - sx * sx AS slope_den,
+               CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST(sign(n_days * sxy - sx * sy) AS BIGINT)
+                         * (abs(n_days * sxy - sx * sy) * 1000
+                            // (n_days * sxx - sx * sx))
+               END AS BIGINT) AS slope_milli_cents_per_day
+        FROM m
+    """

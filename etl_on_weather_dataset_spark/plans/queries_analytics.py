@@ -2628,3 +2628,35 @@ register(QuerySpec(
     covers=("gains-table", "decile-lift", "deterministic-ntile"),
     extended=True,  # r11 rotation candidate
 ))
+
+
+# --- per-key OLS trend slope (round-10, extended tier) -----------------------------
+
+def _trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import trend_slope_by_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return trend_slope_by_key(ev, "event_type")
+
+
+def _trend_slope_oracle() -> str:
+    from ..operators.timeseries import trend_slope_by_key_sql
+
+    return trend_slope_by_key_sql(
+        "SELECT event_type, ts,"
+        " CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events",
+        "event_type",
+    )
+
+
+register(QuerySpec(
+    name="trend_slope_by_type",
+    spark_fn=_trend_slope,
+    oracle=_trend_slope_oracle,
+    covers=("ols-trend-slope", "exact-cross-moments",
+            "drift-rate"),
+    extended=True,  # r11 rotation candidate
+))

@@ -1096,3 +1096,28 @@ register(QuerySpec(
     covers=("shannon-entropy", "corpus-diversity", "template-spam"),
     extended=True,  # r11 rotation candidate
 ))
+
+
+# --- pairwise Jensen-Shannon drift matrix (round-10, extended tier) ----------------
+
+def _js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import js_divergence_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence_matrix(docs)
+
+
+def _js_matrix_oracle() -> str:
+    from ..operators.corpus import js_divergence_matrix_sql
+
+    return js_divergence_matrix_sql("documents")
+
+
+register(QuerySpec(
+    name="js_divergence_matrix",
+    spark_fn=_js_matrix,
+    oracle=_js_matrix_oracle,
+    covers=("jensen-shannon-matrix", "pairwise-source-drift",
+            "shared-token-algebra"),
+    extended=True,  # r11 rotation candidate
+))

@@ -6497,3 +6497,99 @@ class TestCooccurrenceTopk:
             cooccurrence_topk(
                 df, "g", "i", k=5, max_group_items=5
             ).collect()
+
+
+class TestJsDivergence:
+    """operators.corpus.js_divergence_matrix: identical sources give
+    0, disjoint sources give ln 2, symmetry by construction."""
+
+    def test_identical_and_disjoint(self, spark):
+        import math
+
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            js_divergence_matrix,
+        )
+
+        rows = [
+            ("p", "a b c"), ("q", "a b c"),   # identical -> 0
+            ("r", "x y z"),                   # disjoint from both
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            (r.source_a, r.source_b): (r.n_shared_tokens, r.js_micro)
+            for r in js_divergence_matrix(df).collect()
+        }
+        assert got[("p", "q")] == (3, 0)
+        ln2 = round(math.log(2) * 1e6)
+        assert got[("p", "r")] == (0, ln2)
+        assert got[("q", "r")] == (0, ln2)
+
+    def test_bounded_by_ln2_on_corpus(self, spark):
+        import math
+
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            js_divergence_matrix,
+        )
+        from etl_on_weather_dataset_spark.schemas import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = js_divergence_matrix(docs).collect()
+        assert len(out) == 190  # C(20, 2) source pairs
+        bound = round(math.log(2) * 1e6) + 2  # rounding slack
+        assert all(0 <= r.js_micro <= bound for r in out)
+
+
+class TestTrendSlope:
+    """operators.timeseries.trend_slope_by_key hand checks."""
+
+    def test_exact_positive_slope(self, spark):
+        from datetime import datetime as dt
+
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            trend_slope_by_key,
+        )
+
+        # key 'u': daily totals 100, 200, 300 -> slope exactly
+        # 100 cents/day = 100000 milli
+        rows = [
+            ("u", dt(2024, 1, d, 9, 0, 0), 100 * d) for d in (1, 2, 3)
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, cents long"
+        )
+        [r] = trend_slope_by_key(df, "k").collect()
+        assert r.n_days == 3
+        assert r.slope_milli_cents_per_day == 100_000
+
+    def test_negative_slope_sign_split(self, spark):
+        from datetime import datetime as dt
+
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            trend_slope_by_key,
+        )
+
+        rows = [
+            ("u", dt(2024, 1, 1, 9), 300),
+            ("u", dt(2024, 1, 2, 9), 100),
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, cents long"
+        )
+        [r] = trend_slope_by_key(df, "k").collect()
+        assert r.slope_milli_cents_per_day == -200_000
+
+    def test_single_day_is_null_not_flat(self, spark):
+        from datetime import datetime as dt
+
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            trend_slope_by_key,
+        )
+
+        rows = [("u", dt(2024, 1, 1, 9), 100),
+                ("u", dt(2024, 1, 1, 15), 200)]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, cents long"
+        )
+        [r] = trend_slope_by_key(df, "k").collect()
+        assert r.n_days == 1
+        assert r.slope_milli_cents_per_day is None
