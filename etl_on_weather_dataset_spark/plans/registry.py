@@ -159,20 +159,24 @@ ROTATE_IN: frozenset[str] = frozenset({
     "distinct_users_per_type", "approx_distinct_users",
     "cube_status_priority", "normalize_per_user",
     "value_percentiles", "salted_skew_rollup",
-    # tier 2: the oldest r3-attested queries (rotation_plan.py
-    # order); 9 tail slots ceded to the round-10-new queries
+    # tier 2: the six round-10 extended-tier operators, rotated in
+    # so EVERY never-attested query is driver-visible this round
+    # (the rotation-exposure meta-test's invariant). 15 r3-refresh
+    # slots were ceded in total -- 9 to the round-10 visible tier
     # (lang_id_kappa, conformal_coverage_events, pmi_bigram_phrases,
     # readability_by_source, attribution_time_decay,
     # borda_quality_fuse, ngram_novelty_by_source,
-    # autotuned_curation_stats, dedup_cluster_pairwise_eval); the
-    # ceded r3 names (value_moments, scd2_user_history,
+    # autotuned_curation_stats, dedup_cluster_pairwise_eval) and 6
+    # to these; the ceded r3 names (value_moments, scd2_user_history,
     # chunk_documents_udtf, json_map_explode, string_functions,
-    # window_function_breadth, date_scalar_functions,
-    # math_functions, array_functions) lead the r11 refresh
+    # window_function_breadth, date_scalar_functions, math_functions,
+    # array_functions, monthly_mode_event_type, date_part_histogram,
+    # event_time_tumbling_window, cosine_topk_pandas_udf,
+    # cosine_topk_ivf, conditional_aggregation) lead the r11 refresh
     # backlog, followed by the rest of the r3 tier
-    "monthly_mode_event_type", "date_part_histogram",
-    "event_time_tumbling_window", "cosine_topk_pandas_udf",
-    "cosine_topk_ivf", "conditional_aggregation",
+    "brier_decomposition_events", "decile_lift_events",
+    "unigram_entropy_by_source", "copurchase_affinity_lineitem",
+    "js_divergence_matrix", "trend_slope_by_type",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -186,8 +190,11 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "winsorized_value_stats", "dedup_containment_pairs",
     "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
     "embedding_drift_ks",
-    # -- r3-attested; ceded round-10 refresh slots to the 8 new
+    # -- r3-attested; ceded round-10 refresh slots to the 15 new
     # queries; they lead the r11 refresh backlog:
+    "monthly_mode_event_type", "date_part_histogram",
+    "event_time_tumbling_window", "cosine_topk_pandas_udf",
+    "cosine_topk_ivf", "conditional_aggregation",
     "array_functions",
     "value_moments", "scd2_user_history", "chunk_documents_udtf",
     "json_map_explode", "string_functions",
