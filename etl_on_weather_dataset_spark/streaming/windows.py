@@ -927,3 +927,107 @@ def stream_ordered_fold(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+MG_STATE_SCHEMA = (
+    "items ARRAY<STRING>, ests ARRAY<LONG>, err LONG, n LONG"
+)
+
+
+def stream_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 8,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming twin of ``operators/topk_sketch.py::heavy_hitters``:
+    a continuously-maintained Misra-Gries sketch via
+    ``applyInPandasWithState``.
+
+    Items hash into ``n_shards`` disjoint shards; each shard's state
+    is its own k-counter MG sketch (items/ests arrays, cumulative
+    deduction ``err``, row count ``n`` -- O(k) state per shard, the
+    sketch discipline). Per micro-batch the shard counts its rows
+    exactly, ADDS them to the carried counters, and re-compresses to
+    k by deducting the (k+1)-th largest count -- the same mergeable-
+    summaries step the batch operator applies per Arrow batch
+    (Agarwal et al., PODS 2012), so the same inequalities hold over
+    the whole stream:
+
+        est(item) <= true(item) <= est(item) + err(shard(item)),
+
+    and every item with true count > err(its shard) is guaranteed
+    present among that shard's candidates. Because shards partition
+    the ITEM space (not the rows), each item's error bound is its own
+    shard's deduction total -- tighter than the batch operator's
+    global bound, and emitted alongside every candidate.
+
+    Emits, per shard per micro-batch, the running candidate rows
+    (shard, item, est, err, n) -- the latest rows per shard ARE the
+    sketch; a reader unions shards for the global top-k.
+
+    Scale shape: raw rows shuffle ONCE on the shard key (n_shards
+    tasks hold O(k) state each); candidate grain is k x n_shards.
+    """
+    if k < 1:
+        raise ValueError("stream_heavy_hitters needs k >= 1")
+
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_schema = _parse_datatype_string(
+        "shard INT, item STRING, est LONG, err LONG, n LONG"
+    )
+    state_schema = _parse_datatype_string(MG_STATE_SCHEMA)
+
+    def fn(key, pdfs, state: GroupState):
+        (shard,) = key
+        counts: dict[str, int] = {}
+        if state.exists:
+            items, ests, err, n = state.get
+            counts = dict(zip(items, ests))
+        else:
+            err, n = 0, 0
+        for pdf in pdfs:
+            vc = pdf["item"].dropna().value_counts()
+            n += int(vc.sum())
+            for it, c in vc.items():
+                counts[it] = counts.get(it, 0) + int(c)
+        if len(counts) > k:
+            ordered = sorted(counts.values(), reverse=True)
+            d = ordered[k]
+            counts = {
+                it: c - d for it, c in counts.items() if c - d > 0
+            }
+            err += d
+        state.update(
+            (list(counts), [counts[i] for i in counts], err, n)
+        )
+        items = sorted(counts)
+        yield pd.DataFrame({
+            "shard": [shard] * len(items),
+            "item": items,
+            "est": [counts[i] for i in items],
+            "err": [err] * len(items),
+            "n": [n] * len(items),
+        })
+
+    shard = (
+        F.abs(F.xxhash64(F.col(item_col).cast("string")))
+        % n_shards
+    ).cast("int")
+    return (
+        df.select(
+            shard.alias("shard"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1198,3 +1198,96 @@ def test_streaming_day2_ingest_into_stores_with_replay(spark, tmp_path):
     )
     assert n_fp_before == n_oneshot
     assert n_landed_before == n_oneshot
+
+
+def test_stream_heavy_hitters_guarantees_across_batches(
+    spark, tmp_path
+):
+    """Streaming Misra-Gries (stream_heavy_hitters): after three
+    micro-batches, the final per-shard sketch satisfies the mergeable-
+    summaries inequalities against the EXACT counts of the full
+    history -- est <= true <= est + err(shard) for every candidate,
+    and every item whose true count exceeds its shard's deduction
+    total is present. The per-shard row count n reconciles exactly."""
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_heavy_hitters,
+    )
+    from pyspark.sql import functions as F
+
+    # skewed stream: 'whale' dominates, zipf-ish tail, three waves
+    def wave(seed, lo, hi):
+        out = []
+        for i in range(lo, hi):
+            out.append((i, "whale"))
+            out.append((i, f"tail{(i * 7 + seed) % 23}"))
+            if i % 3 == 0:
+                out.append((i, "shark"))
+        return out
+
+    schema = "row_id long, item string"
+    land = tmp_path / "land"
+    land.mkdir()
+    for w, (lo, hi) in enumerate([(0, 40), (40, 90), (90, 150)]):
+        spark.createDataFrame(wave(w, lo, hi), schema).coalesce(
+            1
+        ).write.parquet(str(land / f"wave{w}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(land) + "/*")
+    )
+    q = (
+        stream_heavy_hitters(stream, "item", k=4, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM t_hh").collect()
+    # the final sketch per shard = rows with that shard's max n
+    latest_n = {}
+    for r in emitted:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.n)
+    final = [
+        r for r in emitted if r.n == latest_n[r.shard]
+    ]
+
+    all_rows = spark.createDataFrame(
+        wave(0, 0, 40) + wave(1, 40, 90) + wave(2, 90, 150), schema
+    )
+    truth = {
+        r.item: (r.c, r.shard)
+        for r in all_rows.select(
+            "item",
+            (F.abs(F.xxhash64(F.col("item").cast("string"))) % 4)
+            .cast("int").alias("shard"),
+        )
+        .groupBy("item", "shard")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    shard_n = {}
+    shard_err = {}
+    for r in final:
+        shard_n[r.shard] = r.n
+        shard_err[r.shard] = r.err
+    # per-shard row totals reconcile exactly
+    for s, n in shard_n.items():
+        want = sum(c for c, sh in truth.values() if sh == s)
+        assert n == want, (s, n, want)
+    # candidate inequalities
+    cand = {r.item: r for r in final}
+    for item, r in cand.items():
+        true_c = truth[item][0]
+        assert r.est <= true_c <= r.est + r.err, (item, r, true_c)
+    # completeness: true > err(shard) -> present
+    for item, (true_c, s) in truth.items():
+        if s in shard_err and true_c > shard_err[s]:
+            assert item in cand, (item, true_c, shard_err[s])
+    # the whale is always caught with a dominant estimate
+    assert "whale" in cand and cand["whale"].est >= 150 - cand["whale"].err
