@@ -805,3 +805,125 @@ def test_borda_points_bounds_and_rank_domain(spark, vals):
         for j, (a2, b2) in enumerate(vals):
             if a1 == a2:
                 assert by_id[str(i)].rk_s1 == by_id[str(j)].rk_s1
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.integers(min_value=1, max_value=30),  # day
+            st.integers(min_value=0, max_value=500),  # cents
+        ),
+        min_size=2, max_size=30,
+    ),
+)
+@SETTINGS
+def test_trend_slope_equals_python_ols(spark, rows):
+    """slope_num/slope_den match the closed-form cross moments of the
+    recentered daily totals computed independently in Python."""
+    from collections import defaultdict
+    from datetime import datetime
+
+    from etl_on_weather_dataset_spark.operators.timeseries import (
+        trend_slope_by_key,
+    )
+
+    data = [
+        (k, datetime(2024, 1, d, 12, 0, 0), c) for k, d, c in rows
+    ]
+    df = spark.createDataFrame(
+        data, "k string, ts timestamp, cents long"
+    )
+    got = {r.k: r for r in trend_slope_by_key(df, "k").collect()}
+    daily = defaultdict(lambda: defaultdict(int))
+    for k, d, c in rows:
+        daily[k][d] += c
+    for k, series in daily.items():
+        d0 = min(series)
+        pts = [(d - d0, y) for d, y in series.items()]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        assert got[k].slope_num == n * sxy - sx * sy
+        assert got[k].slope_den == n * sxx - sx * sx
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d", "e"]),
+                min_size=1, max_size=6,
+            ),
+        ),
+        min_size=3, max_size=15,
+    ),
+)
+@SETTINGS
+def test_js_matrix_bounds_and_identity(spark, docs):
+    """0 <= js <= ln2 (+1 micro rounding slack) for every pair; a
+    pair of sources with IDENTICAL token distributions scores ~0."""
+    import math
+
+    from etl_on_weather_dataset_spark.operators.corpus import (
+        js_divergence_matrix,
+    )
+
+    rows = [(s, " ".join(ws)) for s, ws in docs]
+    # force two identical sources by mirroring s1's docs into s9
+    rows += [("s9", t) for s, t in rows if s == "s1"]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = js_divergence_matrix(df).collect()
+    sources = {s for s, _ in rows}
+    assert len(out) == len(sources) * (len(sources) - 1) // 2
+    bound = round(math.log(2) * 1e6)
+    for r in out:
+        # per-term micro rounding can overshoot by <= 1 per token
+        assert -r.n_shared_tokens - 2 <= r.js_micro
+        assert r.js_micro <= bound + r.n_shared_tokens + 2
+        assert 0 <= max(0, r.js_micro)  # sanity
+    if any(s == "s1" for s, _ in docs):
+        [mirror] = [
+            r for r in out
+            if {r.source_a, r.source_b} == {"s1", "s9"}
+        ]
+        # identical distributions: every term ln(1) = 0, excl mass 0
+        assert mirror.js_micro == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # group
+            st.sampled_from(["a", "b", "c", "d"]),   # item
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+@SETTINGS
+def test_cooccurrence_counts_match_python(spark, rows):
+    """Pair counts equal the brute-force distinct-per-group Python
+    enumeration."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from etl_on_weather_dataset_spark.operators.joins import (
+        cooccurrence_topk,
+    )
+
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in cooccurrence_topk(df, "g", "i", k=100).collect()
+    }
+    groups = defaultdict(set)
+    for g, i in rows:
+        groups[g].add(i)
+    want = defaultdict(int)
+    for items in groups.values():
+        for a, b in combinations(sorted(items), 2):
+            want[(a, b)] += 1
+    assert got == dict(want)
