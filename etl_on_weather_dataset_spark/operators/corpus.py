@@ -1296,7 +1296,13 @@ def pmi_bigrams(
             ),
         ),
     ).otherwise(F.array())
-    bi = (
+    from .caching import persisted
+
+    # persisted: the pair-count relation is scanned by BOTH marginals,
+    # the total and the score join -- without it Catalyst inlines the
+    # corpus-grain bigram explode into every branch (the
+    # ngram_jaccard_pairs lesson: measured 6x on the same shape)
+    bi = persisted(
         df.select(F.explode(pairs).alias("p"))
         .select("p.a", "p.b")
         .groupBy("a", "b")
@@ -1397,7 +1403,11 @@ def ngram_novelty_by_source(
     by ngram. Nothing pairs sources against each other -- cost is
     linear in corpus n-grams, not quadratic in sources.
     """
-    pairs = (
+    from .caching import persisted
+
+    # persisted: scanned by the per-gram source count AND the join
+    # back -- unpersisted, the data-grain explode+distinct runs twice
+    pairs = persisted(
         df.select(
             F.col(source_col).alias("src"),
             F.explode(_all_shingles(text_col, n)).alias("g"),
@@ -1485,7 +1495,11 @@ def unigram_entropy_by_source(
     derived from the count relation (vocabulary-bounded) and one
     join back at count grain.
     """
-    tok = (
+    from .caching import persisted
+
+    # persisted: the token-count relation feeds the totals AND the
+    # join back -- one materialization instead of two explode scans
+    tok = persisted(
         df.select(
             F.col(source_col).alias("src"),
             F.explode(tokens(text_col)).alias("w"),

@@ -1146,10 +1146,14 @@ def cohens_kappa(
 
     Exact-integer discipline: numerator and denominator are plain
     BIGINTs of counts, so both engines compute the identical
-    fraction; ``kappa_ppm`` is emitted via sign-split truncating
-    division (Spark ``div`` truncates toward zero while DuckDB ``//``
-    floors -- they differ on NEGATIVE numerators, and kappa < 0 is
-    legal, so the quotient is computed on |num| and re-signed).
+    fraction; ``kappa_ppm`` is emitted via sign-split division
+    (quotient on |num|, re-signed). Spark ``div`` and DuckDB ``//``
+    BOTH truncate toward zero (measured), so a plain signed division
+    would also agree -- the sign-split makes the toward-zero
+    semantics explicit in the expression itself instead of leaning
+    on each engine's operator definition (kappa < 0 is legal, and
+    "integer division of a negative" is exactly where readers and
+    engines are most often assumed to floor).
 
     Output (one row): n, n_agree, po_ppm, pe_ppm, kappa_ppm.
 
@@ -1309,22 +1313,30 @@ def conformal_threshold(
             "n_cal", "k_rank", F.col("score").alias("q_hat")
         )
     )
-    return (
-        ev.crossJoin(F.broadcast(qhat))
+    # aggregate the eval side ALONE (a global agg always yields one
+    # row, even over an empty eval partition) and attach the one-row
+    # qhat by cross join -- aggregating the crossJoin instead would
+    # null out n_cal/k_rank via first() when every id lands in
+    # calibration
+    ev_agg = (
+        ev.crossJoin(F.broadcast(qhat.select("q_hat")))
         .agg(
-            F.first("n_cal").alias("n_cal"),
             F.count(F.lit(1)).cast("long").alias("n_eval"),
-            F.first("k_rank").alias("k_rank"),
-            F.first("q_hat").alias("q_hat"),
-            F.expr(f"""
-                coalesce(
-                    sum(cast(score <= q_hat as bigint)) * {PPM}
-                    div count(1),
-                    {PPM}
-                )
-            """).cast("long").alias("coverage_ppm"),
-            F.lit(PPM - alpha_ppm).cast("long").alias("target_ppm"),
+            F.sum(
+                (F.col("score") <= F.col("q_hat")).cast("long")
+            ).alias("cov_n"),
         )
+    )
+    return qhat.crossJoin(F.broadcast(ev_agg)).select(
+        "n_cal",
+        "n_eval",
+        "k_rank",
+        "q_hat",
+        F.expr(f"""
+            case when n_eval = 0 or cov_n is null then {PPM}
+                 else cov_n * {PPM} div n_eval end
+        """).cast("long").alias("coverage_ppm"),
+        F.lit(PPM - alpha_ppm).cast("long").alias("target_ppm"),
     )
 
 
@@ -1359,18 +1371,25 @@ def conformal_threshold_sql(
         ), q AS (
             SELECT n_cal, k_rank, cal.score AS q_hat
             FROM k LEFT JOIN cal ON cal.rn = k.k_rank
+        ), ev AS (
+            -- global aggregate: one row even when every id landed in
+            -- calibration (a GROUP BY over the empty eval relation
+            -- would emit ZERO rows while the engine emits one)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+                   SUM(CAST(score <= (SELECT q_hat FROM q) AS BIGINT))
+                       AS cov_n
+            FROM base WHERE NOT is_cal
         )
         SELECT q.n_cal AS n_cal,
-               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               ev.n_eval AS n_eval,
                q.k_rank AS k_rank,
                q.q_hat AS q_hat,
-               CAST(COALESCE(
-                   SUM(CAST(score <= q_hat AS BIGINT)) * {PPM}
-                   // COUNT(*), {PPM}) AS BIGINT) AS coverage_ppm,
+               CAST(CASE WHEN ev.n_eval = 0 OR ev.cov_n IS NULL
+                    THEN {PPM}
+                    ELSE ev.cov_n * {PPM} // ev.n_eval END
+                    AS BIGINT) AS coverage_ppm,
                CAST({PPM - alpha_ppm} AS BIGINT) AS target_ppm
-        FROM base, q
-        WHERE NOT is_cal
-        GROUP BY q.n_cal, q.k_rank, q.q_hat
+        FROM q, ev
     """
 
 

@@ -429,7 +429,11 @@ def borda_fuse(
 
     Exactness: ranks and points are BIGINTs; competition rank depends
     only on VALUES (ties share a rank), never on physical row order,
-    so both engines agree without a tiebreak column.
+    so both engines agree without a tiebreak column. Signal values
+    must be NON-NULL: NULL has no defined rank (Spark's equi-join
+    would silently drop it while SQL RANK() would seat it last), so
+    the engine fails loud instead of letting the two disagree --
+    impute or filter upstream.
 
     Scale shape: the naive form (the DuckDB oracle) is one global
     RANK() window per signal -- a full sort of the corpus each. The
@@ -441,7 +445,24 @@ def borda_fuse(
     Data-grain work is shuffle-only; no corpus-wide sort.
     """
     n_total = df.count()  # one job; |signals| plans reuse it as a literal
-    fused = df.select(F.col(id_col).alias("id"), *signals.keys())
+    non_null = None
+    for sig in signals:
+        c = F.col(sig).isNotNull()
+        non_null = c if non_null is None else non_null & c
+    fused = df.select(
+        F.col(id_col).alias("id"), *signals.keys()
+    ).filter(
+        # fail-loud NULL guard in a FILTER predicate (projected
+        # raise_error columns get pruned -- the cooccurrence lesson)
+        F.when(non_null, F.lit(True)).otherwise(
+            F.expr(
+                "raise_error('borda_fuse: NULL signal value -- NULL"
+                " has no defined rank (the engine join would drop"
+                " it, SQL RANK() would seat it); impute or filter"
+                " upstream')"
+            ).cast("boolean")
+        )
+    )
     for sig, direction in signals.items():
         desc = direction == "desc"
         vc = (

@@ -1342,7 +1342,7 @@ def neyman_weights_sql(
         SELECT stratum, n_avail,
                CAST(FLOOR(SQRT(CASE
                    WHEN CAST(n_avail * s2 - s1 * s1 AS BIGINT)
-                        < CAST(2251799813685248 AS BIGINT)
+                        < CAST(4503599627370496 AS BIGINT)
                    THEN CAST(n_avail * s2 - s1 * s1 AS BIGINT)
                    ELSE CAST(error('neyman_weights_sql: variance'
                         ' numerator reaches 2^52 -- floor of the'

@@ -2556,7 +2556,13 @@ def _at_plan_and_run(spark: SparkSession, sf_dir: str) -> dict:
             _band_keys(4, int(chosen.rows_per_band), 42)
         ).alias("band", "key"),
     )
-    collisions = (
+    # persisted: the collision relation is counted for plan==join AND
+    # re-read by the dropDuplicates / injected-pair anti-join legs --
+    # unpersisted, the banded self-join (the flagship's most
+    # expensive stage) would execute once per consumer
+    from ..operators.caching import persisted
+
+    collisions = persisted(
         bands.alias("a")
         .join(bands.alias("b"), ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
@@ -2660,8 +2666,14 @@ def _autotuned_curation_oracle() -> str:
         SELECT 'n_valid_vectors', CAST(COUNT(*) AS BIGINT) FROM valid
         UNION ALL
         SELECT 'n_cells_scaled',
+               -- all-positive ceil idiom: DuckDB // truncates toward
+               -- zero, so -((-n) // t) FLOORS for positive n and
+               -- diverges from scaled_n_cells' ceil once the
+               -- GREATEST(8, ...) clamp stops masking it (first at
+               -- n_valid > 2048 not a multiple of 256)
                CAST(GREATEST(8, LEAST(1048576,
-                    -((-COUNT(*)) // {_AT_TARGET_CELL_ROWS})))
+                    (COUNT(*) + {_AT_TARGET_CELL_ROWS} - 1)
+                    // {_AT_TARGET_CELL_ROWS}))
                     AS BIGINT)
         FROM valid
         UNION ALL

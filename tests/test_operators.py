@@ -5998,9 +5998,10 @@ class TestCohensKappa:
             cohens_kappa,
         )
 
-        # systematic DISagreement: below-chance -> kappa < 0, where
-        # Spark div (trunc) and DuckDB // (floor) would diverge
-        # without the sign-split
+        # systematic DISagreement: below-chance -> kappa < 0, the
+        # regime where the sign-split's explicit toward-zero
+        # semantics matter (both engines' operators happen to
+        # truncate, but the expression shouldn't lean on that)
         rows = [("y", "n")] * 3 + [("n", "y")] * 3 + [("y", "y")] * 1
         df = spark.createDataFrame(rows, "a string, b string")
         [r] = cohens_kappa(df, "a", "b").collect()
@@ -6593,3 +6594,110 @@ class TestTrendSlope:
         [r] = trend_slope_by_key(df, "k").collect()
         assert r.n_days == 1
         assert r.slope_milli_cents_per_day is None
+
+
+class TestReviewRegressionsR10:
+    """Regression pins for the round-10 review findings: the oracle
+    twins must accept exactly what the engine accepts and vice versa
+    on the corner the original code got wrong."""
+
+    def test_neyman_sql_guard_bound_is_2_52(self, spark):
+        """var_num between 2^51 and 2^52 passes BOTH engines (the SQL
+        twin originally embedded 2^51 and failed at half the bound)."""
+        import duckdb
+        import math
+
+        from etl_on_weather_dataset_spark.operators.sample import (
+            neyman_weights,
+            neyman_weights_sql,
+        )
+
+        x = 60_000_000  # x^2 = 3.6e15, between 2^51 and 2^52
+        assert 2**51 < x * x < 2**52
+        df = spark.createDataFrame(
+            [("a", 0), ("a", x)], "s string, x long"
+        )
+        [got] = neyman_weights(df, "s", "x").collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW t AS SELECT 'a' AS s, x FROM (VALUES "
+            f"(CAST(0 AS BIGINT)), (CAST({x} AS BIGINT))) v(x)"
+        )
+        [want] = con.execute(
+            neyman_weights_sql("SELECT * FROM t", "s", "x")
+        ).fetchall()
+        assert (got.stratum, got.n_avail, got.weight) == want
+        assert got.weight == math.isqrt(x * x)
+
+    def test_autotuned_oracle_cells_formula_is_ceil(self):
+        """The oracle's in-SQL scaled-cell formula must equal
+        scaled_n_cells for sizes where floor != ceil (the original
+        -((-n)//t) spelling floored under DuckDB's truncating //)."""
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            scaled_n_cells,
+        )
+        from etl_on_weather_dataset_spark.plans.queries_pipeline import (
+            _AT_TARGET_CELL_ROWS,
+        )
+
+        con = duckdb.connect()
+        for n in (1, 255, 256, 257, 2048, 2049, 20000, 300_000):
+            [(got,)] = con.execute(
+                f"SELECT GREATEST(8, LEAST(1048576,"
+                f" (COUNT(*) + {_AT_TARGET_CELL_ROWS} - 1)"
+                f" // {_AT_TARGET_CELL_ROWS}))"
+                f" FROM range({n})"
+            ).fetchall()
+            assert got == scaled_n_cells(n, _AT_TARGET_CELL_ROWS), n
+
+    def test_conformal_all_calibration_one_row_both_engines(
+        self, spark
+    ):
+        """cal_frac = 1e6 puts EVERY id in calibration: the engine
+        must still emit one row (n_eval = 0, coverage 1e6) and the
+        SQL twin the identical row (the original GROUP BY over the
+        empty eval relation emitted zero rows)."""
+        import duckdb
+
+        from etl_on_weather_dataset_spark.operators.evaluate import (
+            conformal_threshold,
+            conformal_threshold_sql,
+        )
+
+        rows = [(i, i * 3) for i in range(1, 13)]
+        df = spark.createDataFrame(rows, "id long, score long")
+        got = conformal_threshold(
+            df, "score", "id", cal_frac_ppm=1_000_000
+        ).collect()
+        assert len(got) == 1
+        assert got[0].n_eval == 0
+        assert got[0].n_cal == 12
+        assert got[0].coverage_ppm == 1_000_000
+        con = duckdb.connect()
+        vals = ", ".join(f"({i}, {s})" for i, s in rows)
+        con.execute(
+            f"CREATE VIEW t AS SELECT * FROM (VALUES {vals})"
+            " v(id, score)"
+        )
+        want = con.execute(
+            conformal_threshold_sql(
+                "SELECT * FROM t", "score", "id",
+                cal_frac_ppm=1_000_000,
+            )
+        ).fetchall()
+        assert [tuple(got[0])] == want
+
+    def test_borda_null_signal_fails_loud(self, spark):
+        import pytest
+
+        from etl_on_weather_dataset_spark.operators.retrieval import (
+            borda_fuse,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", None)], "id string, s long"
+        )
+        with pytest.raises(Exception, match="NULL signal"):
+            borda_fuse(df, "id", {"s": "desc"}, k=2).collect()
