@@ -145,38 +145,49 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     this comment -- after this round no registry query is older
 #     than r3-attested) plus the oldest r3-attested queries
 #     (tools/rotation_plan.py order), with tail r3 slots ceded to
-#     round-10-new queries as they register.
+#     round-10-new queries as they register;
+#   - round 11 (now): the r10 window parks in ROTATE_OUT (the 14
+#     r2-refreshed names, the 6 r10 extended-tier rotations, and the
+#     9 r10-new visible queries -- all green in CORRECTNESS_r10.json;
+#     parking round-N-new queries right after their green row is the
+#     round-7 precedent, freeing their slots for staleness work).
+#     ROTATE_IN drains the ENTIRE remaining r3 staleness era: the 15
+#     ceded names from the round-10 edition of this comment (the
+#     round-10 verdict's item 2, including par.2a's A2/A4 carrier
+#     monthly_mode_event_type and the P2/P3 carrier
+#     date_part_histogram) plus the 5 r3-tail names
+#     (hash_split_counts, stratified_sample_counts,
+#     time_bucket_rollup, hopping_window_rollup,
+#     session_window_rollup) and the next-oldest r3-green names as
+#     slots allow (tools/rotation_plan.py order), with tail slots
+#     ceded to round-11-new queries as they register. The remaining
+#     r3 backlog (approx_percentile_bound, bloom_filter_membership,
+#     tfidf_top_terms) leads the r12 refresh.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
 # runs hourly.
 ROTATE_IN: frozenset[str] = frozenset({
-    # round-10 staleness refresh, tier 1: the full r2 backlog
-    # (last driver-attested round 2 -- seven rounds of churn ago)
-    "outlier_filter", "set_ops_user_segments", "json_props_extract",
-    "streaming_tumbling_rollup", "lang_id_confusion",
-    "doc_fingerprints", "chunk_documents", "embedding_label_stats",
-    "distinct_users_per_type", "approx_distinct_users",
-    "cube_status_priority", "normalize_per_user",
-    "value_percentiles", "salted_skew_rollup",
-    # tier 2: the six round-10 extended-tier operators, rotated in
-    # so EVERY never-attested query is driver-visible this round
-    # (the rotation-exposure meta-test's invariant). 15 r3-refresh
-    # slots were ceded in total -- 9 to the round-10 visible tier
-    # (lang_id_kappa, conformal_coverage_events, pmi_bigram_phrases,
-    # readability_by_source, attribution_time_decay,
-    # borda_quality_fuse, ngram_novelty_by_source,
-    # autotuned_curation_stats, dedup_cluster_pairwise_eval) and 6
-    # to these; the ceded r3 names (value_moments, scd2_user_history,
-    # chunk_documents_udtf, json_map_explode, string_functions,
-    # window_function_breadth, date_scalar_functions, math_functions,
-    # array_functions, monthly_mode_event_type, date_part_histogram,
-    # event_time_tumbling_window, cosine_topk_pandas_udf,
-    # cosine_topk_ivf, conditional_aggregation) lead the r11 refresh
-    # backlog, followed by the rest of the r3 tier
-    "brier_decomposition_events", "decile_lift_events",
-    "unigram_entropy_by_source", "copurchase_affinity_lineitem",
-    "js_divergence_matrix", "trend_slope_by_type",
+    # round-11 staleness refresh, tier 1: the 15 r3 names ceded by
+    # the round-10 refresh (round-10 verdict item 2 -- mandatory)
+    "value_moments", "scd2_user_history", "chunk_documents_udtf",
+    "json_map_explode", "string_functions",
+    "window_function_breadth", "date_scalar_functions",
+    "math_functions", "array_functions", "monthly_mode_event_type",
+    "date_part_histogram", "event_time_tumbling_window",
+    "cosine_topk_pandas_udf", "cosine_topk_ivf",
+    "conditional_aggregation",
+    # tier 2: the r3-tail names (last green r3), finishing the r3 era
+    "hash_split_counts", "stratified_sample_counts",
+    "time_bucket_rollup", "hopping_window_rollup",
+    "session_window_rollup",
+    # tier 3: next-oldest r3-green names filling the slots left by
+    # parking the 9 r10-new queries, shrunk as round-11-new queries
+    # claim slots (tools/rotation_plan.py order). The remaining r3
+    # backlog (approx_percentile_bound, bloom_filter_membership,
+    # tfidf_top_terms) leads the r12 refresh.
+    "quality_filter_stats", "gap_filled_hourly",
+    "streaming_interval_join", "pii_redaction",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -190,16 +201,25 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "winsorized_value_stats", "dedup_containment_pairs",
     "bootstrap_mean_ci_by_type", "mixture_balanced_shards",
     "embedding_drift_ks",
-    # -- r3-attested; ceded round-10 refresh slots to the 15 new
-    # queries; they lead the r11 refresh backlog:
-    "monthly_mode_event_type", "date_part_histogram",
-    "event_time_tumbling_window", "cosine_topk_pandas_udf",
-    "cosine_topk_ivf", "conditional_aggregation",
-    "array_functions",
-    "value_moments", "scd2_user_history", "chunk_documents_udtf",
-    "json_map_explode", "string_functions",
-    "window_function_breadth", "date_scalar_functions",
-    "math_functions",
+    # -- the r10 window, parked after green rows in r10
+    # (CORRECTNESS_r10.json 50/50): the 14 r2-staleness refreshes,
+    "outlier_filter", "set_ops_user_segments", "json_props_extract",
+    "streaming_tumbling_rollup", "lang_id_confusion",
+    "doc_fingerprints", "chunk_documents", "embedding_label_stats",
+    "distinct_users_per_type", "approx_distinct_users",
+    "cube_status_priority", "normalize_per_user",
+    "value_percentiles", "salted_skew_rollup",
+    # the 6 r10 extended-tier rotations,
+    "brier_decomposition_events", "decile_lift_events",
+    "unigram_entropy_by_source", "copurchase_affinity_lineitem",
+    "js_divergence_matrix", "trend_slope_by_type",
+    # and the 9 r10-new visible queries (parked right after their
+    # green row -- the round-7 precedent -- to free staleness slots):
+    "lang_id_kappa", "conformal_coverage_events",
+    "pmi_bigram_phrases", "readability_by_source",
+    "attribution_time_decay", "borda_quality_fuse",
+    "ngram_novelty_by_source", "autotuned_curation_stats",
+    "dedup_cluster_pairwise_eval",
     # -- the 15 round-9 staleness refreshes, attested green in r9:
     "forecast_revenue_change", "order_priority_semi_join",
     "customers_without_orders", "rollup_returnflag_status",
@@ -265,20 +285,19 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "dedup_incremental_simhash", "disjunctive_brand_revenue", "doc_logprob_score", "doc_quality_classifier",
     "doc_repetition_stats", "dsir_weighted_selection", "dup_span_removal",
     "embedding_pipeline_stats",
-    "funnel_view_click_purchase", "gap_filled_hourly", "graph_degree_stats",
+    "funnel_view_click_purchase", "graph_degree_stats",
     "graph_pagerank_top", "graph_triangle_summary", "grouping_sets_revenue",
-    "hash_split_counts", "hopping_window_rollup", "hybrid_rrf_topk",
+    "hybrid_rrf_topk",
     "importance_resample_dsir", "ivf_pq_recall", "ivf_recall_probes",
     "large_volume_orders", "logreg_trained_weights", "national_market_share",
     "ohlc_daily_candles", "packed_bins",
-    "per_source_document_cap", "pii_redaction", "promo_revenue_share", "quality_filter_stats",
+    "per_source_document_cap", "promo_revenue_share", 
     "returned_item_customers", "rich_inactive_customers",
     "rollup_incremental_daily", "semdedup_embeddings",
-    "session_window_rollup", "small_quantity_revenue", "stratified_sample_counts",
-    "streaming_interval_join", "tfidf_top_terms", "time_bucket_rollup",
+    "small_quantity_revenue", 
+    "tfidf_top_terms", 
     "top_supplier_revenue", "trained_ivf_recall",
     "twap_daily", "volume_shipping", "weekly_cohort_retention", "weighted_sample_docs",})
-
 
 def register(spec: QuerySpec) -> None:
     assert spec.name not in REGISTRY, f"duplicate query name {spec.name}"
