@@ -609,3 +609,134 @@ def readability_by_group_sql(
                     AS BIGINT) AS flesch_milli
         FROM agg
     """
+
+
+# --- tokenizer fertility (bytes/chars/words/BPE tokens per language) ---------------
+
+# Largest numerator the exact ppm ratio path accepts: num * 1_000_000
+# must stay below 2^63, so num <= (2^63 - 1) // 10^6. Beyond that the
+# operator REFUSES (raise_error, the neyman_weights precedent in
+# operators/sample.py) rather than silently rounding -- at that scale
+# pre-aggregate the group sums to DECIMAL upstream, or run fertility
+# per finer grain (lang x source x day) and roll up the ppm ratios as
+# token-weighted means.
+_PPM_SAFE = 9_223_372_036_854
+
+
+def _ratio_ppm_expr(num: str, den: str, what: str) -> str:
+    """Engine-portable exact ppm ratio: ``num * 1e6 div den`` with a
+    zero-denominator NULL and the fail-loud ``_PPM_SAFE`` overflow
+    guard. Valid in BOTH Spark SQL (``div``) and DuckDB (caller swaps
+    the div token); operands must be non-negative BIGINTs, so
+    truncating division == floor division in both engines."""
+    return (
+        f"CASE WHEN {den} = 0 THEN NULL"
+        f" WHEN {num} <= {_PPM_SAFE} THEN ({num}) * 1000000 DIV ({den})"
+        f" ELSE CAST(raise_error('{what}: ppm numerator exceeds"
+        f" _PPM_SAFE -- pre-aggregate to DECIMAL upstream') AS BIGINT)"
+        f" END"
+    )
+
+
+def _ratio_ppm_sql(num: str, den: str, what: str) -> str:
+    return (
+        f"CAST(CASE WHEN {den} = 0 THEN NULL"
+        f" WHEN {num} <= {_PPM_SAFE} THEN ({num}) * 1000000 // ({den})"
+        f" ELSE CAST(error('{what}: ppm numerator exceeds _PPM_SAFE"
+        f" -- pre-aggregate to DECIMAL upstream') AS BIGINT)"
+        f" END AS BIGINT)"
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer economics: bytes, chars, whitespace words
+    and BPE-ish tokens, with fertility (tokens per word) and
+    bytes-per-token in exact ppm -- the multilingual token-budget
+    dial next to temperature_mixture_plan. A language whose
+    bytes-per-token balloons is under-served by the tokenizer and
+    silently eats budget; fertility >> 1e6 means words shatter into
+    many subword tokens.
+
+    Exact-integer discipline: four additive BIGINT sufficient
+    statistics per doc (octet_length / length / whitespace-token
+    count / BPE-regex token count -- all JVM-side, explode-free,
+    in-row array lengths), one map-side-combinable aggregate to
+    |langs x sources| rows, ratios as truncating integer division in
+    ppm with the fail-loud ``_PPM_SAFE`` guard. No floats anywhere.
+
+    Scale shape: one scan, one shuffle of |groups| partial rows.
+    """
+    per_doc = df.select(
+        *[F.col(g) for g in group_cols],
+        F.octet_length(F.col(text_col)).cast("long").alias("b"),
+        F.length(F.col(text_col)).cast("long").alias("c"),
+        token_count(text_col).cast("long").alias("w"),
+        bpe_token_count(text_col).cast("long").alias("t"),
+    )
+    agg = per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("b").cast("long").alias("n_bytes"),
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("t").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs", "n_bytes", "n_chars", "n_words", "n_tokens",
+        F.expr(_ratio_ppm_expr("n_tokens", "n_words",
+                               "tokenizer_fertility"))
+        .cast("long").alias("fertility_ppm"),
+        F.expr(_ratio_ppm_expr("n_bytes", "n_tokens",
+                               "tokenizer_fertility"))
+        .cast("long").alias("bytes_per_token_ppm"),
+        F.expr(_ratio_ppm_expr("n_chars", "n_tokens",
+                               "tokenizer_fertility"))
+        .cast("long").alias("chars_per_token_ppm"),
+    )
+
+
+def tokenizer_fertility_sql(
+    table: str,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility` (same sufficient
+    statistics, same guarded ppm divisions)."""
+    groups = ", ".join(group_cols)
+    return f"""
+        WITH per_doc AS (
+            SELECT {groups},
+                   CAST(octet_length(encode({text_col})) AS BIGINT)
+                       AS b,
+                   CAST(length({text_col}) AS BIGINT) AS c,
+                   CAST(len(regexp_split_to_array({text_col}, ' +'))
+                        AS BIGINT) AS w,
+                   CAST({bpe_token_count_sql(text_col)} AS BIGINT)
+                       AS t
+            FROM {table}
+        ), agg AS (
+            SELECT {groups},
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(b) AS BIGINT) AS n_bytes,
+                   CAST(SUM(c) AS BIGINT) AS n_chars,
+                   CAST(SUM(w) AS BIGINT) AS n_words,
+                   CAST(SUM(t) AS BIGINT) AS n_tokens
+            FROM per_doc GROUP BY {groups}
+        )
+        SELECT {groups},
+               n_docs, n_bytes, n_chars, n_words, n_tokens,
+               {_ratio_ppm_sql("n_tokens", "n_words",
+                               "tokenizer_fertility")}
+                   AS fertility_ppm,
+               {_ratio_ppm_sql("n_bytes", "n_tokens",
+                               "tokenizer_fertility")}
+                   AS bytes_per_token_ppm,
+               {_ratio_ppm_sql("n_chars", "n_tokens",
+                               "tokenizer_fertility")}
+                   AS chars_per_token_ppm
+        FROM agg
+    """

@@ -1121,3 +1121,30 @@ register(QuerySpec(
             "shared-token-algebra"),
     extended=True,  # r11 rotation candidate
 ))
+
+
+# --- tokenizer fertility by language (round-11) -------------------------------------
+#
+# The multilingual token-budget dial next to temperature_mixture_plan:
+# per (lang, source), bytes / chars / whitespace words / BPE-ish
+# tokens plus fertility (tokens per word) and bytes-per-token in
+# exact ppm (operators/text.py tokenizer_fertility). One explode-free
+# scan; |langs x sources| output rows.
+
+def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tokenizer_fertility(docs).orderBy("lang", "source")
+
+
+def _tokenizer_fertility_oracle() -> str:
+    inner = T.tokenizer_fertility_sql("documents")
+    return f"SELECT * FROM ({inner}) ORDER BY lang, source"
+
+
+register(QuerySpec(
+    name="tokenizer_fertility_by_lang",
+    spark_fn=_tokenizer_fertility,
+    oracle=_tokenizer_fertility_oracle,
+    covers=("tokenizer-fertility", "bytes-per-token",
+            "multilingual-budget"),
+))
