@@ -1749,3 +1749,145 @@ def js_divergence_matrix_sql(
                     * 1000000) AS BIGINT) AS BIGINT) AS js_micro
         FROM allpairs
     """
+
+
+# --- token-budget concentration (Gini / Lorenz, round-11) ----------------------------
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_pct: int = 1,
+) -> DataFrame:
+    """Per-group Gini coefficient of the per-document token-count
+    distribution, plus the token share of the top ``top_pct`` percent
+    of documents -- the crawl-dominance dial of a curation pipeline.
+    A source whose token budget concentrates in a few huge documents
+    (Gini -> 1, top-1% share -> 1e6 ppm) is a different cleaning
+    problem than one with many uniform pages, and per-domain
+    concentration is the standard trigger for per-source caps
+    (per_source_document_cap is the remedy; this is the meter).
+
+    Exact-integer discipline (the exact-AUC / borda trick): ranks are
+    derived from the VALUE-COUNT relation, never a corpus-wide
+    row-grain sort. With value v, count c, F = docs with smaller
+    value, n docs and T total tokens (all BIGINT):
+
+        2 * sum_i rank_i * x_i = sum_v v * c * (2F + c + 1)
+        gini_ppm  = 1e6 * (S2 - (n+1) * T) / (n * T)   [avg-rank ties]
+        top share = sum over values DESC of min(c, remaining k) * v,
+                    k = ceil(n * top_pct / 100)
+
+    via truncating division of non-negative BIGINTs (identical in
+    both engines) behind the fail-loud ``_PPM_SAFE`` guard
+    (operators/text.py): at the scale where n*T reaches 2^63 // 1e6,
+    the operator REFUSES -- pre-aggregate per (group, shard) to
+    DECIMAL upstream, or bucket token counts before ranking.
+
+    Scale shape: one scan to (group, n_tokens) value counts, then
+    windows over the |groups x distinct-counts| relation only.
+    """
+    from .text import _ratio_ppm_expr, bpe_token_count
+
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        bpe_token_count(text_col).cast("long").alias("v"),
+    )
+    vc = per_doc.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_asc = (
+        Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy("grp")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # One sorted window pass yields both the rank prefix f and the
+    # group total n -- so the top-percent take folds into the SAME
+    # aggregate as the moments (single scan, no self-join).
+    ranked = vc.select(
+        "grp", "v", "c",
+        F.coalesce(F.sum("c").over(w_asc), F.lit(0)).alias("f"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    k = f"( (n * {top_pct} + 99) DIV 100 )"
+    out = ranked.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_counts"),
+        F.sum(
+            F.col("v") * F.col("c")
+            * (F.lit(2) * F.col("f") + F.col("c") + F.lit(1))
+        ).cast("long").alias("s2"),
+        F.sum(F.expr(
+            f"v * LEAST(c, GREATEST({k} - (n - f - c),"
+            " CAST(0 AS BIGINT)))"
+        )).cast("long").alias("top_tokens"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs", "total_tokens", "n_distinct_counts",
+        F.expr(_ratio_ppm_expr(
+            "s2 - (n_docs + 1) * total_tokens",
+            "n_docs * total_tokens", "gini_concentration",
+        )).cast("long").alias("gini_ppm"),
+        "top_tokens",
+        F.expr(_ratio_ppm_expr(
+            "top_tokens", "total_tokens", "gini_concentration",
+        )).cast("long").alias("top_share_ppm"),
+    )
+
+
+def gini_concentration_sql(
+    table: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_pct: int = 1,
+) -> str:
+    """DuckDB twin of :func:`gini_concentration` (same value-count
+    ranks, same guarded ppm divisions)."""
+    from .text import _ratio_ppm_sql, bpe_token_count_sql
+
+    k = f"((n_docs * {top_pct} + 99) // 100)"
+    return f"""
+        WITH per_doc AS (
+            SELECT {group_col} AS grp,
+                   CAST({bpe_token_count_sql(text_col)} AS BIGINT) AS v
+            FROM {table}
+        ), vc AS (
+            SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM per_doc GROUP BY grp, v
+        ), ranked AS (
+            SELECT grp, v, c,
+                   CAST(COALESCE(SUM(c) OVER (
+                       PARTITION BY grp ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS f,
+                   CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+            FROM vc
+        ), agg AS (
+            SELECT grp,
+                   CAST(MAX(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(v * c) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_counts,
+                   CAST(SUM(v * c * (2 * f + c + 1)) AS BIGINT) AS s2,
+                   CAST(SUM(v * LEAST(c, GREATEST(
+                       {k.replace("n_docs", "n")} - (n - f - c),
+                       CAST(0 AS BIGINT)))) AS BIGINT) AS top_tokens
+            FROM ranked GROUP BY grp
+        )
+        SELECT grp AS {group_col},
+               n_docs, total_tokens, n_distinct_counts,
+               {_ratio_ppm_sql(
+                   "s2 - (n_docs + 1) * total_tokens",
+                   "n_docs * total_tokens", "gini_concentration",
+               )} AS gini_ppm,
+               top_tokens,
+               {_ratio_ppm_sql(
+                   "top_tokens", "total_tokens",
+                   "gini_concentration",
+               )} AS top_share_ppm
+        FROM agg
+    """

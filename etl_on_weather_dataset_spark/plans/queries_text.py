@@ -1148,3 +1148,34 @@ register(QuerySpec(
     covers=("tokenizer-fertility", "bytes-per-token",
             "multilingual-budget"),
 ))
+
+
+# --- token-budget concentration (round-11) ------------------------------------------
+#
+# Gini + top-1% token share per source (operators/corpus.py
+# gini_concentration): the crawl-dominance meter whose remedy is
+# per_source_document_cap. Ranks from the value-count relation (the
+# exact-AUC trick) -- windows run over |sources x distinct counts|
+# rows, never a corpus-grain sort.
+
+def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import gini_concentration
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gini_concentration(docs).orderBy("source")
+
+
+def _gini_concentration_oracle() -> str:
+    from ..operators.corpus import gini_concentration_sql
+
+    inner = gini_concentration_sql("documents")
+    return f"SELECT * FROM ({inner}) ORDER BY source"
+
+
+register(QuerySpec(
+    name="gini_token_concentration",
+    spark_fn=_gini_concentration,
+    oracle=_gini_concentration_oracle,
+    covers=("gini-concentration", "lorenz-top-share",
+            "crawl-dominance"),
+))
