@@ -752,3 +752,184 @@ def trend_slope_by_key_sql(
                END AS BIGINT) AS slope_milli_cents_per_day
         FROM m
     """
+
+
+# --- AR(1) persistence coefficient (round-11) --------------------------------------
+
+# Aggregate-level overflow refusal bound for ar1_by_key: with the
+# guard n_pairs^2 * mx^2 <= 2^51 every cross moment stays <= 2^51,
+# |num| <= 2^52, and |num| * 1000 <= 2^62 -- all safely inside BIGINT
+# in both engines (DuckDB would error on overflow, Spark would WRAP
+# silently; the shared fail-loud guard fires before either happens).
+_AR1_GUARD = 2_251_799_813_685_248  # 2^51
+_AR1_ROW_MAX = 3_037_000_499  # floor(sqrt(2^63)): per-row square bound
+
+
+def ar1_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    unit_cents: int = 100,
+) -> DataFrame:
+    """Per-key AR(1) persistence of daily totals: the OLS coefficient
+    of y_t on y_{t-1} over CONSECUTIVE days -- the momentum dial next
+    to trend_slope_by_key (the slope says where the series drifts;
+    phi says how strongly today echoes yesterday: phi near 1000 milli
+    = persistent level shifts, near 0 = memoryless noise, negative =
+    mean-reverting oscillation). Same monitoring family as CUSUM/EWMA.
+
+    Semantics: daily totals in ``unit_cents`` units (truncating
+    division -- the unit is the caller's scale dial: cents at small
+    corpora, dollars by default, k$ when daily volume grows; the
+    guard below REFUSES rather than rounds when the unit is too fine
+    for the volume). Only day pairs with d_t - d_{t-1} == 1 enter the
+    regression -- a gap is missing evidence, not a lag-1 pair.
+    Recentering by the key's min daily total keeps every moment small
+    without changing the slope.
+
+    Exact-integer discipline: BIGINT cross moments; sign-split
+    truncating division (negative phi is legal -- the cohens_kappa
+    rule); keys with no consecutive-day pair or zero lag variance get
+    phi NULL (undefined, loudly visible), not 0. Fail-loud overflow
+    guards at both grains (``_AR1_ROW_MAX`` per row, ``_AR1_GUARD``
+    per key) fire identically in both engines BEFORE Spark's silent
+    BIGINT wrap or DuckDB's HUGEINT promotion could diverge.
+
+    Scale shape: one map-side-combinable rollup to (key, day) grain,
+    one window pass per key over |days| rows (lag + min), one second
+    aggregate to |keys| rows. No corpus-grain window, no join.
+    """
+    day = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = (
+        df.groupBy(F.col(key_col).alias("key"), day.alias("d"))
+        .agg(F.expr(
+            f"CAST(sum(CAST({cents_col} AS BIGINT)) DIV {unit_cents}"
+            " AS BIGINT)"
+        ).alias("y"))
+    )
+    w = Window.partitionBy("key").orderBy("d")
+    w_all = (
+        Window.partitionBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    lagged = daily.select(
+        "key", "d", "y",
+        F.lag("d").over(w).alias("d_prev"),
+        F.lag("y").over(w).alias("y_prev"),
+        F.min("y").over(w_all).alias("m"),
+    )
+    row_guard = (
+        f"CASE WHEN y - m >= {_AR1_ROW_MAX}"
+        f" OR y_prev - m >= {_AR1_ROW_MAX}"
+        " THEN CAST(raise_error('ar1_by_key: recentered daily total"
+        " reaches sqrt(2^63) -- raise unit_cents') AS BIGINT)"
+        " ELSE 1 END"
+    )
+    adj = F.expr(
+        f"CASE WHEN d_prev IS NOT NULL AND d - d_prev = 1"
+        f" THEN {row_guard} ELSE 0 END"
+    )
+    pairs = lagged.select(
+        "key",
+        adj.alias("adj"),
+        (F.col("y") - F.col("m")).alias("yc"),
+        (F.col("y_prev") - F.col("m")).alias("yp"),
+    )
+    m = pairs.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("adj").cast("long").alias("n_pairs"),
+        F.sum(F.expr("adj * yp")).cast("long").alias("sx"),
+        F.sum(F.expr("adj * yc")).cast("long").alias("sy"),
+        F.sum(F.expr("adj * yp * yc")).cast("long").alias("sxy"),
+        F.sum(F.expr("adj * yp * yp")).cast("long").alias("sxx"),
+        F.max(F.expr("adj * greatest(yp, yc)")).cast("long").alias("mx"),
+    )
+    guard = (
+        f"CASE WHEN mx > 0 AND n_pairs * n_pairs >"
+        f" {_AR1_GUARD} DIV (mx * mx)"
+        " THEN CAST(raise_error('ar1_by_key: n_pairs^2 * mx^2 exceeds"
+        " 2^51 -- raise unit_cents') AS BIGINT) ELSE 1 END"
+    )
+    return m.select(
+        F.col("key").alias(key_col),
+        "n_days", "n_pairs",
+        F.expr(f"{guard} * (n_pairs * sxy - sx * sy)").cast("long")
+        .alias("ar1_num"),
+        F.expr("n_pairs * sxx - sx * sx").cast("long").alias("ar1_den"),
+        F.expr("""
+            CASE WHEN n_pairs * sxx - sx * sx <= 0 THEN NULL
+                 ELSE sign(n_pairs * sxy - sx * sy)
+                      * (abs(n_pairs * sxy - sx * sy) * 1000
+                         div (n_pairs * sxx - sx * sx))
+            END
+        """).cast("long").alias("phi_milli"),
+    )
+
+
+def ar1_by_key_sql(
+    table: str,
+    key_col: str,
+    ts_col: str = "ts",
+    cents_expr: str = "cents",
+    unit_cents: int = 100,
+) -> str:
+    """DuckDB twin of :func:`ar1_by_key` (same adjacency rule, same
+    recentred moments, same sign-split division and fail-loud
+    guards)."""
+    return f"""
+        WITH daily AS (
+            SELECT {key_col} AS key,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                        CAST({ts_col} AS DATE)) AS BIGINT) AS d,
+                   CAST(CAST(SUM(CAST({cents_expr} AS BIGINT))
+                        AS BIGINT) // {unit_cents} AS BIGINT) AS y
+            FROM ({table})
+            GROUP BY 1, 2
+        ), lagged AS (
+            SELECT key, d, y,
+                   LAG(d) OVER (PARTITION BY key ORDER BY d) AS d_prev,
+                   LAG(y) OVER (PARTITION BY key ORDER BY d) AS y_prev,
+                   MIN(y) OVER (PARTITION BY key) AS m
+            FROM daily
+        ), pairs AS (
+            SELECT key,
+                   CASE WHEN d_prev IS NOT NULL AND d - d_prev = 1
+                        THEN CASE WHEN y - m >= {_AR1_ROW_MAX}
+                                  OR y_prev - m >= {_AR1_ROW_MAX}
+                             THEN CAST(error('ar1_by_key: recentered'
+                                  ' daily total reaches sqrt(2^63) --'
+                                  ' raise unit_cents') AS BIGINT)
+                             ELSE 1 END
+                        ELSE 0 END AS adj,
+                   y - m AS yc, y_prev - m AS yp
+            FROM lagged
+        ), m AS (
+            SELECT key,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(adj) AS BIGINT) AS n_pairs,
+                   CAST(SUM(adj * yp) AS BIGINT) AS sx,
+                   CAST(SUM(adj * yc) AS BIGINT) AS sy,
+                   CAST(SUM(adj * yp * yc) AS BIGINT) AS sxy,
+                   CAST(SUM(adj * yp * yp) AS BIGINT) AS sxx,
+                   CAST(MAX(adj * GREATEST(yp, yc)) AS BIGINT) AS mx
+            FROM pairs GROUP BY key
+        )
+        SELECT key AS {key_col}, n_days, n_pairs,
+               CAST(CASE WHEN mx > 0 AND n_pairs * n_pairs >
+                         {_AR1_GUARD} // (mx * mx)
+                    THEN CAST(error('ar1_by_key: n_pairs^2 * mx^2'
+                         ' exceeds 2^51 -- raise unit_cents')
+                         AS BIGINT)
+                    ELSE 1 END
+                    * (n_pairs * sxy - sx * sy) AS BIGINT) AS ar1_num,
+               CAST(n_pairs * sxx - sx * sx AS BIGINT) AS ar1_den,
+               CAST(CASE WHEN n_pairs * sxx - sx * sx <= 0 THEN NULL
+                    ELSE CAST(sign(n_pairs * sxy - sx * sy) AS BIGINT)
+                         * (abs(n_pairs * sxy - sx * sy) * 1000
+                            // (n_pairs * sxx - sx * sx))
+               END AS BIGINT) AS phi_milli
+        FROM m
+    """

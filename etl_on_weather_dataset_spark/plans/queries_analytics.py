@@ -2660,3 +2660,41 @@ register(QuerySpec(
             "drift-rate"),
     extended=True,  # r11 rotation candidate
 ))
+
+
+# --- AR(1) persistence coefficient (round-11) ---------------------------------------
+#
+# The momentum dial completing the drift-monitoring family: CUSUM
+# localizes WHEN a series shifted, trend_slope_by_type says how fast
+# it drifts, phi says how strongly today echoes yesterday
+# (operators/timeseries.py ar1_by_key -- lag-1 OLS over consecutive
+# daily totals, exact BIGINT moments, dual fail-loud overflow guards).
+
+def _ar1_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ar1_by_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ar1_by_key(ev, "event_type").orderBy("event_type")
+
+
+def _ar1_by_type_oracle() -> str:
+    from ..operators.timeseries import ar1_by_key_sql
+
+    inner = ar1_by_key_sql(
+        "SELECT event_type, ts,"
+        " CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events",
+        "event_type",
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY event_type"
+
+
+register(QuerySpec(
+    name="ar1_persistence_by_type",
+    spark_fn=_ar1_by_type,
+    oracle=_ar1_by_type_oracle,
+    covers=("ar1-persistence", "lag-regression",
+            "drift-monitoring"),
+))
