@@ -2758,3 +2758,63 @@ register(QuerySpec(
     bench_fn=_autotuned_curation_bench,
     plan_fn=_autotuned_curation_plans,
 ))
+
+
+# --- packing waste audit v2: cut vs shelf vs BFD (round-11) --------------------------
+#
+# Same chunk stream and shards as packed_bins; turns the packing
+# choice into measured padded-slot counts (operators/corpus.py
+# packing_waste_audit). The cut and shelf arms are oracle-exact; the
+# best-fit-decreasing arm is attested by guarantee flags (validity +
+# accounting by construction, bfd >= cut by the lower-bound theorem,
+# the any-fit half-full theorem, bfd <= shelf pinned on this corpus).
+
+def _packing_waste_chunks(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(T.token_chunks("text", 50, 40)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size(F.split("c.chunk", " ")).alias("n_tokens"),
+    )
+
+
+def _packing_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import packing_waste_audit
+
+    return packing_waste_audit(
+        _packing_waste_chunks(spark, sf_dir),
+        capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS,
+        bucket_width=8,
+    )
+
+
+def _packing_waste_audit_oracle() -> str:
+    from ..operators.corpus import packing_waste_audit_sql
+
+    chunks_sql = f"""
+        SELECT doc_id,
+               c.chunk_id AS chunk_id,
+               CAST(len(string_split(c.chunk, ' ')) AS INTEGER)
+                   AS n_tokens
+        FROM (
+            SELECT doc_id,
+                   unnest({T.token_chunks_sql('text', 50, 40)}) AS c
+            FROM documents
+        )"""
+    return packing_waste_audit_sql(
+        chunks_sql, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS,
+        bucket_width=8,
+    )
+
+
+register(QuerySpec(
+    name="packing_waste_audit",
+    spark_fn=_packing_waste_audit,
+    oracle=_packing_waste_audit_oracle,
+    covers=("packing-waste", "best-fit-decreasing",
+            "shelf-packing", "padded-slot-audit"),
+    scale_path="packed_bins",
+))

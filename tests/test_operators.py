@@ -6701,3 +6701,65 @@ class TestReviewRegressionsR10:
         )
         with pytest.raises(Exception, match="NULL signal"):
             borda_fuse(df, "id", {"s": "desc"}, k=2).collect()
+
+
+class TestPackingWasteAudit:
+    """Round-11 packing waste audit: cut vs quantized shelf vs BFD."""
+
+    def _audit(self, spark, rows, capacity=10, n_shards=1, w=2):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            packing_waste_audit,
+        )
+
+        chunks = spark.createDataFrame(
+            rows, "doc_id long, chunk_id long, n_tokens long"
+        )
+        return packing_waste_audit(
+            chunks, capacity=capacity, n_shards=n_shards,
+            bucket_width=w,
+        ).collect()[0]
+
+    def test_hand_checked_instance(self, spark):
+        # One shard (n_shards=1): sizes 6,5,4,4,1 with capacity 10.
+        # cut: ceil(20/10) = 2 bins, 0 padded.
+        # BFD (desc: 6,5,4,4,1): [6+4], [5+4+1] -> 2 bins, 0 padded.
+        # shelf (w=2): buckets 6,6,4,4,2 -> b=6 fits 1/bin -> 2 bins;
+        #   b=4 fits 2/bin -> 1 bin; b=2 fits 5/bin -> 1 bin;
+        #   4 bins, 40 slots - 20 tokens = 20 padded.
+        rows = [(1, 1, 6), (1, 2, 5), (1, 3, 4), (1, 4, 4), (1, 5, 1)]
+        got = self._audit(spark, rows)
+        assert got.n_chunks == 5 and got.total_tokens == 20
+        assert got.cut_bins == 2 and got.cut_padded_slots == 0
+        assert got.shelf_bins == 4 and got.shelf_padded_slots == 20
+        assert got.bfd_valid == 1
+        assert got.bfd_ge_cut_bins == 1
+        assert got.bfd_le_shelf_bins == 1
+        assert got.bfd_half_full_bound == 1
+        assert got.bfd_accounting_ok == 1
+
+    def test_near_capacity_bucket_clamps(self, spark):
+        # size 9 with w=2 would quantize to 10 = capacity (clamped):
+        # one chunk per bin, no zero-division.
+        rows = [(1, 1, 9), (1, 2, 9)]
+        got = self._audit(spark, rows)
+        assert got.shelf_bins == 2
+        assert got.cut_bins == 2  # ceil(18/10)
+
+    def test_oversize_chunk_fails_loud(self, spark):
+        import pytest
+
+        with pytest.raises(Exception, match="no-split packing"):
+            self._audit(spark, [(1, 1, 11)])
+
+    def test_bfd_beats_shelf_on_mixed_sizes(self, spark):
+        # 100 deterministic mixed sizes over 4 shards: the flags that
+        # are theorems hold, and the pinned measured flag holds too.
+        rows = [
+            (i, 1, 1 + (i * 37) % 10) for i in range(100)
+        ]
+        got = self._audit(spark, rows, capacity=10, n_shards=4, w=3)
+        assert got.bfd_valid == 1
+        assert got.bfd_ge_cut_bins == 1
+        assert got.bfd_le_shelf_bins == 1
+        assert got.bfd_half_full_bound == 1
+        assert got.bfd_accounting_ok == 1
