@@ -2698,3 +2698,200 @@ register(QuerySpec(
     covers=("ar1-persistence", "lag-regression",
             "drift-monitoring"),
 ))
+
+
+# --- image PERCEPTUAL near-dup: invariance contract (round-11) ----------------------
+#
+# image_near_dup_contract attests Hamming-0 clones of byte-identical
+# BMPs; this round-10-verdict item closes the gap for RE-ENCODED and
+# RESIZED clones. Each doc renders its md5 pattern (doc_id % _PH_P)
+# through one of three PROVABLY dHash-invariant transforms chosen by
+# (doc_id div _PH_P) % 3:
+#
+#   0: 18x16 bottom-up BMP (the base encoding);
+#   1: +24 brightness, top-down row order -- the integer grayscale
+#      (299r+587g+114b) div 1000 shifts by exactly 24 (no clamp:
+#      base pixels live in [32, 215]), every strict thumbnail
+#      gradient comparison is translation-invariant, and the decoder
+#      normalizes row order;
+#   2: 2x nearest-neighbor upscale to 36x32 -- with base dims
+#      divisible by (grid, grid+1) = (8, 9), every thumbnail block
+#      boundary i*dim div cells doubles exactly, so each block is a
+#      pure 2x2 replication with an identical mean.
+#
+# So all clones of a pattern share ONE dHash (Hamming 0) while their
+# payload BYTES differ across transforms -- a perceptual guarantee,
+# not a byte-identity one. Distinct md5 patterns measure >= 15 bits
+# apart (deterministic, fixed forever -- the image_near_dup_contract
+# precedent), so max_hamming=8 pins zero false pairs.
+
+_PH_P = 300  # docs sharing doc_id % _PH_P are perceptual clones
+
+
+def _image_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_dhash, image_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    def _payloads(batches):
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        W0, H0 = 18, 16
+
+        def base_pixels(pid: int) -> "np.ndarray":
+            px = np.zeros((H0, W0, 3), dtype=np.uint8)
+            for y in range(H0):
+                row = bytearray()
+                for x0 in range(0, W0, 5):
+                    row += hashlib.md5(
+                        f"phash-{pid}-{y}-{x0}".encode()
+                    ).digest()[:15]
+                arr = np.frombuffer(
+                    bytes(row[: 3 * W0]), dtype=np.uint8
+                ).reshape(W0, 3)
+                px[y] = 32 + (arr % 184)  # clamp-free brightness room
+            return px
+
+        def encode(px, topdown=False, bright=0):
+            h, w, _ = px.shape
+            px = (px.astype(np.int64) + bright).astype(np.uint8)
+            stride = ((3 * w + 3) // 4) * 4
+            rows = px if topdown else px[::-1]
+            body = bytearray()
+            for y in range(h):
+                rb = rows[y].tobytes()
+                body += rb + b"\x00" * (stride - len(rb))
+            return (
+                b"BM"
+                + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + struct.pack(
+                    "<IiiHHIIiiII", 40, w, -h if topdown else h, 1,
+                    24, 0, len(body), 2835, 2835, 0, 0,
+                )
+                + bytes(body)
+            )
+
+        def bmp(pid: int, t: int) -> bytes:
+            px = base_pixels(pid)
+            if t == 1:
+                return encode(px, topdown=True, bright=24)
+            if t == 2:
+                return encode(np.repeat(np.repeat(px, 2, 0), 2, 1))
+            return encode(px)
+
+        cache: dict[tuple[int, int], bytes] = {}
+        for pdf in batches:
+            keys = [
+                (int(d) % _PH_P, (int(d) // _PH_P) % 3)
+                for d in pdf["doc_id"]
+            ]
+            for kk in keys:
+                if kk not in cache:
+                    cache[kk] = bmp(*kk)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [bytearray(cache[kk]) for kk in keys],
+            })
+
+    payloads = docs.mapInPandas(
+        _payloads,
+        T_.StructType([
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("payload", T_.BinaryType()),
+        ]),
+    )
+    pairs = image_near_dup_pairs(
+        image_dhash(payloads), max_hamming=8
+    )
+    clone = (
+        F.col("id_a") % _PH_P == F.col("id_b") % _PH_P
+    ).cast("long")
+    cross = (
+        clone.cast("boolean")
+        & (F.expr(f"(id_a DIV {_PH_P}) % 3")
+           != F.expr(f"(id_b DIV {_PH_P}) % 3"))
+    ).cast("long")
+    found = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_found_pairs"),
+        F.coalesce(F.sum(clone), F.lit(0)).cast("long")
+        .alias("n_clone_found"),
+        F.coalesce(F.sum(cross), F.lit(0)).cast("long")
+        .alias("n_cross_found"),
+    )
+    gv = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _PH_P).alias("pid"),
+        F.expr(f"(doc_id DIV {_PH_P}) % 3").alias("t"),
+    ).groupBy("pid", "t").agg(F.count(F.lit(1)).alias("ct"))
+    base = gv.groupBy("pid").agg(
+        F.sum("ct").alias("c"),
+        F.sum(F.expr("ct * (ct - 1) div 2")).alias("same_var"),
+    ).agg(
+        F.sum("c").cast("long").alias("n_images"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+        .alias("n_clone_pairs"),
+        (F.sum(F.expr("c * (c - 1) div 2")) - F.sum("same_var"))
+        .cast("long").alias("n_cross_variant_pairs"),
+    )
+    return base.crossJoin(F.broadcast(found)).select(
+        "n_images", "n_patterns", "n_clone_pairs",
+        "n_cross_variant_pairs",
+        "n_found_pairs", "n_clone_found", "n_cross_found",
+        (F.col("n_clone_found") == F.col("n_clone_pairs")).cast("int")
+        .alias("all_clones_found"),
+        (F.col("n_found_pairs") == F.col("n_clone_found")).cast("int")
+        .alias("no_false_pairs"),
+        (
+            (F.col("n_cross_found") == F.col("n_cross_variant_pairs"))
+            & (F.col("n_cross_variant_pairs") > 0)
+        ).cast("int").alias("cross_variant_found"),
+    )
+
+
+register(QuerySpec(
+    name="image_phash_near_dup",
+    spark_fn=_image_phash_invariance,
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id % {_PH_P} AS pid,
+                   (doc_id // {_PH_P}) % 3 AS t
+            FROM documents
+        ),
+        gv AS (
+            SELECT pid, t, COUNT(*) AS ct FROM v GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT pid, CAST(SUM(ct) AS BIGINT) AS c,
+                   CAST(SUM(ct * (ct - 1) // 2) AS BIGINT) AS same_var
+            FROM gv GROUP BY pid
+        ),
+        base AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_images,
+                   COUNT(*) AS n_patterns,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                       AS n_clone_pairs,
+                   CAST(SUM(c * (c - 1) // 2) - SUM(same_var)
+                        AS BIGINT) AS n_cross_variant_pairs
+            FROM g
+        )
+        SELECT n_images, n_patterns, n_clone_pairs,
+               n_cross_variant_pairs,
+               n_clone_pairs AS n_found_pairs,
+               n_clone_pairs AS n_clone_found,
+               n_cross_variant_pairs AS n_cross_found,
+               1 AS all_clones_found,
+               1 AS no_false_pairs,
+               CAST(n_cross_variant_pairs > 0 AS INTEGER)
+                   AS cross_variant_found
+        FROM base
+    """,
+    covers=("image-perceptual-near-dup", "phash-invariance",
+            "multimodal-dedup-contract"),
+    scale_path="image_near_dup_contract",
+))
