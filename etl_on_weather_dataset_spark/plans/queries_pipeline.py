@@ -2543,7 +2543,7 @@ def _at_plan_and_run(spark: SparkSession, sf_dir: str) -> dict:
     budget = _AT_BUDGET_PER_DOC * n_docs
     cost = sorted(
         minhash_band_cost(
-            corpus, rows_per_band_options=(1, 2)
+            corpus, rows_per_band_options=(1, 2), shingles=sh
         ).collect(),
         key=lambda r: r.rows_per_band,
     )
@@ -2718,7 +2718,7 @@ def _autotuned_curation_plans(
     budget = _AT_BUDGET_PER_DOC * sh.count()
     cost = sorted(
         minhash_band_cost(
-            corpus, rows_per_band_options=(1, 2)
+            corpus, rows_per_band_options=(1, 2), shingles=sh
         ).collect(),
         key=lambda r: r.rows_per_band,
     )
@@ -2738,7 +2738,7 @@ def _autotuned_curation_plans(
     cells = scaled_n_cells(valid.count(), _AT_TARGET_CELL_ROWS)
     return {
         "band_cost_plan": minhash_band_cost(
-            corpus, rows_per_band_options=(1, 2)
+            corpus, rows_per_band_options=(1, 2), shingles=sh
         ),
         f"band_join_r{r}": band_join,
         f"semdedup_cells{cells}": semdedup(

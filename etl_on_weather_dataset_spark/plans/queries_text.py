@@ -288,12 +288,16 @@ def _minhash_cost_contract(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 1_000_000).alias("id_b"),
     )
+    # One shingle materialization shared by the planner aggregates
+    # AND both band joins (minhash_band_cost's ``shingles``
+    # passthrough, round-11) -- previously each loop iteration
+    # persisted its own identical copy of the relation.
+    sh = _minhash_shingles(corpus, "text", "doc_id", 3, None)
     out: DataFrame | None = None
     for r in (1, 2):
         planned = minhash_band_cost(
-            corpus, rows_per_band_options=(r,)
+            corpus, rows_per_band_options=(r,), shingles=sh
         ).select("rows_per_band", "n_collision_pairs")
-        sh = _minhash_shingles(corpus, "text", "doc_id", 3, None)
         bands = sh.select(
             "id",
             F.posexplode(_band_keys(4, r, 42)).alias("band", "key"),
