@@ -2150,3 +2150,144 @@ def packing_waste_audit_sql(
                1 AS bfd_accounting_ok
         FROM cut CROSS JOIN shelf
     """
+
+
+# --- top-k vocabulary coverage (round-11) --------------------------------------------
+
+def vocab_coverage_topk(
+    df: DataFrame,
+    ks: tuple[int, ...] = (100, 1_000, 8_000),
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary -- the
+    vocab-truncation dial next to tokenizer fertility: what fraction
+    of all running units would a k-entry vocabulary cover (the rest
+    become OOV/byte-fallback)? With ``ngram=1`` the units are
+    whitespace tokens ("is 8k vocab enough for this corpus"); with
+    ``ngram=2`` they are adjacent token pairs and the same curve
+    sizes a BPE MERGE table (what share of pair occurrences do the
+    top-k candidate merges absorb -- the dial next to
+    bpe_learned_merges and pmi_bigrams).
+
+    Rank is deterministic: count DESC, unit ASC (the repo's
+    tie-break discipline) via one row_number over the VOCABULARY
+    relation -- |distinct units| rows, never corpus grain; coverage
+    is an exact-ppm guarded ratio.
+
+    Output: one row per k: (k, vocab_size, total_tokens,
+    covered_tokens, coverage_ppm).
+    """
+    from .text import _ratio_ppm_expr
+
+    toks = tokens(text_col)
+    if ngram == 1:
+        units = toks
+    elif ngram == 2:
+        units = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        raise ValueError("vocab_coverage_topk: ngram must be 1 or 2")
+    vocab = (
+        df.select(F.explode(units).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vocab.select(
+        "cnt",
+        F.row_number().over(w_rank).alias("r"),
+        F.sum("cnt").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("vsize"),
+    )
+    out: DataFrame | None = None
+    for k in ks:
+        row = ranked.agg(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.max("vsize").cast("long").alias("vocab_size"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("r") <= k, F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("covered_tokens"),
+        ).select(
+            "k", "vocab_size", "total_tokens", "covered_tokens",
+            F.expr(_ratio_ppm_expr(
+                "covered_tokens", "total_tokens",
+                "vocab_coverage_topk",
+            )).cast("long").alias("coverage_ppm"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def vocab_coverage_topk_sql(
+    table: str,
+    ks: tuple[int, ...] = (100, 1_000, 8_000),
+    text_col: str = "text",
+    ngram: int = 1,
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage_topk` (same rank
+    tie-break, same guarded ppm ratio)."""
+    from .text import _ratio_ppm_sql
+
+    arms = "\nUNION ALL\n".join(
+        f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(MAX(vsize) AS BIGINT) AS vocab_size,
+               CAST(MAX(total) AS BIGINT) AS total_tokens,
+               CAST(COALESCE(SUM(CASE WHEN r <= {k} THEN cnt END), 0)
+                    AS BIGINT) AS covered_tokens,
+               {_ratio_ppm_sql(
+                   "CAST(COALESCE(SUM(CASE WHEN r <= " + str(k)
+                   + " THEN cnt END), 0) AS BIGINT)",
+                   "CAST(MAX(total) AS BIGINT)",
+                   "vocab_coverage_topk",
+               )} AS coverage_ppm
+        FROM ranked
+        """
+        for k in ks
+    )
+    if ngram == 1:
+        unit_rel = f"""
+                SELECT unnest(regexp_split_to_array({text_col}, ' +'))
+                    AS w
+                FROM {table}
+        """
+    elif ngram == 2:
+        unit_rel = f"""
+                SELECT unnest(list_transform(
+                    range(1, len(a)), i -> a[i] || ' ' || a[i + 1]
+                )) AS w
+                FROM (
+                    SELECT regexp_split_to_array({text_col}, ' +') AS a
+                    FROM {table}
+                )
+        """
+    else:
+        raise ValueError("vocab_coverage_topk_sql: ngram must be 1 or 2")
+    return f"""
+        WITH vocab AS (
+            SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                {unit_rel}
+            ) u
+            GROUP BY u.w
+        ), ranked AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r,
+                   SUM(cnt) OVER () AS total,
+                   COUNT(*) OVER () AS vsize
+            FROM vocab
+        )
+        {arms}
+    """

@@ -1183,3 +1183,38 @@ register(QuerySpec(
     covers=("gini-concentration", "lorenz-top-share",
             "crawl-dominance"),
 ))
+
+
+# --- BPE merge-table coverage curve (round-11) --------------------------------------
+#
+# Top-k adjacent-pair coverage (operators/corpus.py
+# vocab_coverage_topk, ngram=2): what share of all pair occurrences
+# do the top-k candidate merges absorb -- the merge-table sizing
+# dial next to bpe_learned_merges and pmi_bigrams. Ranks from the
+# |distinct pairs| vocabulary relation, never corpus grain.
+
+def _bigram_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import vocab_coverage_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage_topk(
+        docs, ks=(50, 200, 800), ngram=2
+    ).orderBy("k")
+
+
+def _bigram_merge_coverage_oracle() -> str:
+    from ..operators.corpus import vocab_coverage_topk_sql
+
+    inner = vocab_coverage_topk_sql(
+        "documents", ks=(50, 200, 800), ngram=2
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY k"
+
+
+register(QuerySpec(
+    name="bigram_merge_coverage",
+    spark_fn=_bigram_merge_coverage,
+    oracle=_bigram_merge_coverage_oracle,
+    covers=("vocab-coverage-curve", "merge-table-sizing",
+            "oov-rate"),
+))
