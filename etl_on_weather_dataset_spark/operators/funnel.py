@@ -770,3 +770,198 @@ def time_decay_attribution_sql(
                CAST(SUM(cents * share_ppm) AS BIGINT) AS value_micro
         FROM credits GROUP BY channel
     """
+
+
+# --- time-to-convert quantiles (round-11) --------------------------------------------
+
+def time_to_convert(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    from_event: str = "view",
+    to_event: str = "purchase",
+    bucket_seconds: int = 60,
+    quantiles: tuple[int, ...] = (50, 90),
+) -> DataFrame:
+    """Latency distribution of the conversion funnel's money edge:
+    per user, seconds from FIRST ``from_event`` to the first
+    ``to_event`` AT OR AFTER it, summarized as exact order-statistic
+    quantiles -- the "median time to purchase / p90" row every
+    funnel dashboard pairs with funnel_counts' completion counts
+    (counts say how many convert; this says how long conversion
+    takes, and a drifting p90 is an early funnel-health alarm).
+
+    Semantics: >= (not >) on the conversion timestamp -- an atomic
+    view+purchase at the same tick counts as an instant conversion,
+    matching the at-or-after reading of "converted after seeing".
+    Users without a ``from_event`` are out of denominator; users
+    with one but no subsequent ``to_event`` count as non-converted.
+
+    Exact-integer discipline: deltas are computed in exact epoch
+    MICROsecond BIGINTs (unix_micros / epoch_us -- a seconds cast
+    would truncate in Spark but round through a DOUBLE in DuckDB on
+    sub-second timestamps) and floored to seconds by integer
+    division; quantile
+    q_p is the SMALLEST bucketed delta whose cumulative count
+    reaches p% of converters (type-1 order statistic, 100*cum >=
+    p*n -- no interpolation, no ceil idiom needed); the mean is a
+    truncating division of the exact second total. Deltas bucket to
+    ``bucket_seconds`` so the quantile relation is VALUE-COUNT
+    grain: |distinct buckets| is bounded by the observation window,
+    not the user count (minutes by default -- the dashboard unit).
+
+    Scale shape: two map-side-combinable per-user aggregates joined
+    on the shuffle key (no row-grain window, no sort at corpus
+    grain), then windows over the bounded bucket relation.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import _ratio_ppm_expr
+
+    first_from = (
+        df.filter(F.col(event_col) == from_event)
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.min(F.col(ts_col)).alias("v_ts"))
+    )
+    conv = (
+        df.filter(F.col(event_col) == to_event)
+        .select(F.col(key_col).alias("k"), F.col(ts_col).alias("p_ts"))
+        .join(first_from, "k")
+        .filter(F.col("p_ts") >= F.col("v_ts"))
+        .groupBy("k")
+        .agg(
+            # exact integer MICROseconds in both engines (unix_micros
+            # here, epoch_us in the twin): every testdata timestamp
+            # carries a sub-second part, and a seconds cast truncates
+            # in Spark but rounds through a DOUBLE epoch in DuckDB
+            (
+                F.unix_micros(F.min("p_ts"))
+                - F.unix_micros(F.min("v_ts"))
+            ).alias("delta_us")
+        )
+        .select(F.expr("delta_us DIV 1000000").alias("delta_s"))
+    )
+    vc = conv.groupBy(
+        F.expr(f"delta_s DIV {bucket_seconds}").alias("m")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("delta_s").cast("long").alias("sum_s"),
+    )
+    w_cum = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vc.select(
+        "m", "sum_s",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qcols = [
+        F.min(
+            F.when(
+                F.expr(f"100 * cum >= {int(p)} * n"), F.col("m")
+            )
+        ).cast("long").alias(f"p{int(p)}_bucket")
+        for p in quantiles
+    ]
+    agg = cum.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.sum("sum_s").cast("long").alias("total_seconds"),
+        *qcols,
+    )
+    base = first_from.agg(
+        F.count(F.lit(1)).cast("long").alias("n_from_users")
+    )
+    return base.crossJoin(F.broadcast(agg)).select(
+        "n_from_users",
+        F.coalesce("n_converted", F.lit(0)).cast("long")
+        .alias("n_converted"),
+        F.expr(_ratio_ppm_expr(
+            "COALESCE(n_converted, 0)", "n_from_users",
+            "time_to_convert",
+        )).cast("long").alias("conversion_ppm"),
+        F.expr(
+            "CASE WHEN COALESCE(n_converted, 0) = 0 THEN NULL"
+            " ELSE total_seconds DIV n_converted END"
+        ).cast("long").alias("mean_seconds"),
+        *[
+            F.col(f"p{int(p)}_bucket").alias(f"p{int(p)}_bucket")
+            for p in quantiles
+        ],
+    )
+
+
+def time_to_convert_sql(
+    table: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    from_event: str = "view",
+    to_event: str = "purchase",
+    bucket_seconds: int = 60,
+    quantiles: tuple[int, ...] = (50, 90),
+) -> str:
+    """DuckDB twin of :func:`time_to_convert` (same at-or-after rule,
+    same type-1 bucketed quantiles, same guarded ratios)."""
+    from .text import _ratio_ppm_sql
+
+    qcols = ",\n               ".join(
+        f"CAST(MIN(CASE WHEN 100 * cum >= {int(p)} * n THEN m END)"
+        f" AS BIGINT) AS p{int(p)}_bucket"
+        for p in quantiles
+    )
+    qnames = ", ".join(f"p{int(p)}_bucket" for p in quantiles)
+    return f"""
+        WITH first_from AS (
+            SELECT {key_col} AS k, MIN({ts_col}) AS v_ts
+            FROM {table} WHERE {event_col} = '{from_event}'
+            GROUP BY 1
+        ), conv AS (
+            SELECT k,
+                   CAST(delta_us // 1000000 AS BIGINT) AS delta_s
+            FROM (
+                SELECT e.{key_col} AS k,
+                       epoch_us(MIN(e.{ts_col}))
+                       - epoch_us(MIN(f.v_ts)) AS delta_us
+                FROM {table} e
+                JOIN first_from f ON e.{key_col} = f.k
+                WHERE e.{event_col} = '{to_event}'
+                  AND e.{ts_col} >= f.v_ts
+                GROUP BY 1
+            )
+        ), vc AS (
+            SELECT CAST(delta_s // {bucket_seconds} AS BIGINT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(delta_s) AS BIGINT) AS sum_s
+            FROM conv GROUP BY 1
+        ), cum AS (
+            SELECT m, sum_s,
+                   CAST(SUM(c) OVER (ORDER BY m
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER () AS BIGINT) AS n
+            FROM vc
+        ), agg AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+                   CAST(SUM(sum_s) AS BIGINT) AS total_seconds,
+               {qcols}
+            FROM cum
+        ), base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_from_users
+            FROM first_from
+        )
+        SELECT n_from_users,
+               CAST(COALESCE(n_converted, 0) AS BIGINT) AS n_converted,
+               {_ratio_ppm_sql(
+                   "COALESCE(n_converted, 0)", "n_from_users",
+                   "time_to_convert",
+               )} AS conversion_ppm,
+               CAST(CASE WHEN COALESCE(n_converted, 0) = 0 THEN NULL
+                    ELSE total_seconds // n_converted END AS BIGINT)
+                   AS mean_seconds,
+               {qnames}
+        FROM base CROSS JOIN agg
+    """

@@ -2103,3 +2103,33 @@ register(QuerySpec(
             "bounded-basket-quadratic"),
     extended=True,  # r11 rotation candidate
 ))
+
+
+# --- time-to-convert quantiles (round-11) -------------------------------------------
+#
+# The latency face of funnel_view_click_purchase: seconds from first
+# view to first at-or-after purchase per user, exact type-1 bucketed
+# quantiles from the value-count relation (operators/funnel.py
+# time_to_convert). No corpus-grain window -- two per-user rollups
+# joined on the shuffle key, then |distinct minute buckets| rows.
+
+def _time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import time_to_convert
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_to_convert(ev)
+
+
+def _time_to_convert_oracle() -> str:
+    from ..operators.funnel import time_to_convert_sql
+
+    return time_to_convert_sql("events")
+
+
+register(QuerySpec(
+    name="time_to_convert_quantiles",
+    spark_fn=_time_to_convert,
+    oracle=_time_to_convert_oracle,
+    covers=("time-to-convert", "funnel-latency",
+            "order-statistic-quantiles"),
+))

@@ -184,12 +184,12 @@ ROTATE_IN: frozenset[str] = frozenset({
     # tier 3: next-oldest r3-green names filling the slots left by
     # parking the 9 r10-new queries, shrunk as round-11-new queries
     # claim slots (tools/rotation_plan.py order). The remaining r3
-    # backlog (pii_redaction -- its slot ceded to round-11's
+    # backlog (streaming_interval_join and pii_redaction -- slots
+    # ceded to round-11's time_to_convert_quantiles and
     # bigram_merge_coverage -- plus approx_percentile_bound,
     # bloom_filter_membership, tfidf_top_terms) leads the r12
     # refresh.
     "quality_filter_stats", "gap_filled_hourly",
-    "streaming_interval_join",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -296,6 +296,7 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "per_source_document_cap", "pii_redaction", "promo_revenue_share",
     "returned_item_customers", "rich_inactive_customers",
     "rollup_incremental_daily", "semdedup_embeddings",
+    "streaming_interval_join",
     "small_quantity_revenue", 
     "tfidf_top_terms", 
     "top_supplier_revenue", "trained_ivf_recall",
