@@ -1779,17 +1779,22 @@ def gini_concentration(
                     k = ceil(n * top_pct / 100)
 
     via truncating division of non-negative BIGINTs (identical in
-    both engines) behind the fail-loud ``_PPM_SAFE`` guard
-    (operators/text.py): at the scale where n*T reaches 2^63 // 1e6,
-    the operator REFUSES -- pre-aggregate per (group, shard) to
-    DECIMAL upstream, or bucket token counts before ranking.
+    both engines) behind TWO fail-loud guards: the ``_PPM_SAFE``
+    ratio guard (operators/text.py) on the ppm numerators, and an
+    aggregate-grain n*T <= 2^61 refusal (below it every moment is
+    bounded, s2 <= T*(2n+1) < 2^63; beyond it Spark would wrap the
+    s2 sum silently where DuckDB errors). At that scale bucket token
+    counts before ranking, or pre-aggregate per (group, shard)
+    upstream.
 
     Scale shape: one scan to (group, n_tokens) value counts, then
     windows over the |groups x distinct-counts| relation only.
     """
     from .text import _ratio_ppm_expr, bpe_token_count
 
-    per_doc = df.select(
+    # NULL text diverges between engines (Spark size() = -1, DuckDB
+    # len() = NULL) -- drop it here and in the twin.
+    per_doc = df.filter(F.col(text_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         bpe_token_count(text_col).cast("long").alias("v"),
     )
@@ -1826,11 +1831,26 @@ def gini_concentration(
             " CAST(0 AS BIGINT)))"
         )).cast("long").alias("top_tokens"),
     )
+    # Fail-loud aggregate guard (the ar1_by_key discipline): with
+    # n*T <= 2^61, every moment is bounded -- s2 = sum v*c*(2F+c+1)
+    # <= T*(2n+1) < 2^63 -- so below the guard neither engine can
+    # overflow; beyond it Spark would WRAP s2's sum silently while
+    # DuckDB errors on the HUGEINT cast. The guard reads only n and
+    # T (always safe) and raises BEFORE any s2-derived value is
+    # emitted, so both engines refuse loudly.
+    nt_guard = (
+        "CASE WHEN total_tokens > 0 AND n_docs >"
+        " 2305843009213693952 DIV total_tokens"  # 2^61
+        " THEN CAST(raise_error('gini_concentration: n_docs *"
+        " total_tokens exceeds 2^61 -- bucket token counts or"
+        " pre-aggregate per (group, shard) upstream') AS BIGINT)"
+        " ELSE 1 END"
+    )
     return out.select(
         F.col("grp").alias(group_col),
         "n_docs", "total_tokens", "n_distinct_counts",
         F.expr(_ratio_ppm_expr(
-            "s2 - (n_docs + 1) * total_tokens",
+            f"{nt_guard} * (s2 - (n_docs + 1) * total_tokens)",
             "n_docs * total_tokens", "gini_concentration",
         )).cast("long").alias("gini_ppm"),
         "top_tokens",
@@ -1856,6 +1876,7 @@ def gini_concentration_sql(
             SELECT {group_col} AS grp,
                    CAST({bpe_token_count_sql(text_col)} AS BIGINT) AS v
             FROM {table}
+            WHERE {text_col} IS NOT NULL
         ), vc AS (
             SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
             FROM per_doc GROUP BY grp, v
@@ -1881,7 +1902,13 @@ def gini_concentration_sql(
         SELECT grp AS {group_col},
                n_docs, total_tokens, n_distinct_counts,
                {_ratio_ppm_sql(
-                   "s2 - (n_docs + 1) * total_tokens",
+                   "CASE WHEN total_tokens > 0 AND n_docs >"
+                   " 2305843009213693952 // total_tokens"
+                   " THEN CAST(error('gini_concentration: n_docs *"
+                   " total_tokens exceeds 2^61 -- bucket token"
+                   " counts or pre-aggregate upstream') AS BIGINT)"
+                   " ELSE 1 END"
+                   " * (s2 - (n_docs + 1) * total_tokens)",
                    "n_docs * total_tokens", "gini_concentration",
                )} AS gini_ppm,
                top_tokens,
@@ -2040,7 +2067,6 @@ def packing_waste_audit(
         F.sum("bfd_padded").cast("long").alias("bfd_padded"),
         F.max("n_half_light").cast("long").alias("max_half_light"),
         F.min("valid").cast("int").alias("bfd_valid"),
-        F.count(F.lit(1)).cast("long").alias("n_shards_used"),
     )
 
     row = (
@@ -2195,39 +2221,47 @@ def vocab_coverage_topk(
         ).otherwise(F.array().cast("array<string>"))
     else:
         raise ValueError("vocab_coverage_topk: ngram must be 1 or 2")
+    # NULL text diverges between engines (Spark size() = -1, DuckDB
+    # len() = NULL) -- drop it here and in the twin.
     vocab = (
-        df.select(F.explode(units).alias("w"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(units).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w"))
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     ranked = vocab.select(
         "cnt",
         F.row_number().over(w_rank).alias("r"),
-        F.sum("cnt").over(w_all).alias("total"),
-        F.count(F.lit(1)).over(w_all).alias("vsize"),
     )
-    out: DataFrame | None = None
-    for k in ks:
-        row = ranked.agg(
-            F.lit(int(k)).cast("long").alias("k"),
-            F.max("vsize").cast("long").alias("vocab_size"),
-            F.max("total").cast("long").alias("total_tokens"),
+    # ONE aggregate computes every k's covered mass (a per-k union
+    # would re-run the corpus explode and the global rank sort once
+    # per arm -- Spark does no cross-branch CSE); the per-k rows
+    # come from a stack() unpivot of that single row.
+    one = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        *[
             F.coalesce(
-                F.sum(F.when(F.col("r") <= k, F.col("cnt"))), F.lit(0)
-            ).cast("long").alias("covered_tokens"),
-        ).select(
-            "k", "vocab_size", "total_tokens", "covered_tokens",
-            F.expr(_ratio_ppm_expr(
-                "covered_tokens", "total_tokens",
-                "vocab_coverage_topk",
-            )).cast("long").alias("coverage_ppm"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+                F.sum(F.when(F.col("r") <= int(k), F.col("cnt"))),
+                F.lit(0),
+            ).cast("long").alias(f"cov_{i}")
+            for i, k in enumerate(ks)
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({int(k)} AS BIGINT), cov_{i}" for i, k in enumerate(ks)
+    )
+    return one.select(
+        F.expr(f"stack({len(ks)}, {stack}) AS (k, covered_tokens)"),
+        "vocab_size", "total_tokens",
+    ).select(
+        "k", "vocab_size", "total_tokens", "covered_tokens",
+        F.expr(_ratio_ppm_expr(
+            "covered_tokens", "total_tokens",
+            "vocab_coverage_topk",
+        )).cast("long").alias("coverage_ppm"),
+    )
 
 
 def vocab_coverage_topk_sql(
@@ -2262,6 +2296,7 @@ def vocab_coverage_topk_sql(
                 SELECT unnest(regexp_split_to_array({text_col}, ' +'))
                     AS w
                 FROM {table}
+                WHERE {text_col} IS NOT NULL
         """
     elif ngram == 2:
         unit_rel = f"""
@@ -2271,6 +2306,7 @@ def vocab_coverage_topk_sql(
                 FROM (
                     SELECT regexp_split_to_array({text_col}, ' +') AS a
                     FROM {table}
+                    WHERE {text_col} IS NOT NULL
                 )
         """
     else:

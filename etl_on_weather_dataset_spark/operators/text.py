@@ -670,7 +670,11 @@ def tokenizer_fertility(
 
     Scale shape: one scan, one shuffle of |groups| partial rows.
     """
-    per_doc = df.select(
+    # NULL text would diverge between engines (Spark size() on NULL
+    # is -1, DuckDB len() is NULL -> skipped by SUM) and violate the
+    # non-negative precondition of the ppm guard -- drop it here and
+    # in the twin (the _minhash_shingles precedent).
+    per_doc = df.filter(F.col(text_col).isNotNull()).select(
         *[F.col(g) for g in group_cols],
         F.octet_length(F.col(text_col)).cast("long").alias("b"),
         F.length(F.col(text_col)).cast("long").alias("c"),
@@ -718,6 +722,7 @@ def tokenizer_fertility_sql(
                    CAST({bpe_token_count_sql(text_col)} AS BIGINT)
                        AS t
             FROM {table}
+            WHERE {text_col} IS NOT NULL
         ), agg AS (
             SELECT {groups},
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -715,11 +715,12 @@ register(QuerySpec(
 _PACK_CAPACITY, _PACK_SHARDS = 100, 8
 
 
-def _packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.corpus import pack_sequences
-
+def _pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE chunk stream of the packing family: packed_bins packs it,
+    packing_waste_audit audits it -- one provider so the audit can
+    never silently unlink from the relation it claims to audit."""
     docs = load_table(spark, sf_dir, "documents")
-    chunks = docs.select(
+    return docs.select(
         "doc_id",
         F.explode(T.token_chunks("text", 50, 40)).alias("c"),
     ).select(
@@ -727,15 +728,11 @@ def _packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_id").alias("chunk_id"),
         F.size(F.split("c.chunk", " ")).alias("n_tokens"),
     )
-    return pack_sequences(
-        chunks, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
-    )
 
 
-def _packed_bins_oracle() -> str:
-    from ..operators.corpus import pack_sequences_sql
-
-    chunks_sql = f"""
+def _pack_chunks_sql() -> str:
+    """DuckDB twin of :func:`_pack_chunks` (same chunk stream)."""
+    return f"""
         SELECT doc_id,
                c.chunk_id AS chunk_id,
                CAST(len(string_split(c.chunk, ' ')) AS INTEGER)
@@ -745,8 +742,23 @@ def _packed_bins_oracle() -> str:
                    unnest({T.token_chunks_sql('text', 50, 40)}) AS c
             FROM documents
         )"""
+
+
+def _packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _pack_chunks(spark, sf_dir),
+        capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS,
+    )
+
+
+def _packed_bins_oracle() -> str:
+    from ..operators.corpus import pack_sequences_sql
+
     return pack_sequences_sql(
-        chunks_sql, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+        _pack_chunks_sql(), capacity=_PACK_CAPACITY,
+        n_shards=_PACK_SHARDS,
     )
 
 
@@ -2769,23 +2781,11 @@ register(QuerySpec(
 # accounting by construction, bfd >= cut by the lower-bound theorem,
 # the any-fit half-full theorem, bfd <= shelf pinned on this corpus).
 
-def _packing_waste_chunks(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(T.token_chunks("text", 50, 40)).alias("c"),
-    ).select(
-        "doc_id",
-        F.col("c.chunk_id").alias("chunk_id"),
-        F.size(F.split("c.chunk", " ")).alias("n_tokens"),
-    )
-
-
 def _packing_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import packing_waste_audit
 
     return packing_waste_audit(
-        _packing_waste_chunks(spark, sf_dir),
+        _pack_chunks(spark, sf_dir),
         capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS,
         bucket_width=8,
     )
@@ -2794,19 +2794,9 @@ def _packing_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _packing_waste_audit_oracle() -> str:
     from ..operators.corpus import packing_waste_audit_sql
 
-    chunks_sql = f"""
-        SELECT doc_id,
-               c.chunk_id AS chunk_id,
-               CAST(len(string_split(c.chunk, ' ')) AS INTEGER)
-                   AS n_tokens
-        FROM (
-            SELECT doc_id,
-                   unnest({T.token_chunks_sql('text', 50, 40)}) AS c
-            FROM documents
-        )"""
     return packing_waste_audit_sql(
-        chunks_sql, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS,
-        bucket_width=8,
+        _pack_chunks_sql(), capacity=_PACK_CAPACITY,
+        n_shards=_PACK_SHARDS, bucket_width=8,
     )
 
 
