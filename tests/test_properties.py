@@ -927,3 +927,160 @@ def test_cooccurrence_counts_match_python(spark, rows):
         for a, b in combinations(sorted(items), 2):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),                     # group
+            st.integers(min_value=0, max_value=40),            # tokens
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@SETTINGS
+def test_gini_matches_bruteforce_midrank_formula(spark, rows):
+    """gini_ppm == floor(1e6 * (2*sum(r_i x_i) - (n+1)T) / (nT)) with
+    average ranks recomputed naively in Python; top-share take is the
+    exact top-ceil(n/100) mass."""
+    from etl_on_weather_dataset_spark.operators.corpus import (
+        gini_concentration,
+    )
+
+    # build docs whose BPE token count == requested count (the token
+    # "x" repeated k times; k=0 -> empty text -> 1 split token)
+    docs = [
+        (grp, " ".join(["x"] * k) if k else "")
+        for grp, k in rows
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        r.source: r
+        for r in gini_concentration(df).collect()
+    }
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for grp, k in rows:
+        # BPE token count of "" is 0 -- an empty doc is a zero-token
+        # doc, still a rank-holder in the Gini relation
+        by_grp[grp].append(k)
+    for grp, xs in by_grp.items():
+        xs.sort()
+        n, T = len(xs), sum(xs)
+        if T == 0:
+            assert got[grp].gini_ppm is None
+            continue
+        # average ranks over ties
+        s2 = 0
+        i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and xs[j] == xs[i]:
+                j += 1
+            avg_rank2 = (i + 1) + j  # 2 * average rank of the tie run
+            s2 += sum(xs[i:j]) * avg_rank2
+            i = j
+        num = s2 - (n + 1) * T
+        r = got[grp]
+        assert r.n_docs == n and r.total_tokens == T
+        assert r.gini_ppm == (num * 1_000_000) // (n * T)
+        k_top = (n + 99) // 100
+        want_top = sum(sorted(xs, reverse=True)[:k_top])
+        assert r.top_tokens == want_top
+
+
+@given(
+    series=st.lists(
+        st.integers(min_value=0, max_value=500),
+        min_size=2, max_size=25,
+    ),
+    gap_at=st.integers(min_value=0, max_value=24),
+)
+@SETTINGS
+def test_ar1_matches_numpy_ols_on_adjacent_pairs(spark, series, gap_at):
+    """phi_milli equals the trunc-division OLS of y_t on y_{t-1} over
+    CONSECUTIVE days only, recomputed naively (a planted gap must
+    drop exactly one pair)."""
+    from etl_on_weather_dataset_spark.operators.timeseries import (
+        ar1_by_key,
+    )
+
+    # one event per day, value = cents/100 so unit division is exact
+    days = []
+    d = 0
+    for i, _ in enumerate(series):
+        if i == gap_at:
+            d += 2  # plant a gap: (i-1, i) is not adjacent
+        else:
+            d += 1
+        days.append(d)
+    rows = [
+        (1, f"2024-01-{1:02d}", dd, v * 100) for dd, v in zip(days, series)
+    ]
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("k", base + timedelta(days=dd), v * 100)
+            for dd, v in zip(days, series)
+        ],
+        "key string, ts timestamp, cents long",
+    )
+    [r] = ar1_by_key(df, "key").collect()
+    ys = dict(zip(days, series))
+    m = min(series)
+    pairs = [
+        (ys[d - 1] - m, ys[d] - m)
+        for d in days
+        if (d - 1) in ys
+    ]
+    assert r.n_pairs == len(pairs)
+    if pairs:
+        n = len(pairs)
+        sx = sum(p for p, _ in pairs)
+        sy = sum(c for _, c in pairs)
+        sxy = sum(p * c for p, c in pairs)
+        sxx = sum(p * p for p, _ in pairs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den <= 0:
+            assert r.phi_milli is None
+        else:
+            want = (1 if num >= 0 else -1) * (abs(num) * 1000 // den)
+            assert r.phi_milli == want
+    else:
+        assert r.phi_milli is None
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=10),
+        min_size=1, max_size=40,
+    ),
+)
+@SETTINGS
+def test_bfd_flags_hold_and_cut_is_lower_bound(spark, sizes):
+    """On arbitrary size lists: every theorem flag is 1, cut bins is
+    the per-shard ceil lower bound, and shelf accounting is exact."""
+    from etl_on_weather_dataset_spark.operators.corpus import (
+        packing_waste_audit,
+    )
+
+    rows = [(i, 1, s) for i, s in enumerate(sizes)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_tokens long"
+    )
+    [r] = packing_waste_audit(
+        chunks, capacity=10, n_shards=2, bucket_width=3
+    ).collect()
+    assert r.n_chunks == len(sizes)
+    assert r.total_tokens == sum(sizes)
+    assert r.bfd_valid == 1
+    assert r.bfd_ge_cut_bins == 1
+    assert r.bfd_half_full_bound == 1
+    assert r.bfd_accounting_ok == 1
+    assert r.cut_padded_slots == r.cut_bins * 10 - r.total_tokens
+    assert r.shelf_padded_slots == r.shelf_bins * 10 - r.total_tokens
+    assert r.shelf_bins >= r.cut_bins
