@@ -1291,3 +1291,106 @@ def test_stream_heavy_hitters_guarantees_across_batches(
             assert item in cand, (item, true_c, shard_err[s])
     # the whale is always caught with a dominant estimate
     assert "whale" in cand and cand["whale"].est >= 150 - cand["whale"].err
+
+
+def test_stream_time_to_convert_equals_batch(spark, tmp_path):
+    """Streaming conversion-latency monitor (stream_time_to_convert):
+    with per-user event-time-ordered arrival across three
+    micro-batches, feeding the emitted (user, delta_s) rows through
+    the batch operator's bucketed value-count quantile yields the
+    batch time_to_convert row on the drained history BIT-FOR-BIT,
+    and every user emits at most once."""
+    from datetime import datetime, timedelta
+
+    from etl_on_weather_dataset_spark.operators.funnel import (
+        time_to_convert,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_time_to_convert,
+    )
+
+    base = datetime(2024, 3, 1)
+    # users 0..9: view in wave 0; purchases split across waves 1-2;
+    # user 7 purchases BEFORE viewing (ineligible purchase first);
+    # user 8 never purchases; user 9 purchases twice (first wins)
+    events = []
+    eid = 0
+
+    def ev(u, mins, kind):
+        nonlocal eid
+        eid += 1
+        return (eid, base + timedelta(minutes=mins), u, kind)
+
+    waves = [[], [], []]
+    for u in range(9):
+        waves[0].append(ev(u, u, "view"))
+    waves[0].append(ev(7, 2, "purchase"))  # before u7's view? u7 views at min 7
+    for u in range(5):
+        waves[1].append(ev(u, 60 + 3 * u, "purchase"))
+    for u in range(5, 8):
+        waves[2].append(ev(u, 240 + 10 * u, "purchase"))
+    waves[2].append(ev(9, 500, "view"))
+    waves[2].append(ev(9, 510, "purchase"))
+    waves[2].append(ev(9, 520, "purchase"))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    land = tmp_path / "land"
+    land.mkdir()
+    for w, rows in enumerate(waves):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(land / f"wave{w}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(land) + "/*")
+    )
+    q = (
+        stream_time_to_convert(stream)
+        .writeStream.format("memory")
+        .queryName("t_ttc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM t_ttc").collect()
+
+    # emit-once per user
+    users = [r.user_id for r in emitted]
+    assert len(users) == len(set(users))
+
+    # batch twin over the full drained history
+    all_rows = spark.createDataFrame(
+        [r for w in waves for r in w], schema
+    )
+    [batch] = time_to_convert(all_rows).collect()
+
+    # wave0's early purchase for user 7 precedes their first view ->
+    # must NOT convert them; their wave-2 purchase does
+    assert 7 in set(users)
+    # user 8 never purchases, never emits
+    assert 8 not in set(users)
+
+    # same per-user deltas as the batch conv relation: recompute the
+    # batch row from the STREAM's emitted deltas with the same
+    # bucketed type-1 quantile (bucket = 60 s)
+    import math
+
+    deltas = sorted(r.delta_s for r in emitted)
+    n = len(deltas)
+    assert batch.n_converted == n
+    ms = sorted(d // 60 for d in deltas)
+
+    def q_at(p):
+        for i, m in enumerate(ms, start=1):
+            if 100 * i >= p * n:
+                return m
+        return None
+
+    assert batch.p50_bucket == q_at(50)
+    assert batch.p90_bucket == q_at(90)
+    assert batch.mean_seconds == sum(deltas) // n
