@@ -2197,9 +2197,14 @@ def vocab_coverage_topk(
     bpe_learned_merges and pmi_bigrams).
 
     Rank is deterministic: count DESC, unit ASC (the repo's
-    tie-break discipline) via one row_number over the VOCABULARY
-    relation -- |distinct units| rows, never corpus grain; coverage
-    is an exact-ppm guarded ratio.
+    tie-break discipline). Scale shape: totals are one aggregate of
+    the VOCABULARY relation (|distinct units|, never corpus grain);
+    the rank itself only matters for the top ``max(ks)`` units, so
+    the engine takes them with a distributed ``orderBy().limit()``
+    (TakeOrderedAndProject -- per-partition top-k then a k-row
+    merge, NO single-partition sort of the vocabulary) and runs the
+    row_number window over that parameter-bounded relation.
+    Coverage is an exact-ppm guarded ratio.
 
     Output: one row per k: (k, vocab_size, total_tokens,
     covered_tokens, coverage_ppm).
@@ -2229,18 +2234,30 @@ def vocab_coverage_topk(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    from .caching import persisted
+
+    # persisted: the count relation feeds the totals aggregate AND
+    # the top-k take -- one explode materialization instead of two
+    vocab = persisted(vocab)
+    totals = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    mk = max(int(k) for k in ks)
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w"))
-    ranked = vocab.select(
+    # TakeOrderedAndProject keeps the global sort bounded by the
+    # PARAMETER max(ks); the row_number window then runs over <= mk
+    # rows, never the vocabulary
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("w")).limit(mk)
+    ranked = top.select(
         "cnt",
         F.row_number().over(w_rank).alias("r"),
     )
     # ONE aggregate computes every k's covered mass (a per-k union
-    # would re-run the corpus explode and the global rank sort once
-    # per arm -- Spark does no cross-branch CSE); the per-k rows
-    # come from a stack() unpivot of that single row.
+    # would re-run the corpus explode and the rank once per arm --
+    # Spark does no cross-branch CSE); the per-k rows come from a
+    # stack() unpivot of that single row.
     one = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("vocab_size"),
-        F.sum("cnt").cast("long").alias("total_tokens"),
         *[
             F.coalesce(
                 F.sum(F.when(F.col("r") <= int(k), F.col("cnt"))),
@@ -2248,7 +2265,7 @@ def vocab_coverage_topk(
             ).cast("long").alias(f"cov_{i}")
             for i, k in enumerate(ks)
         ],
-    )
+    ).crossJoin(F.broadcast(totals))
     stack = ", ".join(
         f"CAST({int(k)} AS BIGINT), cov_{i}" for i, k in enumerate(ks)
     )
@@ -2274,17 +2291,20 @@ def vocab_coverage_topk_sql(
     tie-break, same guarded ppm ratio)."""
     from .text import _ratio_ppm_sql
 
+    mk = max(int(k) for k in ks)
     arms = "\nUNION ALL\n".join(
         f"""
         SELECT CAST({k} AS BIGINT) AS k,
-               CAST(MAX(vsize) AS BIGINT) AS vocab_size,
-               CAST(MAX(total) AS BIGINT) AS total_tokens,
+               CAST((SELECT vsize FROM totals) AS BIGINT)
+                   AS vocab_size,
+               CAST((SELECT total FROM totals) AS BIGINT)
+                   AS total_tokens,
                CAST(COALESCE(SUM(CASE WHEN r <= {k} THEN cnt END), 0)
                     AS BIGINT) AS covered_tokens,
                {_ratio_ppm_sql(
                    "CAST(COALESCE(SUM(CASE WHEN r <= " + str(k)
                    + " THEN cnt END), 0) AS BIGINT)",
-                   "CAST(MAX(total) AS BIGINT)",
+                   "CAST((SELECT total FROM totals) AS BIGINT)",
                    "vocab_coverage_topk",
                )} AS coverage_ppm
         FROM ranked
@@ -2318,12 +2338,16 @@ def vocab_coverage_topk_sql(
                 {unit_rel}
             ) u
             GROUP BY u.w
-        ), ranked AS (
-            SELECT cnt,
-                   ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r,
-                   SUM(cnt) OVER () AS total,
-                   COUNT(*) OVER () AS vsize
+        ), totals AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS vsize,
+                   CAST(SUM(cnt) AS BIGINT) AS total
             FROM vocab
+        ), ranked AS (
+            SELECT cnt, r FROM (
+                SELECT cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r
+                FROM vocab
+            ) WHERE r <= {mk}
         )
         {arms}
     """
