@@ -1119,3 +1119,84 @@ def stream_time_to_convert(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+OOV_STATE_SCHEMA = "covered LONG, total LONG"
+
+
+def stream_oov_monitor(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming OOV-rate monitor: continuously tracks what fraction
+    of arriving tokens a FIXED vocabulary covers -- the production
+    twin of ``operators/corpus.py::vocab_coverage_topk`` (that one
+    sizes the vocabulary offline; this one watches the chosen
+    vocabulary decay in live ingest, where an OOV spike means a new
+    language, a new spam template, or tokenizer drift).
+
+    Tokens hash into ``n_shards`` disjoint shards; each shard's
+    state is TWO BIGINTs (covered, total) -- O(1), and because
+    counting is commutative and associative the running totals equal
+    the batch recount of the full history under ANY arrival order
+    (no event-time-ordering caveat: this monitor's guarantee is
+    unconditional, unlike stream_time_to_convert's). Per micro-batch
+    each shard emits its cumulative (covered, total, oov_ppm) row;
+    a reader sums the latest row per shard for the global rate --
+    exact, the mergeable-summaries shape.
+
+    ``vocab`` ships to executors inside the state closure -- it is
+    the operator's PARAMETER (a merge table / vocabulary list,
+    bounded by tokenizer design, e.g. 32k-256k entries), never data.
+
+    Scale shape: tokens shuffle ONCE on the shard key (n_shards
+    tasks hold two longs each); emission grain is n_shards rows per
+    micro-batch.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    vocab_set = frozenset(vocab)
+    out_schema = _parse_datatype_string(
+        "shard INT, covered LONG, total LONG, oov_ppm LONG"
+    )
+    state_schema = _parse_datatype_string(OOV_STATE_SCHEMA)
+
+    def fn(key, pdfs, state: GroupState):
+        (shard,) = key
+        covered, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            toks = pdf["tok"].dropna()
+            total += int(len(toks))
+            covered += int(toks.isin(vocab_set).sum())
+        state.update((covered, total))
+        oov = (
+            (total - covered) * 1_000_000 // total if total else None
+        )
+        yield pd.DataFrame({
+            "shard": [shard],
+            "covered": [covered],
+            "total": [total],
+            "oov_ppm": pd.array([oov], dtype="Int64"),
+        })
+
+    from ..operators.text import tokens
+
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    shard = (
+        F.abs(F.xxhash64(F.col("tok").cast("string"))) % n_shards
+    ).cast("int")
+    return (
+        toks.select(shard.alias("shard"), "tok")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

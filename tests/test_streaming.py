@@ -1394,3 +1394,74 @@ def test_stream_time_to_convert_equals_batch(spark, tmp_path):
     assert batch.p50_bucket == q_at(50)
     assert batch.p90_bucket == q_at(90)
     assert batch.mean_seconds == sum(deltas) // n
+
+
+def test_stream_oov_monitor_exact_under_any_order(spark, tmp_path):
+    """Streaming OOV monitor (stream_oov_monitor): summing each
+    shard's LATEST cumulative row after three micro-batches equals
+    the batch recount of the full drained history EXACTLY --
+    counting is commutative, so the guarantee needs no arrival-order
+    assumption (waves are deliberately fed newest-first)."""
+    from etl_on_weather_dataset_spark.operators.text import tokens
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_oov_monitor,
+    )
+    from pyspark.sql import functions as F
+
+    vocab = ["alpha", "beta", "gamma"]
+    waves = [
+        [(1, "alpha beta zeta"), (2, "beta beta")],
+        [(3, "eta alpha"), (4, "theta theta gamma")],
+        [(5, "alpha"), (6, "iota beta gamma zeta")],
+    ]
+    schema = "doc_id long, text string"
+    land = tmp_path / "land"
+    land.mkdir()
+    # newest-first on disk: arrival order deliberately != event order
+    for w, rows in enumerate(reversed(waves)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(land / f"wave{w}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(land) + "/*")
+    )
+    q = (
+        stream_oov_monitor(stream, vocab, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("t_oov")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_oov"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM t_oov").collect()
+
+    # latest row per shard = the one with that shard's max total
+    latest = {}
+    for r in emitted:
+        if r.shard not in latest or r.total > latest[r.shard].total:
+            latest[r.shard] = r
+    got_total = sum(r.total for r in latest.values())
+    got_covered = sum(r.covered for r in latest.values())
+
+    all_rows = spark.createDataFrame(
+        [r for w in waves for r in w], schema
+    )
+    toks = all_rows.select(F.explode(tokens("text")).alias("tok"))
+    want_total = toks.count()
+    want_covered = toks.filter(F.col("tok").isin(vocab)).count()
+    assert (got_covered, got_total) == (want_covered, want_total)
+    # per-shard cumulative rows are monotone in total
+    for s in latest:
+        ts = sorted(r.total for r in emitted if r.shard == s)
+        assert ts == sorted(set(ts)) or all(
+            a <= b for a, b in zip(ts, ts[1:])
+        )
+    # oov_ppm on the latest rows is the exact trunc-div rate
+    for r in latest.values():
+        assert r.oov_ppm == (r.total - r.covered) * 10**6 // r.total
