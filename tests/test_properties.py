@@ -1084,3 +1084,171 @@ def test_bfd_flags_hold_and_cut_is_lower_bound(spark, sizes):
     assert r.cut_padded_slots == r.cut_bins * 10 - r.total_tokens
     assert r.shelf_padded_slots == r.shelf_bins * 10 - r.total_tokens
     assert r.shelf_bins >= r.cut_bins
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["s0", "s1"]),
+            st.text(
+                alphabet="ab .!",
+                min_size=1,
+                max_size=24,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@SETTINGS
+def test_tokenizer_fertility_matches_python(spark, docs):
+    """Group sums equal a naive Python recount (bytes via utf-8,
+    whitespace split ' +', BPE regex \\w+|[^\\w\\s]); ratios are the
+    guarded trunc divisions."""
+    import re
+    from collections import defaultdict
+
+    from etl_on_weather_dataset_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        docs, "lang string, source string, text string"
+    )
+    got = {
+        (r.lang, r.source): r
+        for r in tokenizer_fertility(df).collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for lang, src, text in docs:
+        w = want[(lang, src)]
+        w[0] += 1
+        w[1] += len(text.encode("utf-8"))
+        w[2] += len(text)
+        w[3] += len(re.split(" +", text))
+        w[4] += len(re.findall(r"\w+|[^\w\s]", text))
+    assert set(got) == set(want)
+    for k, (n, b, c, words, toks) in want.items():
+        r = got[k]
+        assert (r.n_docs, r.n_bytes, r.n_chars, r.n_words,
+                r.n_tokens) == (n, b, c, words, toks)
+        assert r.fertility_ppm == (
+            toks * 10**6 // words if words else None
+        )
+        assert r.bytes_per_token_ppm == (
+            b * 10**6 // toks if toks else None
+        )
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),      # user
+            st.integers(min_value=0, max_value=5000),   # minute offset
+            st.sampled_from(["view", "purchase", "click"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda e: (e[0], e[1]),
+    ),
+)
+@SETTINGS
+def test_time_to_convert_matches_python(spark, events):
+    """The one-row funnel-latency audit equals a naive per-user
+    simulation: first view, first at-or-after purchase, minute
+    buckets, type-1 quantiles (100*cum >= p*n)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from etl_on_weather_dataset_spark.operators.funnel import (
+        time_to_convert,
+    )
+
+    base = datetime(2024, 5, 1)
+    rows = [
+        (i, base + timedelta(minutes=m), u, k)
+        for i, (u, m, k) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string"
+    )
+    [r] = time_to_convert(df).collect()
+
+    by_user = defaultdict(list)
+    for _, ts, u, k in rows:
+        by_user[u].append((ts, k))
+    deltas = []
+    n_from = 0
+    for u, evs in by_user.items():
+        views = [t for t, k in evs if k == "view"]
+        if not views:
+            continue
+        n_from += 1
+        v = min(views)
+        purch = [t for t, k in evs if k == "purchase" and t >= v]
+        if purch:
+            deltas.append(int((min(purch) - v).total_seconds()))
+    assert r.n_from_users == n_from
+    assert r.n_converted == len(deltas)
+    if deltas:
+        n = len(deltas)
+        assert r.mean_seconds == sum(deltas) // n
+        ms = sorted(d // 60 for d in deltas)
+
+        def q_at(p):
+            for i, m in enumerate(ms, start=1):
+                if 100 * i >= p * n:
+                    return m
+
+        assert r.p50_bucket == q_at(50)
+        assert r.p90_bucket == q_at(90)
+    else:
+        assert r.mean_seconds is None
+        assert r.p50_bucket is None and r.p90_bucket is None
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@SETTINGS
+def test_vocab_coverage_matches_python_bigrams(spark, texts):
+    """Bigram top-k coverage equals a naive recount with the same
+    count-desc / pair-asc rank tie-break."""
+    import re
+    from collections import Counter
+
+    from etl_on_weather_dataset_spark.operators.corpus import (
+        vocab_coverage_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    ks = (2, 5)
+    got = {
+        r.k: r for r in vocab_coverage_topk(df, ks=ks, ngram=2).collect()
+    }
+    counts = Counter()
+    for t in texts:
+        toks = re.split(" +", t)
+        for a, b in zip(toks, toks[1:]):
+            counts[f"{a} {b}"] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    for k in ks:
+        r = got[k]
+        assert r.vocab_size == len(counts)
+        assert (r.total_tokens or 0) == total
+        covered = sum(c for _, c in ranked[:k])
+        assert r.covered_tokens == covered
+        if total:
+            assert r.coverage_ppm == covered * 10**6 // total
+        else:
+            assert r.coverage_ppm is None
