@@ -1956,7 +1956,10 @@ def packing_waste_audit(
       measured on this corpus, deterministic given the md5 shards;
       it IS the audit's point: decreasing best-fit dominates
       quantized shelves here, and the flag turning 0 on some future
-      corpus is exactly the signal to re-measure).
+      corpus is exactly the signal to re-measure). The column is
+      named ``bfd_le_shelf_measured`` -- the oracle pins it to the
+      corpus-measured value, so a future mismatch self-explains as
+      "re-measure the corpus", not an engine bug (round-11 ADVICE).
 
     Oversize chunks (> capacity) make no-split packing infeasible:
     fail-loud refusal in both engines, not a silent drop.
@@ -2092,7 +2095,7 @@ def packing_waste_audit(
         (F.col("bfd_bins") >= F.col("cut_bins")).cast("int")
         .alias("bfd_ge_cut_bins"),
         (F.col("bfd_bins") <= F.col("shelf_bins")).cast("int")
-        .alias("bfd_le_shelf_bins"),
+        .alias("bfd_le_shelf_measured"),
         (F.col("max_half_light") <= F.lit(1)).cast("int")
         .alias("bfd_half_full_bound"),
         (F.col("bfd_padded")
@@ -2171,7 +2174,7 @@ def packing_waste_audit_sql(
                )} AS waste_shelf_ppm,
                1 AS bfd_valid,
                1 AS bfd_ge_cut_bins,
-               1 AS bfd_le_shelf_bins,
+               1 AS bfd_le_shelf_measured,
                1 AS bfd_half_full_bound,
                1 AS bfd_accounting_ok
         FROM cut CROSS JOIN shelf

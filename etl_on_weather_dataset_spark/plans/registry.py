@@ -162,34 +162,43 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     slots allow (tools/rotation_plan.py order), with tail slots
 #     ceded to round-11-new queries as they register. The remaining
 #     r3 backlog (approx_percentile_bound, bloom_filter_membership,
-#     tfidf_top_terms) leads the r12 refresh.
+#     tfidf_top_terms) leads the r12 refresh;
+#   - round 12 (now): the r11 window parks in ROTATE_OUT (the 22
+#     r11 staleness refreshes plus the 7 round-11-new queries, all
+#     green in CORRECTNESS_r11.json -- parking round-N-new queries
+#     right after their green row is the round-7 precedent).
+#     ROTATE_IN finishes the r3 era (the 5 declared backlog names,
+#     round-11 verdict item 1) and drains the r4 era oldest-first
+#     (tools/rotation_plan.py order), heavyweight carriers included
+#     (curation_pipeline_stats, cosine_topk_ivf_pq,
+#     semdedup_embeddings, dedup_connected_groups, bm25_topk_docs).
+#     Tail slots are ceded to round-12-new queries as they register;
+#     the r4 remainder (cms_token_frequencies, weighted_sample_docs,
+#     dsir_weighted_selection, dup_span_removal) leads the r13
+#     refresh, after which no query is older than r5-attested.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
 # runs hourly.
 ROTATE_IN: frozenset[str] = frozenset({
-    # round-11 staleness refresh, tier 1: the 15 r3 names ceded by
-    # the round-10 refresh (round-10 verdict item 2 -- mandatory)
-    "value_moments", "scd2_user_history", "chunk_documents_udtf",
-    "json_map_explode", "string_functions",
-    "window_function_breadth", "date_scalar_functions",
-    "math_functions", "array_functions", "monthly_mode_event_type",
-    "date_part_histogram", "event_time_tumbling_window",
-    "cosine_topk_pandas_udf", "cosine_topk_ivf",
-    "conditional_aggregation",
-    # tier 2: the r3-tail names (last green r3), finishing the r3 era
-    "hash_split_counts", "stratified_sample_counts",
-    "time_bucket_rollup", "hopping_window_rollup",
-    "session_window_rollup",
-    # tier 3: next-oldest r3-green names filling the slots left by
-    # parking the 9 r10-new queries, shrunk as round-11-new queries
-    # claim slots (tools/rotation_plan.py order). The remaining r3
-    # backlog (streaming_interval_join and pii_redaction -- slots
-    # ceded to round-11's time_to_convert_quantiles and
-    # bigram_merge_coverage -- plus approx_percentile_bound,
-    # bloom_filter_membership, tfidf_top_terms) leads the r12
-    # refresh.
-    "quality_filter_stats", "gap_filled_hourly",
+    # round-12 staleness refresh, tier 1: the declared r12 backlog
+    # (last green r3) -- finishes the r3 era
+    "streaming_interval_join", "pii_redaction",
+    "approx_percentile_bound", "bloom_filter_membership",
+    "tfidf_top_terms",
+    # tier 2: the r4 era oldest-first (tools/rotation_plan.py
+    # order); 21 of the 25 r4-green names fit after the 3
+    # round-12-new queries claim their slots
+    "dedup_incremental_exact", "bm25_topk_docs",
+    "doc_quality_classifier", "dedup_incremental_simhash",
+    "ann_recall_at_k", "cosine_topk_lsh_multi",
+    "ann_recall_multi_table", "semdedup_embeddings",
+    "ivf_recall_probes", "cosine_topk_ivf_pq", "ivf_pq_recall",
+    "curation_pipeline_stats", "benchmark_decontamination",
+    "packed_bins", "doc_logprob_score", "doc_repetition_stats",
+    "dedup_connected_groups", "boilerplate_line_removal",
+    "per_source_document_cap", "importance_resample_dsir",
+    "corpus_mixture_sample",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is
@@ -277,30 +286,41 @@ ROTATE_OUT: frozenset[str] = frozenset({
     "retrieval_ndcg_by_label", "variant_props_stats",
     "rate_wilson_ci_by_type", "ks_value_drift",
     "point_in_time_enrichment",
-    "ann_high_recall_preset", "ann_recall_at_k", "ann_recall_multi_table",
-    "approx_percentile_bound", "benchmark_decontamination", "bloom_filter_membership", "bm25_topk_docs",
-    "boilerplate_line_removal", "cms_token_frequencies", "column_profile_lineitem",
-    "corpus_mixture_sample",
-    "corr_matrix_lineitem", "cosine_topk_ivf_pq",
-    "cosine_topk_lsh_multi", "curation_pipeline_stats",
-    "customer_order_distribution", "dedup_connected_groups", "dedup_incremental_exact",
-    "dedup_incremental_simhash", "disjunctive_brand_revenue", "doc_logprob_score", "doc_quality_classifier",
-    "doc_repetition_stats", "dsir_weighted_selection", "dup_span_removal",
+    "ann_high_recall_preset",
+    "cms_token_frequencies", "column_profile_lineitem",
+    "corr_matrix_lineitem",
+    "customer_order_distribution",
+    "disjunctive_brand_revenue",
+    "dsir_weighted_selection", "dup_span_removal",
     "embedding_pipeline_stats",
     "funnel_view_click_purchase", "graph_degree_stats",
     "graph_pagerank_top", "graph_triangle_summary", "grouping_sets_revenue",
     "hybrid_rrf_topk",
-    "importance_resample_dsir", "ivf_pq_recall", "ivf_recall_probes",
     "large_volume_orders", "logreg_trained_weights", "national_market_share",
-    "ohlc_daily_candles", "packed_bins",
-    "per_source_document_cap", "pii_redaction", "promo_revenue_share",
+    "ohlc_daily_candles",
+    "promo_revenue_share",
     "returned_item_customers", "rich_inactive_customers",
-    "rollup_incremental_daily", "semdedup_embeddings",
-    "streaming_interval_join",
-    "small_quantity_revenue", 
-    "tfidf_top_terms", 
+    "rollup_incremental_daily",
+    "small_quantity_revenue",
     "top_supplier_revenue", "trained_ivf_recall",
-    "twap_daily", "volume_shipping", "weekly_cohort_retention", "weighted_sample_docs",})
+    "twap_daily", "volume_shipping", "weekly_cohort_retention", "weighted_sample_docs",
+    # -- the 22 round-11 staleness refreshes, attested green in r11:
+    "value_moments", "scd2_user_history", "chunk_documents_udtf",
+    "json_map_explode", "string_functions",
+    "window_function_breadth", "date_scalar_functions",
+    "math_functions", "array_functions", "monthly_mode_event_type",
+    "date_part_histogram", "event_time_tumbling_window",
+    "cosine_topk_pandas_udf", "cosine_topk_ivf",
+    "conditional_aggregation", "hash_split_counts",
+    "stratified_sample_counts", "time_bucket_rollup",
+    "hopping_window_rollup", "session_window_rollup",
+    "quality_filter_stats", "gap_filled_hourly",
+    # -- the 7 round-11-new queries, attested green in r11 (parked
+    # right after their green row -- the round-7 precedent):
+    "tokenizer_fertility_by_lang", "gini_token_concentration",
+    "bigram_merge_coverage", "time_to_convert_quantiles",
+    "packing_waste_audit", "ar1_persistence_by_type",
+    "image_phash_near_dup",})
 
 def register(spec: QuerySpec) -> None:
     assert spec.name not in REGISTRY, f"duplicate query name {spec.name}"

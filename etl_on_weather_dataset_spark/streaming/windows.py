@@ -1013,9 +1013,11 @@ def stream_heavy_hitters(
             "n": [n] * len(items),
         })
 
-    shard = (
-        F.abs(F.xxhash64(F.col(item_col).cast("string")))
-        % n_shards
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) stays negative under
+    # non-ANSI Spark and % preserves sign -- a token hashing there
+    # would land outside [0, n_shards) (round-11 ADVICE).
+    shard = F.pmod(
+        F.xxhash64(F.col(item_col).cast("string")), F.lit(n_shards)
     ).cast("int")
     return (
         df.select(
@@ -1051,12 +1053,17 @@ def stream_time_to_convert(
 
     State per user is two scalars -- the first ``from_event``
     timestamp seen (epoch micros) and a done flag -- O(1), the
-    sketch discipline. Within a micro-batch rows fold in (ts, id)
-    order; when the first ``to_event`` at-or-after the stored first
-    view arrives, ONE row (key, delta_s) is emitted (floored exact
-    seconds, the batch operator's unit) and the user is done:
-    emit-once, never retracted -- the standard streaming-funnel
-    semantics.
+    sketch discipline. Within a micro-batch rows fold in
+    (ts, is-to-event, id) order -- the tie key makes a same-tick
+    (view, purchase) pair count as an instant conversion, exactly
+    the batch operator's ``p_ts >= v_ts``; when the first
+    ``to_event`` at-or-after the stored first view arrives, ONE row
+    (key, delta_s) is emitted (floored exact seconds, the batch
+    operator's unit) and the user is done: emit-once, never
+    retracted -- the standard streaming-funnel semantics. The fold
+    itself is vectorized numpy (first-view flatnonzero + first
+    qualifying conversion over the sorted arrays), not a per-row
+    Python loop.
 
     Exactness contract: when each user's events ARRIVE in event-time
     order across micro-batches (the replayable-landing-zone shape
@@ -1085,21 +1092,47 @@ def stream_time_to_convert(
     )
     state_schema = _parse_datatype_string(TTC_STATE_SCHEMA)
 
+    import numpy as np
+
     def fn(key, pdfs, state: GroupState):
         (k,) = key
         v_us, done = state.get if state.exists else (None, False)
-        rows = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
         out = []
-        for _, r in rows.iterrows():
-            if done:
-                break
-            ts_us = int(r[ts_col].value) // 1000  # pandas ns -> us
-            ev = r[event_col]
-            if ev == from_event and v_us is None:
-                v_us = ts_us
-            elif ev == to_event and v_us is not None and ts_us >= v_us:
-                out.append((ts_us - v_us) // 1_000_000)
-                done = True
+        if not done:
+            rows = pd.concat(list(pdfs))
+            # Tie-break: at equal ts the from_event folds BEFORE the
+            # to_event, so a purchase sharing the first view's exact
+            # timestamp converts instantly -- matching the batch
+            # operator's p_ts >= v_ts (round-11 ADVICE; previously
+            # a smaller event_id could order the purchase first and
+            # skip it).
+            rows = rows.assign(
+                _is_to=rows[event_col].eq(to_event)
+            ).sort_values([ts_col, "_is_to", id_col])
+            ts_us = (
+                rows[ts_col]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            ev = rows[event_col].to_numpy()
+            if v_us is None:
+                vidx = np.flatnonzero(ev == from_event)
+                if vidx.size:
+                    v_us = int(ts_us[vidx[0]])
+            if v_us is not None:
+                # First qualifying conversion in fold order == min
+                # conversion ts: rows are ts-sorted and the tie key
+                # places every to_event with ts >= v_us after the
+                # view, so the flat scan IS the sequential fold.
+                tidx = np.flatnonzero(
+                    (ev == to_event) & (ts_us >= v_us)
+                )
+                if tidx.size:
+                    out.append(
+                        (int(ts_us[tidx[0]]) - v_us) // 1_000_000
+                    )
+                    done = True
         state.update((v_us, done))
         if out:
             yield pd.DataFrame({key_col: [k], "delta_s": out[:1]})
@@ -1186,8 +1219,10 @@ def stream_oov_monitor(
     from ..operators.text import tokens
 
     toks = df.select(F.explode(tokens(text_col)).alias("tok"))
-    shard = (
-        F.abs(F.xxhash64(F.col("tok").cast("string"))) % n_shards
+    # pmod, not abs(...)% (Long.MIN_VALUE edge -- see
+    # stream_heavy_hitters above).
+    shard = F.pmod(
+        F.xxhash64(F.col("tok").cast("string")), F.lit(n_shards)
     ).cast("int")
     return (
         toks.select(shard.alias("shard"), "tok")

@@ -6733,7 +6733,7 @@ class TestPackingWasteAudit:
         assert got.shelf_bins == 4 and got.shelf_padded_slots == 20
         assert got.bfd_valid == 1
         assert got.bfd_ge_cut_bins == 1
-        assert got.bfd_le_shelf_bins == 1
+        assert got.bfd_le_shelf_measured == 1
         assert got.bfd_half_full_bound == 1
         assert got.bfd_accounting_ok == 1
 
@@ -6760,6 +6760,6 @@ class TestPackingWasteAudit:
         got = self._audit(spark, rows, capacity=10, n_shards=4, w=3)
         assert got.bfd_valid == 1
         assert got.bfd_ge_cut_bins == 1
-        assert got.bfd_le_shelf_bins == 1
+        assert got.bfd_le_shelf_measured == 1
         assert got.bfd_half_full_bound == 1
         assert got.bfd_accounting_ok == 1
