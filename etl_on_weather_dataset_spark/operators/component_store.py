@@ -93,23 +93,40 @@ def merge_component_batch(
         ).parquet(store_path)
         return spark.read.parquet(store_path).select("id", "component")
 
+    from .caching import persisted, untrack
+
     endpoints = (
         pairs.select(F.col("id_a").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    touched = (
+    # persisted: referenced by the members pull, the affected-bucket
+    # set, and the carried anti-join -- each evaluation would
+    # otherwise re-scan the store
+    touched = persisted(
         store.join(endpoints, "id", "left_semi")
         .select("component")
         .distinct()
     )
     members = store.join(touched, "component", "left_semi")
     # star edges reconnect each touched component exactly; adding the
-    # batch pairs yields the merged truth on the affected subgraph
+    # batch pairs yields the merged truth on the affected subgraph.
+    # The empty probe is skipped: an empty batch flows through to an
+    # empty labeling and an empty bucket set (no rewrite), so the
+    # extra scheduled action buys nothing on the every-day non-empty
+    # path.
     graph = members.select(
         F.col("id").alias("id_a"), F.col("component").alias("id_b")
     ).unionAll(pairs)
-    labels = dedup_components(graph).localCheckpoint(eager=True)
+    # check_every=4: a batch whose component-merge chains are d deep
+    # converges in ~2d+1 member-graph rounds, so the daily d=1 shape
+    # (3 rounds) lands exactly one convergence count at i=4 -- the
+    # default's i=2 check always reads changed>0 for a merge batch
+    # and is a pure extra action; deeper chains just ride more rounds
+    # per check (the documented check_every trade).
+    labels = dedup_components(
+        graph, skip_empty_check=True, check_every=4
+    ).localCheckpoint(eager=True)
 
     new_rows = labels.withColumn("bucket", _bucket("component"))
     affected_buckets = (
@@ -117,6 +134,11 @@ def merge_component_batch(
         .unionAll(new_rows.select("bucket"))
         .distinct()
     )
+    bucks = [b for (b,) in affected_buckets.collect()]
+    if not bucks:
+        touched.unpersist()
+        untrack(touched)
+        return labels
     # rows sharing an affected bucket but belonging to untouched
     # components must be carried over (the whole bucket directory is
     # replaced below)
@@ -125,35 +147,44 @@ def merge_component_batch(
         .join(affected_buckets, "bucket", "left_semi")
         .join(touched, "component", "left_anti")
         .select("id", "component", "bucket")
-        # MUST materialize before the delete+append below: carried
-        # reads the same parquet path the rewrite replaces, and Spark
-        # re-lists files at action time -- an unpinned plan would race
-        # its own rewrite (labels is checkpointed for the same reason,
-        # plus reuse)
-        .localCheckpoint(eager=True)
     )
-    # Replace affected buckets EXPLICITLY: dynamic partition overwrite
-    # only clears partitions that appear in the written rows, and a
-    # bucket whose every component was relabeled AWAY contributes no
-    # output row -- its stale files would silently survive (observed:
-    # a 2-batch chain merge kept both labelings). Deleting the <=
-    # n_buckets affected directories is bounded driver coordination
-    # (one value per bucket, never data).
+    # Replace affected buckets through a STAGED write: new rows +
+    # carried rows land in an underscore-prefixed staging dir (parquet
+    # discovery ignores _-prefixed paths), THEN the old bucket dirs
+    # are swapped out driver-side (<= _BUCKETS deletes + renames, one
+    # value per bucket, never data). The write job reads the store
+    # while it is still intact, so carried needs NO checkpoint to
+    # guard a read-own-rewrite race -- the previous delete+append
+    # shape paid a full extra materialization for exactly that guard
+    # (labels stays checkpointed: the RETURNED rows outlive the
+    # swap). Dynamic partition overwrite still cannot express this
+    # rewrite: a bucket whose every component was relabeled AWAY
+    # contributes no output row, and its stale files would silently
+    # survive (observed: a 2-batch chain merge kept both labelings).
+    # On an object store where rename is copy, wrap merges in the
+    # versioned-store commit protocol instead (module docstring).
     from .versioned import fs_for
 
     fs, _, jvm = fs_for(spark, store_path)
-    for (b,) in affected_buckets.collect():
-        fs.delete(jvm.org.apache.hadoop.fs.Path(
-            f"{store_path}/bucket={b}"
-        ), True)
+    stage = f"{store_path}/_staged_rewrite"
     (
         new_rows.select("id", "component", "bucket")
         .unionByName(carried)
         .repartition("bucket")  # one file per rewritten bucket
         .write.partitionBy("bucket")
-        .mode("append")
-        .parquet(store_path)
+        .mode("overwrite")
+        .parquet(stage)
     )
+    hpath = jvm.org.apache.hadoop.fs.Path
+    for b in bucks:
+        fs.delete(hpath(f"{store_path}/bucket={b}"), True)
+        staged_bucket = hpath(f"{stage}/bucket={b}")
+        if fs.exists(staged_bucket):
+            # a staged bucket can be absent: emptied entirely
+            fs.rename(staged_bucket, hpath(f"{store_path}/bucket={b}"))
+    fs.delete(hpath(stage), True)
+    touched.unpersist()
+    untrack(touched)
     return labels
 
 

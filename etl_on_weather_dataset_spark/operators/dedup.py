@@ -543,6 +543,7 @@ def dedup_components(
     max_iter: int = 25,
     check_every: int = 2,
     truncate_every: int = 8,
+    skip_empty_check: bool = False,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: connected
     components by iterative min-label propagation.
@@ -608,8 +609,12 @@ def dedup_components(
     # (round-10 flagship profile: keep == n, empty edge set). The
     # isEmpty() action materializes the persisted pair relation the
     # first round would have materialized anyway, so the check is
-    # free on non-empty graphs.
-    if pairs.isEmpty():
+    # nearly free on non-empty graphs -- but it IS one scheduled
+    # action, and a caller that already knows the graph is non-empty
+    # (or whose empty case flows through harmlessly, like the
+    # component store's contracted merge: an empty batch yields an
+    # empty labeling either way) can opt out and save the job.
+    if not skip_empty_check and pairs.isEmpty():
         return (
             pairs.select(F.col(id_a).alias("id"))
             .withColumn("component", F.col("id"))

@@ -699,6 +699,45 @@ IMAGE_DHASH_SCHEMA = T.StructType(
 )
 
 
+def _gray_dhash_fold(rgb, grid: int = 8) -> int | None:
+    """The shared gray -> thumbnail -> gradient fold behind every
+    image dHash path: an (h, w, 3) uint8 RGB array in, a signed
+    64-bit fingerprint out (None when the grid doesn't fit).
+
+    Kept as ONE function so the native-BMP tier (:func:`image_dhash`)
+    and the codec-decoded tier (:func:`image_dhash_decoded`) are
+    bit-identical by construction: integer grayscale
+    ((299 r + 587 g + 114 b) // 1000), area-average to a
+    (grid x grid+1) thumbnail on integer block boundaries
+    (i*h // grid), bit (y, x) = thumb[y][x+1] > thumb[y][x].
+    """
+    import numpy as np
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    if w < grid + 1 or h < grid:
+        return None
+    px = rgb.astype(np.int64)
+    gray = (
+        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    ) // 1000
+    ys = [i * h // grid for i in range(grid + 1)]
+    xs = [i * w // (grid + 1) for i in range(grid + 2)]
+    thumb = np.array([
+        [
+            gray[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+            for c in range(grid + 1)
+        ]
+        for r in range(grid)
+    ])
+    bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.uint64)
+    fp = 0
+    for i, bit in enumerate(bits.ravel()):
+        fp |= int(bit) << i
+    if fp >= 1 << 63:  # LongType is signed
+        fp -= 1 << 64
+    return fp
+
+
 def image_dhash(
     df: DataFrame,
     payload_col: str = "payload",
@@ -709,8 +748,9 @@ def image_dhash(
     leg of the near-dup suite, fully LIVE for uncompressed 24-bit BMP
     (the format is a struct-unpackable header + raw BGR rows, so no
     codec library is needed -- the WAV/stdlib stance of
-    :func:`audio_fingerprint` applied to images; JPEG/PNG would route
-    through the PIL-guarded :func:`decode_image` first).
+    :func:`audio_fingerprint` applied to images; JPEG/PNG route
+    through :func:`image_dhash_decoded`, the PIL-decoded composition
+    sharing this exact fold).
 
     The classic perceptual-hash recipe: integer-grayscale
     ((299 r + 587 g + 114 b) // 1000), area-average to a
@@ -727,58 +767,34 @@ def image_dhash(
     / non-24-bit / compressed / tiny payloads yield null hashes
     rather than failing the scan.
     """
+    return _dhash_over(df, _native_bmp_rgb, payload_col, id_col, grid)
+
+
+def _dhash_over(
+    df: DataFrame,
+    decoder,
+    payload_col: str,
+    id_col: str,
+    grid: int,
+) -> DataFrame:
+    """Shared mapInPandas plumbing: run ``decoder`` (bytes ->
+    (h, w, 3) uint8 RGB array or None) then :func:`_gray_dhash_fold`
+    over every payload. ``decoder`` must be a module-level (picklable)
+    function -- it ships to executors inside the task closure."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType())] + IMAGE_DHASH_SCHEMA.fields
     )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        import numpy as np
-
-        def dhash(b: bytes):
+        def dhash(b):
             try:
-                b = bytes(b)
-                if len(b) < 54 or b[:2] != b"BM":
+                rgb = decoder(bytes(b))
+                if rgb is None:
                     return None, None, None
-                off, = struct.unpack_from("<I", b, 10)
-                w, h = struct.unpack_from("<ii", b, 18)
-                bpp, = struct.unpack_from("<H", b, 28)
-                comp, = struct.unpack_from("<I", b, 30)
-                flip = h > 0  # positive height = bottom-up rows
-                h = abs(h)
-                if bpp != 24 or comp != 0 or w < grid + 1 or h < grid:
+                fp = _gray_dhash_fold(rgb, grid)
+                if fp is None:
                     return None, None, None
-                stride = ((3 * w + 3) // 4) * 4
-                if off + stride * h > len(b):
-                    return None, None, None
-                rows = np.frombuffer(
-                    b, dtype=np.uint8, count=stride * h, offset=off
-                ).reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
-                if flip:
-                    rows = rows[::-1]
-                px = rows.astype(np.int64)
-                # BMP stores BGR
-                gray = (
-                    299 * px[:, :, 2] + 587 * px[:, :, 1]
-                    + 114 * px[:, :, 0]
-                ) // 1000
-                ys = [i * h // grid for i in range(grid + 1)]
-                xs = [i * w // (grid + 1) for i in range(grid + 2)]
-                thumb = np.array([
-                    [
-                        gray[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
-                        for c in range(grid + 1)
-                    ]
-                    for r in range(grid)
-                ])
-                bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.uint64)
-                fp = 0
-                for i, bit in enumerate(bits.ravel()):
-                    fp |= int(bit) << i
-                if fp >= 1 << 63:  # LongType is signed
-                    fp -= 1 << 64
-                return fp, int(w), int(h)
+                return fp, int(rgb.shape[1]), int(rgb.shape[0])
             except Exception:  # noqa: BLE001 -- corrupt payload -> nulls
                 return None, None, None
 
@@ -794,6 +810,92 @@ def image_dhash(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_hash, out_schema)
+
+
+def _native_bmp_rgb(b: bytes):
+    """Decode an uncompressed 24-bit BMP payload to an (h, w, 3)
+    uint8 RGB array with no codec library -- the native tier's
+    decoder. Returns None for anything else (compressed, paletted,
+    truncated, non-BMP)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off, = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp, = struct.unpack_from("<H", b, 28)
+    comp, = struct.unpack_from("<I", b, 30)
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        return None
+    stride = ((3 * w + 3) // 4) * 4
+    if off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    # BMP stores BGR -> RGB
+    return rows[:, :, ::-1]
+
+
+def _pil_rgb(b: bytes):
+    """Decode any PIL-supported payload (JPEG/PNG/BMP/...) to an
+    (h, w, 3) uint8 RGB array. Import happens inside the call so the
+    function object pickles to executors cleanly; the plan-time guard
+    in :func:`image_dhash_decoded` already proved PIL importable."""
+    import io
+
+    import numpy as np
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(b)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def image_dhash_decoded(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+    decoder=None,
+) -> DataFrame:
+    """dHash over CODEC-DECODED images -- the composition that makes
+    the perceptual tier reachable on a real crawl corpus (round-11
+    verdict item 3): :func:`decode_image`'s pixel grid (PIL: JPEG,
+    PNG, BMP, ...) fed through the SAME gray -> thumbnail -> gradient
+    fold as the native-BMP :func:`image_dhash`
+    (:func:`_gray_dhash_fold`), so the two tiers are bit-identical on
+    payloads both can decode and their hashes live in one 64-bit
+    space -- one corpus can mix BMP landings with JPEG crawls and
+    :func:`image_near_dup_pairs` still joins across them. A
+    re-encoded JPEG copy of a BMP lands within a small Hamming
+    distance of the original (lossy DCT noise moves few
+    gradient-direction bits; pytest plants exactly that clone).
+
+    Import-guarded like :func:`decode_image`: PIL is probed on the
+    DRIVER at plan time, failing fast instead of inside executor
+    tasks. ``decoder`` injects an alternative module-level
+    bytes -> RGB-array function (tests exercise the full composed
+    path with :func:`_native_bmp_rgb`, PIL-free); undecodable
+    payloads yield null hashes, never a failed 100 TB scan.
+    """
+    if decoder is None:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image_dhash_decoded requires PIL (pillow) unless an "
+                "explicit decoder= is injected; not available in this "
+                "build. The native-BMP tier (image_dhash) stays live."
+            ) from exc
+        decoder = _pil_rgb
+    return _dhash_over(df, decoder, payload_col, id_col, grid)
 
 
 def image_near_dup_pairs(

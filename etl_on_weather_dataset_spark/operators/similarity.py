@@ -2102,3 +2102,151 @@ def mmr_topk_sql(
                picks[r].score AS mmr_score
         FROM picked, UNNEST(range(1, len(picks) + 1)) u(r)
     """
+
+
+# --- per-dimension embedding drift (round-12) -----------------------------------
+
+_Q_SCALE = 1 << 20  # quantization scale: exact in double for |x| < 2^32
+
+
+def embedding_dim_drift(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION drift audit between two deterministic cohorts --
+    the encoder-regression tripwire: when a re-embedding run or a new
+    corpus slice shifts individual dimensions (a normalization bug, a
+    truncated projection, a drifted feature), the per-dim mean deltas
+    light up long before recall@k degrades. Cohorts split on
+    ``id % 2`` (deterministic, roughly halves); production swaps in
+    yesterday-vs-today or modelA-vs-modelB.
+
+    Exactness: components quantize to BIGINT via
+    ``floor(CAST(x AS DOUBLE) * 2^20 + 0.5)`` -- float->double is
+    exact, multiplying by a power of two is exact, and +0.5/floor is
+    the portable round-half-up (Spark round() is HALF_UP, DuckDB's
+    differs on exact halves; floor(+0.5) is the same double op in
+    both). Sums and sum-of-squares are exact BIGINTs behind a
+    fail-loud guard from always-safe aggregates (n, max|q|): sumsq <=
+    n * max^2 stays in BIGINT iff n <= (2^62 div max) div max -- the
+    guard divides twice so it cannot itself wrap (ar1_by_key
+    discipline; Spark wraps silently, DuckDB errors). Mean ppms use
+    sign-split truncating division (both engines truncate toward
+    zero, so positive-operand division is the only portable form).
+
+    Scale shape: one posexplode to (cohort, dim, q) -- row grain x
+    dim, embarrassingly parallel, no shuffle -- then ONE
+    map-combinable aggregate to the |dims| relation. At 100 TB the
+    explode never materializes: it fuses into the partial aggregate
+    inside whole-stage codegen.
+    """
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        (F.col(id_col) % 2 == 0).alias("is_a"),
+        F.posexplode(vec_col).alias("dim0", "x"),
+    )
+    q = F.floor(
+        F.col("x").cast("double") * F.lit(float(_Q_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    per = base.select(
+        "is_a", (F.col("dim0") + 1).cast("int").alias("dim"),
+        q.alias("q"),
+    )
+    a = F.col("is_a")
+    agg = per.groupBy("dim").agg(
+        F.sum(a.cast("long")).cast("long").alias("n_a"),
+        F.sum((~a).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(a, F.col("q")).otherwise(F.lit(0)))
+        .cast("long").alias("sum_q_a"),
+        F.sum(F.when(~a, F.col("q")).otherwise(F.lit(0)))
+        .cast("long").alias("sum_q_b"),
+        F.sum(F.when(a, F.col("q") * F.col("q")).otherwise(F.lit(0)))
+        .cast("long").alias("ssq_q_a"),
+        F.sum(F.when(~a, F.col("q") * F.col("q")).otherwise(F.lit(0)))
+        .cast("long").alias("ssq_q_b"),
+        F.max(F.abs(F.col("q"))).cast("long").alias("max_abs"),
+    )
+    guard = (
+        "CASE WHEN max_abs > 0 AND n_a + n_b >"
+        " (4611686018427387904 DIV max_abs) DIV max_abs"
+        " THEN CAST(raise_error('embedding_dim_drift: sum of squares"
+        " may exceed BIGINT -- shard the corpus or lower the"
+        " quantization scale') AS BIGINT) ELSE 1 END"
+    )
+    mean_ppm = (
+        "CAST(CASE WHEN {n} = 0 THEN NULL"
+        " WHEN {s} < 0 THEN -((-({s})) * 1000000"
+        f" DIV ({{n}} * {_Q_SCALE}))"
+        f" ELSE ({{s}}) * 1000000 DIV ({{n}} * {_Q_SCALE})"
+        " END AS BIGINT)"
+    )
+    m_a = mean_ppm.format(n="n_a", s="sum_q_a")
+    m_b = mean_ppm.format(n="n_b", s="sum_q_b")
+    return agg.select(
+        "dim", "n_a", "n_b",
+        (F.expr(guard) * F.col("sum_q_a")).cast("long").alias("sum_q_a"),
+        "sum_q_b", "ssq_q_a", "ssq_q_b",
+        F.expr(m_a).alias("mean_a_ppm"),
+        F.expr(m_b).alias("mean_b_ppm"),
+        F.expr(f"CAST(abs(({m_a}) - ({m_b})) AS BIGINT)")
+        .alias("drift_abs_ppm"),
+    )
+
+
+def embedding_dim_drift_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`embedding_dim_drift` (generate_subscripts
+    for posexplode parity, same quantization and guards)."""
+    mean_ppm = (
+        "CAST(CASE WHEN {n} = 0 THEN NULL"
+        " WHEN {s} < 0 THEN -((-({s})) * 1000000"
+        f" // ({{n}} * {_Q_SCALE}))"
+        f" ELSE ({{s}}) * 1000000 // ({{n}} * {_Q_SCALE})"
+        " END AS BIGINT)"
+    )
+    m_a = mean_ppm.format(n="n_a", s="sum_q_a")
+    m_b = mean_ppm.format(n="n_b", s="sum_q_b")
+    return f"""
+        WITH per AS (
+            SELECT ({id_col} % 2 = 0) AS is_a,
+                   CAST(generate_subscripts({vec_col}, 1) AS INTEGER)
+                       AS dim,
+                   CAST(floor(CAST(unnest({vec_col}) AS DOUBLE)
+                              * {_Q_SCALE} + 0.5) AS BIGINT) AS q
+            FROM {table}
+            WHERE {vec_col} IS NOT NULL
+        ), agg AS (
+            SELECT dim,
+                   CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN is_a THEN q ELSE 0 END)
+                        AS BIGINT) AS sum_q_a,
+                   CAST(SUM(CASE WHEN is_a THEN 0 ELSE q END)
+                        AS BIGINT) AS sum_q_b,
+                   CAST(SUM(CASE WHEN is_a THEN q * q ELSE 0 END)
+                        AS BIGINT) AS ssq_q_a,
+                   CAST(SUM(CASE WHEN is_a THEN 0 ELSE q * q END)
+                        AS BIGINT) AS ssq_q_b,
+                   CAST(MAX(abs(q)) AS BIGINT) AS max_abs
+            FROM per GROUP BY dim
+        )
+        SELECT dim, n_a, n_b,
+               CAST(CASE WHEN max_abs > 0 AND n_a + n_b >
+                        (4611686018427387904 // max_abs) // max_abs
+                    THEN CAST(error('embedding_dim_drift: sum of'
+                         || ' squares may exceed BIGINT -- shard the'
+                         || ' corpus or lower the quantization scale')
+                         AS BIGINT)
+                    ELSE 1 END * sum_q_a AS BIGINT) AS sum_q_a,
+               sum_q_b, ssq_q_a, ssq_q_b,
+               {m_a} AS mean_a_ppm,
+               {m_b} AS mean_b_ppm,
+               CAST(abs(({m_a}) - ({m_b})) AS BIGINT)
+                   AS drift_abs_ppm
+        FROM agg
+    """

@@ -745,3 +745,157 @@ def tokenizer_fertility_sql(
                    AS chars_per_token_ppm
         FROM agg
     """
+
+
+# --- character-class mix (round-12) -------------------------------------------
+
+# the portable whitespace class, spelled out: Java regex and RE2
+# disagree on what \s covers (vertical tab), escapes below are
+# identical in both
+_WS_CLASS = "[ \\t\\n\\r]"
+
+
+def char_class_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class composition per group -- the script-mix /
+    obfuscation dial next to the quality scores: what fraction of a
+    source's characters are letters, digits, whitespace, or other
+    (symbols, punctuation, non-Latin), and how many docs mix >= 3
+    classes (zalgo/spam/keyboard-mash templates and markup-heavy
+    crawls light this up long before perplexity filters see them).
+
+    Class counts are exact BIGINTs via the subtraction idiom
+    ``length(t) - length(regexp_replace(t, class, ''))`` -- one scan,
+    no explode. The whitespace class is the EXPLICIT ``[ \\t\\n\\r]``
+    (never ``\\s``: Java regex and RE2 disagree on vertical tab, so
+    the portable class is spelled out). NULL text is filtered in both
+    engines (the Spark size(NULL) = -1 vs DuckDB NULL divergence).
+
+    Shares use the ``_ratio_ppm_expr`` guarded exact division; sums
+    are linear in corpus chars (wrap needs ~9e18 chars -- 9 EB of
+    text -- so no quadratic-moment guard applies; cf. ETL.py:29-288
+    which has no text analysis at all, this is extension surface).
+
+    Scale shape: one projection + one |groups|-row aggregate, fully
+    map-combinable; regexps run JVM-side inside codegen.
+    """
+    t = F.col(text_col)
+
+    def cls(pattern: str) -> F.Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    per = df.filter(t.isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.length(t).cast("long").alias("total"),
+        cls("[A-Za-z]").alias("letters"),
+        cls("[0-9]").alias("digits"),
+        cls(_WS_CLASS).alias("ws"),
+    )
+    per = per.withColumn(
+        "other",
+        (
+            F.col("total") - F.col("letters") - F.col("digits")
+            - F.col("ws")
+        ).cast("long"),
+    ).withColumn(
+        "n_classes",
+        (
+            (F.col("letters") > 0).cast("int")
+            + (F.col("digits") > 0).cast("int")
+            + (F.col("ws") > 0).cast("int")
+            + (F.col("other") > 0).cast("int")
+        ),
+    )
+    agg = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("total").cast("long").alias("total_chars"),
+        F.sum("letters").cast("long").alias("letter_chars"),
+        F.sum("digits").cast("long").alias("digit_chars"),
+        F.sum("ws").cast("long").alias("ws_chars"),
+        F.sum("other").cast("long").alias("other_chars"),
+        F.sum((F.col("n_classes") >= 3).cast("long"))
+        .cast("long").alias("n_mixed_docs"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs", "total_chars", "letter_chars", "digit_chars",
+        "ws_chars", "other_chars", "n_mixed_docs",
+        F.expr(_ratio_ppm_expr(
+            "letter_chars", "total_chars", "char_class_mix"
+        )).cast("long").alias("letter_ppm"),
+        F.expr(_ratio_ppm_expr(
+            "digit_chars", "total_chars", "char_class_mix"
+        )).cast("long").alias("digit_ppm"),
+        F.expr(_ratio_ppm_expr(
+            "other_chars", "total_chars", "char_class_mix"
+        )).cast("long").alias("other_ppm"),
+        F.expr(_ratio_ppm_expr(
+            "n_mixed_docs", "n_docs", "char_class_mix"
+        )).cast("long").alias("mixed_doc_ppm"),
+    )
+
+
+def char_class_mix_sql(
+    table: str,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`char_class_mix` (same subtraction idiom,
+    same explicit whitespace class, 'g' flag for replace-all)."""
+
+    def cls(pattern: str) -> str:
+        return (
+            f"length({text_col}) - length(regexp_replace("
+            f"{text_col}, '{pattern}', '', 'g'))"
+        )
+
+    letters_c = cls("[A-Za-z]")
+    digits_c = cls("[0-9]")
+    ws_c = cls(_WS_CLASS)
+    return f"""
+        WITH per_doc AS (
+            SELECT {group_col} AS grp,
+                   CAST(length({text_col}) AS BIGINT) AS total,
+                   CAST({letters_c} AS BIGINT) AS letters,
+                   CAST({digits_c} AS BIGINT) AS digits,
+                   CAST({ws_c} AS BIGINT) AS ws
+            FROM {table}
+            WHERE {text_col} IS NOT NULL
+        ), classed AS (
+            SELECT grp, total, letters, digits, ws,
+                   total - letters - digits - ws AS other
+            FROM per_doc
+        ), agg AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(total) AS BIGINT) AS total_chars,
+                   CAST(SUM(letters) AS BIGINT) AS letter_chars,
+                   CAST(SUM(digits) AS BIGINT) AS digit_chars,
+                   CAST(SUM(ws) AS BIGINT) AS ws_chars,
+                   CAST(SUM(other) AS BIGINT) AS other_chars,
+                   CAST(SUM(CASE WHEN
+                       CAST(letters > 0 AS INTEGER)
+                       + CAST(digits > 0 AS INTEGER)
+                       + CAST(ws > 0 AS INTEGER)
+                       + CAST(other > 0 AS INTEGER) >= 3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_docs
+            FROM classed GROUP BY grp
+        )
+        SELECT grp AS {group_col},
+               n_docs, total_chars, letter_chars, digit_chars,
+               ws_chars, other_chars, n_mixed_docs,
+               {_ratio_ppm_sql("letter_chars", "total_chars",
+                               "char_class_mix")} AS letter_ppm,
+               {_ratio_ppm_sql("digit_chars", "total_chars",
+                               "char_class_mix")} AS digit_ppm,
+               {_ratio_ppm_sql("other_chars", "total_chars",
+                               "char_class_mix")} AS other_ppm,
+               {_ratio_ppm_sql("n_mixed_docs", "n_docs",
+                               "char_class_mix")} AS mixed_doc_ppm
+        FROM agg
+    """

@@ -933,3 +933,116 @@ def ar1_by_key_sql(
                END AS BIGINT) AS phi_milli
         FROM m
     """
+
+
+# --- day-of-week seasonality (round-12) ----------------------------------------
+
+def weekday_seasonality(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonality profile per key -- the baseline every
+    traffic-anomaly monitor needs before it can alarm: a Tuesday dip
+    is drift, a Sunday dip is Sunday. Emits, per (key, dow), exact
+    event counts, exact value sums (micros), and the seasonality
+    index ``1e6 * 7 * n_dow / n_key`` in ppm (1e6 = perfectly flat;
+    2e6 = this weekday carries twice its fair share).
+
+    dow convention: Spark ``dayofweek`` (1=Sunday..7), matched in the
+    twin by DuckDB ``dayofweek() + 1`` (the date_scalar_functions
+    precedent). Values quantize to exact micros via
+    ``floor(v * 1e6 + 0.5)`` -- the same double arithmetic in both
+    engines, so the BIGINT sums compare exactly; a fail-loud guard on
+    (n, max|micros|) refuses before any silently-wrapped sum is read
+    (the ar1_by_key discipline). The index uses truncating division
+    of non-negative BIGINTs (identical in both engines).
+
+    Scale shape: one projection + one map-combinable aggregate to the
+    |keys x 7| relation; the per-key total is a window over that tiny
+    relation, never the event grain.
+    """
+    per = df.filter(
+        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("event_type"),
+        F.dayofweek(F.to_date(ts_col)).cast("int").alias("dow"),
+        F.floor(F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("v_micros"),
+    )
+    agg = per.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v_micros").cast("long").alias("sum_value_micros"),
+        F.max(F.abs(F.col("v_micros"))).cast("long").alias("max_abs"),
+    )
+    w = Window.partitionBy("event_type")
+    tot = F.sum("n_events").over(w).cast("long")
+    # overflow refusal from always-safe aggregates: |sum| <= n * max
+    # stays in BIGINT iff n <= 2^62 div max (division, so the guard
+    # itself cannot wrap); Spark would wrap silently, DuckDB errors
+    guard = (
+        "CASE WHEN max_abs > 0 AND n_events >"
+        " 4611686018427387904 DIV max_abs"
+        " THEN CAST(raise_error('weekday_seasonality: value sum"
+        " may exceed BIGINT -- bucket values or pre-aggregate"
+        " upstream') AS BIGINT) ELSE 1 END"
+    )
+    return agg.select(
+        "event_type", "dow", "n_events",
+        (F.expr(guard) * F.col("sum_value_micros"))
+        .cast("long").alias("sum_value_micros"),
+        tot.alias("n_type_events"),
+    ).select(
+        "event_type", "dow", "n_events", "sum_value_micros",
+        "n_type_events",
+        F.expr(
+            "CAST(n_events * 7000000 DIV n_type_events AS BIGINT)"
+        ).alias("seasonality_idx_ppm"),
+    )
+
+
+def weekday_seasonality_sql(
+    table: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`weekday_seasonality` (same micros
+    quantization, same guard, dayofweek()+1 convention bridge)."""
+    return f"""
+        WITH per AS (
+            SELECT {type_col} AS event_type,
+                   CAST(dayofweek(CAST({ts_col} AS DATE)) + 1
+                        AS INTEGER) AS dow,
+                   CAST(floor(CAST({value_col} AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS v_micros
+            FROM {table}
+            WHERE {type_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        ), agg AS (
+            SELECT event_type, dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(v_micros) AS BIGINT) AS sum_value_micros,
+                   CAST(MAX(abs(v_micros)) AS BIGINT) AS max_abs
+            FROM per GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, dow, n_events,
+                   CASE WHEN max_abs > 0 AND n_events >
+                            4611686018427387904 // max_abs
+                        THEN CAST(error('weekday_seasonality: value'
+                             || ' sum may exceed BIGINT -- bucket'
+                             || ' values or pre-aggregate upstream')
+                             AS BIGINT)
+                        ELSE 1 END * sum_value_micros
+                       AS sum_value_micros,
+                   CAST(SUM(n_events) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_type_events
+            FROM agg
+        )
+        SELECT event_type, dow, n_events,
+               CAST(sum_value_micros AS BIGINT) AS sum_value_micros,
+               n_type_events,
+               CAST(n_events * 7000000 // n_type_events AS BIGINT)
+                   AS seasonality_idx_ppm
+        FROM tot
+    """

@@ -2895,3 +2895,27 @@ register(QuerySpec(
             "multimodal-dedup-contract"),
     scale_path="image_near_dup_contract",
 ))
+
+
+# --- day-of-week seasonality (round-12) ----------------------------------------
+
+def _weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import weekday_seasonality
+
+    ev = load_table(spark, sf_dir, "events")
+    return weekday_seasonality(ev)
+
+
+def _weekday_seasonality_oracle() -> str:
+    from ..operators.timeseries import weekday_seasonality_sql
+
+    return weekday_seasonality_sql("events")
+
+
+register(QuerySpec(
+    name="weekday_seasonality_events",
+    spark_fn=_weekday_seasonality,
+    oracle=_weekday_seasonality_oracle,
+    covers=("dow-seasonality-baseline", "traffic-anomaly-baseline",
+            "exact-micros-rollup"),
+))

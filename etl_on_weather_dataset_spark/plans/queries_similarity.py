@@ -2054,3 +2054,27 @@ register(QuerySpec(
             "integer-greedy-fold"),
     scale_path="cosine_topk_ivf",
 ))
+
+
+# --- per-dimension embedding drift (round-12) -----------------------------------
+
+def _embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_dim_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_drift(emb)
+
+
+def _embedding_dim_drift_oracle() -> str:
+    from ..operators.similarity import embedding_dim_drift_sql
+
+    return embedding_dim_drift_sql("embeddings")
+
+
+register(QuerySpec(
+    name="embedding_dim_drift",
+    spark_fn=_embedding_dim_drift,
+    oracle=_embedding_dim_drift_oracle,
+    covers=("embedding-drift-audit", "per-dim-moments",
+            "encoder-regression-tripwire"),
+))

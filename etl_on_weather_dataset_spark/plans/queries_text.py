@@ -1218,3 +1218,23 @@ register(QuerySpec(
     covers=("vocab-coverage-curve", "merge-table-sizing",
             "oov-rate"),
 ))
+
+
+# --- character-class mix (round-12) -------------------------------------------
+
+def _char_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.char_class_mix(docs, group_col="source")
+
+
+def _char_class_mix_oracle() -> str:
+    return T.char_class_mix_sql("documents", group_col="source")
+
+
+register(QuerySpec(
+    name="char_class_mix_by_source",
+    spark_fn=_char_class_mix,
+    oracle=_char_class_mix_oracle,
+    covers=("char-class-composition", "script-mix-audit",
+            "spam-obfuscation-signal"),
+))

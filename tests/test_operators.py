@@ -3464,6 +3464,93 @@ class TestImageDhash:
         got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
         assert got[1] is not None and got[2] is None
 
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, bytearray(self._bmp(self._gradient()))),
+                (2, bytearray(self._bmp(self._gradient(tweak=2)))),
+                (3, bytearray(b"not an image")),
+            ],
+            "doc_id long, payload binary",
+        )
+
+    def test_decoded_tier_matches_native_on_bmp(self, spark):
+        """The composed decode->dhash path (image_dhash_decoded) is
+        bit-identical to the native BMP tier on payloads both can
+        decode -- the shared-fold contract, attested end-to-end
+        through the full mapInPandas plumbing with the PIL-free
+        _native_bmp_rgb decoder injected."""
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            _native_bmp_rgb,
+            image_dhash,
+            image_dhash_decoded,
+        )
+
+        df = self._corpus(spark)
+        native = {r.doc_id: r for r in image_dhash(df).collect()}
+        decoded = {
+            r.doc_id: r
+            for r in image_dhash_decoded(
+                df, decoder=_native_bmp_rgb
+            ).collect()
+        }
+        for i in (1, 2, 3):
+            assert decoded[i].dhash == native[i].dhash, i
+            assert decoded[i].img_w == native[i].img_w
+            assert decoded[i].img_h == native[i].img_h
+        assert decoded[3].dhash is None  # corrupt -> null in BOTH tiers
+
+    def test_decoded_tier_guard_without_pil(self, spark):
+        """Plan-time fail-fast: no PIL and no injected decoder must
+        raise on the DRIVER, not inside executor tasks."""
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL installed; the no-PIL guard is unreachable")
+        except ImportError:
+            pass
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            image_dhash_decoded,
+        )
+
+        with pytest.raises(NotImplementedError):
+            image_dhash_decoded(self._corpus(spark))
+
+    def test_decoded_tier_jpeg_clone_near_dup(self, spark):
+        """With PIL present: a JPEG re-encode of a BMP is a planted
+        near-dup -- the decoded tier hashes it within the banded-join
+        threshold of the native tier's hash of the original, and the
+        BMP itself round-trips bit-identically through PIL."""
+        pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+
+        from etl_on_weather_dataset_spark.operators.multimodal import (
+            image_dhash,
+            image_dhash_decoded,
+        )
+
+        bmp = self._bmp(self._gradient())
+        buf = io.BytesIO()
+        Image.open(io.BytesIO(bmp)).convert("RGB").save(
+            buf, format="JPEG", quality=90
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(bmp)), (2, bytearray(buf.getvalue()))],
+            "doc_id long, payload binary",
+        )
+        native = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+        decoded = {
+            r.doc_id: r.dhash for r in image_dhash_decoded(df).collect()
+        }
+        assert decoded[1] == native[1]  # PIL BMP decode == native parse
+        assert native[2] is None  # JPEG is invisible to the native tier
+        ham = bin(
+            (decoded[2] ^ native[1]) & ((1 << 64) - 1)
+        ).count("1")
+        assert ham <= 8, ham  # the re-encoded clone pairs up
+
 
 class TestJoinAdvisor:
     def test_strategy_flips_with_shape(self, spark):
@@ -6763,3 +6850,139 @@ class TestPackingWasteAudit:
         assert got.bfd_le_shelf_measured == 1
         assert got.bfd_half_full_bound == 1
         assert got.bfd_accounting_ok == 1
+
+
+class TestCharClassMix:
+    """operators.text.char_class_mix: exact class counts on planted
+    strings (the length-subtraction idiom)."""
+
+    def test_planted_classes_and_mixed_rate(self, spark):
+        from etl_on_weather_dataset_spark.operators.text import (
+            char_class_mix,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "s1", "abc 123!"),   # 3 letters, 3 digits, 1 ws, 1 other -> 4 classes
+                (2, "s1", "abcd"),       # letters only -> 1 class
+                (3, "s2", None),         # filtered
+                (4, "s2", "a b"),        # 2 letters, 1 ws -> 2 classes
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {r.source: r for r in char_class_mix(df).collect()}
+        s1 = got["s1"]
+        assert (s1.n_docs, s1.total_chars) == (2, 12)
+        assert (s1.letter_chars, s1.digit_chars) == (7, 3)
+        assert (s1.ws_chars, s1.other_chars) == (1, 1)
+        assert s1.n_mixed_docs == 1  # only "abc 123!" has >= 3 classes
+        assert s1.letter_ppm == 7 * 10**6 // 12
+        assert s1.mixed_doc_ppm == 500_000
+        s2 = got["s2"]
+        assert (s2.n_docs, s2.total_chars, s2.n_mixed_docs) == (1, 3, 0)
+
+    def test_tab_and_newline_count_as_whitespace(self, spark):
+        from etl_on_weather_dataset_spark.operators.text import (
+            char_class_mix,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "s", "a\tb\nc\rd e")],
+            "doc_id long, source string, text string",
+        )
+        [r] = char_class_mix(df).collect()
+        assert r.ws_chars == 4 and r.letter_chars == 5
+        assert r.other_chars == 0
+
+
+class TestWeekdaySeasonality:
+    def test_planted_week_profile(self, spark):
+        """2025-01-05 is a Sunday (Spark dow=1); two Sunday events +
+        one Monday event -> Sunday carries 2/3 of type's traffic,
+        index = 2 * 7e6 // 3."""
+        from etl_on_weather_dataset_spark.operators.timeseries import (
+            weekday_seasonality,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "2025-01-05 01:00:00", "view", 1.5),
+                (2, "2025-01-05 02:00:00", "view", 2.25),
+                (3, "2025-01-06 03:00:00", "view", -0.5),
+                (4, "2025-01-06 03:00:00", "click", 10.0),
+            ],
+            "event_id long, ts string, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r.event_type, r.dow): r
+            for r in weekday_seasonality(df).collect()
+        }
+        sun = got[("view", 1)]
+        assert sun.n_events == 2
+        assert sun.sum_value_micros == 3_750_000
+        assert sun.n_type_events == 3
+        assert sun.seasonality_idx_ppm == 2 * 7_000_000 // 3
+        mon = got[("view", 2)]
+        assert mon.sum_value_micros == -500_000
+        assert mon.seasonality_idx_ppm == 7_000_000 // 3
+        assert got[("click", 2)].seasonality_idx_ppm == 7_000_000
+
+
+class TestEmbeddingDimDrift:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_planted_cohort_split_and_quantization(self, spark):
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            _Q_SCALE,
+            embedding_dim_drift,
+        )
+
+        # cohort a = even ids; dim1 identical across cohorts (zero
+        # drift), dim2 differs by 0.5 (drift 500000 ppm)
+        df = self._df(spark, [
+            (0, [1.0, 0.5]),
+            (2, [1.0, 0.5]),
+            (1, [1.0, 0.0]),
+        ])
+        got = {r.dim: r for r in embedding_dim_drift(df).collect()}
+        d1, d2 = got[1], got[2]
+        assert (d1.n_a, d1.n_b) == (2, 1)
+        assert d1.sum_q_a == 2 * _Q_SCALE and d1.sum_q_b == _Q_SCALE
+        assert d1.mean_a_ppm == d1.mean_b_ppm == 1_000_000
+        assert d1.drift_abs_ppm == 0
+        assert d2.mean_a_ppm == 500_000 and d2.mean_b_ppm == 0
+        assert d2.drift_abs_ppm == 500_000
+        assert d2.ssq_q_a == 2 * (_Q_SCALE // 2) ** 2
+
+    def test_negative_means_sign_split(self, spark):
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            embedding_dim_drift,
+        )
+
+        df = self._df(spark, [(0, [-0.5]), (1, [-0.5])])
+        [r] = embedding_dim_drift(df).collect()
+        assert r.mean_a_ppm == r.mean_b_ppm == -500_000
+        assert r.drift_abs_ppm == 0
+
+    def test_overflow_guard_refuses_loudly(self, spark):
+        """Out-of-range components must fail LOUDLY, never emit a
+        wrapped moment: under this session's ANSI default the q*q
+        aggregate itself raises ARITHMETIC_OVERFLOW; on a non-ANSI
+        cluster (where Spark wraps silently) the (n, max|q|) guard
+        raises instead -- either way the scan refuses."""
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            embedding_dim_drift,
+        )
+
+        # q = 2^31 per row: row-grain q*q = 2^62 fits, the two-row
+        # ssq sum is 2^63 (ANSI raises) and n=2 exceeds the guard
+        # threshold (2^62 div max div max = 1) for the non-ANSI path
+        df = self._df(spark, [(0, [2048.0]), (1, [2048.0])])
+        with pytest.raises(
+            Exception,
+            match="embedding_dim_drift|ARITHMETIC_OVERFLOW",
+        ):
+            embedding_dim_drift(df).collect()

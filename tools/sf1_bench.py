@@ -140,6 +140,17 @@ def main() -> None:
     qs = bench_queries()
     if args.only:
         qs = {n: f for n, f in qs.items() if args.only in n}
+        if not qs:
+            # curvature checks on non-bench registry queries (the
+            # SF1.md discipline covers every super-unit 10x smoke,
+            # bench entry or not)
+            from etl_on_weather_dataset_spark.plans.registry import (
+                all_queries,
+            )
+
+            qs = {
+                n: f for n, f in all_queries().items() if args.only in n
+            }
     print(f"{'query':<32} {'sf0.1':>8} {'sf1':>8} {'ratio':>6}",
           flush=True)
     for name, fn in sorted(qs.items()):
