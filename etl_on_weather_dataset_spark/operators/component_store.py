@@ -17,19 +17,26 @@ store makes each merge O(batch + affected):
   batch's endpoints, (2) pulls only their members, (3) runs the
   batch-grade label propagation on members' stars + new edges, and
   (4) rewrites only the parquet buckets those components (old and
-  new labels) live in -- explicit bucket-directory replace (delete +
-  append; see the in-code note on why dynamic partition overwrite
-  cannot express "this bucket is now empty"); untouched buckets are
-  never read or written. ``_BUCKETS`` trades rewrite granularity
-  against file count -- size it so bucket ~ a rewrite unit your
-  store's object sizes like (16 here; thousands at 100 TB).
+  new labels) live in -- a STAGED write into an underscore-prefixed
+  dir followed by a driver-side bucket-directory swap (see the
+  in-code note on why dynamic partition overwrite cannot express
+  "this bucket is now empty"); untouched buckets are never read or
+  written. ``_BUCKETS`` trades rewrite granularity against file
+  count -- size it so bucket ~ a rewrite unit your store's object
+  sizes like (16 here; thousands at 100 TB).
+
+  (Round-12 note: a supervertex-contracted propagation -- endpoints
+  mapped to stored labels, diameter = merge-chain length -- was
+  implemented, measured 30-50% slower at sf0.1 than the star-graph
+  shape, and rejected; the merge is action-bound, not round-bound.
+  Evidence table in SCALE.md's round-12 section.)
 
 Labels are canonical (component = min reachable id), so the
 incremental result is BIT-EQUAL to the one-shot recompute -- which is
 exactly what the registered scenario attests against the DuckDB
 recursive-CTE oracle over the union of all batches' edges.
 
-Atomicity: the delete+append bucket replace is not transactional
+Atomicity: the staged-write bucket swap is not transactional
 across buckets. Production wraps each merge in the repo's versioned-store
 commit protocol (operators/versioned.py -- write v+1, commit marker,
 readers pin a version) exactly as the rollup store does; the merge
