@@ -1468,6 +1468,120 @@ def ngram_novelty_by_source_sql(
     """
 
 
+# --- windowed skip-gram co-occurrence (round-12) -------------------------------------
+
+def skipgram_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 4,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top unordered word pairs by windowed co-occurrence count --
+    the word2vec/GloVe co-occurrence-matrix build (Mikolov et al.
+    2013; Pennington et al. 2014). pmi_bigrams scores ADJACENT pairs;
+    this counts every pair within ``window`` tokens, which is what an
+    embedding trainer actually consumes: a pair (i, j) with
+    1 <= j - i <= window contributes one raw count and the GloVe
+    distance weight 1/(j-i).
+
+    Pairs are normalized unordered (a = min(w_i, w_j), b = max) so
+    "new york" and "york ... new" accumulate into one cell, matching
+    the symmetric-window convention. Exactness: counts are BIGINTs;
+    the GloVe weight is summed in exact micro-units
+    (``1_000_000 div d``, positive trunc-division -- identical in
+    both engines). Determinism: total order (count DESC, a, b),
+    cut by ``top_k``.
+
+    Scale shape: ONE corpus-grain explode (|tokens| x window pairs)
+    into a map-side-combinable groupBy(a, b) count -- the same single
+    data-grain shuffle as pmi_bigrams, just window-x wider; no
+    self-join builds the pairs (the naive positional self-join
+    shuffles the corpus twice and is strictly worse). The top-k runs
+    as orderBy().limit() (TakeOrderedAndProject) on the
+    min_count-filtered pair relation -- no global sort materializes.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # i in 1..n-1, j in i+1..min(i+window, n): stop >= start always,
+    # so F.sequence never flips into its descending mode.
+    pairs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        i + 1, F.least(i + F.lit(window), n)
+                    ),
+                    lambda j: F.struct(
+                        F.least(
+                            F.element_at(toks, i),
+                            F.element_at(toks, j),
+                        ).alias("a"),
+                        F.greatest(
+                            F.element_at(toks, i),
+                            F.element_at(toks, j),
+                        ).alias("b"),
+                        (j - i).alias("d"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b", "p.d")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cooc"),
+            F.sum(F.expr(f"{PPM} div d"))
+            .cast("long").alias("glove_w_micro"),
+        )
+        .filter(F.col("n_cooc") >= min_count)
+        .orderBy(F.col("n_cooc").desc(), "a", "b")
+        .limit(top_k)
+    )
+
+
+def skipgram_cooccurrence_sql(
+    table: str,
+    text_col: str = "text",
+    window: int = 4,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`skipgram_cooccurrence` (same unordered
+    normalization, same micro-unit GloVe weight, same tiebreak).
+    DuckDB ``range(lo, hi)`` is hi-exclusive and empty when
+    hi <= lo, so the j-range mirrors Spark's inclusive sequence."""
+    return f"""
+        WITH t AS (
+            SELECT regexp_split_to_array({text_col}, ' +') AS toks
+            FROM {table}
+        ), p AS (
+            SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                flatten(list_transform(range(1, len(toks)),
+                    i -> list_transform(
+                        range(i + 1,
+                              least(i + {window}, len(toks)) + 1),
+                        j -> {{'a': least(toks[i], toks[j]),
+                               'b': greatest(toks[i], toks[j]),
+                               'd': j - i}})))
+            ELSE [] END) AS u
+            FROM t
+        )
+        SELECT u.a AS a, u.b AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_cooc,
+               CAST(SUM({PPM} // u.d) AS BIGINT) AS glove_w_micro
+        FROM p
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_count}
+        ORDER BY n_cooc DESC, a, b
+        LIMIT {top_k}
+    """
+
+
 # --- per-source unigram entropy ------------------------------------------------------
 
 def unigram_entropy_by_source(

@@ -32,7 +32,7 @@ same completion times.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -964,4 +964,135 @@ def time_to_convert_sql(
                    AS mean_seconds,
                {qnames}
         FROM base CROSS JOIN agg
+    """
+
+
+# --- RFM segmentation (round-12) ----------------------------------------------------
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """Recency/Frequency/Monetary quintile segmentation -- the
+    classic customer-base partition (Hughes 1994) every retention /
+    re-engagement pipeline starts from, and the label a curation
+    pipeline joins back to weight a customer's interaction data.
+
+    Per customer: recency_days (last order to the table's anchor =
+    global max order date), frequency (order count), monetary in
+    exact fixed-point units (``FLOOR(x * scale + 0.5)`` per order --
+    the benford_digit_audit snap). Each metric is cut into
+    ``n_tiles`` quantile tiles with NTILE over a fully tie-broken
+    order (metric, then customer key -- both engines implement
+    SQL-standard NTILE: earlier buckets take the remainder rows), so
+    tile 1 is always the best tile: most recent / most frequent /
+    highest spend. Output: one row per occupied (r, f, m) cell with
+    customer count and exact total / trunc-div mean monetary units.
+
+    Scale shape: the per-customer rollup is one map-side-combinable
+    groupBy over the fact table; the three NTILE windows then run on
+    the CUSTOMER-grain relation (dimension-sized -- |customers|, not
+    |orders|), and the final cell aggregate shuffles <= n_tiles^3
+    rows. The windows are global single-sort by construction
+    (quantile tiles need global position); at petabyte customer
+    counts the same cuts come from approx percentile bounds instead
+    -- that variant is approx_percentile_bound's territory. BIGINT
+    headroom: cell sums of money-scale fixed-point units reach 2^63
+    only past ~9e16 currency units per cell, orders of magnitude
+    above a 100 TB TPC-H total (and ANSI mode raises, never wraps).
+    """
+    units = F.floor(
+        F.col(amount_col).cast("double") * scale + F.lit(0.5)
+    ).cast("long")
+    anchor = orders.agg(
+        F.max(F.to_date(date_col)).alias("anchor_date")
+    )
+    per_cust = (
+        orders.groupBy(F.col(cust_col).alias("cust"))
+        .agg(
+            F.max(F.to_date(date_col)).alias("last_date"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(units).cast("long").alias("monetary_units"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "cust",
+            F.datediff("anchor_date", "last_date")
+            .cast("long").alias("recency_days"),
+            "frequency", "monetary_units",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("cust"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("cust"))
+    m_w = Window.orderBy(
+        F.col("monetary_units").desc(), F.col("cust")
+    )
+    tiled = per_cust.select(
+        "cust", "monetary_units",
+        F.ntile(n_tiles).over(r_w).alias("r_tile"),
+        F.ntile(n_tiles).over(f_w).alias("f_tile"),
+        F.ntile(n_tiles).over(m_w).alias("m_tile"),
+    )
+    return (
+        tiled.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_units").cast("long")
+            .alias("total_units"),
+        )
+        .select(
+            "r_tile", "f_tile", "m_tile", "n_customers",
+            "total_units",
+            F.expr("total_units div n_customers")
+            .cast("long").alias("mean_units"),
+        )
+    )
+
+
+def rfm_segments_sql(
+    table: str,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin of :func:`rfm_segments` (same fixed-point snap,
+    same anchor, same tie-broken NTILE cuts, same trunc-div mean --
+    total_units is non-negative here, so ``//`` == ``div``)."""
+    return f"""
+        WITH per_cust AS (
+            SELECT {cust_col} AS cust,
+                   MAX(CAST({date_col} AS DATE)) AS last_date,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(FLOOR(
+                       CAST({amount_col} AS DOUBLE) * {scale} + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS monetary_units
+            FROM {table}
+            GROUP BY 1
+        ), anchor AS (
+            SELECT MAX(CAST({date_col} AS DATE)) AS anchor_date
+            FROM {table}
+        ), tiled AS (
+            SELECT cust, monetary_units,
+                   NTILE({n_tiles}) OVER (ORDER BY
+                       date_diff('day', last_date, anchor_date) ASC,
+                       cust) AS r_tile,
+                   NTILE({n_tiles}) OVER (ORDER BY
+                       frequency DESC, cust) AS f_tile,
+                   NTILE({n_tiles}) OVER (ORDER BY
+                       monetary_units DESC, cust) AS m_tile
+            FROM per_cust, anchor
+        )
+        SELECT r_tile, f_tile, m_tile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(monetary_units) AS BIGINT) AS total_units,
+               CAST(SUM(monetary_units) // COUNT(*) AS BIGINT)
+                   AS mean_units
+        FROM tiled
+        GROUP BY 1, 2, 3
     """

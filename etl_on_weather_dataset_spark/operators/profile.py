@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+PPM = 1_000_000
+
 
 def profile(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
     """Profile every column of supported type; one output row each.
@@ -387,3 +389,126 @@ def fd_audit_sql(
                             FROM {table} GROUP BY {cols}, {rhs})
                       GROUP BY {cols})""")
     return " UNION ALL ".join(parts)
+
+
+# --- Benford first-digit audit (round-12) ---------------------------------------
+
+# log10(1 + 1/d) in exact ppm, d = 1..9 -- pinned integer literals in
+# BOTH engines (no float log at query time, no rounding-boundary
+# divergence). They sum to 1_000_000.
+BENFORD_PPM: dict[int, int] = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_digit_audit(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """First-significant-digit distribution of a positive money/metric
+    column vs Benford's law -- the classic forensic data-quality
+    screen (Nigrini 2012): fabricated, capped, or unit-mangled
+    numeric feeds bend the leading-digit curve long before any range
+    check fires.
+
+    The leading digit is scale-invariant under the fixed-point
+    ``scale`` factor (x -> 100x moves the decimal point, never the
+    leading digit), so the value is first snapped to exact integer
+    units via ``FLOOR(x * scale + 0.5)`` -- one identical IEEE
+    expression in both engines (no engine-specific double-to-string
+    formatting, no ROUND half-mode divergence) -- and the digit is
+    read off the BIGINT's decimal text. Null values and values that
+    snap below one fixed-point unit are excluded (Benford applies to
+    positive magnitudes; a sub-unit value has no leading digit at
+    this scale), so every counted value lands on a digit 1..9 and
+    observed_ppm sums to 1e6 minus trunc residue.
+
+    Output: one row per digit 1..9 (always all nine -- the expected
+    relation left-joins the observed counts) with n_values,
+    observed_ppm (exact trunc-div of positive operands),
+    expected_ppm (pinned literals above), delta_ppm (signed). The
+    max |delta_ppm| row is the headline a fraud/ingest dashboard
+    alerts on.
+
+    Scale shape: one map-side-combinable groupBy over <= 9 observed
+    digits; the 9-row expected relation joins broadcast-side. Nothing
+    here shuffles more than 9 rows past the partial aggregate.
+    """
+    spark = df.sparkSession
+    units = F.floor(
+        F.col(value_col).cast("double") * scale + F.lit(0.5)
+    ).cast("long")
+    observed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(units.alias("units"))
+        .filter(F.col("units") >= 1)
+        .select(
+            F.substring(F.col("units").cast("string"), 1, 1)
+            .cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    )
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_PPM.items()],
+        "digit int, expected_ppm long",
+    )
+    total = observed.agg(
+        F.sum("n_values").cast("long").alias("n_total")
+    )
+    return (
+        expected.join(observed, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_values", F.lit(0))
+            .cast("long").alias("n_values"),
+            F.expr(
+                "CAST(coalesce(n_values, 0) * 1000000 div n_total"
+                " AS BIGINT)"
+            ).alias("observed_ppm"),
+            "expected_ppm",
+            (
+                F.expr(
+                    "coalesce(n_values, 0) * 1000000 div n_total"
+                ) - F.col("expected_ppm")
+            ).cast("long").alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_digit_audit_sql(
+    table: str, value_col: str, scale: int = 100
+) -> str:
+    """DuckDB twin of :func:`benford_digit_audit` (same FLOOR
+    fixed-point snap, same pinned expected-ppm literals, same
+    trunc-division on positive operands)."""
+    expected = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({p} AS BIGINT) AS expected_ppm"
+        for d, p in BENFORD_PPM.items()
+    )
+    return f"""
+        WITH observed AS (
+            SELECT CAST(substr(CAST(units AS VARCHAR), 1, 1)
+                        AS INTEGER) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_values
+            FROM (
+                SELECT CAST(FLOOR(
+                    CAST({value_col} AS DOUBLE) * {scale} + 0.5
+                ) AS BIGINT) AS units
+                FROM {table} WHERE {value_col} IS NOT NULL
+            ) WHERE units >= 1
+            GROUP BY 1
+        ), expected AS ({expected}),
+        tot AS (SELECT SUM(n_values) AS n_total FROM observed)
+        SELECT e.digit,
+               CAST(COALESCE(o.n_values, 0) AS BIGINT) AS n_values,
+               CAST(COALESCE(o.n_values, 0) * {PPM} // n_total
+                    AS BIGINT) AS observed_ppm,
+               e.expected_ppm,
+               CAST(COALESCE(o.n_values, 0) * {PPM} // n_total
+                    - e.expected_ppm AS BIGINT) AS delta_ppm
+        FROM expected e LEFT JOIN observed o USING (digit), tot
+        ORDER BY e.digit
+    """

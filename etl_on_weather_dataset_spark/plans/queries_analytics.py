@@ -2919,3 +2919,33 @@ register(QuerySpec(
     covers=("dow-seasonality-baseline", "traffic-anomaly-baseline",
             "exact-micros-rollup"),
 ))
+
+
+# --- Benford first-digit audit (round-12) --------------------------------------
+#
+# Forensic data-quality screen on the money column: leading-digit
+# distribution vs Benford's law in exact ppm (pinned expected
+# literals, fixed-point FLOOR snap -- operators/profile.py
+# benford_digit_audit). Fabricated or unit-mangled feeds bend this
+# curve before any range check fires.
+
+def _benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import benford_digit_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_digit_audit(orders, "o_totalprice")
+
+
+def _benford_orders_oracle() -> str:
+    from ..operators.profile import benford_digit_audit_sql
+
+    return benford_digit_audit_sql("orders", "o_totalprice")
+
+
+register(QuerySpec(
+    name="benford_digit_audit",
+    spark_fn=_benford_orders,
+    oracle=_benford_orders_oracle,
+    covers=("benford-first-digit", "forensic-data-quality",
+            "anomaly-screen"),
+))

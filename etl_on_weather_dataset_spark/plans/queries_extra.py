@@ -2133,3 +2133,32 @@ register(QuerySpec(
     covers=("time-to-convert", "funnel-latency",
             "order-statistic-quantiles"),
 ))
+
+
+# --- RFM segmentation (round-12) -----------------------------------------------
+#
+# The classic recency/frequency/monetary customer partition
+# (operators/funnel.py rfm_segments): per-customer rollup at fact
+# grain, tie-broken NTILE quintiles at customer grain, <= 125-cell
+# output with exact fixed-point money totals.
+
+def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_segments(orders)
+
+
+def _rfm_oracle() -> str:
+    from ..operators.funnel import rfm_segments_sql
+
+    return rfm_segments_sql("orders")
+
+
+register(QuerySpec(
+    name="rfm_segmentation",
+    spark_fn=_rfm,
+    oracle=_rfm_oracle,
+    covers=("rfm-quintiles", "customer-segmentation",
+            "ntile-tie-broken"),
+))

@@ -1238,3 +1238,37 @@ register(QuerySpec(
     covers=("char-class-composition", "script-mix-audit",
             "spam-obfuscation-signal"),
 ))
+
+
+# --- windowed skip-gram co-occurrence (round-12) ------------------------------
+#
+# pmi_bigram_phrases scores ADJACENT pairs; this builds the
+# symmetric-window co-occurrence cells an embedding trainer
+# (word2vec/GloVe) actually consumes: every unordered pair within 4
+# tokens, with exact counts and micro-unit GloVe 1/d weights
+# (operators/corpus.py skipgram_cooccurrence).
+
+def _skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import skipgram_cooccurrence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return skipgram_cooccurrence(
+        docs, window=4, min_count=5, top_k=50
+    )
+
+
+def _skipgram_cooc_oracle() -> str:
+    from ..operators.corpus import skipgram_cooccurrence_sql
+
+    return skipgram_cooccurrence_sql(
+        "documents", window=4, min_count=5, top_k=50
+    )
+
+
+register(QuerySpec(
+    name="skipgram_cooccurrence_topk",
+    spark_fn=_skipgram_cooc,
+    oracle=_skipgram_cooc_oracle,
+    covers=("skipgram-cooccurrence", "glove-matrix-build",
+            "embedding-training-prep"),
+))

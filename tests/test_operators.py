@@ -6986,3 +6986,174 @@ class TestEmbeddingDimDrift:
             match="embedding_dim_drift|ARITHMETIC_OVERFLOW",
         ):
             embedding_dim_drift(df).collect()
+
+
+class TestSkipgramCooccurrence:
+    """operators.corpus.skipgram_cooccurrence: planted windowed
+    pairs, unordered normalization, exact GloVe micro-weights."""
+
+    def _run(self, spark, texts, **kw):
+        from etl_on_weather_dataset_spark.operators.corpus import (
+            skipgram_cooccurrence,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return skipgram_cooccurrence(df, **kw).collect()
+
+    def test_planted_window_and_weights(self, spark):
+        # "a b c a", window=2: pairs (a,b,d1) (a,c,d2) (b,c,d1)
+        # (b,a,d2)->(a,b) (c,a,d1)->(a,c)
+        rows = self._run(
+            spark, ["a b c a"], window=2, min_count=1, top_k=10
+        )
+        got = {(r.a, r.b): r for r in rows}
+        assert got[("a", "b")].n_cooc == 2
+        assert got[("a", "b")].glove_w_micro == 1_000_000 + 500_000
+        assert got[("a", "c")].n_cooc == 2
+        assert got[("a", "c")].glove_w_micro == 1_500_000
+        assert got[("b", "c")].n_cooc == 1
+        assert got[("b", "c")].glove_w_micro == 1_000_000
+
+    def test_topk_total_order_and_min_count(self, spark):
+        rows = self._run(
+            spark, ["a b c a"], window=2, min_count=2, top_k=1
+        )
+        # both count-2 pairs survive min_count; tiebreak (a,b)<(a,c)
+        assert [(r.a, r.b) for r in rows] == [("a", "b")]
+
+    def test_window_one_is_adjacent_bigrams(self, spark):
+        rows = self._run(
+            spark, ["x y z"], window=1, min_count=1, top_k=10
+        )
+        assert sorted((r.a, r.b) for r in rows) == [
+            ("x", "y"), ("y", "z")
+        ]
+
+    def test_short_and_empty_docs_contribute_nothing(self, spark):
+        rows = self._run(
+            spark, ["solo", "", "p q"], window=3, min_count=1,
+            top_k=10,
+        )
+        assert [(r.a, r.b, r.n_cooc) for r in rows] == [
+            ("p", "q", 1)
+        ]
+
+
+class TestBenfordDigitAudit:
+    def _run(self, spark, vals, **kw):
+        from etl_on_weather_dataset_spark.operators.profile import (
+            benford_digit_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "x double"
+        )
+        return benford_digit_audit(df, "x", **kw).collect()
+
+    def test_planted_digits_all_nine_rows(self, spark):
+        # cents: 100, 123, 1999, 250, 99949 -> digits 1,1,1,2,9
+        rows = self._run(
+            spark, [1.00, 1.23, 19.99, 2.50, 999.49, None, -5.0, 0.0]
+        )
+        assert [r.digit for r in rows] == list(range(1, 10))
+        got = {r.digit: r for r in rows}
+        assert got[1].n_values == 3
+        assert got[1].observed_ppm == 3 * 10**6 // 5
+        assert got[1].delta_ppm == 3 * 10**6 // 5 - 301030
+        assert got[2].n_values == 1 and got[9].n_values == 1
+        assert got[3].n_values == 0 and got[3].observed_ppm == 0
+        assert got[3].delta_ppm == -124939
+
+    def test_subunit_values_excluded(self, spark):
+        # 0.004 -> floor(0.9) = 0 units: excluded, not digit-0
+        rows = self._run(spark, [0.004, 5.00])
+        got = {r.digit: r for r in rows}
+        assert got[5].n_values == 1
+        assert got[5].observed_ppm == 10**6
+        assert sum(r.n_values for r in rows) == 1
+
+    def test_expected_ppm_pins_sum_to_million(self, spark):
+        from etl_on_weather_dataset_spark.operators.profile import (
+            BENFORD_PPM,
+        )
+        import math
+
+        assert sum(BENFORD_PPM.values()) == 10**6
+        for d, p in BENFORD_PPM.items():
+            assert p == round(math.log10(1 + 1 / d) * 10**6)
+
+
+class TestRfmSegments:
+    def _orders(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderdate string,"
+            " o_totalprice double",
+        ).withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        )
+
+    def test_planted_quintiles_diagonal(self, spark):
+        """5 customers engineered so customer k is the k-th best on
+        all three axes -> every occupied cell sits on the
+        (k, k, k) diagonal with one customer."""
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            rfm_segments,
+        )
+
+        rows, key = [], 0
+        for k in range(1, 6):  # customer k: recency k-1 days,
+            # 6-k orders of (6-k)*10 dollars each
+            for i in range(6 - k):
+                key += 1
+                rows.append(
+                    (key, k, f"2025-03-{10 - (k - 1):02d} 00:00:00",
+                     (6 - k) * 10.0)
+                )
+        got = sorted(
+            (r.r_tile, r.f_tile, r.m_tile, r.n_customers,
+             r.total_units, r.mean_units)
+            for r in rfm_segments(self._orders(spark, rows)).collect()
+        )
+        assert got == [
+            (k, k, k, 1, (6 - k) * (6 - k) * 1000,
+             (6 - k) * (6 - k) * 1000)
+            for k in range(1, 6)
+        ]
+
+    def test_tie_break_by_customer_key(self, spark):
+        """Two identical customers split deterministically: the
+        smaller custkey takes tile 1 on every axis."""
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            rfm_segments,
+        )
+
+        rows = [
+            (1, 7, "2025-01-01 00:00:00", 50.0),
+            (2, 3, "2025-01-01 00:00:00", 50.0),
+        ]
+        got = sorted(
+            (r.r_tile, r.f_tile, r.m_tile, r.n_customers)
+            for r in rfm_segments(
+                self._orders(spark, rows), n_tiles=2
+            ).collect()
+        )
+        # cust 3 sorts before cust 7 on every tie -> (1,1,1); cust 7
+        # lands (2,2,2)
+        assert got == [(1, 1, 1, 1), (2, 2, 2, 1)]
+
+    def test_fixed_point_snap_is_exact(self, spark):
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            rfm_segments,
+        )
+
+        rows = [(1, 1, "2025-01-01 00:00:00", 10.01),
+                (2, 1, "2025-01-01 00:00:00", 0.99)]
+        [r] = rfm_segments(
+            self._orders(spark, rows), n_tiles=1
+        ).collect()
+        assert r.total_units == 1001 + 99
+        assert r.mean_units == 1100
