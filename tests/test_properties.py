@@ -1252,3 +1252,154 @@ def test_vocab_coverage_matches_python_bigrams(spark, texts):
             assert r.coverage_ppm == covered * 10**6 // total
         else:
             assert r.coverage_ppm is None
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                 min_size=0, max_size=8),
+        min_size=1, max_size=10,
+    ),
+    window=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_skipgram_matches_python_bruteforce(spark, docs, window):
+    """Windowed pair counts and micro-unit GloVe weights equal the
+    brute-force positional enumeration."""
+    from collections import defaultdict
+
+    from etl_on_weather_dataset_spark.operators.corpus import (
+        skipgram_cooccurrence,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): (r.n_cooc, r.glove_w_micro)
+        for r in skipgram_cooccurrence(
+            df, window=window, min_count=1, top_k=1000
+        ).collect()
+    }
+    want_n = defaultdict(int)
+    want_w = defaultdict(int)
+    for toks in docs:
+        # "" splits to [""] in both engines: one token, no pairs --
+        # mirror tokens() exactly
+        toks = toks if toks else [""]
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                key = tuple(sorted((toks[i], toks[j])))
+                want_n[key] += 1
+                want_w[key] += 1_000_000 // (j - i)
+    assert got == {
+        k: (want_n[k], want_w[k]) for k in want_n
+    }
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=5000,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    ),
+)
+@SETTINGS
+def test_benford_counts_match_python_snap(spark, vals):
+    """Digit counts equal Python's identical floor fixed-point snap;
+    all nine rows always present; observed_ppm totals <= 1e6."""
+    import math
+    from collections import Counter
+
+    from etl_on_weather_dataset_spark.operators.profile import (
+        benford_digit_audit,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = benford_digit_audit(df, "x").collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    want = Counter()
+    for v in vals:
+        units = math.floor(v * 100 + 0.5)
+        if units >= 1:
+            want[int(str(units)[0])] += 1
+    got = {r.digit: r.n_values for r in rows}
+    assert got == {d: want.get(d, 0) for d in range(1, 10)}
+    total = sum(want.values())
+    if total:
+        assert sum(r.observed_ppm for r in rows) <= 10**6
+        for r in rows:
+            assert r.observed_ppm == want.get(r.digit, 0) * 10**6 // total
+            assert r.delta_ppm == r.observed_ppm - r.expected_ppm
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),    # custkey
+            st.integers(min_value=0, max_value=20),   # days before anchor
+            st.integers(min_value=1, max_value=9999), # cents
+        ),
+        min_size=1, max_size=30,
+    ),
+    n_tiles=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_rfm_matches_python_ntile(spark, orders, n_tiles):
+    """Cell assignment equals a Python NTILE (SQL-standard remainder-
+    first buckets) over the same tie-broken metric orders."""
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    from etl_on_weather_dataset_spark.operators.funnel import (
+        rfm_segments,
+    )
+
+    anchor = date(2025, 6, 30)
+    rows = [
+        (i, c, str(anchor - timedelta(days=d)) + " 00:00:00",
+         cents / 100.0)
+        for i, (c, d, cents) in enumerate(orders)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate string,"
+        " o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    got = {
+        (r.r_tile, r.f_tile, r.m_tile): (r.n_customers, r.total_units)
+        for r in rfm_segments(df, n_tiles=n_tiles).collect()
+    }
+
+    seen = {}
+    for c, d, cents in orders:
+        if c not in seen:
+            seen[c] = [d, 0, 0]
+        seen[c][0] = min(seen[c][0], d)
+        seen[c][1] += 1
+        seen[c][2] += cents
+    # anchor is the min "days before" across all orders, so recency
+    # re-bases against it
+    base = min(d for _, d, _ in orders)
+
+    def ntile(keys):  # keys pre-sorted; SQL NTILE remainder-first
+        n, out = len(keys), {}
+        lo, sz, rem = 0, n // n_tiles, n % n_tiles
+        for t in range(1, n_tiles + 1):
+            hi = lo + sz + (1 if t <= rem else 0)
+            for k in keys[lo:hi]:
+                out[k] = t
+            lo = hi
+        return out
+
+    custs = sorted(seen)
+    r_t = ntile(sorted(custs, key=lambda c: (seen[c][0] - base, c)))
+    f_t = ntile(sorted(custs, key=lambda c: (-seen[c][1], c)))
+    m_t = ntile(sorted(custs, key=lambda c: (-seen[c][2], c)))
+    want = defaultdict(lambda: [0, 0])
+    for c in custs:
+        cell = (r_t[c], f_t[c], m_t[c])
+        want[cell][0] += 1
+        want[cell][1] += seen[c][2]
+    assert got == {k: tuple(v) for k, v in want.items()}
