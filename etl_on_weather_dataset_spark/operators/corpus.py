@@ -1302,8 +1302,11 @@ def pmi_bigrams(
     # the total and the score join -- without it Catalyst inlines the
     # corpus-grain bigram explode into every branch (the
     # ngram_jaccard_pairs lesson: measured 6x on the same shape)
+    from .skew import ensure_parallel_scan
+
     bi = persisted(
-        df.select(F.explode(pairs).alias("p"))
+        ensure_parallel_scan(df, text_col)
+        .select(F.explode(pairs).alias("p"))
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
@@ -1407,8 +1410,11 @@ def ngram_novelty_by_source(
 
     # persisted: scanned by the per-gram source count AND the join
     # back -- unpersisted, the data-grain explode+distinct runs twice
+    from .skew import ensure_parallel_scan
+
     pairs = persisted(
-        df.select(
+        ensure_parallel_scan(df, text_col)
+        .select(
             F.col(source_col).alias("src"),
             F.explode(_all_shingles(text_col, n)).alias("g"),
         )
@@ -1529,8 +1535,14 @@ def skipgram_cooccurrence(
             )
         ),
     ).otherwise(F.array())
+    from .skew import ensure_parallel_scan
+
+    # under-parallel guard: a single-file corpus scans as one split
+    # and serializes the window-x explode (measured 44s -> ~5s at
+    # sf0.1 on 32 cores); no-op when inputs carry >= cores splits
+    src = ensure_parallel_scan(df, text_col)
     return (
-        df.select(F.explode(pairs).alias("p"))
+        src.select(F.explode(pairs).alias("p"))
         .select("p.a", "p.b", "p.d")
         .groupBy("a", "b")
         .agg(
@@ -1613,8 +1625,11 @@ def unigram_entropy_by_source(
 
     # persisted: the token-count relation feeds the totals AND the
     # join back -- one materialization instead of two explode scans
+    from .skew import ensure_parallel_scan
+
     tok = persisted(
-        df.select(
+        ensure_parallel_scan(df, text_col)
+        .select(
             F.col(source_col).alias("src"),
             F.explode(tokens(text_col)).alias("w"),
         )
@@ -2345,8 +2360,12 @@ def vocab_coverage_topk(
         raise ValueError("vocab_coverage_topk: ngram must be 1 or 2")
     # NULL text diverges between engines (Spark size() = -1, DuckDB
     # len() = NULL) -- drop it here and in the twin.
+    from .skew import ensure_parallel_scan
+
     vocab = (
-        df.filter(F.col(text_col).isNotNull())
+        ensure_parallel_scan(
+            df.filter(F.col(text_col).isNotNull()), text_col
+        )
         .select(F.explode(units).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -798,23 +798,11 @@ def _minhash_shingles(
     # Under-parallel inputs (a small parquet scans as 1-2 splits)
     # serialize the shingle/minhash compute -- the flagship's
     # dominant stage at sf0.1 (round-10 verdict item 4: 9.2s -> 3.7s
-    # measured). Hash-repartition by id BEFORE the heavy per-row
-    # work, only when the backing FILE scan is narrower than the
-    # cluster (at 100 TB inputs carry >> cores splits, so this is a
-    # no-op there; hash, not round-robin, so no determinism sort is
-    # needed). The probe is inputFiles(), a pure file-listing read
-    # -- NOT df.rdd.getNumPartitions(), which under AQE materializes
-    # upstream query stages at plan-construction time. Non-file
-    # inputs (views, memory relations) return [] and skip the
-    # repartition; a derived plan over few files may repartition
-    # redundantly, which costs one small exchange, never a job.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    try:
-        files = docs.inputFiles()
-    except Exception:  # noqa: BLE001 -- probe is best-effort
-        files = []
-    if files and len(files) < par:
-        docs = docs.repartition(par, "id")
+    # measured). Shared guard: operators/skew.py ensure_parallel_scan
+    # (inputFiles probe, hash repartition, no-op at real scale).
+    from .skew import ensure_parallel_scan
+
+    docs = ensure_parallel_scan(docs, "id")
     # NB: shingle the RENAMED "text" column -- docs no longer carries
     # the caller's text_col name (non-default callers would otherwise
     # hit an unresolved-column AnalysisException)

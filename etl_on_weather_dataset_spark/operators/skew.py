@@ -92,3 +92,34 @@ def salted_join_small(
         F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),
     )
     return big_s.join(small_s, on=[on, SALT_COL]).drop(SALT_COL)
+
+
+def ensure_parallel_scan(df: DataFrame, *hash_cols: str) -> DataFrame:
+    """Hash-repartition ``df`` to the cluster's default parallelism
+    when its backing FILE scan has fewer splits than cores -- the
+    under-parallel-input guard in front of heavy per-row compute
+    (shingling, n-gram explodes, codec decodes).
+
+    A small parquet (one sub-128MB file) scans as a single split, and
+    a corpus-grain explode downstream then runs on ONE task however
+    many cores exist -- the round-11 flagship's dominant stage
+    (SCALE.md: 9.2s -> 3.7s measured on the minhash shingle path).
+    At 100 TB inputs carry >> cores splits and this is a no-op.
+
+    The probe is ``inputFiles()`` -- a pure file-listing metadata
+    read. NEVER ``df.rdd.getNumPartitions()``, which under AQE
+    materializes upstream query stages at plan-construction time.
+    Non-file inputs (views, memory relations) return [] and skip the
+    repartition; a derived plan over few files may repartition
+    redundantly, which costs one small exchange, never a job. Hash
+    (not round-robin) partitioning, so no determinism sort is needed
+    under task retry.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 -- probe is best-effort
+        files = []
+    if files and len(files) < par:
+        return df.repartition(par, *[F.col(c) for c in hash_cols])
+    return df

@@ -7157,3 +7157,41 @@ class TestRfmSegments:
         ).collect()
         assert r.total_units == 1001 + 99
         assert r.mean_units == 1100
+
+
+class TestEnsureParallelScan:
+    """operators.skew.ensure_parallel_scan: the under-parallel input
+    guard in front of heavy per-row compute."""
+
+    def test_single_file_scan_widens_to_default_parallelism(
+        self, spark, tmp_path
+    ):
+        from etl_on_weather_dataset_spark.operators.skew import (
+            ensure_parallel_scan,
+        )
+
+        p = str(tmp_path / "one")
+        spark.range(100).selectExpr(
+            "id", "CAST(id AS STRING) AS text"
+        ).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        assert len(df.inputFiles()) == 1
+        out = ensure_parallel_scan(df, "text")
+        # the repartition is in the plan (pre-AQE; AQE may coalesce
+        # the tiny exchange at runtime, which is the right behavior
+        # at this size and irrelevant at real scale)
+        assert "repartition" in out._jdf.queryExecution().logical() \
+            .toString().lower()
+        # values survive untouched
+        assert out.count() == 100
+
+    def test_non_file_input_is_left_alone(self, spark):
+        from etl_on_weather_dataset_spark.operators.skew import (
+            ensure_parallel_scan,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a")], "id long, text string"
+        )
+        out = ensure_parallel_scan(df, "text")
+        assert out is df  # no files -> probe skips, same plan object
