@@ -1235,3 +1235,56 @@ def stream_oov_monitor(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_rollup(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Merging event-time session windows, batch AND streaming form
+    -- Spark's ``session_window`` runs identically under
+    ``read`` and ``readStream``, so the same call is both the
+    registered batch query's shape (plans/queries_pipeline.py
+    session_window_rollup) and the live sessionizer (round-12: the
+    streaming surface previously had tumbling/hopping but no
+    merging-session operator).
+
+    Streaming semantics: sessions for a key merge while events keep
+    arriving within ``gap``; the watermark finalizes a session once
+    event time passes (session end + delay), at which point the ONE
+    append row emits -- state per key is the set of still-open
+    sessions, bounded by the watermark (the sketch-state
+    discipline). Output modes: append (used here) or update;
+    complete is not supported for session aggregations, which is why
+    the parity test drives the watermark past every real session
+    with a far-future sentinel wave and compares the appended rows
+    against the batch recompute (bit-equal -- counts are BIGINTs and
+    total_value is the exact fixed-point sum).
+
+    Scale shape: ONE shuffle on the key; session merge happens
+    inside the aggregation operator (no self-join, no lag window).
+    At 100 TB of events the state store holds open sessions only --
+    the gap bounds how long a key's state lives.
+    """
+    from ..functions.exact import exact_sum
+
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(key_col, F.session_window(ts_col, gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(value_col).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1467,3 +1467,88 @@ def test_stream_oov_monitor_exact_under_any_order(spark, tmp_path):
     # oov_ppm on the latest rows is the exact trunc-div rate
     for r in latest.values():
         assert r.oov_ppm == (r.total - r.covered) * 10**6 // r.total
+
+
+def test_stream_session_rollup_equals_batch(spark, tmp_path):
+    """Native merging session windows on a stream: append-mode rows
+    (flushed by a far-future sentinel wave that drives the watermark
+    past every real session) are BIT-equal to the batch
+    session_rollup over the concatenated real waves -- including a
+    session that MERGES across micro-batch boundaries."""
+    import datetime as dt
+
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        session_rollup,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def ev(i, minutes, user, value):
+        return (i, base + dt.timedelta(minutes=minutes), user, value)
+
+    # Waves are time-ordered ACROSS users (each wave's min event
+    # time >= the prior wave's max): the watermark from wave N must
+    # not mark wave N+1's rows late, or the stream legitimately
+    # drops what the batch recompute counts. user 1: one session
+    # spanning wave0/wave1 (gap 30m; 25m apart), then a separate
+    # session 2h later; user 2: three single-event sessions
+    waves = [
+        [ev(1, 0, 1, 1.25), ev(2, 10, 1, 2.0), ev(3, 0, 2, 5.0)],
+        [ev(4, 35, 1, 0.5), ev(5, 40, 2, -1.0)],
+        [ev(6, 180, 1, 4.0), ev(7, 185, 1, 0.25), ev(8, 240, 2, 7.5)],
+    ]
+    land = tmp_path / "land"
+    land.mkdir()
+    for w, rows in enumerate(waves):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(land / f"wave{w}")
+        )
+    # two sentinel waves: the first's arrival advances max event time,
+    # the second's TRIGGER then runs with a watermark past every real
+    # session end (watermark is computed from PRIOR batches), flushing
+    # the appends; the sentinel user is excluded from the comparison
+    far = 100 * 24 * 60
+    for w, rows in enumerate(
+        [[ev(900, far, -1, 0.0)], [ev(901, far + 120, -1, 0.0)]]
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(land / f"sentinel{w}")
+        )
+
+    real = spark.createDataFrame(
+        [e for w in waves for e in w], schema
+    )
+    batch = {
+        (r.user_id, r.session_start, r.session_end):
+            (r.n_events, r.total_value)
+        for r in session_rollup(real).collect()
+    }
+    # the cross-wave merge actually exists in the planted data
+    assert (1, base, base + dt.timedelta(minutes=65)) in batch
+    assert batch[(1, base, base + dt.timedelta(minutes=65))] == (3, 3.75)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(land) + "/*")
+    )
+    q = (
+        session_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end):
+            (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT * FROM t_sessions WHERE user_id >= 0"
+        ).collect()
+    }
+    assert streamed == batch
