@@ -1288,3 +1288,50 @@ def session_rollup(
             "total_value",
         )
     )
+
+
+def stream_digit_monitor(
+    df: DataFrame,
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming Benford first-digit monitor: continuously tracks the
+    leading-digit counts of an arriving money/metric column -- the
+    live twin of ``operators/profile.py::benford_digit_audit`` (that
+    one screens a table at rest; this one watches an ingest feed,
+    where a bent digit curve flags a fabricated or unit-mangled
+    upstream long before range checks fire).
+
+    The digit derivation is the audit's exact fixed-point snap
+    (``FLOOR(x * scale + 0.5)``, sub-unit and null values excluded),
+    then a NATIVE streaming aggregation: ``groupBy(digit).count()``
+    in update mode -- no custom state function, because per-digit
+    counting IS Spark's built-in streaming-agg state (<= 9 groups,
+    one BIGINT each; the engine's own state store does the
+    mergeable-summaries work). Counting is commutative and
+    associative, so the running counts equal the batch recount of
+    the full history under ANY arrival order -- the same
+    unconditional guarantee as stream_oov_monitor, with none of the
+    custom-state machinery.
+
+    A reader takes the latest row per digit (update mode re-emits a
+    digit's cumulative count whenever a batch touches it) and feeds
+    the audit's expected-ppm table for the deviation readout.
+
+    Scale shape: map-side partial counts -> <= 9 groups shuffled;
+    state is <= 9 BIGINTs total, forever.
+    """
+    units = F.floor(
+        F.col(value_col).cast("double") * scale + F.lit(0.5)
+    ).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(units.alias("units"))
+        .filter(F.col("units") >= 1)
+        .select(
+            F.substring(F.col("units").cast("string"), 1, 1)
+            .cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    )

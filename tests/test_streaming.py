@@ -1552,3 +1552,69 @@ def test_stream_session_rollup_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_digit_monitor_equals_batch_any_order(spark, tmp_path):
+    """Benford digit counts on a stream: latest row per digit after
+    draining equals the batch audit's counts -- and because counting
+    is commutative, the waves are fed NEWEST-FIRST to prove the
+    guarantee is order-independent (no event-time contract)."""
+    from etl_on_weather_dataset_spark.operators.profile import (
+        benford_digit_audit,
+    )
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        stream_digit_monitor,
+    )
+
+    schema = "event_id long, value double"
+    waves = [
+        [(1, 1.00), (2, 19.99), (3, 0.004)],   # digits 1, 1 (0.004 excluded)
+        [(4, 2.50), (5, 999.49), (6, None)],   # digits 2, 9
+        [(7, 1.23), (8, 5.00), (9, -3.0)],     # digits 1, 5 (-3 excluded)
+    ]
+    land = tmp_path / "land"
+    land.mkdir()
+    # newest wave lands FIRST: arrival order is the reverse of id
+    # order, and the totals must not care
+    for w, rows in enumerate(reversed(waves)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(land / f"wave{w}")
+        )
+
+    all_rows = spark.createDataFrame(
+        [r for wv in waves for r in wv], schema
+    )
+    batch = {
+        r.digit: r.n_values
+        for r in benford_digit_audit(all_rows, "value").collect()
+        if r.n_values > 0
+    }
+    assert batch == {1: 3, 2: 1, 5: 1, 9: 1}
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(land) + "/*")
+    )
+    q = (
+        stream_digit_monitor(stream, "value")
+        .writeStream.format("memory")
+        .queryName("t_digits")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM t_digits").collect()
+    latest = {}
+    for r in emitted:  # update mode: max cumulative count per digit
+        if r.digit not in latest or r.n_values > latest[r.digit]:
+            latest[r.digit] = r.n_values
+    assert latest == batch
+    # per-digit cumulative counts are strictly increasing in
+    # emission order (memory sink appends in batch-commit order)
+    for d in latest:
+        seq = [r.n_values for r in emitted if r.digit == d]
+        assert seq and all(a < b for a, b in zip(seq, seq[1:]))
