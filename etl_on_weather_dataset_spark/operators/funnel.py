@@ -1096,3 +1096,176 @@ def rfm_segments_sql(
         FROM tiled
         GROUP BY 1, 2, 3
     """
+
+
+# --- discrete-time survival: KM hazard table (round-12) ------------------------------
+
+def km_hazard_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    from_event: str = "view",
+    to_event: str = "purchase",
+) -> DataFrame:
+    """Discrete-time Kaplan-Meier hazard table for first-view ->
+    first-purchase conversion -- the survival-analysis reading of the
+    funnel (Kaplan & Meier 1958): time_to_convert reports quantiles
+    over CONVERTERS only; this table carries the right-censored mass
+    (users who had not converted by the observation horizon), which
+    is what makes retention/conversion curves honest.
+
+    Per user with >= 1 ``from_event``: birth = first view; converters
+    get an event at day T = (first at-or-after purchase - birth)
+    (exact micros, trunc-div to whole days -- time_to_convert's
+    at-or-after rule); everyone else is censored at day
+    C = (horizon - birth), horizon = the table's max timestamp. A
+    user who converts on their censor day counts as an event
+    (standard events-before-censoring tie rule). Output one row per
+    occupied day: n_at_risk (users with T or C >= day, by the
+    top-down cumulative identity n_t = N - cum(d_s + c_s | s < t)),
+    n_events, n_censored, hazard_ppm = n_events * 1e6 div n_at_risk
+    (positive operands; n_at_risk >= n_events + n_censored >= 1 on
+    every emitted row, so the division never sees zero). The KM
+    survival curve is the running product of (1 - hazard); the table
+    ships the exact integer ingredients rather than a float product
+    (engine-portable; a reader folds it in one pass over |days|).
+
+    Scale shape: ONE map-combinable per-user aggregate over the fact
+    table (first view, first qualifying purchase), one broadcast of
+    the 1-row horizon, a |users|-row day bucketing, a |days|-row
+    count, and the cumulative window over |days| (bounded by the
+    calendar, not the data). Nothing row-grain survives the first
+    aggregate.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_user = (
+        events.groupBy(F.col(key_col).alias("k"))
+        .agg(
+            F.min(
+                F.when(F.col(event_col) == from_event, us)
+            ).alias("v_us"),
+        )
+        .filter(F.col("v_us").isNotNull())
+    )
+    # first purchase AT-OR-AFTER the first view (a purchase before
+    # any view does not qualify -- time_to_convert's rule), via a
+    # conditional min over the per-user-joined fact rows
+    horizon = events.agg(F.max(us).alias("h_us"))
+    qual = (
+        events.select(
+            F.col(key_col).alias("k"), us.alias("e_us"),
+            F.col(event_col).alias("ev"),
+        )
+        .join(per_user.select("k", "v_us"), "k")
+        .filter(
+            (F.col("ev") == to_event) & (F.col("e_us") >= F.col("v_us"))
+        )
+        .groupBy("k")
+        .agg(F.min("e_us").alias("p_us"))
+    )
+    DAY_US = 86_400_000_000
+    rows = (
+        per_user.join(qual, "k", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_us").isNotNull(),
+                F.expr(f"(p_us - v_us) div {DAY_US}"),
+            ).otherwise(
+                F.expr(f"(h_us - v_us) div {DAY_US}"),
+            ).cast("long").alias("day"),
+            F.col("p_us").isNotNull().alias("is_event"),
+        )
+    )
+    per_day = rows.groupBy("day").agg(
+        F.sum(F.col("is_event").cast("long")).cast("long")
+        .alias("n_events"),
+        F.sum((~F.col("is_event")).cast("long")).cast("long")
+        .alias("n_censored"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_day.withColumn(
+            "n_at_risk",
+            (
+                F.sum(F.col("n_events") + F.col("n_censored")).over(total)
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(w),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .select(
+            "day", "n_at_risk", "n_events", "n_censored",
+            F.expr("n_events * 1000000 div n_at_risk")
+            .cast("long").alias("hazard_ppm"),
+        )
+    )
+
+
+def km_hazard_daily_sql(
+    table: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    from_event: str = "view",
+    to_event: str = "purchase",
+) -> str:
+    """DuckDB twin of :func:`km_hazard_daily` (epoch_us parity, same
+    at-or-after rule, same censoring, same cumulative risk set)."""
+    return f"""
+        WITH per_user AS (
+            SELECT {key_col} AS k,
+                   MIN(CASE WHEN {event_col} = '{from_event}'
+                       THEN epoch_us({ts_col}) END) AS v_us
+            FROM {table}
+            GROUP BY 1
+            HAVING MIN(CASE WHEN {event_col} = '{from_event}'
+                       THEN epoch_us({ts_col}) END) IS NOT NULL
+        ), horizon AS (
+            SELECT MAX(epoch_us({ts_col})) AS h_us FROM {table}
+        ), qual AS (
+            SELECT e.{key_col} AS k,
+                   MIN(epoch_us(e.{ts_col})) AS p_us
+            FROM {table} e JOIN per_user u ON e.{key_col} = u.k
+            WHERE e.{event_col} = '{to_event}'
+              AND epoch_us(e.{ts_col}) >= u.v_us
+            GROUP BY 1
+        ), rows_ AS (
+            SELECT CASE WHEN q.p_us IS NOT NULL
+                        THEN (q.p_us - u.v_us) // 86400000000
+                        ELSE (h.h_us - u.v_us) // 86400000000
+                   END AS day,
+                   q.p_us IS NOT NULL AS is_event
+            FROM per_user u LEFT JOIN qual q USING (k), horizon h
+        ), per_day AS (
+            SELECT day,
+                   CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_censored
+            FROM rows_ GROUP BY 1
+        )
+        SELECT day,
+               CAST(SUM(n_events + n_censored) OVER ()
+                    - COALESCE(SUM(n_events + n_censored) OVER (
+                          ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk,
+               n_events, n_censored,
+               CAST(n_events * 1000000 // (
+                    SUM(n_events + n_censored) OVER ()
+                    - COALESCE(SUM(n_events + n_censored) OVER (
+                          ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0))
+                    AS BIGINT) AS hazard_ppm
+        FROM per_day
+    """

@@ -2162,3 +2162,34 @@ register(QuerySpec(
     covers=("rfm-quintiles", "customer-segmentation",
             "ntile-tie-broken"),
 ))
+
+
+# --- discrete-time survival (round-12) -----------------------------------------
+#
+# The survival-analysis reading of the conversion funnel
+# (operators/funnel.py km_hazard_daily): time_to_convert_quantiles
+# reports converter latency; this carries the right-censored mass --
+# per occupied day, the exact (n_at_risk, n_events, n_censored)
+# triple and the discrete hazard in ppm. The KM curve folds from
+# these integers in one |days| pass.
+
+def _km_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import km_hazard_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return km_hazard_daily(ev)
+
+
+def _km_hazard_oracle() -> str:
+    from ..operators.funnel import km_hazard_daily_sql
+
+    return km_hazard_daily_sql("events")
+
+
+register(QuerySpec(
+    name="km_hazard_daily",
+    spark_fn=_km_hazard,
+    oracle=_km_hazard_oracle,
+    covers=("kaplan-meier-hazard", "right-censoring",
+            "survival-analysis"),
+))

@@ -173,14 +173,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     (curation_pipeline_stats, cosine_topk_ivf_pq,
 #     semdedup_embeddings, dedup_connected_groups, bm25_topk_docs).
 #     Tail slots are ceded to round-12-new queries as they register
-#     (six: weekday_seasonality_events, char_class_mix_by_source,
+#     (seven: weekday_seasonality_events, char_class_mix_by_source,
 #     embedding_dim_drift, skipgram_cooccurrence_topk,
-#     benford_digit_audit, rfm_segmentation); the r4 remainder
-#     (cms_token_frequencies, weighted_sample_docs,
-#     dsir_weighted_selection, dup_span_removal, plus the three
-#     tail cedes per_source_document_cap, importance_resample_dsir,
-#     corpus_mixture_sample) leads the r13 refresh, after which no
-#     query is older than r5-attested.
+#     benford_digit_audit, rfm_segmentation, km_hazard_daily); the
+#     r4 remainder (cms_token_frequencies, weighted_sample_docs,
+#     dsir_weighted_selection, dup_span_removal, plus the four tail
+#     cedes per_source_document_cap, importance_resample_dsir,
+#     corpus_mixture_sample, boilerplate_line_removal) leads the r13
+#     refresh, after which no query is older than r5-attested.
 # The 21 slots that never rotate are the flagships and one query per
 # operator family (TPC-H headliners, the four dedup tiers, ANN, text,
 # multimodal, sessionization, MERGE, as-of) -- the queries a user
@@ -201,7 +201,7 @@ ROTATE_IN: frozenset[str] = frozenset({
     "ivf_recall_probes", "cosine_topk_ivf_pq", "ivf_pq_recall",
     "curation_pipeline_stats", "benchmark_decontamination",
     "packed_bins", "doc_logprob_score", "doc_repetition_stats",
-    "dedup_connected_groups", "boilerplate_line_removal",
+    "dedup_connected_groups",
 })
 ROTATE_OUT: frozenset[str] = frozenset({
     # parked after green driver rows in r1-r8 (every name here is

@@ -7195,3 +7195,63 @@ class TestEnsureParallelScan:
         )
         out = ensure_parallel_scan(df, "text")
         assert out is df  # no files -> probe skips, same plan object
+
+
+class TestKmHazardDaily:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long,"
+            " event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_planted_events_censoring_and_risk_set(self, spark):
+        """3 users: u1 converts day 0, u2 converts day 2, u3 never
+        (censored at horizon); risk set shrinks by events+censors."""
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            km_hazard_daily,
+        )
+
+        rows = [
+            (1, "2025-01-01 00:00:00", 1, "view"),
+            (2, "2025-01-01 12:00:00", 1, "purchase"),   # day 0
+            (3, "2025-01-01 00:00:00", 2, "view"),
+            (4, "2025-01-03 06:00:00", 2, "purchase"),   # day 2
+            (5, "2025-01-02 00:00:00", 3, "view"),
+            (6, "2025-01-04 00:00:00", 3, "click"),      # horizon
+        ]
+        got = {
+            r.day: (r.n_at_risk, r.n_events, r.n_censored, r.hazard_ppm)
+            for r in km_hazard_daily(self._ev(spark, rows)).collect()
+        }
+        # horizon = 2025-01-04 00:00; u3 censor day = 2 full days
+        assert got == {
+            0: (3, 1, 0, 333333),
+            2: (2, 1, 1, 500000),
+        }
+
+    def test_purchase_before_view_does_not_qualify(self, spark):
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            km_hazard_daily,
+        )
+
+        rows = [
+            (1, "2025-01-01 00:00:00", 1, "purchase"),  # pre-view
+            (2, "2025-01-02 00:00:00", 1, "view"),
+            (3, "2025-01-05 00:00:00", 1, "click"),     # horizon
+        ]
+        got = km_hazard_daily(self._ev(spark, rows)).collect()
+        # censored at day 3, no event
+        assert [(r.day, r.n_at_risk, r.n_events, r.n_censored)
+                for r in got] == [(3, 1, 0, 1)]
+
+    def test_same_tick_view_purchase_is_day_zero_event(self, spark):
+        from etl_on_weather_dataset_spark.operators.funnel import (
+            km_hazard_daily,
+        )
+
+        rows = [
+            (1, "2025-01-01 00:00:00", 1, "view"),
+            (2, "2025-01-01 00:00:00", 1, "purchase"),
+        ]
+        [r] = km_hazard_daily(self._ev(spark, rows)).collect()
+        assert (r.day, r.n_events, r.hazard_ppm) == (0, 1, 1_000_000)
