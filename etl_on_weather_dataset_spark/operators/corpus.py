@@ -1551,6 +1551,21 @@ def skipgram_cooccurrence(
             .cast("long").alias("glove_w_micro"),
         )
         .filter(F.col("n_cooc") >= min_count)
+        # fail-loud wrap guard from the always-safe count: the
+        # micro-weight sum is <= n_cooc * 1e6, so it fits BIGINT iff
+        # n_cooc <= 2^63/1e6 ~ 9.2e12 -- beyond that a non-ANSI
+        # cluster would wrap the sum silently (ANSI raises; DuckDB's
+        # HUGEINT sum errors at the BIGINT cast). One stop-pair at
+        # ~1e13 occurrences means a corpus far past sharding anyway.
+        .select(
+            "a", "b", "n_cooc",
+            F.expr(
+                "CASE WHEN n_cooc > 9223372036854 THEN"
+                " CAST(raise_error('skipgram_cooccurrence: pair count"
+                " overflows the micro-weight sum -- shard the corpus')"
+                " AS BIGINT) ELSE glove_w_micro END"
+            ).alias("glove_w_micro"),
+        )
         .orderBy(F.col("n_cooc").desc(), "a", "b")
         .limit(top_k)
     )
