@@ -1403,3 +1403,124 @@ def test_rfm_matches_python_ntile(spark, orders, n_tiles):
         want[cell][0] += 1
         want[cell][1] += seen[c][2]
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),     # user
+            st.integers(min_value=0, max_value=400000), # seconds
+            st.sampled_from(["view", "purchase", "click"]),
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+@SETTINGS
+def test_km_hazard_matches_python_bruteforce(spark, events):
+    """Hazard-table rows equal a naive Python KM fold: per-user
+    first view, first at-or-after purchase, censor at global max
+    ts, day buckets, top-down risk set."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from etl_on_weather_dataset_spark.operators.funnel import (
+        km_hazard_daily,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), u, e)
+        for i, (u, s, e) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string"
+    )
+    got = {
+        r.day: (r.n_at_risk, r.n_events, r.n_censored, r.hazard_ppm)
+        for r in km_hazard_daily(df).collect()
+    }
+
+    horizon = max(s for _, s, _ in events)
+    first_view = {}
+    for u, s, e in sorted(events, key=lambda t: t[1]):
+        if e == "view" and u not in first_view:
+            first_view[u] = s
+    terminal = {}  # user -> (day, is_event)
+    for u, v in first_view.items():
+        pur = [s for uu, s, e in events
+               if uu == u and e == "purchase" and s >= v]
+        if pur:
+            terminal[u] = ((min(pur) - v) // 86400, True)
+        else:
+            terminal[u] = ((horizon - v) // 86400, False)
+    per_day = defaultdict(lambda: [0, 0])
+    for d, is_ev in terminal.values():
+        per_day[d][0 if is_ev else 1] += 1
+    want, remaining = {}, len(terminal)
+    for d in sorted(per_day):
+        ev_n, cen_n = per_day[d]
+        want[d] = (remaining, ev_n, cen_n,
+                   ev_n * 10**6 // remaining)
+        remaining -= ev_n + cen_n
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=18000),  # seconds
+            st.integers(min_value=-50, max_value=50),   # value*4
+        ),
+        min_size=1, max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@SETTINGS
+def test_session_rollup_batch_matches_python_gap_merge(spark, events):
+    """Batch session_rollup (native session_window) equals a naive
+    per-user gap merge: 30-min gap, end = last event + gap, exact
+    quarter-unit sums."""
+    import datetime as dt
+
+    from etl_on_weather_dataset_spark.streaming.windows import (
+        session_rollup,
+    )
+
+    base = dt.datetime(2025, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), u, q / 4.0)
+        for i, (u, s, q) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end):
+            (r.n_events, r.total_value)
+        for r in session_rollup(df).collect()
+    }
+
+    GAP = 1800
+    want = {}
+    by_user = {}
+    for u, s, q in sorted(events):
+        by_user.setdefault(u, []).append((s, q))
+    for u, evs in by_user.items():
+        cur = [evs[0]]
+        sessions = []
+        for s, q in evs[1:]:
+            if s - cur[-1][0] <= GAP:
+                cur.append((s, q))
+            else:
+                sessions.append(cur)
+                cur = [(s, q)]
+        sessions.append(cur)
+        for sess in sessions:
+            start = base + dt.timedelta(seconds=sess[0][0])
+            end = base + dt.timedelta(seconds=sess[-1][0] + GAP)
+            want[(u, start, end)] = (
+                len(sess), sum(q for _, q in sess) / 4.0,
+            )
+    assert got == want
