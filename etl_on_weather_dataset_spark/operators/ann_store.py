@@ -80,11 +80,16 @@ from .versioned import (
 
 def _snapped_dists(cents_col):
     """Array of micro-snapped shifted L2 distances ||c||^2 - 2<v,c>
-    against the ``v`` column -- identical to cluster._assign."""
+    against the ``v`` column -- identical to cluster._assign. The
+    ``ccs`` column (per-centroid self-dot, hoisted once per query by
+    cluster._cent_row) replaces the per-row dot(c, c) fold
+    bit-for-bit (optimization round 12: the constant fold was half
+    the assignment flops on every ingested row)."""
     return F.transform(
         cents_col,
-        lambda c: F.round(
-            (dot(c, c) - 2 * dot(F.col("v"), c)) * MICRO
+        lambda c, i: F.round(
+            (F.element_at(F.col("ccs"), i + 1) - 2 * dot(F.col("v"), c))
+            * MICRO
         ).cast("long"),
     )
 
@@ -96,10 +101,10 @@ def _assign_frozen(
     literals. ``n_probe=1`` is the ingest path (one row per vector,
     first-min tie-break); ``n_probe>1`` is the query path (the
     n_probe nearest cells per vector, ranked)."""
+    from .cluster import _cent_row
+
     spark = vecs.sparkSession
-    cent_df = spark.createDataFrame(
-        [(cents, 0)], "cents array<array<double>>, __k long"
-    )
+    cent_df = _cent_row(spark, cents)
     joined = _with_constant_row(vecs, cent_df, "id").withColumn(
         "__d", _snapped_dists(F.col("cents"))
     )
@@ -111,7 +116,7 @@ def _assign_frozen(
                     F.array_position(F.col("__d"), F.array_min("__d")) - 1
                 ).cast("int"),
             )
-            .drop("cents", "__d")
+            .drop("cents", "ccs", "__d")
         )
     w = Window.partitionBy("id").orderBy(
         F.col("dm").asc(), F.col("cluster").asc()

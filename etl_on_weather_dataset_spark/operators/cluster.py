@@ -49,8 +49,42 @@ from .similarity import (
 MICRO = 1_000_000
 
 
-def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Add the argmin-distance cluster id (first-min tie-break).
+def _cent_row(spark, cents: list[list[float]]) -> DataFrame:
+    """ONE-ROW constants relation (cents, ccs, __k) from literal
+    centroids. ``ccs[j] = dot(c_j, c_j)`` is evaluated IN-ENGINE on
+    the single row with the exact ``dot`` fold, so the per-centroid
+    self-dot -- a constant -- is computed once per QUERY instead of
+    once per data row per centroid (optimization round 12, guide
+    par.1.2 "per-task work": at dim=64, k=8 that fold was half the
+    assignment scan's flops on every corpus row)."""
+    df = spark.createDataFrame(
+        [(cents, 0)], "cents array<array<double>>, __k long"
+    )
+    return df.select(
+        "cents",
+        F.transform(F.col("cents"), lambda c: dot(c, c)).alias("ccs"),
+        "__k",
+    )
+
+
+def _snapped_dists_row() -> F.Column:
+    """Micro-snapped shifted L2 distances against the attached
+    one-row (cents, ccs) columns: ROUND((ccs[i] - 2<v, c_i>) * 1e6).
+    Bit-identical to the historical ROUND((dot(c,c) - 2<v,c>) * 1e6)
+    -- ccs[i] IS dot(c_i, c_i) by the same left fold -- so the argmin
+    and the oracle's ROW_NUMBER ordering cannot disagree."""
+    return F.transform(
+        F.col("cents"),
+        lambda c, i: F.round(
+            (F.element_at(F.col("ccs"), i + 1) - 2 * dot(F.col("v"), c))
+            * MICRO
+        ).cast("long"),
+    )
+
+
+def _assign_row(vecs: DataFrame, cent_row: DataFrame) -> DataFrame:
+    """Add the argmin-distance cluster id (first-min tie-break)
+    against a one-row centroid relation (literal or LAZILY DERIVED).
 
     The argmin runs over MICRO-SNAPPED distances (ROUND(d * 1e6) as
     long), not raw IEEE doubles: a near-tie pair of centroids whose
@@ -59,24 +93,29 @@ def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
     of either engine's dot-product summation order (r4 verdict:
     one ulp of libm/FMA wiggle flipped a cluster count in the
     driver's environment)."""
-    spark = vecs.sparkSession
-    cent_df = spark.createDataFrame(
-        [(cents, 0)], "cents array<array<double>>, __k long"
-    )
-    dists = F.transform(
-        F.col("cents"),
-        lambda c: F.round(
-            (dot(c, c) - 2 * dot(F.col("v"), c)) * MICRO
-        ).cast("long"),
-    )
+    dists = _snapped_dists_row()
     return (
-        _with_constant_row(vecs, cent_df, "id")
+        _with_constant_row(vecs, cent_row, "id")
         .withColumn(
             "cluster",
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
         )
-        .drop("cents")
+        .drop("cents", "ccs")
     )
+
+
+def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """:func:`_assign_row` against literal centroids (same output).
+
+    (Optimization round 12 note: a fully LAZY Lloyd chain -- each
+    round's centroids derived as a nested one-row broadcast relation,
+    the oracle's unrolled-CTE shape -- was implemented and measured
+    rep-interleaved against this collect loop at sf0.1:
+    1.04-1.05x, flat. The per-round driver collect of k x dim
+    integers costs exactly what the nested BroadcastExchange build
+    costs, so the chain bought plan depth without buying seconds and
+    was dropped; the self-dot hoist below is what survived.)"""
+    return _assign_row(vecs, _cent_row(vecs.sparkSession, cents))
 
 
 def _lloyd(vecs: DataFrame, k: int, iters: int, dim: int,
@@ -166,32 +205,26 @@ def kmeans(
     over members -- the full pipeline (every assignment and every
     centroid update) is pinned by this hash.
     """
-    from .caching import persisted
-
     vecs = _prep(df, id_col, vec_col)
-    cents = _lloyd(vecs, k, iters, dim, seed)
     # ONE broadcast join: cluster and its inertia term come out of the
     # same joined frame (the cents column is still present), instead
     # of assigning, dropping cents, and re-joining to look them up
-    cent_df = vecs.sparkSession.createDataFrame(
-        [(cents, 0)], "cents array<array<double>>, __k long"
+    cent_row = _cent_row(
+        vecs.sparkSession, _lloyd(vecs, k, iters, dim, seed)
     )
-    # same micro-snapped argmin as _assign (see its docstring)
-    dists = F.transform(
-        F.col("cents"),
-        lambda c: F.round(
-            (dot(c, c) - 2 * dot(F.col("v"), c)) * MICRO
-        ).cast("long"),
-    )
-    joined = _with_constant_row(vecs, cent_df, "id").withColumn(
+    # same micro-snapped argmin as _assign_row (see its docstring)
+    dists = _snapped_dists_row()
+    joined = _with_constant_row(vecs, cent_row, "id").withColumn(
         "cluster",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
     )
     sel = F.element_at(F.col("cents"), F.col("cluster") + 1)
+    # + ccs[cluster] == + dot(sel, sel) bit-for-bit (same fold, same
+    # op order) without re-folding the constant per row
     sq_dist = (
         dot(F.col("v"), F.col("v"))
         - 2 * dot(F.col("v"), sel)
-        + dot(sel, sel)
+        + F.element_at(F.col("ccs"), F.col("cluster") + 1)
     )
     return (
         joined.select(
@@ -545,31 +578,27 @@ def kmeans_silhouette(
     from .similarity import _with_constant_row
 
     vecs = _prep(df, id_col, vec_col)
-    cents = _lloyd(vecs, k, iters, dim, seed)
-    cent_df = vecs.sparkSession.createDataFrame(
-        [(cents, 0)], "cents array<array<double>>, __k long"
+    cent_row = _cent_row(
+        vecs.sparkSession, _lloyd(vecs, k, iters, dim, seed)
     )
-    # assignment argmin on the SAME snap kmeans uses (cc - 2vc)
-    adists = F.transform(
-        F.col("cents"),
-        lambda c: F.round(
-            (dot(c, c) - 2 * dot(F.col("v"), c)) * MICRO
-        ).cast("long"),
-    )
+    # assignment argmin on the SAME snap kmeans uses (cc - 2vc);
+    # ccs[i] == dot(c_i, c_i) bit-for-bit (one fold per query, not
+    # per row -- see _cent_row)
+    adists = _snapped_dists_row()
     # full squared distance for the silhouette ratio (vv - 2vc + cc,
     # kmeans()'s sq_dist op order)
     fdists = F.transform(
         F.col("cents"),
-        lambda c: F.round(
+        lambda c, i: F.round(
             (
                 dot(F.col("v"), F.col("v"))
                 - 2 * dot(F.col("v"), c)
-                + dot(c, c)
+                + F.element_at(F.col("ccs"), i + 1)
             ) * MICRO
         ).cast("long"),
     )
     joined = (
-        _with_constant_row(vecs, cent_df, "id")
+        _with_constant_row(vecs, cent_row, "id")
         .withColumn(
             "cluster",
             (F.array_position(adists, F.array_min(adists)) - 1)

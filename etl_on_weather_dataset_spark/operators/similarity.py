@@ -1355,21 +1355,39 @@ def pq_trained_codebooks(
 
 
 def _pq_encode_l2(
-    vec: Column, cbs: Column, m_sub: int, d_sub: int
+    vec: Column, cbs: Column, m_sub: int, d_sub: int,
+    cbs_cc: Column | None = None,
 ) -> Column:
     """array<int> of per-subspace code ids by MICRO-SNAPPED argmin-L2
     against codebook m -- the assignment rule that matches Lloyd
     training (trained codewords are not unit vectors, so argmax-dot
     and argmin-L2 no longer coincide). Same snap discipline as
-    cluster._assign: no raw IEEE double ever decides a code."""
+    cluster._assign: no raw IEEE double ever decides a code.
+
+    ``cbs_cc[m][k] = dot(cb[m][k], cb[m][k])`` hoists the constant
+    per-codeword self-dot out of the per-row fold (optimization round
+    12: m_sub x k_codes self-folds per ENCODED row otherwise --
+    bit-identical replacement, same fold on the one-row constants
+    relation)."""
     def code_for(m: Column) -> Column:
         sub = F.slice(vec, m * d_sub + 1, d_sub)
-        dm = F.transform(
-            F.element_at(cbs, m + 1),
-            lambda c: F.round(
-                (dot(c, c) - 2 * dot(sub, c)) * _MICRO
-            ).cast("long"),
-        )
+        if cbs_cc is not None:
+            dm = F.transform(
+                F.element_at(cbs, m + 1),
+                lambda c, i: F.round(
+                    (
+                        F.element_at(F.element_at(cbs_cc, m + 1), i + 1)
+                        - 2 * dot(sub, c)
+                    ) * _MICRO
+                ).cast("long"),
+            )
+        else:
+            dm = F.transform(
+                F.element_at(cbs, m + 1),
+                lambda c: F.round(
+                    (dot(c, c) - 2 * dot(sub, c)) * _MICRO
+                ).cast("long"),
+            )
         return (F.array_position(dm, F.array_min(dm)) - 1).cast("int")
 
     return F.transform(
@@ -1505,6 +1523,17 @@ def ivf_pq_topk(
         "cents array<array<double>>, "
         "cbs array<array<array<double>>>, __k long",
     )
+    if trained:
+        # hoist the per-codeword self-dot to the one-row constants
+        # relation (same fold -> bit-identical; see _pq_encode_l2)
+        const_df = const_df.select(
+            "cents", "cbs",
+            F.transform(
+                F.col("cbs"),
+                lambda book: F.transform(book, lambda c: dot(c, c)),
+            ).alias("cbs_cc"),
+            "__k",
+        )
     vecs = (
         _with_constant_row(
             df.select(
@@ -1521,9 +1550,13 @@ def ivf_pq_topk(
         F.zip_with(F.col("v"), sel_cent, lambda x, y: x - y)
         if residual else F.col("v")
     )
-    encoder = _pq_encode_l2 if trained else _pq_encode
     vecs = vecs.withColumn(
-        "codes", encoder(enc_vec, F.col("cbs"), m_sub, d_sub)
+        "codes",
+        _pq_encode_l2(
+            enc_vec, F.col("cbs"), m_sub, d_sub, F.col("cbs_cc")
+        )
+        if trained
+        else _pq_encode(enc_vec, F.col("cbs"), m_sub, d_sub),
     )
     if n_probe > 1:
         vecs = vecs.withColumn(
@@ -1552,7 +1585,7 @@ def ivf_pq_topk(
     vecs = persisted(
         vecs.withColumn(
             "adc", _pq_adc_table(F.col("v"), F.col("cbs"), m_sub, d_sub)
-        ).drop("cents", "cbs")
+        ).drop("cents", "cbs", "cbs_cc")
     )
     # query side ships the small ADC table (m_sub*k_codes doubles),
     # not the vector and not the codebooks
