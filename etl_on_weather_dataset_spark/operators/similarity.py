@@ -792,6 +792,26 @@ def embedding_near_dup_sql(
     """
 
 
+def _argmax_from_dots(dots: Column) -> Column:
+    """0-based first-max index over a precomputed dots array."""
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _probes_from_dots(dots: Column, n_probe: int) -> Column:
+    """0-based indices of the ``n_probe`` largest dots, largest
+    first; ties by smaller index (so element 1 always equals
+    _argmax_from_dots). Sorting structs of (-dot, index) gives the
+    deterministic total order in both engines."""
+    order = F.zip_with(
+        dots,
+        F.sequence(F.lit(0), F.size(dots) - 1),
+        lambda d, i: F.struct((-d).alias("nd"), i.alias("i")),
+    )
+    return F.transform(
+        F.slice(F.array_sort(order), 1, n_probe), lambda s: s["i"]
+    )
+
+
 def _centroid_argmax(vec: Column, centroids: Column) -> Column:
     """0-based index of the centroid with the largest dot product
     against ``vec``. Deterministic (first max wins on exact ties) and
@@ -803,25 +823,23 @@ def _centroid_argmax(vec: Column, centroids: Column) -> Column:
     via F.lit of the nested list -- see _bucket_from_planes for why
     per-element literal trees are the wrong place for constant
     matrices).
+
+    Callers that ALSO need probe lists (n_probe > 1) should project
+    the dots array once and use _argmax_from_dots/_probes_from_dots
+    on the shared column instead of calling this plus _probe_cells --
+    each call re-folds all n_cells dots per row (optimization round
+    12; ivf_topk/ivf_pq_topk do this now).
     """
     dots = F.transform(centroids, lambda c: dot(vec, c))
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return _argmax_from_dots(dots)
 
 
 def _probe_cells(vec: Column, centroids: Column, n_probe: int) -> Column:
     """0-based indices of the ``n_probe`` nearest centroids by dot
     product, nearest first; ties by smaller index (so element 1 always
-    equals _centroid_argmax). Sorting structs of (-dot, index) gives
-    the deterministic total order in both engines."""
+    equals _centroid_argmax)."""
     dots = F.transform(centroids, lambda c: dot(vec, c))
-    order = F.zip_with(
-        dots,
-        F.sequence(F.lit(0), F.size(centroids) - 1),
-        lambda d, i: F.struct((-d).alias("nd"), i.alias("i")),
-    )
-    return F.transform(
-        F.slice(F.array_sort(order), 1, n_probe), lambda s: s["i"]
-    )
+    return _probes_from_dots(dots, n_probe)
 
 
 def ivf_topk(
@@ -861,20 +879,37 @@ def ivf_topk(
     cent_df = df.sparkSession.createDataFrame(
         [(centroids, 0)], "cents array<array<double>>, __k long"
     )
-    vecs = (
-        _with_constant_row(
-            df.select(
-                F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-            ),
-            cent_df,
-            "id",
-        )
-        .withColumn("n", norm(F.col("v")))
-        .withColumn("cell", _centroid_argmax(F.col("v"), F.col("cents")))
-    )
+    vecs = _with_constant_row(
+        df.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+        ),
+        cent_df,
+        "id",
+    ).withColumn("n", norm(F.col("v")))
     if n_probe > 1:
+        # ONE dots fold per row, shared by the argmax cell and the
+        # probe list (optimization round 12: _centroid_argmax +
+        # _probe_cells each re-folded all n_cells dots; the projected
+        # column halves the assignment flops -- Catalyst keeps the
+        # non-cheap transform in its own Project, so it is evaluated
+        # once). Same expressions over the same array -> identical
+        # cell/probe values.
+        vecs = (
+            vecs.withColumn(
+                "__dots",
+                F.transform(
+                    F.col("cents"), lambda c: dot(F.col("v"), c)
+                ),
+            )
+            .withColumn("cell", _argmax_from_dots(F.col("__dots")))
+            .withColumn(
+                "probes", _probes_from_dots(F.col("__dots"), n_probe)
+            )
+            .drop("__dots")
+        )
+    else:
         vecs = vecs.withColumn(
-            "probes", _probe_cells(F.col("v"), F.col("cents"), n_probe)
+            "cell", _centroid_argmax(F.col("v"), F.col("cents"))
         )
     vecs = vecs.drop("cents")
     if n_probe > 1:
@@ -1426,17 +1461,26 @@ def _pq_adc_table(qv: Column, cbs: Column, m_sub: int,
     )
 
 
-def _pq_approx_dot(adc: Column, codes: Column) -> Column:
+def _pq_approx_dot(adc: Column, codes: Column, m_sub: int) -> Column:
     """ADC score: sum_m table[m][code_m] -- m_sub array lookups per
-    candidate, no float math beyond the adds."""
-    terms = F.zip_with(
-        codes,
-        F.sequence(F.lit(0), F.size(codes) - 1),
-        lambda c, m: F.element_at(F.element_at(adc, m + 1), c + 1),
-    )
-    return F.aggregate(
-        terms, F.lit(0.0), lambda acc, t: acc + t
-    )
+    candidate, no float math beyond the adds.
+
+    Unrolled + chain over element_at (optimization round 12): the
+    candidate join evaluates this once per candidate PAIR, and the
+    previous zip_with+aggregate form allocated two intermediate
+    arrays per pair inside CodegenFallback lambdas -- measured 25-40%
+    slower than this codegen-able chain at 500k rows (m_sub = 8 keeps
+    the generated method small; the SAME unroll at dim=64 measured 5x
+    SLOWER than the fold -- generated-code size blows the JIT budget
+    -- so the 64-dim dot() stays a fold, see OPTIMIZATION_r12.md).
+    Value-identical: ((0.0 + t0) + t1) + ... is the fold's exact
+    order, 0.0 seed included."""
+    acc: Column = F.lit(0.0)
+    for m in range(m_sub):
+        acc = acc + F.element_at(
+            F.element_at(adc, m + 1), F.element_at(codes, m + 1) + 1
+        )
+    return acc
 
 
 def ivf_pq_topk(
@@ -1534,17 +1578,27 @@ def ivf_pq_topk(
             ).alias("cbs_cc"),
             "__k",
         )
-    vecs = (
-        _with_constant_row(
-            df.select(
-                F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-            ),
-            const_df,
-            "id",
+    vecs = _with_constant_row(
+        df.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+        ),
+        const_df,
+        "id",
+    ).withColumn("n", norm(F.col("v")))
+    if n_probe > 1:
+        # ONE dots fold per row shared by the argmax cell, the probe
+        # list, and (residual mode) the per-probe <q, cent> terms --
+        # previously each was its own full re-fold of all n_cells
+        # dots per row (optimization round 12). Same expressions over
+        # the same array -> identical values.
+        vecs = vecs.withColumn(
+            "__dots",
+            F.transform(F.col("cents"), lambda c: dot(F.col("v"), c)),
+        ).withColumn("cell", _argmax_from_dots(F.col("__dots")))
+    else:
+        vecs = vecs.withColumn(
+            "cell", _centroid_argmax(F.col("v"), F.col("cents"))
         )
-        .withColumn("n", norm(F.col("v")))
-        .withColumn("cell", _centroid_argmax(F.col("v"), F.col("cents")))
-    )
     sel_cent = F.element_at(F.col("cents"), F.col("cell") + 1)
     enc_vec = (
         F.zip_with(F.col("v"), sel_cent, lambda x, y: x - y)
@@ -1560,24 +1614,23 @@ def ivf_pq_topk(
     )
     if n_probe > 1:
         vecs = vecs.withColumn(
-            "probes", _probe_cells(F.col("v"), F.col("cents"), n_probe)
+            "probes", _probes_from_dots(F.col("__dots"), n_probe)
         )
         if residual:
-            # per-probe <q, cent(cell)> correction terms, computed
-            # while the centroid literals are still attached
+            # per-probe <q, cent(cell)> correction terms: __dots
+            # already holds dot(v, cents[i]) for every cell, so the
+            # per-probe term is an array lookup, not a re-fold
             vecs = vecs.withColumn(
                 "qcs",
                 F.transform(
                     F.col("probes"),
                     lambda p: F.struct(
                         p.alias("cell"),
-                        dot(
-                            F.col("v"),
-                            F.element_at(F.col("cents"), p + 1),
-                        ).alias("qc"),
+                        F.element_at(F.col("__dots"), p + 1).alias("qc"),
                     ),
                 ),
             )
+        vecs = vecs.drop("__dots")
     elif residual:
         vecs = vecs.withColumn("qc", dot(F.col("v"), sel_cent))
     from .caching import persisted
@@ -1614,7 +1667,7 @@ def ivf_pq_topk(
     b = vecs.select(
         F.col("id").alias("neighbor_id"), F.col("cell"), "codes",
     )
-    approx_raw = _pq_approx_dot(F.col("adc"), F.col("codes"))
+    approx_raw = _pq_approx_dot(F.col("adc"), F.col("codes"), m_sub)
     if residual:
         approx_raw = F.col("qc") + approx_raw
     approx = F.round(approx_raw, SIM_DECIMALS)
