@@ -1020,6 +1020,8 @@ def minhash_lsh_pairs(
     CANDIDATE ids only. Hot buckets (boilerplate shingle sets) split
     under AQE skew-join like every other equi-join here.
     """
+    from .caching import persisted
+
     sh = _minhash_shingles(df, text_col, id_col, shingle_n,
                            max_doc_freq)
     if rows_per_band is None:
@@ -1029,11 +1031,21 @@ def minhash_lsh_pairs(
             num_hash_tables=num_hash_tables, seed=seed,
             shingle_n=shingle_n, max_doc_freq=max_doc_freq,
         )
-    bands = sh.select(
-        "id",
-        F.posexplode(
-            _band_keys(num_hash_tables, rows_per_band, seed)
-        ).alias("band", "key"),
+    # persisted (caching ledger): the banded self-join below scans
+    # this relation on BOTH sides -- without the persist each side
+    # re-runs the full signature computation (num_hash_tables x
+    # rows_per_band minhash folds over every doc's shingle set), so
+    # the dominant per-row hashing stage executed twice (optimization
+    # round 12; same materialize-the-index-once shape as the shingle
+    # table itself and the ngram tier's inverted index). The banded
+    # rows are (id, band, key) -- constant width, tiny vs the corpus.
+    bands = persisted(
+        sh.select(
+            "id",
+            F.posexplode(
+                _band_keys(num_hash_tables, rows_per_band, seed)
+            ).alias("band", "key"),
+        )
     )
     cand = (
         bands.alias("a")
