@@ -18,7 +18,12 @@ protocol drift): one warm-up run per query (JIT + code cache), then
 ``n=5`` timed runs reporting BOTH the median (the headline + trend
 stat -- robust to a loaded machine) and the min (the floor the engine
 can hit); timing includes full plan execution to a count-style action
-(no driver-side collect of big results). Dispersion rationale (round-5
+(no driver-side collect of big results). Round-13 protocol bump
+(tag "median+warm3sub1s", r12 verdict item 7): rows whose first
+block medians < 1 s get 2 extra warm-ups and a fresh n=5 block
+(sub-second rows measured mid-JIT-ramp otherwise), and the warm-up
+wall is recorded per query as ``queries_cold`` (r12 verdict item 4:
+cold evidence for persist decisions, additions-only). Dispersion rationale (round-5
 verdict item 5): the r4->r5 driver bench swung +13% with zero code
 changes on the affected queries -- machine-load noise at sub-second
 query times exceeded the delta, and a single best-of-3 number cannot
@@ -78,17 +83,46 @@ def main() -> None:
     qs = bench_queries()
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     # i-th timed repetition of the whole suite, for the noise band
     rep_totals: list[float] = [0.0] * N_RUNS
-    for name, fn in sorted(qs.items()):
-        # warm-up (plan + JIT); cheap relative to steady state
-        fn(spark, sf_dir).count()
+
+    def _timed_runs(fn, name: str) -> list[float]:
         runs: list[float] = []
-        for i in range(N_RUNS):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-            rep_totals[i] += runs[-1]
+        return runs
+
+    for name, fn in sorted(qs.items()):
+        # warm-up (plan + JIT); cheap relative to steady state. The
+        # warm-up wall is recorded as the COLD first-rep sample
+        # (round-12 verdict item 4: additions-only -- honest local
+        # evidence for persist decisions, which the warm reps flatter
+        # because operator-internal persists materialize here and all
+        # timed reps scan the cache). Caveat: for fixture-cached
+        # queries (component store pristine build, ANN stores) the
+        # first cold sample also pays the per-process fixture build.
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings_cold[name] = round(time.perf_counter() - t0, 4)
+        runs = _timed_runs(fn, name)
+        if statistics.median(runs) < 1.0:
+            # JIT-ramp guard (round-12 verdict item 7, anchored
+            # protocol bump, recorded in the "protocol" field):
+            # sub-second rows measured mid-JIT-ramp at one warm-up
+            # (dedup_minhash_lsh: 2.3 -> 0.9 s over 12 consecutive
+            # reps of unchanged code), inflating medians up to 2x
+            # regime-dependently. Two extra warm-ups then a fresh
+            # n=5 block; heavier rows keep the round-1..12 protocol
+            # (their JIT share is negligible and re-running them
+            # would double the suite wall).
+            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).count()
+            runs = _timed_runs(fn, name)
+        for i, r in enumerate(runs):
+            rep_totals[i] += r
         timings[name] = round(statistics.median(runs), 4)
         timings_min[name] = round(min(runs), 4)
         # drop operator-internal caches (shingle index, minhash
@@ -112,9 +146,15 @@ def main() -> None:
     detail = {
         "queries": timings,
         "queries_min": timings_min,
+        "queries_cold": timings_cold,
         "sf": sf,
         "n": N_RUNS,
-        "protocol": "median",
+        # "median+warm3sub1s": median of n=5 warm reps, with 1+2
+        # warm-ups (and a fresh rep block) for rows whose first block
+        # medianed < 1 s -- the round-13 JIT-ramp protocol bump. The
+        # tag makes the trend break explicit; comparisons stay
+        # median-to-median (see _prev_bench_record's startswith check).
+        "protocol": "median+warm3sub1s",
         "noise_band_pct": noise_band_pct,
         "noise_within_session_pct": within,
     }
@@ -160,7 +200,7 @@ def main() -> None:
         "sf": sf,
         "n": N_RUNS,
         "n_queries": len(timings),
-        "protocol": "median",
+        "protocol": "median+warm3sub1s",
         "noise_band_pct": noise_band_pct,
     }
     # Like-for-like trend line (r4 verdict item 7): the subtotal over
@@ -174,7 +214,8 @@ def main() -> None:
         # prior record carries full medians; else min-to-min (the r6
         # reconstruction only has queries_min); else our min vs a
         # legacy best-of-N record
-        if prev_doc.get("protocol") == "median" and prev_doc.get("queries"):
+        if str(prev_doc.get("protocol", "")).startswith("median") and \
+                prev_doc.get("queries"):
             prev_q, ours, basis = prev_doc["queries"], timings, "median"
         elif prev_doc.get("queries_min"):
             prev_q, ours, basis = (

@@ -67,7 +67,7 @@ from pyspark.sql import functions as F
 
 import re
 
-from .cluster import MICRO, kmeans_fit
+from .cluster import kmeans_fit
 from .similarity import SIM_DECIMALS, _as_double, _with_constant_row, dot
 from .versioned import (
     commit,
@@ -78,35 +78,21 @@ from .versioned import (
 )
 
 
-def _snapped_dists(cents_col):
-    """Array of micro-snapped shifted L2 distances ||c||^2 - 2<v,c>
-    against the ``v`` column -- identical to cluster._assign. The
-    ``ccs`` column (per-centroid self-dot, hoisted once per query by
-    cluster._cent_row) replaces the per-row dot(c, c) fold
-    bit-for-bit (optimization round 12: the constant fold was half
-    the assignment flops on every ingested row)."""
-    return F.transform(
-        cents_col,
-        lambda c, i: F.round(
-            (F.element_at(F.col("ccs"), i + 1) - 2 * dot(F.col("v"), c))
-            * MICRO
-        ).cast("long"),
-    )
-
-
 def _assign_frozen(
     vecs: DataFrame, cents: list[list[float]], n_probe: int = 1
 ) -> DataFrame:
     """(id, v, cluster[, probe_rank]) against FROZEN centroid
     literals. ``n_probe=1`` is the ingest path (one row per vector,
     first-min tie-break); ``n_probe>1`` is the query path (the
-    n_probe nearest cells per vector, ranked)."""
-    from .cluster import _cent_row
+    n_probe nearest cells per vector, ranked). The snapped-distance
+    array is cluster._snapped_dists_row itself (round-12 advice: the
+    local copy had become byte-identical after the ccs hoist)."""
+    from .cluster import _cent_row, _snapped_dists_row
 
     spark = vecs.sparkSession
     cent_df = _cent_row(spark, cents)
     joined = _with_constant_row(vecs, cent_df, "id").withColumn(
-        "__d", _snapped_dists(F.col("cents"))
+        "__d", _snapped_dists_row()
     )
     if n_probe == 1:
         return (

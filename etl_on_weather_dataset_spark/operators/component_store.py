@@ -131,9 +131,21 @@ def merge_component_batch(
     # default's i=2 check always reads changed>0 for a merge batch
     # and is a pure extra action; deeper chains just ride more rounds
     # per check (the documented check_every trade).
+    #
+    # LAZY localCheckpoint (optimization round 13, guide par.5: the
+    # merge was action-bound and the eager form scheduled one extra
+    # job over already-cached rows): the returned labels still must
+    # outlive the bucket swap below -- their lineage reads the store
+    # files the swap deletes -- but the checkpoint need not be its
+    # own job. Spark checkpoints a marked RDD when the FIRST job
+    # computes it (SparkContext.runJob -> rdd.doCheckpoint), and the
+    # affected-buckets collect below always computes labels (also on
+    # the empty-batch path: that collect is how `bucks` comes back
+    # empty), so the checkpoint is always materialized before any
+    # file is deleted.
     labels = dedup_components(
         graph, skip_empty_check=True, check_every=4
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     new_rows = labels.withColumn("bucket", _bucket("component"))
     affected_buckets = (
@@ -201,27 +213,26 @@ def component_store_summary(
     """One-row audit of the store: nodes, components, largest
     component, and exact integer checksums of the full labeling (sum
     of ids and of labels) -- a drift hash the one-shot recompute must
-    reproduce bit-for-bit."""
+    reproduce bit-for-bit.
+
+    One pass (optimization round 13, guide par.2.4/par.5): the
+    previous shape scanned the store twice (a global aggregate
+    crossJoined to a broadcast of the per-component aggregate -- scan
+    + shuffle + broadcast-build jobs). All five outputs re-derive from
+    the single per-component rollup: n_nodes = SUM(sz),
+    sum_ids = SUM(per-component SUM(id)), sum_labels =
+    SUM(component * sz) -- exact BIGINT arithmetic, so every value is
+    bit-identical to the two-scan form."""
     store = spark.read.parquet(store_path)
     per = store.groupBy("component").agg(
-        F.count(F.lit(1)).cast("long").alias("sz")
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.sum("id").cast("long").alias("sid"),
     )
-    return (
-        store.agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum("id").cast("long").alias("sum_ids"),
-            F.sum("component").cast("long").alias("sum_labels"),
-        )
-        .crossJoin(
-            F.broadcast(
-                per.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_components"),
-                    F.max("sz").cast("long").alias("max_component"),
-                )
-            )
-        )
-        .select(
-            "n_nodes", "n_components", "max_component",
-            "sum_ids", "sum_labels",
-        )
+    return per.agg(
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.max("sz").cast("long").alias("max_component"),
+        F.sum("sid").cast("long").alias("sum_ids"),
+        F.sum(F.col("component") * F.col("sz")).cast("long")
+        .alias("sum_labels"),
     )

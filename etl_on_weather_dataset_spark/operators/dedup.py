@@ -576,7 +576,7 @@ def dedup_components(
     469-edge graph took 126 s to plan vs 1.5 s for round 1). With
     self-loops the plan grows one fixed layer per round.
 
-    Driver-side coordination is ONE scalar count per ``check_every``
+    Driver-side coordination is ONE scalar action per ``check_every``
     rounds (not per round): labels are monotone non-increasing, so "the
     newest round changed nothing vs the round before it" IS the
     fixpoint test, and rounds between checks simply ride along inside
@@ -587,6 +587,18 @@ def dedup_components(
     shallow near-dup graphs the job scheduling IS the dominant cost
     (measured on curation_pipeline_stats: small-job overhead, not
     data).
+
+    The fixpoint test itself compares exact label-SUMS of the two
+    newest rounds, not a row-level join (optimization round 13, guide
+    par.2.4: the join form re-shuffled/broadcast both cached rounds
+    per check -- measured ~2.5 s of the component-store merge's wall
+    at sf0.1 -- where two map-combinable one-row aggregates in one
+    union job cost one cached scan each, no exchange). Equivalence is
+    airtight, not probabilistic: the self-loop makes every new label
+    min(old label, neighbors), so labels are POINTWISE non-increasing;
+    the node set is fixed per round (groupBy over the same edge set);
+    sums are exact DECIMAL(38,0) integer arithmetic. Therefore
+    sum(new) == sum(prev) iff no label changed.
 
     Raises RuntimeError if labels have not converged after
     ``max_iter`` rounds: a silently-returned partial labeling would
@@ -645,12 +657,25 @@ def dedup_components(
         prev, labels = labels, new_labels
         behind.append(prev)
         if i % check_every == 0 or i == max_iter:
-            changed = (
-                labels.alias("n")
-                .join(prev.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            # one union job, two cached-scan one-row aggregates; the
+            # `w` tag makes the row->round mapping order-independent
+            sums = {
+                r["w"]: r["s"]
+                for r in labels.select(
+                    F.lit(0).alias("w"),
+                    F.col("label").cast("decimal(38,0)").alias("l"),
+                )
+                .unionAll(
+                    prev.select(
+                        F.lit(1).alias("w"),
+                        F.col("label").cast("decimal(38,0)").alias("l"),
+                    )
+                )
+                .groupBy("w")
+                .agg(F.sum("l").alias("s"))
+                .collect()
+            }
+            changed = 0 if sums.get(0) == sums.get(1) else 1
             for df in behind:
                 df.unpersist()
                 untrack(df)
@@ -692,7 +717,7 @@ def dedup_components(
     if changed != 0:
         raise RuntimeError(
             f"connected components did not converge in {max_iter} "
-            f"rounds ({changed} labels still changing); the pair graph "
+            "rounds (label sums still decreasing); the pair graph "
             "has a chain deeper than max_iter -- raise max_iter"
         )
     return labels.select("id", F.col("label").alias("component"))
@@ -950,6 +975,29 @@ def choose_rows_per_band(
     return int(rows[-1].rows_per_band)
 
 
+# Persist the banded (id, band, key) relation only when the input is
+# at least this big (optimizer estimate): below it, the cold cost of
+# materializing + scanning the cache exceeds recomputing the
+# signatures per join side (measured at sf0.1 -- see minhash_lsh_pairs
+# body); above it, the signature stage dominates and
+# write-once-scan-twice wins. 64 MB ~ the point where the corpus
+# stops being a single scan split.
+_BANDS_PERSIST_MIN_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of a frame (bytes): pure plan
+    metadata, no job. Unknown/failed estimates return huge so the
+    caller lands on the persist side -- the safe default at scale."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 -- probe is best-effort
+        return 1 << 62
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1031,21 +1079,35 @@ def minhash_lsh_pairs(
             num_hash_tables=num_hash_tables, seed=seed,
             shingle_n=shingle_n, max_doc_freq=max_doc_freq,
         )
-    # persisted (caching ledger): the banded self-join below scans
-    # this relation on BOTH sides -- without the persist each side
-    # re-runs the full signature computation (num_hash_tables x
-    # rows_per_band minhash folds over every doc's shingle set), so
-    # the dominant per-row hashing stage executed twice (optimization
-    # round 12; same materialize-the-index-once shape as the shingle
-    # table itself and the ngram tier's inverted index). The banded
-    # rows are (id, band, key) -- constant width, tiny vs the corpus.
-    bands = persisted(
-        sh.select(
-            "id",
-            F.posexplode(
-                _band_keys(num_hash_tables, rows_per_band, seed)
-            ).alias("band", "key"),
-        )
+    # The banded self-join below scans this relation on BOTH sides --
+    # without a persist each side re-runs the full signature
+    # computation (num_hash_tables x rows_per_band minhash folds over
+    # every doc's shingle set), so the dominant per-row hashing stage
+    # executes twice (optimization round 12; same
+    # materialize-the-index-once shape as the shingle table itself
+    # and the ngram tier's inverted index). The banded rows are
+    # (id, band, key) -- constant width, tiny vs the corpus.
+    #
+    # SIZE-GATED since round 13 (r12 verdict item 4): on a corpus
+    # this small the persist is a measured local pessimization --
+    # cold A/B at sf0.1 read the persist 1.05-1.10x SLOWER (the
+    # materialization + cache bookkeeping costs more than the
+    # second signature pass it saves), and the r13 cold-field data
+    # confirms it -- while at corpus scale the signature stage is
+    # per-shingle-hash work that dwarfs writing the constant-width
+    # band rows once. The gate reads the INPUT's optimizer size
+    # estimate (no job, no action; unknown sizes persist -- the safe
+    # side at scale).
+    bands_rel = sh.select(
+        "id",
+        F.posexplode(
+            _band_keys(num_hash_tables, rows_per_band, seed)
+        ).alias("band", "key"),
+    )
+    bands = (
+        persisted(bands_rel)
+        if _plan_size_bytes(df) >= _BANDS_PERSIST_MIN_BYTES
+        else bands_rel
     )
     cand = (
         bands.alias("a")

@@ -71,11 +71,28 @@ def qgram_candidate_pairs(
     pipeline, no verification). Exposed separately so blocking
     QUALITY can be audited against the same candidate set the
     verifier scores (:func:`blocking_quality`)."""
-    a = clean.select(
-        F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
+    from .caching import persisted
+    from .skew import ensure_parallel_scan
+
+    # under-parallel-input guard (optimization round 13, guide par.2 /
+    # the round-11 flagship lesson): each side of a small benchmark
+    # corpus is ONE sub-128MB parquet split, so the q-gram explode --
+    # the heavy per-row stage -- ran as a single task however many
+    # cores exist (measured: the grams+freq leg of
+    # record_linkage_summary spent 3.2 s in one task at sf0.1, and the
+    # row's 8-vs-32-core scaling ratio was 0.79, i.e. none). At real
+    # scale inputs carry >> cores splits and this is a no-op.
+    a = ensure_parallel_scan(
+        clean.select(
+            F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
+        ),
+        "id_a",
     )
-    b = dirty.select(
-        F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b")
+    b = ensure_parallel_scan(
+        dirty.select(
+            F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b")
+        ),
+        "id_b",
     )
     ga = a.select(
         "id_a", F.explode(char_qgrams("name_a", q)).alias("gram")
@@ -95,7 +112,13 @@ def qgram_candidate_pairs(
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
     )
-    keep = (
+    # persisted: the surviving-gram set feeds BOTH posting-list joins
+    # below, and each broadcast build otherwise re-ran the full gram
+    # explode + frequency aggregate -- the query's most expensive
+    # subtree, observed twice in the executed plan (two identical
+    # 11.5 MB shuffle stages at sf0.1; optimization round 13, guide
+    # par.5 materialize-once)
+    keep = persisted(
         gram_freq.crossJoin(F.broadcast(totals))
         .filter(
             F.col("cnt").cast("double")

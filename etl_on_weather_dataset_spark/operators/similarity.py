@@ -1345,19 +1345,32 @@ def pq_trained_codebooks(
     books to them is where PQ's real accuracy comes from
     (ivf_pq_trained_recall pins the measured outcome).
 
-    Coordination cost: m_sub Lloyd runs x train_iters rounds, each
-    collecting k_codes x d_sub micro-long ints -- O(1) in corpus
-    size, same budget as the IVF cell training. Returned as plain
-    floats, so the serving query embeds them as literals exactly like
-    the seeded books; the SQL twin re-derives them through the
-    unrolled kmeans CTE chain and matches bit-for-bit (the kmeans
-    exactness contract)."""
+    Coordination cost: train_iters scheduled actions TOTAL -- every
+    round fits ALL m_sub subspaces in ONE (m, cluster, pos)-keyed
+    partial-sum aggregate + one collect of m_sub x k_codes x d_sub
+    micro-long ints, O(1) in corpus size (optimization round 13,
+    guide par.5 "the driver should do almost no data work": the
+    previous shape scheduled one Lloyd run PER subspace -- m_sub x
+    train_iters sequential collects -- and scanned the residual
+    relation m_sub times per round). Per-subspace results are
+    bit-identical to the sequential _lloyd runs: the snapped argmin
+    assignment, the ROUND(val * 1e6) long sums and the
+    (CAST(s AS DOUBLE) / n) / 1e6 mean are the same expressions on
+    the same slices, and integer partial aggregation is
+    order-insensitive. (_lloyd's PER-subspace early stop is subsumed
+    by the global all-books fixpoint check: a book at its fixpoint
+    reproduces itself bit-for-bit through any further round -- the
+    exactness argument in cluster._lloyd -- so riding along is
+    value-neutral.) Returned as plain floats, so the serving query
+    embeds them as literals exactly like the seeded books; the SQL
+    twin re-derives them through the unrolled kmeans CTE chain and
+    matches bit-for-bit (the kmeans exactness contract)."""
     from .caching import persisted
-    from .cluster import _lloyd
 
     d_sub = dim // m_sub
     centroids = lsh_hyperplanes(dim, n_cells, seed)
-    const_df = df.sparkSession.createDataFrame(
+    spark = df.sparkSession
+    const_df = spark.createDataFrame(
         [(centroids, 0)], "cents array<array<double>>, __k long"
     )
     vecs = _with_constant_row(
@@ -1377,15 +1390,80 @@ def pq_trained_codebooks(
             ).alias("rv"),
         )
     )
-    books: list[list[list[float]]] = []
-    for m in range(m_sub):
-        sub = rv.select(
-            "id", F.slice(F.col("rv"), m * d_sub + 1, d_sub).alias("v")
+    books = [
+        lsh_hyperplanes(d_sub, k_codes, seed + 101 * (m + 1))
+        for m in range(m_sub)
+    ]
+    for _ in range(train_iters):
+        cb_row = spark.createDataFrame(
+            [(books, 0)], "cbs array<array<array<double>>>, __k long"
+        ).select(
+            "cbs",
+            # constant per-codeword self-dot, evaluated once on the
+            # one-row relation with the exact dot fold (the round-12
+            # hoist; see _pq_encode_l2)
+            F.transform(
+                F.col("cbs"),
+                lambda book: F.transform(book, lambda c: dot(c, c)),
+            ).alias("cbs_cc"),
+            "__k",
         )
-        books.append(
-            _lloyd(sub, k_codes, train_iters, d_sub,
-                   seed + 101 * (m + 1))
+
+        def _assigned(m: Column) -> Column:
+            # per-subspace micro-snapped argmin-L2 -- the exact
+            # expression cluster._assign evaluates on the slice
+            sub = F.slice(F.col("rv"), m * d_sub + 1, d_sub)
+            dm = F.transform(
+                F.element_at(F.col("cbs"), m + 1),
+                lambda c, i: F.round(
+                    (
+                        F.element_at(
+                            F.element_at(F.col("cbs_cc"), m + 1), i + 1
+                        )
+                        - 2 * dot(sub, c)
+                    )
+                    * _MICRO
+                ).cast("long"),
+            )
+            return F.struct(
+                m.cast("int").alias("m"),
+                (F.array_position(dm, F.array_min(dm)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                sub.alias("sv"),
+            )
+
+        sums = (
+            _with_constant_row(rv, cb_row, "id")
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m_sub - 1)), _assigned
+                    )
+                ).alias("t")
+            )
+            .select(
+                F.col("t.m").alias("m"),
+                F.col("t.cluster").alias("cluster"),
+                F.posexplode(F.col("t.sv")).alias("pos", "val"),
+            )
+            .groupBy("m", "cluster", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("val") * _MICRO).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
         )
+        new_books = [[list(c) for c in b] for b in books]
+        for r in sums:
+            new_books[r["m"]][r["cluster"]][r["pos"]] = (
+                float(r["s"]) / r["n"]
+            ) / _MICRO
+        if new_books == books:
+            break
+        books = new_books
     return books
 
 
@@ -1474,7 +1552,15 @@ def _pq_approx_dot(adc: Column, codes: Column, m_sub: int) -> Column:
     SLOWER than the fold -- generated-code size blows the JIT budget
     -- so the 64-dim dot() stays a fold, see OPTIMIZATION_r12.md).
     Value-identical: ((0.0 + t0) + t1) + ... is the fold's exact
-    order, 0.0 seed included."""
+    order, 0.0 seed included.
+
+    INVARIANT (round-12 advice): the unrolled chain assumes
+    ``size(codes) == m_sub``. A shorter codes array would yield NULL
+    from the out-of-range element_at (non-ANSI) and a silently-NULL
+    score, where the old fold summed the fewer terms; every caller
+    encodes with the same m_sub it scores with (_pq_encode/_pq_encode_l2
+    emit exactly m_sub codes), so the mismatch is unreachable today --
+    keep it that way."""
     acc: Column = F.lit(0.0)
     for m in range(m_sub):
         acc = acc + F.element_at(

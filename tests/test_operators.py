@@ -5928,6 +5928,129 @@ class TestComponentStore:
         assert bench.n_alarm_pos == sum(r.alarm_pos for r in rows)
         assert bench.n_alarm_neg == sum(r.alarm_neg for r in rows)
 
+    def test_summary_single_pass_matches_bruteforce(self, spark, tmp_path):
+        """component_store_summary's one-pass rollup (round-13: one
+        scan instead of global-agg x broadcast(per-component agg))
+        must reproduce every checksum the two-scan form defined,
+        verified against a python brute force over the store rows."""
+        from etl_on_weather_dataset_spark.operators.component_store import (
+            component_store_summary,
+            merge_component_batch,
+            read_component_store,
+        )
+
+        store = str(tmp_path / "cstore")
+        merge_component_batch(
+            spark,
+            self._pairs(spark, [(1, 2), (2, 3), (10, 11), (20, 21)]),
+            store,
+        )
+        rows = read_component_store(spark, store).collect()
+        by_comp: dict[int, int] = {}
+        for r in rows:
+            by_comp[r.component] = by_comp.get(r.component, 0) + 1
+        [s] = component_store_summary(spark, store).collect()
+        assert s.n_nodes == len(rows)
+        assert s.n_components == len(by_comp)
+        assert s.max_component == max(by_comp.values())
+        assert s.sum_ids == sum(r.id for r in rows)
+        assert s.sum_labels == sum(r.component for r in rows)
+        # schema is part of the driver's compare surface
+        assert [f.dataType.simpleString()
+                for f in component_store_summary(spark, store).schema
+                ] == ["bigint"] * 5
+
+    def test_merge_survives_empty_batch(self, spark, tmp_path):
+        """An empty day-2 batch flows through the lazy-checkpoint
+        merge (round-13: localCheckpoint(eager=False) materializes
+        inside the affected-buckets collect, which runs on the empty
+        path too) without touching the store."""
+        from etl_on_weather_dataset_spark.operators.component_store import (
+            merge_component_batch,
+            read_component_store,
+        )
+
+        store = str(tmp_path / "cstore")
+        merge_component_batch(spark, self._pairs(spark, [(1, 2)]), store)
+        out = merge_component_batch(spark, self._pairs(spark, []), store)
+        assert out.collect() == []
+        got = {
+            r.id: r.component
+            for r in read_component_store(spark, store).collect()
+        }
+        assert got == {1: 1, 2: 1}
+
+
+class TestPqTrainedBatchedLloyd:
+    """pq_trained_codebooks' fused one-aggregate-per-round training
+    (round-13: m_sub sequential Lloyd collects -> one (m, cluster,
+    pos)-keyed aggregate per round) must reproduce the sequential
+    per-subspace cluster._lloyd books float-for-float."""
+
+    def test_batched_books_equal_sequential_lloyd(self, spark):
+        from etl_on_weather_dataset_spark.operators.caching import (
+            persisted,
+            release_all,
+        )
+        from etl_on_weather_dataset_spark.operators.cluster import _lloyd
+        from etl_on_weather_dataset_spark.operators.similarity import (
+            _as_double,
+            _centroid_argmax,
+            _with_constant_row,
+            lsh_hyperplanes,
+            pq_trained_codebooks,
+        )
+
+        dim, m_sub, k_codes, iters, n_cells, seed = 64, 8, 4, 2, 16, 7
+        d_sub = dim // m_sub
+        rows = [(i, [((i * 31 + j * 17) % 97) / 97.0 - 0.5
+                     for j in range(dim)]) for i in range(80)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        # sequential reference: the pre-round-13 shape, one Lloyd per
+        # subspace over the same persisted cell residuals
+        centroids = lsh_hyperplanes(dim, n_cells, seed)
+        const_df = spark.createDataFrame(
+            [(centroids, 0)], "cents array<array<double>>, __k long"
+        )
+        vecs = _with_constant_row(
+            df.select(F.col("vec_id").alias("id"),
+                      _as_double("embedding").alias("v")),
+            const_df,
+            "id",
+        ).withColumn(
+            "cell", _centroid_argmax(F.col("v"), F.col("cents"))
+        )
+        rv = persisted(
+            vecs.select(
+                "id",
+                F.zip_with(
+                    F.col("v"),
+                    F.element_at(F.col("cents"), F.col("cell") + 1),
+                    lambda x, y: x - y,
+                ).alias("rv"),
+            )
+        )
+        want = [
+            _lloyd(
+                rv.select(
+                    "id",
+                    F.slice(
+                        F.col("rv"), m * d_sub + 1, d_sub
+                    ).alias("v"),
+                ),
+                k_codes, iters, d_sub, seed + 101 * (m + 1),
+            )
+            for m in range(m_sub)
+        ]
+        got = pq_trained_codebooks(
+            df, n_cells=n_cells, dim=dim, seed=seed, m_sub=m_sub,
+            k_codes=k_codes, train_iters=iters,
+        )
+        release_all()
+        assert got == want  # exact float equality, subspace by subspace
+
 
 class TestMmrTopk:
     """operators.similarity.mmr_topk: the greedy selection on a

@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Dump `.explain("formatted")` for bench queries into plans/r12/.
+"""Dump `.explain("formatted")` for bench queries into plans/r{N}/.
 
 Optimization-round deliverable: the judge checks plan claims in
-OPTIMIZATION_r12.md against committed plan files, so every touched
+OPTIMIZATION_r{N}.md against committed plan files, so every touched
 query gets a `<name>_before.txt` / `<name>_after.txt` pair. Scenario
 queries (plan_fn providers) dump one file per inner label:
 `<name>.<label>_<suffix>.txt`.
 
+Exits non-zero when any requested query was skipped (round-12 advice:
+a silently missing plan file would quietly omit judge-facing
+evidence).
+
 Usage:
-  python tools/plan_dump.py --suffix before [--sf DIR] [--only a,b,c]
+  python tools/plan_dump.py --suffix before [--round 13] [--sf DIR]
+      [--only a,b,c]
 """
 
 from __future__ import annotations
@@ -20,16 +25,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_DIR = os.path.join(_REPO, "plans", "r12")
 
 
-def main() -> None:
+def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--suffix", required=True)
+    ap.add_argument("--round", type=int, default=13)
     ap.add_argument("--only", default="",
                     help="comma-separated query names (default: all bench)")
     args = ap.parse_args()
+    out_dir = os.path.join(_REPO, "plans", f"r{args.round}")
 
     from etl_on_weather_dataset_spark.operators.caching import release_all
     from etl_on_weather_dataset_spark.plans.registry import bench_specs
@@ -40,16 +46,17 @@ def main() -> None:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    os.makedirs(OUT_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     only = {s for s in args.only.split(",") if s}
 
     def dump(name: str, df) -> None:
         plan = df._jdf.queryExecution().explainString(mode)
-        path = os.path.join(OUT_DIR, f"{name}_{args.suffix}.txt")
+        path = os.path.join(out_dir, f"{name}_{args.suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
         print(f"wrote {path} ({plan.count(chr(10))} lines)")
 
+    skipped: list[str] = []
     for name, spec in sorted(bench_specs().items()):
         if only and name not in only:
             continue
@@ -61,10 +68,15 @@ def main() -> None:
                 dump(name, (spec.bench_fn or spec.spark_fn)(spark, args.sf))
         except Exception as e:  # noqa: BLE001
             print(f"SKIP {name}: {type(e).__name__}: {e}")
+            skipped.append(name)
         finally:
             release_all()
     spark.stop()
+    if skipped:
+        print(f"ERROR: {len(skipped)} queries skipped: {', '.join(skipped)}")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
