@@ -70,6 +70,39 @@ def test_rotation_leaves_no_query_unattested_and_unplanned():
     )
 
 
+# Fast representative parity smoke for the DEFAULT (driver-window)
+# run: one query per operator family, so the default subset still
+# exercises the oracle harness end-to-end. The FULL registry parity
+# sweep below is marked slow (round-12 verdict item 3: the driver's
+# pytest window cannot fit a full sweep -- that sweep duplicates the
+# driver's own CORRECTNESS gate and tools/driver_sim.py, which remain
+# the authoritative full-registry checks).
+PARITY_SMOKE = [n for n in (
+    "pricing_summary",            # TPC-H aggregate
+    "regional_revenue",           # TPC-H join chain
+    "sessionize_users",           # session window
+    "dedup_minhash_lsh",          # dedup tier
+    "cosine_topk_ivf_pq",         # ANN serving chain
+    "component_store_incremental",  # store scenario
+    "record_linkage_summary",     # linkage
+    "km_hazard_daily",            # survival analytics
+    "tfidf_top_terms",            # text/retrieval
+    "streaming_interval_join",    # streaming twin
+) if n in ORACLES]
+
+
+@pytest.mark.parametrize("name", PARITY_SMOKE)
+def test_oracle_parity_smoke(spark, name):
+    from etl_on_weather_dataset_spark.operators.caching import release_all
+
+    try:
+        df = QUERIES[name](spark, SF_ORACLE)
+        compare(df, ORACLES[name], SF_ORACLE, name=name)
+    finally:
+        release_all()
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, name):
     from etl_on_weather_dataset_spark.operators.caching import release_all
@@ -81,6 +114,7 @@ def test_oracle_parity(spark, name):
         release_all()  # drop operator-internal caches between cases
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     from etl_on_weather_dataset_spark.operators.caching import release_all

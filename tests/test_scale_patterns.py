@@ -1,11 +1,19 @@
 """Scale-pattern tests: salting equivalence + bucketed-join shuffle
-elimination (SCALE.md claims, verified against real plans)."""
+elimination (SCALE.md claims, verified against real plans).
+
+Whole module marked ``slow`` (round-12 verdict item 3): multi-SF
+scenario smokes and plan-materializing collects dominate the suite
+wall; the default (driver-window) run excludes them -- run the full
+suite with ``-m ''``."""
 
 from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.slow
 
 from etl_on_weather_dataset_spark.operators.skew import (
     salted_aggregate,
